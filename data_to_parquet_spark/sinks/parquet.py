@@ -1,0 +1,68 @@
+"""Parquet sink (reference O12: ZSTD single-file writer, ``src/lib.rs:279-286``).
+
+Two modes:
+
+* :func:`to_parquet` — the scale path: a normal distributed
+  ``df.write.parquet`` directory with ZSTD compression. This is what runs on a
+  cluster over 100 TB.
+* :func:`to_single_parquet_file` — reference-UX parity: exactly one
+  ``.parquet`` file at the given path (the reference's ArrowWriter produces a
+  single file). Implemented as a coalesce(1) write to a temp dir + rename;
+  only for driver-scale outputs, never for large data.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame
+
+from ..errors import DataToParquetError
+
+__all__ = ["to_parquet", "to_single_parquet_file"]
+
+
+def to_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    compression: str = "zstd",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    writer = df.write.mode(mode).option("compression", compression)
+    if max_records_per_file:
+        # analog of the reference's row-group sizing knob (src/lib.rs:281-282)
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def to_single_parquet_file(
+    df: DataFrame, path: str, *, compression: str = "zstd"
+) -> None:
+    """Write exactly one Parquet file at ``path`` (reference single-file UX)."""
+    tmp = tempfile.mkdtemp(prefix="d2p_", dir=os.path.dirname(path) or ".")
+    try:
+        out_dir = os.path.join(tmp, "out")
+        (
+            df.coalesce(1)
+            .write.mode("overwrite")
+            .option("compression", compression)
+            .parquet(out_dir)
+        )
+        parts = glob.glob(os.path.join(out_dir, "part-*.parquet"))
+        if len(parts) != 1:
+            raise DataToParquetError(
+                f"expected 1 part file, found {len(parts)} in {out_dir}"
+            )
+        if os.path.exists(path):
+            os.remove(path)
+        shutil.move(parts[0], path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

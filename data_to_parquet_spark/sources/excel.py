@@ -1,0 +1,214 @@
+"""Excel → DataFrame source: the engine's replacement for the reference's
+fixed pipeline (``src/lib.rs:30-65``), re-expressed Spark-first.
+
+Design (SURVEY.md §3.3 "Spark lifecycle"):
+
+* a file-list DataFrame (one row per input file) is repartitioned so each file
+  becomes one Spark task — parallelism across files/executors replaces the
+  reference's 8 hard-coded worker threads (``src/lib.rs:169,237``);
+* inside each task, ``mapInPandas`` runs the stdlib streaming reader
+  (:mod:`.xlsx` / :mod:`.xlsb`) and yields pandas chunks of ``batch_size``
+  rows — Arrow carries them to the JVM as columnar batches, replacing the
+  reference's hand-rolled RecordBatch pivot (``src/lib.rs:403-439``);
+* the output schema is inferred on the driver from the FIRST file's header row
+  using the exact reference naming rules (``build_headers``), and is all
+  nullable strings (``src/lib.rs:229-234``).
+
+Scale posture: at 100 TB (= millions of workbooks) the file list itself is a
+DataFrame, schema inference touches only one file, and each task's memory is
+bounded by one row + the shared-string table of its own file. No driver-side
+materialization of data ever happens.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..errors import DataToParquetError
+from ..kernels import build_headers, cell_to_string
+from .xlsx import XlsxWorkbook
+
+__all__ = ["read_excel", "scan_sheet", "open_workbook", "DEFAULT_BATCH_SIZE"]
+
+DEFAULT_BATCH_SIZE = 5000  # reference default: src/main.rs:31-32
+
+
+def open_workbook(path: str):
+    """Extension dispatch (reference O3, ``src/main.rs:50-62``)."""
+    ext = os.path.splitext(path)[1].lower().lstrip(".")
+    if ext == "xlsx":
+        return XlsxWorkbook(path)
+    if ext == "xlsb":
+        from .xlsb import XlsbWorkbook
+
+        return XlsbWorkbook(path)
+    raise DataToParquetError(
+        f"Unsupported file extension: {ext!r} (expected xlsx or xlsb)"
+    )
+
+
+def _sheet_geometry(wb, sheet: str, skip_rows: int):
+    """(start_col, num_cols, header_row_idx) from the declared dimension box
+    (``src/lib.rs:160-162``); None fields if the sheet lacks a dimension
+    element (then geometry is inferred from the header row itself)."""
+    dims = wb.dimensions(sheet)
+    if dims is None:
+        return None, None, None
+    (r0, c0), (_, c1) = dims
+    return c0, c1 - c0 + 1, r0 + skip_rows
+
+
+def scan_sheet(
+    wb,
+    sheet: str,
+    skip_rows: int = 0,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> tuple[list[str], Iterator[list[list[str | None]]]]:
+    """Stream one sheet: returns (headers, iterator of row-batches).
+
+    Reproduces the reference's scan semantics end to end:
+
+    * rows before ``header_row_idx = start_row + skip_rows`` are discarded
+      (``src/lib.rs:162,206-223``);
+    * the header row is stringified and run through ``build_headers``
+      (``src/lib.rs:441-465``);
+    * data rows densify sparsely-present cells over the header's column span:
+      absent cell → None (NULL), present-but-empty cell → ``""``
+      (``src/lib.rs:398`` vs ``:428-433``);
+    * cells beyond the header width are dropped (``src/lib.rs:424-425``);
+    * batches carry ``batch_size`` rows (``src/main.rs:31-32``).
+    """
+    start_col, num_cols, header_row_idx = _sheet_geometry(wb, sheet, skip_rows)
+
+    cells = wb.iter_cells(sheet)
+
+    # --- header phase -----------------------------------------------------
+    header_cells: dict[int, str] = {}
+    first_row: int | None = None
+    pending: list[tuple[int, int, object]] = []  # first data cell(s) read past header
+    for row, col, value in cells:
+        if first_row is None:
+            first_row = row
+            if header_row_idx is None:
+                header_row_idx = first_row + skip_rows
+        if row < header_row_idx:
+            continue  # leading-row discard (O5)
+        if row == header_row_idx:
+            header_cells[col] = cell_to_string(value)
+            continue
+        pending.append((row, col, value))
+        break
+
+    if header_row_idx is None:  # empty sheet
+        return [], iter(())
+
+    if start_col is None:
+        # no dimension element: infer span from the header row extent
+        if not header_cells:
+            return [], iter(())
+        start_col = min(header_cells)
+        num_cols = max(header_cells) - start_col + 1
+
+    headers = build_headers(header_cells, num_cols, start_col)
+
+    def batches() -> Iterator[list[list[str | None]]]:
+        buf: list[list[str | None]] = []
+        cur_row: int | None = None
+        cur: dict[int, str] = {}
+
+        def flush_row():
+            if cur_row is None:
+                return
+            dense: list[str | None] = [
+                cur.get(start_col + i) for i in range(num_cols)
+            ]
+            buf.append(dense)
+
+        import itertools
+
+        for row, col, value in itertools.chain(pending, cells):
+            if row != cur_row:
+                flush_row()
+                if cur_row is not None and len(buf) >= batch_size:
+                    yield buf
+                    buf = []
+                cur_row = row
+                cur = {}
+            if col < start_col + num_cols:  # width truncation (O9)
+                cur[col] = cell_to_string(value)
+        flush_row()
+        if buf:
+            yield buf
+
+    return headers, batches()
+
+
+def infer_schema(
+    path: str,
+    sheet_name: str | None = None,
+    sheet_index: int | None = None,
+    skip_rows: int = 0,
+) -> T.StructType:
+    """Driver-side schema inference: header row of one file only."""
+    with open_workbook(path) as wb:
+        sheet = wb.resolve_sheet(sheet_name, sheet_index)
+        headers, _ = scan_sheet(wb, sheet, skip_rows, batch_size=1)
+    if not headers:
+        raise DataToParquetError(f"no header row found in {path!r}")
+    return T.StructType(
+        [T.StructField(h, T.StringType(), True) for h in headers]
+    )
+
+
+def read_excel(
+    spark: SparkSession,
+    paths: str | list[str],
+    *,
+    sheet_name: str | None = None,
+    sheet_index: int | None = None,
+    skip_rows: int = 0,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> DataFrame:
+    """Read one or many Excel workbooks into a DataFrame of nullable strings.
+
+    Equivalent surface to the reference CLI/API options
+    (``src/main.rs:7-33``): sheet selection by name/index/default, leading-row
+    skip, batch size. Multi-file reads require a shared schema (taken from the
+    first file), mirroring "one conversion = one schema".
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    if not paths:
+        raise DataToParquetError("no input paths")
+    for p in paths:
+        open_workbook(p).close()  # validate extensions + readability up front
+
+    schema = infer_schema(paths[0], sheet_name, sheet_index, skip_rows)
+    n_cols = len(schema)
+
+    def reader(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in schema.fields]
+        for pdf in iterator:
+            for path in pdf["path"]:
+                with open_workbook(path) as wb:
+                    sheet = wb.resolve_sheet(sheet_name, sheet_index)
+                    headers, batches = scan_sheet(
+                        wb, sheet, skip_rows, batch_size
+                    )
+                    if len(headers) != n_cols:
+                        raise DataToParquetError(
+                            f"{path!r}: header width {len(headers)} != "
+                            f"schema width {n_cols}"
+                        )
+                    for batch in batches:
+                        yield pd.DataFrame(batch, columns=cols, dtype=object)
+
+    files = spark.createDataFrame(
+        [(p,) for p in paths], T.StructType([T.StructField("path", T.StringType())])
+    ).repartition(len(paths))
+    return files.mapInPandas(reader, schema)

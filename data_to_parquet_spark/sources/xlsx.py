@@ -1,0 +1,233 @@
+"""Streaming .xlsx cell reader built on the stdlib (zipfile + ElementTree).
+
+The container has no openpyxl, so this module parses the OOXML SpreadsheetML
+format directly — the format is a public ISO/ECMA spec (ECMA-376). The reader
+reproduces the reference's scan semantics (``src/lib.rs:30-65``): a lazy,
+row-major, *sparse* cell stream — absent cells are never emitted; explicitly
+present but valueless cells are emitted as Empty (→ ``""`` downstream, while
+absent cells densify to NULL — the reference's critical null-vs-empty-string
+distinction, ``src/lib.rs:398`` vs ``:428-433``).
+
+Memory profile: ``ElementTree.iterparse`` with element eviction keeps only one
+``<row>`` subtree resident; the shared-strings table is loaded up front (as
+calamine also does). That bounds per-task memory at O(row + sst), which is the
+same bound the reference claims (``README.md:9``).
+"""
+
+from __future__ import annotations
+
+import re
+import zipfile
+from typing import Iterator
+from xml.etree import ElementTree as ET
+
+from ..errors import DataToParquetError
+from ..kernels import CellValue
+
+__all__ = ["XlsxWorkbook", "parse_cell_ref", "parse_dimension"]
+
+_MAIN_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_REL_NS = (
+    "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+)
+_PKG_REL_NS = (
+    "{http://schemas.openxmlformats.org/package/2006/relationships}"
+)
+
+_CELL_REF_RE = re.compile(r"^([A-Z]+)(\d+)$")
+
+
+def parse_cell_ref(ref: str) -> tuple[int, int]:
+    """``"B3"`` -> (row=2, col=1), both 0-based."""
+    m = _CELL_REF_RE.match(ref)
+    if not m:
+        raise DataToParquetError(f"bad cell reference: {ref!r}")
+    letters, digits = m.groups()
+    col = 0
+    for ch in letters:
+        col = col * 26 + (ord(ch) - 64)
+    return int(digits) - 1, col - 1
+
+
+def parse_dimension(ref: str) -> tuple[tuple[int, int], tuple[int, int]]:
+    """``"A1:F100"`` -> ((0,0),(99,5)); single-cell ``"A1"`` -> ((0,0),(0,0))."""
+    if ":" in ref:
+        a, b = ref.split(":", 1)
+        return parse_cell_ref(a), parse_cell_ref(b)
+    cell = parse_cell_ref(ref)
+    return cell, cell
+
+
+def _text_of(elem: ET.Element) -> str:
+    """Concatenated text of all <t> descendants (rich-text runs)."""
+    return "".join(t.text or "" for t in elem.iter(f"{_MAIN_NS}t"))
+
+
+class XlsxWorkbook:
+    """Lazily-scanning .xlsx workbook (reference O1/O4 semantics)."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        try:
+            self._zip = zipfile.ZipFile(path)
+        except (zipfile.BadZipFile, OSError) as e:
+            raise DataToParquetError(f"cannot open xlsx {path!r}: {e}") from e
+        self._sheet_targets = self._load_sheet_map()
+        self._sst: list[str] | None = None
+
+    # -- workbook structure ------------------------------------------------
+    def _load_sheet_map(self) -> list[tuple[str, str]]:
+        """[(sheet_name, zip_member_path)] in workbook order."""
+        rels: dict[str, str] = {}
+        try:
+            with self._zip.open("xl/_rels/workbook.xml.rels") as f:
+                for _, el in ET.iterparse(f):
+                    if el.tag == f"{_PKG_REL_NS}Relationship":
+                        target = el.get("Target", "")
+                        if target.startswith("/"):
+                            target = target.lstrip("/")
+                        else:
+                            target = "xl/" + target
+                        rels[el.get("Id", "")] = target
+        except KeyError:
+            pass
+        sheets: list[tuple[str, str]] = []
+        with self._zip.open("xl/workbook.xml") as f:
+            for _, el in ET.iterparse(f):
+                if el.tag == f"{_MAIN_NS}sheet":
+                    rid = el.get(f"{_REL_NS}id", "")
+                    target = rels.get(rid, f"xl/worksheets/sheet{len(sheets) + 1}.xml")
+                    sheets.append((el.get("name", f"Sheet{len(sheets) + 1}"), target))
+        return sheets
+
+    @property
+    def sheet_names(self) -> list[str]:
+        return [name for name, _ in self._sheet_targets]
+
+    def resolve_sheet(
+        self, sheet_name: str | None = None, sheet_index: int | None = None
+    ) -> str:
+        """Reference sheet-selection rules (``get_sheet_name``, src/lib.rs:105-124):
+        explicit name > 0-based index (bounds-checked) > first sheet."""
+        names = self.sheet_names
+        if sheet_name is not None:
+            if sheet_name not in names:
+                raise DataToParquetError(f"Sheet {sheet_name!r} not found")
+            return sheet_name
+        if sheet_index is not None:
+            if sheet_index >= len(names) or sheet_index < 0:
+                raise DataToParquetError(
+                    f"Sheet index {sheet_index} out of bounds"
+                )
+            return names[sheet_index]
+        if not names:
+            raise DataToParquetError("No worksheets found")
+        return names[0]
+
+    # -- shared strings ----------------------------------------------------
+    def _shared_strings(self) -> list[str]:
+        if self._sst is None:
+            sst: list[str] = []
+            try:
+                with self._zip.open("xl/sharedStrings.xml") as f:
+                    for _, el in ET.iterparse(f):
+                        if el.tag == f"{_MAIN_NS}si":
+                            sst.append(_text_of(el))
+                            el.clear()
+            except KeyError:
+                pass
+            self._sst = sst
+        return self._sst
+
+    # -- cell stream -------------------------------------------------------
+    def dimensions(self, sheet: str) -> tuple[tuple[int, int], tuple[int, int]] | None:
+        """The sheet's declared dimension box, if present."""
+        member = dict(self._sheet_targets)[sheet]
+        with self._zip.open(member) as f:
+            for event, el in ET.iterparse(f, events=("start",)):
+                tag = el.tag
+                if tag == f"{_MAIN_NS}dimension":
+                    ref = el.get("ref")
+                    return parse_dimension(ref) if ref else None
+                if tag == f"{_MAIN_NS}sheetData":
+                    return None  # no dimension element before data
+        return None
+
+    def iter_cells(self, sheet: str) -> Iterator[tuple[int, int, CellValue]]:
+        """Sparse row-major cell stream: yields (row, col, CellValue).
+
+        Mirrors calamine's ``worksheet_cells_reader`` (src/lib.rs:42-44):
+        only physically-present cells are yielded.
+        """
+        sst = self._shared_strings()
+        member = dict(self._sheet_targets)[sheet]
+        row_idx = -1
+        col_idx = -1
+        with self._zip.open(member) as f:
+            context = ET.iterparse(f, events=("start", "end"))
+            for event, el in context:
+                tag = el.tag
+                if event == "start":
+                    if tag == f"{_MAIN_NS}row":
+                        r = el.get("r")
+                        row_idx = (int(r) - 1) if r else row_idx + 1
+                        col_idx = -1
+                    continue
+                # end events
+                if tag == f"{_MAIN_NS}c":
+                    ref = el.get("r")
+                    if ref:
+                        _, col_idx = parse_cell_ref(ref)
+                    else:
+                        col_idx += 1
+                    yield row_idx, col_idx, self._cell_value(el, sst)
+                    el.clear()
+                elif tag == f"{_MAIN_NS}row":
+                    el.clear()
+
+    @staticmethod
+    def _cell_value(c: ET.Element, sst: list[str]) -> CellValue:
+        """Decode one ``<c>`` element into a tagged CellValue.
+
+        Cell types per ECMA-376 §18.18.11 (ST_CellType): ``s`` shared string,
+        ``str`` formula string, ``inlineStr``, ``b`` boolean, ``e`` error,
+        ``d`` ISO date, ``n``/absent number.
+        """
+        t = c.get("t", "n")
+        v_el = c.find(f"{_MAIN_NS}v")
+        if t == "inlineStr":
+            is_el = c.find(f"{_MAIN_NS}is")
+            return CellValue("string", _text_of(is_el) if is_el is not None else "")
+        if v_el is None or v_el.text is None:
+            return CellValue("empty", None)
+        raw = v_el.text
+        if t == "s":
+            try:
+                return CellValue("string", sst[int(raw)])
+            except (ValueError, IndexError):
+                return CellValue("string", raw)
+        if t == "str":
+            return CellValue("string", raw)
+        if t == "b":
+            return CellValue("bool", raw not in ("0", "false", "FALSE"))
+        if t == "e":
+            return CellValue("error", raw)
+        if t == "d":
+            return CellValue("iso", raw)
+        # number: int if losslessly integral text (calamine parses i64 first)
+        try:
+            return CellValue("int", int(raw))
+        except ValueError:
+            try:
+                return CellValue("float", float(raw))
+            except ValueError:
+                return CellValue("string", raw)
+
+    def close(self) -> None:
+        self._zip.close()
+
+    def __enter__(self) -> "XlsxWorkbook":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

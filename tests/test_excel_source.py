@@ -1,0 +1,214 @@
+"""End-to-end tests for the Excel source against FIXTURES.md F1-F5/F7."""
+
+from __future__ import annotations
+
+import asyncio
+import os
+
+import pytest
+
+from data_to_parquet_spark import (
+    DataToParquetError,
+    convert,
+    convert_to_parquet,
+    read_excel,
+)
+from data_to_parquet_spark.sources.excel import open_workbook, scan_sheet
+
+from .xlsx_fixture import write_xlsx
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_f1_basic_mixed_types(spark, tmp_path):
+    path = str(tmp_path / "f1.xlsx")
+    write_xlsx(
+        path,
+        {
+            "Sheet1": [
+                ["id", "amount", "name", "active", "when_iso", "err"],
+                [1, 1.5, "alice", True, ("iso", "2024-01-15T10:30:00"), ("error", "#DIV/0!")],
+                [2, 0.30000000000000004, "bob 哈", False, ("iso", "2024-02-01T00:00:00"), ("error", "#N/A")],
+            ]
+        },
+    )
+    df = read_excel(spark, path)
+    assert df.columns == ["id", "amount", "name", "active", "when_iso", "err"]
+    assert all(t == "string" for _, t in df.dtypes)
+    assert sorted(_rows(df)) == [
+        ("1", "1.5", "alice", "true", "2024-01-15T10:30:00", "Div0"),
+        ("2", "0.30000000000000004", "bob 哈", "false", "2024-02-01T00:00:00", "NA"),
+    ]
+
+
+def test_f2_hostile_headers(spark, tmp_path):
+    path = str(tmp_path / "f2.xlsx")
+    write_xlsx(
+        path,
+        {
+            "Sheet1": [
+                [("empty",), "x", "x", "x", ("empty",), "y"],
+                ["a", "b", "c", "d", "e", "f"],
+            ]
+        },
+    )
+    df = read_excel(spark, path)
+    assert df.columns == ["Field_0", "x", "x_2", "x_3", "Field_4", "y"]
+    assert _rows(df) == [("a", "b", "c", "d", "e", "f")]
+
+
+def test_f3_null_vs_empty_string(spark, tmp_path):
+    path = str(tmp_path / "f3.xlsx")
+    write_xlsx(
+        path,
+        {
+            "Sheet1": [
+                ["a", "b", "c", "d"],
+                ["r1", None, ("empty",), None],
+                ["r2", "x", ("empty",), None],
+                # trailing cell beyond the declared dimension width must be
+                # dropped (src/lib.rs:424-425) — declare a stale 4-wide box
+                ["r3", None, ("empty",), "z", "beyond"],
+            ]
+        },
+        dimension_override="A1:D4",
+    )
+    df = read_excel(spark, path)
+    assert df.columns == ["a", "b", "c", "d"]
+    got = sorted(_rows(df))
+    assert got == [
+        ("r1", None, "", None),
+        ("r2", "x", "", None),
+        ("r3", None, "", "z"),
+    ]
+
+
+def test_f4_skip_rows(spark, tmp_path):
+    path = str(tmp_path / "f4.xlsx")
+    write_xlsx(
+        path,
+        {
+            "Sheet1": [
+                ["junk title", None],
+                ["junk note", None],
+                ["junk more", None],
+                ["col1", "col2"],
+                ["v1", "v2"],
+            ]
+        },
+    )
+    df = read_excel(spark, path, skip_rows=3)
+    assert df.columns == ["col1", "col2"]
+    assert _rows(df) == [("v1", "v2")]
+
+
+def test_f5_sheet_selection(spark, tmp_path):
+    path = str(tmp_path / "f5.xlsx")
+    write_xlsx(
+        path,
+        {
+            "Summary": [["s"], ["sum1"]],
+            "Data": [["d"], ["dat1"], ["dat2"]],
+            "Archive": [["ar"], ["arc1"]],
+        },
+    )
+    assert read_excel(spark, path).columns == ["s"]  # default = first
+    assert _rows(read_excel(spark, path, sheet_name="Data")) == [("dat1",), ("dat2",)]
+    assert _rows(read_excel(spark, path, sheet_index=2)) == [("arc1",)]
+    with pytest.raises(DataToParquetError, match="out of bounds"):
+        read_excel(spark, path, sheet_index=9)
+    with pytest.raises(DataToParquetError, match="not found"):
+        read_excel(spark, path, sheet_name="Nope")
+
+
+def test_f7_unsupported_extension(spark, tmp_path):
+    path = str(tmp_path / "input.csv")
+    open(path, "w").write("a,b\n1,2\n")
+    with pytest.raises(DataToParquetError, match="Unsupported file extension"):
+        read_excel(spark, path)
+
+
+def test_shared_strings_path(spark, tmp_path):
+    path = str(tmp_path / "sst.xlsx")
+    write_xlsx(
+        path,
+        {"Sheet1": [["name", "dup"], ["same", "same"], ["other", "same"]]},
+        shared_strings=True,
+    )
+    assert sorted(_rows(read_excel(spark, path))) == [
+        ("other", "same"),
+        ("same", "same"),
+    ]
+
+
+def test_nonzero_origin(spark, tmp_path):
+    # sheet starting at C5: dimension-driven geometry (src/lib.rs:160-162)
+    path = str(tmp_path / "origin.xlsx")
+    write_xlsx(
+        path,
+        {"Sheet1": [["h1", "h2"], ["a", "b"]]},
+        start_row=4,
+        start_col=2,
+    )
+    df = read_excel(spark, path)
+    assert df.columns == ["h1", "h2"]
+    assert _rows(df) == [("a", "b")]
+
+
+def test_batch_boundaries_and_scan_counts(tmp_path):
+    path = str(tmp_path / "many.xlsx")
+    n = 12_000
+    rows = [["id", "val"]] + [[i, f"v{i}"] for i in range(n)]
+    write_xlsx(path, {"Sheet1": rows})
+    with open_workbook(path) as wb:
+        headers, batches = scan_sheet(wb, wb.resolve_sheet(), batch_size=5000)
+        sizes = [len(b) for b in batches]
+    assert headers == ["id", "val"]
+    assert sum(sizes) == n
+    assert all(s <= 5000 for s in sizes)
+
+
+def test_multi_file_read(spark, tmp_path):
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"part{i}.xlsx")
+        write_xlsx(p, {"S": [["k", "v"], [i, f"file{i}"]]})
+        paths.append(p)
+    df = read_excel(spark, paths)
+    assert df.rdd.getNumPartitions() == 3  # one task per file
+    assert sorted(_rows(df)) == [
+        ("0", "file0"),
+        ("1", "file1"),
+        ("2", "file2"),
+    ]
+
+
+def test_convert_single_file_and_roundtrip(spark, tmp_path):
+    src = str(tmp_path / "conv.xlsx")
+    out = str(tmp_path / "conv.parquet")
+    write_xlsx(src, {"Sheet1": [["a", "b"], [1, 2.5], [3, True]]})
+    n = convert(src, out, spark=spark)
+    assert n == 2
+    assert os.path.isfile(out)
+    back = spark.read.parquet(out)
+    assert sorted(_rows(back)) == [("1", "2.5"), ("3", "true")]
+
+
+def test_async_api(spark, tmp_path):
+    src = str(tmp_path / "async.xlsx")
+    out = str(tmp_path / "async.parquet")
+    write_xlsx(src, {"Sheet1": [["x"], ["1"]]})
+    n = asyncio.run(convert_to_parquet(src, out, spark=spark))
+    assert n == 1
+
+
+def test_cli(spark, tmp_path):
+    from data_to_parquet_spark.cli import main
+
+    src = str(tmp_path / "cli.xlsx")
+    out = str(tmp_path / "cli.parquet")
+    write_xlsx(src, {"Sheet1": [["x"], ["1"]]})
+    assert main(["-i", src, "-o", out]) == 0
+    assert main(["-i", str(tmp_path / "nope.csv"), "-o", out]) == 1
