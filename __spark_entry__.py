@@ -1,38 +1,43 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001; ``queries()`` maps
+every implemented operator (SURVEY.md §2) to a (spark, sf_dir) -> DataFrame
+builder; ``oracle_sql()`` provides the DuckDB-equivalent SQL for each
+SQL-expressible query (the others get rows-only checks).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_to_parquet_spark.operators.dedup import DEDUP
+from data_to_parquet_spark.operators.events import EVT
+from data_to_parquet_spark.operators.misc import MISC
+from data_to_parquet_spark.operators.multimodal import MM
+from data_to_parquet_spark.operators.relational import REL
+from data_to_parquet_spark.operators.similarity import SIM
+from data_to_parquet_spark.operators.text import TXT
+from data_to_parquet_spark.streaming.windows import STREAMING
+
+_REGISTRY = REL.merge(EVT, TXT, DEDUP, SIM, MM, MISC, STREAMING)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from data_to_parquet_spark.operators.relational import q3_shipping_priority
+
+    return q3_shipping_priority(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _REGISTRY.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _REGISTRY.oracles()

@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is materialized with a count() action (no driver collect of data);
+timing covers plan + execution. A warmup query first pays one-time session
+costs so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # relational core
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "rollup_order_priority",
+    "window_top3_suppliers_per_nation",
+    "window_running_customer_revenue",
+    "topk_orders",
+    "semi_customers_with_open_orders",
+    "pivot_returnflag_by_linestatus",
+    # events
+    "events_tumbling_5min",
+    "events_sessionize_30min",
+    "asof_events_latest_order",
+    # LLM-pipeline extensions
+    "dedup_exact_hash",
+    "neardup_jaccard_pairs",
+    "dedup_minhash_pairs",
+    "text_quality_stats",
+    "doc_fingerprint_md5",
+    "similarity_topk_bruteforce",
+    "similarity_ann_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from data_to_parquet_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+
+    # warmup: pay JVM/codegen first-run costs outside the timed region
+    queries["q6_revenue_forecast"](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

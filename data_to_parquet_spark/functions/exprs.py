@@ -1,0 +1,87 @@
+"""Shared column-expression helpers used across operators.
+
+Everything here stays JVM-side (built-in ``pyspark.sql.functions`` only) so it
+participates in whole-stage codegen; oracle parity notes are attached to each
+helper because the driver's DuckDB comparison hashes exact values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "money",
+    "dsum",
+    "davg",
+    "dot",
+    "norm",
+    "cosine",
+    "tokens",
+    "distinct_tokens",
+]
+
+# -- exact-arithmetic aggregates ------------------------------------------
+# Double-precision SUM is order-dependent, so a Spark sum and a DuckDB sum of
+# the same doubles can differ in the last ulp and break value-hash comparison.
+# Recipe used by every oracle-checked aggregate: compute the row-level
+# expression in DOUBLE (deterministic per row), cast it to DECIMAL(18,s)
+# (deterministic rounding of one double), SUM the decimals (exact, order-
+# independent), cast the final total back to DOUBLE. The DuckDB oracles use
+# the literal same shape: CAST(SUM(CAST(expr AS DECIMAL(18,s))) AS DOUBLE).
+
+
+def money(col: str | Column, scale: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+def dsum(col: str | Column, alias: str, scale: int = 2) -> Column:
+    """Order-independent exact sum of a money-like column, as DOUBLE."""
+    return F.sum(money(col, scale)).cast("double").alias(alias)
+
+
+def davg(col: str | Column, alias: str, scale: int = 2) -> Column:
+    """avg = exact decimal sum / count, divided in DOUBLE (deterministic)."""
+    return (
+        F.sum(money(col, scale)).cast("double") / F.count(F.lit(1))
+    ).alias(alias)
+
+
+# -- embedding math --------------------------------------------------------
+# Sequential left-fold so DuckDB's list_reduce over the same element order
+# produces the bit-identical double (0.0 + p1 == p1 exactly, then the same
+# chain of IEEE additions).
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# -- text tokenization -----------------------------------------------------
+# One regex shared verbatim with the DuckDB oracles (string_split_regex):
+# lowercase, split on runs of non-alphanumerics, drop empty fragments.
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokens(text: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != ""
+    )
+
+
+def distinct_tokens(text: Column) -> Column:
+    return F.array_distinct(tokens(text))

@@ -1,0 +1,310 @@
+"""Deduplication operators over ``documents``: exact, fingerprint-grouped,
+blocked n-gram Jaccard, MinHash-LSH, and SimHash — the dedup family a
+large-scale training-data pipeline needs (BASELINE.json north star).
+
+Scale design notes (the point of each implementation):
+
+* exact / fingerprint — one hash-groupBy shuffle; survivors by min doc_id.
+* jaccard — candidate pairs are generated inside blocks (lang here; any
+  low-skew blocking key works), never as a global cross join.
+* MinHash-LSH — shingle→minhash→band→bucket-join: the candidate set is
+  |bucket|²-bounded per band bucket, not |corpus|²; all hashing is Spark's
+  xxhash64 (JVM-side, deterministic).
+* SimHash — 64-bit fingerprints via one explode + groupBy pass; candidates
+  from 16-bit band equality, verified by Hamming distance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.exprs import distinct_tokens, tokens
+from .base import Registry, load_table
+
+DEDUP = Registry()
+
+
+@DEDUP.register(
+    "dedup_exact_text",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact_text(spark, sf_dir):
+    """Exact dedup: group by full text, keep the smallest doc_id.
+
+    Scale: at 100 TB you group by sha2(text) instead of the text bytes to
+    shrink shuffle width — that variant is `dedup_exact_hash`.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select("doc_id", "n_copies")
+
+
+@DEDUP.register(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT sha256(text) AS text_hash, MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def dedup_exact_hash(spark, sf_dir):
+    """Exact dedup on sha-256 of the content (the shuffle-narrow variant)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.sha2("text", 256).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+_SALT = 16  # parallelism multiplier for low-cardinality block keys
+
+
+@DEDUP.register(
+    "neardup_jaccard_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_sort(list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+    FROM tok a JOIN tok b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9
+    """,
+)
+def neardup_jaccard_pairs(spark, sf_dir):
+    """Blocked pairwise token-set Jaccard (threshold 0.9).
+
+    Scale: pair generation is confined to blocks (here `lang`; at 100 TB the
+    blocking key becomes an LSH bucket — see `dedup_minhash_pairs` — so block
+    sizes stay bounded). A low-cardinality blocking key skews the self-join
+    (one task per block), so the join key is (lang, salt): the left side is
+    salted by doc_id hash, the right side replicated across all salts — same
+    pair set, `_SALT`× the parallelism. That skew treatment is what matters
+    on a 1000-executor cluster.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.array_sort(distinct_tokens(F.col("text"))).alias("toks"),
+    )
+    # documents is a single small parquet file → a 1-partition scan; the
+    # expensive part is the pairwise probe, so spread the probe side across
+    # the cluster BEFORE the join (otherwise one task owns every pair).
+    a = tok.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("toks").alias("toks_a"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(_SALT)).alias("salt_a"),
+    ).repartition(spark.sparkContext.defaultParallelism, "salt_a", "doc_a")
+    b = tok.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("toks").alias("toks_b"),
+        F.explode(F.array(*[F.lit(i) for i in range(_SALT)])).alias("salt_b"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("salt_a") == F.col("salt_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.9)
+    )
+
+
+# -- MinHash-LSH -----------------------------------------------------------
+_MINHASH_K = 32  # signature length
+_BANDS = 8  # 8 bands x 4 rows
+_ROWS_PER_BAND = _MINHASH_K // _BANDS
+_SHINGLE_W = 3  # 3-word shingles
+
+
+def _minhash_signatures(docs, text_col="text"):
+    """doc_id -> array<bigint> minhash signature, via explode + groupBy.
+
+    Shingles are 3-word windows; hash h_i(s) = xxhash64(s, seed=i); the
+    signature is the column-wise min. One shuffle (groupBy doc_id).
+    """
+    toks = distinct_tokens(F.col(text_col))  # defined order not needed
+    shingled = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, greatest(size(tokens) - {_SHINGLE_W}, 0)),"
+                f" i -> concat_ws(' ', slice(tokens, i + 1, {_SHINGLE_W})))"
+            )
+        ).alias("shingle"),
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(_MINHASH_K)
+    ]
+    sig = shingled.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(_MINHASH_K)]).alias("sig")
+    )
+
+
+@DEDUP.register("dedup_minhash_pairs", oracle=None)
+def dedup_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup candidates, verified by signature similarity.
+
+    Pipeline: shingle → 32 minhashes → 8 bands of 4 → band-bucket self-join →
+    distinct candidate pairs → estimated Jaccard = matching-minhash fraction
+    ≥ 0.8. (Rows-only driver check: xxhash64 isn't available to DuckDB; the
+    SQL-oracled `neardup_jaccard_pairs` covers exact-Jaccard parity.)
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "tokens", tokens(F.col("text"))
+    )
+    sig = _minhash_signatures(d).cache()
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[b * _ROWS_PER_BAND + r]
+                                for r in range(_ROWS_PER_BAND)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    est = (
+        cand.join(sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
+        .join(sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda p, q: p == q),
+                        lambda eq: eq,
+                    )
+                ).cast("double")
+                / F.lit(_MINHASH_K)
+            ).alias("est_jaccard"),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= 0.8)
+
+
+@DEDUP.register("dedup_simhash_pairs", oracle=None)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup: 64-bit fingerprints, candidates from 16-bit band
+    equality, verified by Hamming distance ≤ 8.
+
+    Fingerprint: per token, xxhash64 → each of 64 bits votes ±1; the sign of
+    the per-bit sum is the fingerprint bit. All arithmetic is JVM-side bit
+    ops — no UDFs. (Rows-only check: no xxhash64 in DuckDB.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(distinct_tokens(F.col("text"))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    # per-bit vote sums: sum over tokens of (2*bit-1)
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    # pack sign bits into one BIGINT via sum of shifted bits
+    packed = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                * F.lit(2 ** b).cast("long")
+                if b < 63
+                else F.when(
+                    F.col(f"v{b}") > 0, F.lit(-(2 ** 63)).cast("long")
+                ).otherwise(F.lit(0).cast("long"))
+                for b in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    bands = packed.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.chunk")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("x.simhash").alias("sim_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("y.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 8)
+    )

@@ -1,0 +1,147 @@
+"""Event-stream operators over the ``events`` table: tumbling windows,
+gap-based sessionization, and the as-of join (SURVEY.md §2.2 extensions).
+
+These are the batch forms; :mod:`..streaming.windows` exposes the Structured
+Streaming variant of the tumbling aggregate (same semantics, same oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.exprs import money
+from .asof import asof_join
+from .base import Registry, load_table
+
+EVT = Registry()
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@EVT.register(
+    "events_tumbling_5min",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_5min(spark, sf_dir):
+    """Tumbling 5-minute window aggregate (batch form of the streaming op).
+
+    Scale: map-side partial agg on (window, type); both engines align 5-min
+    buckets to the epoch so bucket edges agree.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value", 6)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@EVT.register(
+    "events_sessionize_30min",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL '30 minutes'
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize_30min(spark, sf_dir):
+    """Gap-based sessionization: lag + cumulative-sum session ids.
+
+    Scale: one shuffle on user_id; state is one window pass per user. The
+    streaming equivalent is `session_window(ts, '30 minutes')`.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+            <= 30 * 60,
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(wrun))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), _TS_FMT).alias("session_start"),
+        F.date_format(F.max("ts"), _TS_FMT).alias("session_end"),
+        F.sum(money("value", 6)).cast("double").alias("sum_value"),
+    )
+
+
+@EVT.register(
+    "asof_events_latest_order",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           o_orderkey, o_totalprice
+    FROM (
+      SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e LEFT JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) t WHERE rn = 1
+    """,
+)
+def asof_events_latest_order(spark, sf_dir):
+    """As-of join: each event matched to the user's latest prior order.
+
+    Uses the single-shuffle union-merge implementation in
+    :func:`..operators.asof.asof_join` (left-outer point-in-time semantics,
+    ties broken by greatest o_orderkey).
+    """
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders")
+    joined = asof_join(
+        e,
+        o.select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_payload=["o_orderkey", "o_totalprice"],
+        tie_break="o_orderkey",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("event_ts"),
+        "o_orderkey",
+        "o_totalprice",
+    )

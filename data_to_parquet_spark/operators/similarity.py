@@ -1,0 +1,223 @@
+"""Similarity search over the ``embeddings`` table: brute-force cosine top-k
+(the exactness baseline) and a random-hyperplane-LSH bucketed ANN variant
+(the scale path), plus embedding-cosine near-dup pairs.
+
+Float discipline for oracle parity: embeddings are ``array<float>``; every
+element is cast to DOUBLE before arithmetic (exact), and dot products are
+sequential left-folds so DuckDB's ``list_reduce`` over the same element order
+produces bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.exprs import cosine, dot, norm
+from .base import Registry, load_table
+
+SIM = Registry()
+
+_N_QUERIES = 5  # query set = vec_id < 5
+_TOP_K = 10
+_PAIR_SALT = 16  # parallelism multiplier for low-cardinality block keys
+
+# DuckDB fragment computing cosine(a, b) as the same sequential fold Spark's
+# F.aggregate performs: products in element order, then left-fold addition.
+_DD_DOT = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _dd_cosine(a: str, b: str) -> str:
+    dot = _DD_DOT.format(a=a, b=b)
+    na = _DD_DOT.format(a=a, b=a)
+    nb = _DD_DOT.format(a=b, b=b)
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+@SIM.register(
+    "similarity_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_dd_cosine('q.qe', 'e.embedding')} AS cos_sim
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) t WHERE rank <= {_TOP_K}
+    """,
+)
+def similarity_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-k: broadcast the query set, score every corpus vector,
+    take per-query top-k with a row_number window.
+
+    Scale: queries are broadcast (no corpus shuffle for scoring); the only
+    shuffle is the per-query top-k, whose input is |corpus|×|queries| scored
+    rows — at real scale, insert a per-partition top-k (mapPartitions heap or
+    AQE-coalesced window) before the global one.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    # precompute each side's norm ONCE per vector (not per pair) — bitwise
+    # identical to the oracle's sqrt-of-fold since it's the same expression,
+    # evaluated 1× instead of |queries|×
+    corpus = e.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    q = corpus.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                dot(F.col("qe"), F.col("embedding"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+@SIM.register(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_dd_cosine('a.embedding', 'b.embedding')} AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_dd_cosine('a.embedding', 'b.embedding')} >= 0.25
+    """,
+)
+def embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, blocked by label.
+
+    Scale: same blocked-pairs shape as the Jaccard dedup — the blocking key
+    bounds the quadratic term; swap `label` for an LSH bucket at 100 TB.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    tagged = e.select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    a = tagged.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(_PAIR_SALT)).alias("salt_a"),
+    ).repartition(spark.sparkContext.defaultParallelism, "salt_a", "vec_a")
+    b = tagged.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        F.explode(
+            F.array(*[F.lit(i) for i in range(_PAIR_SALT)])
+        ).alias("salt_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("label_a") == F.col("label_b"))
+            & (F.col("salt_a") == F.col("salt_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("nrm_a") * F.col("nrm_b"))
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.25)
+    )
+
+
+@SIM.register("similarity_ann_lsh", oracle=None)
+def similarity_ann_lsh(spark, sf_dir):
+    """Approximate NN via multi-table random-hyperplane LSH.
+
+    L=8 hash tables × k=4 hyperplanes each (seeded numpy, shipped as column
+    literals): each vector gets one 4-bit sign bucket per table; candidates
+    for a query are corpus vectors sharing any table's bucket; exact cosine
+    re-ranks the candidates (top-10 per query).
+
+    Scale: bucket ids are computed map-side (no shuffle); the all-pairs
+    scoring of brute force is replaced by one (table, bucket) equi-join whose
+    fan-in per bucket is ~|corpus|/2^k — tune k up as the corpus grows, L up
+    for recall. (Rows-only check: the hyperplane constants are engine-side.)
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dim, n_tables, k = 64, 8, 4
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((n_tables, k, dim))
+
+    def proj_sign(emb, plane_vec, bit):
+        plane = F.array(*[F.lit(float(x)) for x in plane_vec])
+        proj = F.aggregate(
+            F.zip_with(emb, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+
+    def buckets_col(emb):
+        per_table = []
+        for t in range(n_tables):
+            bits = [proj_sign(emb, planes[t][b], b) for b in range(k)]
+            per_table.append(
+                F.struct(
+                    F.lit(t).alias("table"),
+                    sum(bits[1:], bits[0]).alias("bucket"),
+                )
+            )
+        return F.array(*per_table)
+
+    tagged = e.select(
+        "vec_id",
+        "embedding",
+        F.explode(buckets_col(F.col("embedding"))).alias("tb"),
+    ).select("vec_id", "embedding", "tb.table", "tb.bucket")
+    q = tagged.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("table").alias("qtable"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = (
+        tagged.join(
+            F.broadcast(q),
+            (F.col("table") == F.col("qtable"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "qe", F.col("vec_id").alias("neighbor_id"), "embedding")
+        .distinct()  # a pair can collide in several tables
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qe"), F.col("embedding")).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+    )

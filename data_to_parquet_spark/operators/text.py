@@ -1,0 +1,197 @@
+"""Text-analysis operators over the ``documents`` table: quality scoring,
+token counting, language-ID heuristic, and document fingerprinting — the
+LLM-training-pipeline surface mandated by BASELINE.json.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen'd); the DuckDB oracles use the literal same regexes so
+the driver's value-hash comparison holds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.exprs import distinct_tokens, tokens
+from .base import Registry, load_table
+
+TXT = Registry()
+
+# English stopwords that actually occur in real corpora; kept tiny and listed
+# verbatim in the oracles. (A production lang-ID would ship per-language
+# profiles; the heuristic structure — stopword-hit ratio — is the operator.)
+_EN_STOP = ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"]
+
+# BPE-ish pre-tokenization: letter runs, single digits, or single
+# non-alphanumeric-non-space marks (GPT-2-style pre-tokenizer shape).
+_BPE_RE = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+
+
+@TXT.register(
+    "text_quality_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, n_chars,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks,
+             length(text) AS text_len,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '[^ ]', '', 'g')) AS n_spaces
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+           CAST(n_punct AS DOUBLE) / text_len AS punct_ratio,
+           CAST(text_len - n_spaces - n_punct AS DOUBLE) / len(toks) AS avg_token_len,
+           CAST(len(list_filter(toks,
+                t -> list_contains(['the','a','and','of','to','in','is','that','it','for'], t)))
+                AS DOUBLE) / len(toks) AS stopword_ratio
+    FROM tok WHERE len(toks) > 0
+    """,
+)
+def text_quality_stats(spark, sf_dir):
+    """Per-document quality signals: token counts, type-token ratio,
+    punctuation ratio, average token length, stopword ratio.
+
+    Scale: pure narrow map over documents — no shuffle at all.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    stop = F.array(*[F.lit(s) for s in _EN_STOP])
+    t = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        toks.alias("toks"),
+        F.length("text").alias("text_len"),
+        F.length(F.regexp_replace("text", "[^.,;:!?]", "")).alias("n_punct"),
+        F.length(F.regexp_replace("text", "[^ ]", "")).alias("n_spaces"),
+    ).filter(F.size("toks") > 0)
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct_tokens"),
+        (
+            F.size(F.array_distinct("toks")).cast("double") / F.size("toks")
+        ).alias("ttr"),
+        (F.col("n_punct").cast("double") / F.col("text_len")).alias(
+            "punct_ratio"
+        ),
+        (
+            (F.col("text_len") - F.col("n_spaces") - F.col("n_punct")).cast(
+                "double"
+            )
+            / F.size("toks")
+        ).alias("avg_token_len"),
+        (
+            F.size(
+                F.filter("toks", lambda tk: F.array_contains(stop, tk))
+            ).cast("double")
+            / F.size("toks")
+        ).alias("stopword_ratio"),
+    )
+
+
+@TXT.register(
+    "token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_whitespace_tokens,
+           len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_count_bpe(spark, sf_dir):
+    """Token counting two ways: whitespace tokens and a BPE-ish
+    pre-tokenizer regex (letter runs / digits / punctuation marks)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), "\\s+")).alias(
+            "n_whitespace_tokens"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+@TXT.register(
+    "lang_id_stopword",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(toks,
+                  t -> list_contains(['the','a','and','of','to','in','is','that','it','for'], t)))
+                  AS DOUBLE) / len(toks) AS en_score
+      FROM tok WHERE len(toks) > 0
+    )
+    SELECT doc_id, lang, en_score,
+           CASE WHEN en_score >= 0.05 THEN 'en' ELSE 'unknown' END AS pred_lang
+    FROM scored
+    """,
+)
+def lang_id_stopword(spark, sf_dir):
+    """Language-ID heuristic: stopword-hit ratio against an English profile.
+
+    (The synthetic corpus shares one vocabulary across its `lang` labels, so
+    the interesting output is the score itself; the operator structure —
+    profile match ratio + threshold decision — is what scales to real
+    per-language profiles.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(s) for s in _EN_STOP])
+    toks = tokens(F.col("text"))
+    scored = (
+        d.select("doc_id", "lang", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.size(
+                    F.filter("toks", lambda t: F.array_contains(stop, t))
+                ).cast("double")
+                / F.size("toks")
+            ).alias("en_score"),
+        )
+    )
+    return scored.withColumn(
+        "pred_lang",
+        F.when(F.col("en_score") >= 0.05, F.lit("en")).otherwise(
+            F.lit("unknown")
+        ),
+    )
+
+
+@TXT.register(
+    "doc_fingerprint_md5",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> ''))), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint_md5(spark, sf_dir):
+    """Content-defined fingerprint: md5 over the sorted distinct token set.
+
+    Documents with identical vocabulary (word-order-insensitive duplicates)
+    collide — the cheap first stage of a near-dup pipeline.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(distinct_tokens(F.col("text"))), " ")
+        ).alias("fingerprint"),
+    )

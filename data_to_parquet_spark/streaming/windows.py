@@ -1,0 +1,85 @@
+"""Structured Streaming operators (SURVEY.md §2.2: native Spark capability —
+the reference's "streaming" is only bounded file I/O, README.md:9).
+
+``streaming_tumbling_5min`` runs a real streaming query — file source over
+the events parquet, tumbling event-time window with watermark, memory sink,
+``availableNow`` trigger — synchronously to completion, then returns the
+result. Because the batch is bounded and the output mode is "complete", the
+result equals the batch tumbling aggregate, so it shares that query's DuckDB
+oracle: the driver gets a full value-hash check on a streaming operator.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import functions as F
+
+from ..functions.exprs import money
+from ..operators.base import Registry
+
+STREAMING = Registry()
+
+_counter = threading.Lock()
+_n = [0]
+
+
+@STREAMING.register(
+    "streaming_tumbling_5min",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_5min(spark, sf_dir):
+    """Watermarked tumbling-window aggregate as a Structured Streaming query.
+
+    Scale: on an unbounded source the same plan runs continuously; the
+    watermark bounds state (late rows beyond 10 min are dropped), and the
+    window+type grouping keeps per-trigger state proportional to active
+    windows, not history.
+    """
+    # events.ts is parquet TIMESTAMP(NANOS): read nanos as long, convert (see
+    # operators.base.load_table for the batch-side twin of this handling)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    with _counter:
+        _n[0] += 1
+        sink = f"streaming_tumbling_out_{_n[0]}"
+    # the file streaming source wants a directory: stream the sf dir with a
+    # glob filter selecting just the events file
+    source = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(source.dtypes).get("ts") == "bigint":
+        source = source.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    stream = (
+        source.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value", 6)).cast("double").alias("sum_value"),
+        )
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
