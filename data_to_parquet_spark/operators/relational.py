@@ -553,3 +553,147 @@ def pivot_returnflag_by_linestatus(spark, sf_dir):
         .pivot("l_linestatus", ["O", "F"])
         .agg(F.sum(money("l_quantity")).cast(_D))
     )
+
+
+@REL.register(
+    "agg_distinct_counts",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_counts(spark, sf_dir):
+    """Multi-column COUNT(DISTINCT) aggregate (Catalyst expands to
+    partial-distinct aggregation; no driver-side distinct)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@REL.register(
+    "grouping_sets_nation_segment",
+    oracle="""
+    SELECT n_name, c_mktsegment, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (c_mktsegment), (n_name, c_mktsegment))
+    """,
+)
+def grouping_sets_nation_segment(spark, sf_dir):
+    """Explicit GROUPING SETS (the general grouping-family form)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    j.createOrReplaceTempView("gs_cust_nation")
+    return spark.sql(
+        """
+        SELECT n_name, c_mktsegment, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        FROM gs_cust_nation
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), (n_name, c_mktsegment))
+        """
+    )
+
+
+@REL.register(
+    "unpivot_part_measures",
+    oracle="""
+    SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS value FROM part
+    """,
+)
+def unpivot_part_measures(spark, sf_dir):
+    """Unpivot (wide→long) via stack()."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'size', CAST(p_size AS DOUBLE),"
+            " 'retailprice', p_retailprice) AS (measure, value)"
+        ),
+    )
+
+
+@REL.register(
+    "range_join_quantity_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('low', 0.0, 10.0), ('mid', 10.0, 30.0), ('high', 30.0, 51.0)
+    )
+    SELECT band, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY band
+    """,
+)
+def range_join_quantity_bands(spark, sf_dir):
+    """Range (non-equi) join against a broadcast band dimension.
+
+    Scale: the band table is tiny → broadcast nested-loop with 3 ranges is a
+    map-side operation; for large range dims, bucketize the range key to an
+    equi-join first.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 30.0), ("high", 30.0, 51.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_quantity") >= F.col("lo"))
+            & (F.col("l_quantity") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+    )
+
+
+@REL.register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH part_avg AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part_avg USING (l_partkey)
+    WHERE l_quantity < 0.2 * avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: per-group average as a (decorrelated) subquery join.
+
+    Scale: the correlated scalar subquery is expressed as an aggregate +
+    re-join on l_partkey — one shuffle, no per-row subquery execution.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.sum(money("l_quantity")).cast(_D) / F.count(F.lit(1))).alias(
+            "avg_qty"
+        )
+    )
+    return (
+        li.join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(money("l_extendedprice")).cast(_D) / 7.0).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

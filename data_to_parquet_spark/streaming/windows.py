@@ -83,3 +83,73 @@ def streaming_tumbling_5min(spark, sf_dir):
         "n_events",
         "sum_value",
     )
+
+
+@STREAMING.register(
+    "streaming_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL '30 minutes'
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def streaming_session_window(spark, sf_dir):
+    """Gap-merged session windows via Structured Streaming's native
+    `session_window(ts, '30 minutes')`.
+
+    The streaming session operator merges events whose gaps are < 30 min —
+    exactly the batch lag+cumsum sessionization — so the batch window-SQL
+    CTE is its oracle: a full value-hash check on a stateful streaming op.
+
+    Scale: session state is per (user, open-session); the watermark closes
+    sessions and evicts state; on an unbounded source this runs continuously.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    with _counter:
+        _n[0] += 1
+        sink = f"streaming_session_out_{_n[0]}"
+    source = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(source.dtypes).get("ts") == "bigint":
+        source = source.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    agg = (
+        source.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "user_id",
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        "n_events",
+    )
