@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from data_to_parquet_spark.operators.cdc import CDC
 from data_to_parquet_spark.operators.dedup import DEDUP
 from data_to_parquet_spark.operators.events import EVT
 from data_to_parquet_spark.operators.misc import MISC
@@ -25,7 +26,7 @@ from data_to_parquet_spark.operators.similarity import SIM
 from data_to_parquet_spark.operators.text import TXT
 from data_to_parquet_spark.streaming.windows import STREAMING
 
-_REGISTRY = REL.merge(EVT, TXT, DEDUP, SIM, MM, MISC, STREAMING)
+_REGISTRY = REL.merge(EVT, TXT, DEDUP, SIM, MM, MISC, STREAMING, CDC)
 
 
 def entry(spark: SparkSession) -> DataFrame:

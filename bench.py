@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "dedup_exact_hash",
     "neardup_jaccard_pairs",
     "dedup_minhash_pairs",
+    "dedup_connected_components",
+    "percentile_prices_by_flag",
     "text_quality_stats",
     "doc_fingerprint_md5",
     "similarity_topk_bruteforce",

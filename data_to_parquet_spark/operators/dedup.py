@@ -125,7 +125,12 @@ def neardup_jaccard_pairs(spark, sf_dir):
             b,
             (F.col("lang_a") == F.col("lang_b"))
             & (F.col("salt_a") == F.col("salt_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
+            & (F.col("doc_a") < F.col("doc_b"))
+            # size-ratio prefilter: J(a,b) >= t requires |a| >= t·|b| and
+            # |b| >= t·|a| — an integer compare that skips the O(n) intersect
+            # for most pairs (classic set-similarity-join length filter)
+            & (F.size("toks_a").cast("double") >= 0.9 * F.size("toks_b"))
+            & (F.size("toks_b").cast("double") >= 0.9 * F.size("toks_a")),
         )
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.9)
@@ -308,3 +313,75 @@ def dedup_simhash_pairs(spark, sf_dir):
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= 8)
     )
+
+
+# DuckDB oracle for connected components: transitive closure by recursive
+# CTE over the same Jaccard-0.9 edge set, then cluster id = min reachable id.
+_CC_ORACLE = """
+WITH RECURSIVE tok AS (
+  SELECT doc_id, lang,
+         list_sort(list_distinct(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS toks
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM tok a JOIN tok b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9
+), edges AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+), reach(u, v) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+"""
+
+
+@DEDUP.register("dedup_connected_components", oracle=_CC_ORACLE)
+def dedup_connected_components(spark, sf_dir):
+    """Near-dup clustering: connected components over the Jaccard-0.9 pair
+    graph via iterative min-label propagation (the dedup step that turns
+    pairwise matches into keep/drop decisions).
+
+    Each iteration is one distributed join + groupBy (no driver-side graph);
+    iterations ≤ graph diameter, with a fixpoint check per round. At 100 TB
+    this is the standard large-star/small-star regime — the per-round
+    shuffle is O(|edges|), and the synthetic corpus converges in a few
+    rounds. Oracle: DuckDB recursive-CTE transitive closure.
+    """
+    pairs = neardup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # materialize + truncate lineage once: every iteration re-reads this tiny
+    # edge list instead of re-running the O(n²) pair join
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+    # propagate only over docs that have at least one edge; untouched docs
+    # are their own singleton cluster and join back at the end
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("cluster_id")).first()[0] or 0
+    for _ in range(20):
+        nbr = edges.join(
+            labels.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+        ).select(F.col("doc_b").alias("doc_id"), "cluster_id")
+        labels = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)  # keeps per-round lineage O(1)
+        )
+        new_sum = labels.agg(F.sum("cluster_id")).first()[0] or 0
+        if new_sum == prev_sum:  # min-label sum strictly decreases until fixed
+            break
+        prev_sum = new_sum
+    d = load_table(spark, sf_dir, "documents")
+    singletons = d.select("doc_id").join(
+        labels.select("doc_id"), "doc_id", "left_anti"
+    ).withColumn("cluster_id", F.col("doc_id"))
+    return labels.unionByName(singletons)

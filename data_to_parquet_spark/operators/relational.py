@@ -697,3 +697,51 @@ def q17_small_quantity_revenue(spark, sf_dir):
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@REL.register(
+    "percentile_prices_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.9) AS p90,
+           quantile_cont(l_extendedprice, 0.99) AS p99,
+           median(l_quantity) AS median_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_prices_by_flag(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont` — verified bit-identical on doubles)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.9).alias("p90"),
+        F.percentile("l_extendedprice", 0.99).alias("p99"),
+        F.median("l_quantity").alias("median_qty"),
+    )
+
+
+@REL.register("approx_aggregates", oracle=None)
+def approx_aggregates(spark, sf_dir):
+    """Sketch-based approximate aggregates: HLL++ distinct counts and
+    quantile sketches (percentile_approx).
+
+    Scale: these are THE aggregates for 100 TB interactive profiling —
+    fixed-size sketch state, map-side combinable, no exact shuffle of
+    distinct values. (Rows-only check: sketch internals differ per engine,
+    so no cross-engine value oracle exists by construction.)
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias(
+            "approx_orders"
+        ),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias(
+            "approx_p50"
+        ),
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.75)), 10000
+        ).alias("approx_quartiles"),
+    )

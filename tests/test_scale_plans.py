@@ -1,0 +1,80 @@
+"""Plan-level scale assertions: the properties that make queries survive a
+100× scale-up, checked against the actual physical plans.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+QUERIES = entry_mod.queries()
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    plan = _plan(QUERIES["q6_revenue_forecast"](spark, sf_dir))
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity,24" in plan
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    plan = _plan(QUERIES["q6_revenue_forecast"](spark, sf_dir))
+    # the scan must not read the full 11-column lineitem schema
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read and "l_returnflag" not in read
+    assert "l_extendedprice" in read and "l_discount" in read
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(QUERIES["q5_local_supplier_volume"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(QUERIES["topk_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT 100
+
+
+def test_semi_join_is_semi_in_plan(spark, sf_dir):
+    plan = _plan(QUERIES["semi_customers_with_open_orders"](spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located bucketed join: zero shuffles — the 100 TB join strategy."""
+    from data_to_parquet_spark.plans.bucketing import (
+        bucketed_join_plan_has_no_exchange,
+        write_bucketed,
+    )
+
+    # (warehouse dir is a static conf — tables land in ./spark-warehouse
+    # and are dropped at the end)
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lineitem = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    write_bucketed(orders, "b_orders", "o_orderkey", 8)
+    write_bucketed(lineitem, "b_lineitem", "o_orderkey", 8)
+    ok, plan = bucketed_join_plan_has_no_exchange(
+        spark, "b_orders", "b_lineitem", "o_orderkey"
+    )
+    assert ok, f"bucketed join still shuffles:\n{plan}"
+    # and the join actually works
+    n = (
+        spark.table("b_orders")
+        .join(spark.table("b_lineitem"), "o_orderkey")
+        .count()
+    )
+    assert n > 0
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
