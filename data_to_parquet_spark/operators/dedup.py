@@ -97,10 +97,16 @@ def neardup_jaccard_pairs(spark, sf_dir):
     on a 1000-executor cluster.
     """
     d = load_table(spark, sf_dir, "documents")
+    # intersect 64-bit token hashes, not strings: same set sizes (collision
+    # probability ~2^-64), far cheaper comparisons in the O(pairs) hot loop
     tok = d.select(
         "doc_id",
         "lang",
-        F.array_sort(distinct_tokens(F.col("text"))).alias("toks"),
+        F.array_sort(
+            F.array_distinct(
+                F.transform(tokens(F.col("text")), lambda t: F.xxhash64(t))
+            )
+        ).alias("toks"),
     )
     # documents is a single small parquet file → a 1-partition scan; the
     # expensive part is the pairwise probe, so spread the probe side across

@@ -145,3 +145,28 @@ def asof_events_latest_order(spark, sf_dir):
         "o_orderkey",
         "o_totalprice",
     )
+
+
+@EVT.register(
+    "json_functions_events",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_value,
+           CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) >= 50
+                THEN 'high' ELSE 'low' END AS k_band
+    FROM events
+    """,
+)
+def json_functions_events(spark, sf_dir):
+    """Semi-structured JSON column extraction (the props payload pattern).
+
+    Scale: get_json_object is a JVM scalar (codegen'd) — no Python; for
+    repeated multi-field access, from_json to a struct column once.
+    """
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select(
+        "event_id",
+        k.alias("k_value"),
+        F.when(k >= 50, F.lit("high")).otherwise(F.lit("low")).alias("k_band"),
+    )

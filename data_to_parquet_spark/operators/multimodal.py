@@ -84,3 +84,59 @@ def multimodal_decode_manifest(spark, sf_dir):
         F.encode("text", "UTF-8").alias("payload"),
     )
     return with_payload.mapInPandas(decode_binary_batches, _MANIFEST_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_offset_bytes", T.LongType()),
+        T.StructField("frame_checksum", T.LongType()),
+    ]
+)
+
+
+def sample_frame_batches(
+    it: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, payload) → one row per sampled frame.
+
+    STUB video decoder — a real one would use e.g. PyAV to seek keyframes.
+    The deterministic fake treats every 256-byte block as a "frame" and
+    samples 4 evenly spaced ones, so the Spark-side plumbing (1→N fan-out
+    from a binary column, typed frame rows out) is fully exercised.
+    """
+    for pdf in it:
+        out_doc, out_idx, out_off, out_sum = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = max(1, len(payload) // 256)
+            step = max(1, n_frames // 4)
+            for i, frame in enumerate(range(0, n_frames, step)[:4]):
+                off = frame * 256
+                block = payload[off : off + 256]
+                out_doc.append(doc_id)
+                out_idx.append(i)
+                out_off.append(off)
+                out_sum.append(sum(block) % (1 << 31))
+        yield pd.DataFrame(
+            {
+                "doc_id": out_doc,
+                "frame_index": out_idx,
+                "frame_offset_bytes": out_off,
+                "frame_checksum": out_sum,
+            }
+        )
+
+
+@MM.register("multimodal_frame_sample", oracle=None)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame sampling over opaque video payloads: 1→N row fan-out from a
+    binary column via mapInPandas (decode step stubbed, plumbing real).
+
+    Scale: narrow map, Arrow-batched; output rows ≤ 4× input; no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return with_payload.mapInPandas(sample_frame_batches, _FRAME_SCHEMA)

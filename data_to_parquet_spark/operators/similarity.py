@@ -181,33 +181,48 @@ def similarity_ann_lsh(spark, sf_dir):
 
     tagged = e.select(
         "vec_id",
-        "embedding",
         F.posexplode(lsh_buckets("embedding")).alias("table", "bucket"),
     )
     q = tagged.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
         F.col("table").alias("qtable"),
         F.col("bucket").alias("qbucket"),
     )
-    cand = (
+    # dedupe multi-table collisions on the (query, neighbor) ID pair BEFORE
+    # touching the vectors — array-valued distinct is far wider than 2 ints
+    cand_ids = (
         tagged.join(
             F.broadcast(q),
             (F.col("table") == F.col("qtable"))
             & (F.col("bucket") == F.col("qbucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        .select("query_id", "qe", F.col("vec_id").alias("neighbor_id"), "embedding")
-        .distinct()  # a pair can collide in several tables
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    corpus = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    qvec = corpus.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        cand_ids.join(
+            corpus.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+        )
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("qe"), F.col("embedding"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cos_sim"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
-        cand.select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("qe"), F.col("embedding")).alias("cos_sim"),
-        )
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
     )
 
@@ -289,4 +304,35 @@ def similarity_ann_ivf(spark, sf_dir):
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
+    )
+
+
+@SIM.register(
+    "embedding_array_stats",
+    oracle="""
+    SELECT vec_id, label,
+           list_reduce(list_transform(generate_series(1, len(embedding)),
+             i -> CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y) AS vec_sum,
+           CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS vec_max,
+           CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS vec_min,
+           len(embedding) AS dim
+    FROM embeddings
+    """,
+)
+def embedding_array_stats(spark, sf_dir):
+    """Array-column analytics: fold-sum, min/max, dimensionality — the
+    ArrayType function surface (F.aggregate / array_max / array_min)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        "label",
+        F.aggregate(
+            F.transform(emb, lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("vec_sum"),
+        F.array_max(emb).cast("double").alias("vec_max"),
+        F.array_min(emb).cast("double").alias("vec_min"),
+        F.size(emb).alias("dim"),
     )

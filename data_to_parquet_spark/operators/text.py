@@ -195,3 +195,72 @@ def doc_fingerprint_md5(spark, sf_dir):
             F.array_join(F.array_sort(distinct_tokens(F.col("text"))), " ")
         ).alias("fingerprint"),
     )
+
+
+@TXT.register(
+    "regexp_parse_customer_names",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '([0-9]+)', 1) AS id_digits,
+           CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS id_num,
+           regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_shape
+    FROM customer
+    """,
+)
+def regexp_parse_customer_names(spark, sf_dir):
+    """Structured extraction from semi-structured strings via regex."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("id_digits"),
+        F.regexp_extract("c_name", "([0-9]+)", 1)
+        .cast("bigint")
+        .alias("id_num"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("name_shape"),
+    )
+
+
+@TXT.register(
+    "fuzzy_match_part_names",
+    oracle="""
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           levenshtein(a.p_name, b.p_name) AS edit_distance
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 10
+    """,
+)
+def fuzzy_match_part_names(spark, sf_dir):
+    """Fuzzy string matching: blocked Levenshtein pairs.
+
+    Scale: same blocked-pair shape as the dedup family — (brand, size)
+    blocking bounds the quadratic term; the edit-distance is a JVM builtin.
+    """
+    p = load_table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_brand").alias("brand_a"),
+        F.col("p_size").alias("size_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_size").alias("size_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("brand_a") == F.col("brand_b"))
+            & (F.col("size_a") == F.col("size_b"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .select(
+            "part_a",
+            "part_b",
+            F.levenshtein("name_a", "name_b").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 10)
+    )
