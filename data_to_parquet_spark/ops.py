@@ -1,0 +1,225 @@
+"""Parametrized operator library — the user-facing API of the engine.
+
+The driver-contract queries in :mod:`.operators` pin these operators to the
+test corpus (fixed tables, thresholds, oracles); this module exposes the same
+algorithms over arbitrary DataFrames/columns. Each function documents its
+shuffle shape — the property that decides whether it survives 100×.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .functions.exprs import dot, norm, tokens
+from .operators.asof import asof_join
+
+__all__ = [
+    "exact_dedup",
+    "neardup_jaccard",
+    "connected_components",
+    "cosine_topk",
+    "sessionize",
+    "tumbling_agg",
+    "asof_join",
+]
+
+
+def exact_dedup(
+    df: DataFrame, cols: list[str], keep_by: str | None = None
+) -> DataFrame:
+    """Drop exact duplicates over ``cols``; if ``keep_by`` is given, the row
+    with the smallest ``keep_by`` survives (deterministic keeper), else any.
+
+    Shuffle shape: one hash aggregation on ``cols``.
+    """
+    if keep_by is None:
+        return df.dropDuplicates(cols)
+    w = W.partitionBy(*cols).orderBy(keep_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def neardup_jaccard(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float = 0.9,
+    salt: int = 16,
+) -> DataFrame:
+    """Pairs of near-duplicate rows by token-set Jaccard within blocks.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    Shuffle shape: blocked self-join on (block, salt); the salt spreads
+    low-cardinality blocks across `salt`× tasks; 64-bit token hashes keep the
+    per-pair intersect cheap; a size-ratio prefilter skips hopeless pairs.
+    """
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(block_col).alias("__block"),
+        F.array_sort(
+            F.array_distinct(
+                F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+            )
+        ).alias("__toks"),
+    )
+    spark = df.sparkSession
+    a = tok.select(
+        F.col("__id").alias("id_a"),
+        F.col("__block").alias("__block_a"),
+        F.col("__toks").alias("__toks_a"),
+        F.pmod(F.xxhash64("__id"), F.lit(salt)).alias("__salt_a"),
+    ).repartition(spark.sparkContext.defaultParallelism, "__salt_a", "id_a")
+    b = tok.select(
+        F.col("__id").alias("id_b"),
+        F.col("__block").alias("__block_b"),
+        F.col("__toks").alias("__toks_b"),
+        F.explode(F.array(*[F.lit(i) for i in range(salt)])).alias("__salt_b"),
+    )
+    inter = F.size(F.array_intersect("__toks_a", "__toks_b"))
+    union = F.size("__toks_a") + F.size("__toks_b") - inter
+    jac = inter.cast("double") / union
+    t = float(threshold)
+    return (
+        a.join(
+            b,
+            (F.col("__block_a") == F.col("__block_b"))
+            & (F.col("__salt_a") == F.col("__salt_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.size("__toks_a").cast("double") >= t * F.size("__toks_b"))
+            & (F.size("__toks_b").cast("double") >= t * F.size("__toks_a")),
+        )
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= t)
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list: returns
+    (node, component) with component = min node id of the component.
+
+    Iterative min-label propagation; each round is one join + one groupBy
+    with ``localCheckpoint`` lineage truncation; rounds ≤ graph diameter.
+    """
+    und = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev = labels.agg(F.sum("component")).first()[0] or 0
+    for _ in range(max_iterations):
+        nbr = und.join(
+            labels.withColumnRenamed("node", "u"), "u"
+        ).select(F.col("v").alias("node"), "component")
+        labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        cur = labels.agg(F.sum("component")).first()[0] or 0
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k neighbors of each query vector over the corpus.
+
+    Returns (query_id, neighbor_id, cos_sim, rank). Queries are broadcast;
+    norms are precomputed per vector; the only shuffle is the per-query
+    top-k window.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__v"),
+        norm(F.col(vec_col)).alias("__n"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col)).alias("__qn"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("__qv"), F.col("__v")) / (F.col("__qn") * F.col("__n"))).alias(
+            "cos_sim"
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Attach a per-key ``session_id`` (gap-based): a new session starts when
+    the gap from the previous event exceeds ``gap_minutes``.
+
+    One shuffle on the key; two window passes per key partition.
+    """
+    order = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
+    w = W.partitionBy(key_col).orderBy(*order)
+    wrun = (
+        W.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = df.withColumn(
+        "__new",
+        F.when(
+            F.col(ts_col).cast("long") - F.lag(ts_col).over(w).cast("long")
+            <= gap_minutes * 60,
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    return flagged.withColumn("session_id", F.sum("__new").over(wrun)).drop(
+        "__new"
+    )
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    width: str,
+    group_cols: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """Tumbling event-time window aggregate (batch form; the streaming form
+    is the same groupBy over readStream — see streaming/windows.py)."""
+    return df.groupBy(
+        F.window(ts_col, width).alias("window"), *group_cols
+    ).agg(*aggs)

@@ -78,3 +78,26 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     assert n > 0
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_and_partition_pruning(spark, tmp_path):
+    """date-partitioned sink + partition pruning at read (the layout that
+    makes time-range queries cheap at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from data_to_parquet_spark.operators.base import load_table
+    from data_to_parquet_spark.sinks.parquet import to_parquet
+
+    out = str(tmp_path / "events_by_day")
+    e = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    to_parquet(e, out, partition_by=["day"])
+
+    back = spark.read.parquet(out).filter(F.col("day") == "2024-01-05")
+    plan = _plan(back)
+    assert "PartitionFilters" in plan and "2024-01-05" in plan
+    # pruned read touches one partition's rows only
+    full = spark.read.parquet(out).count()
+    pruned = back.count()
+    assert 0 < pruned < full
