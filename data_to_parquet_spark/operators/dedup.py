@@ -376,8 +376,18 @@ def dedup_connected_components(spark, sf_dir):
         nbr = edges.join(
             labels.withColumnRenamed("doc_id", "doc_a"), "doc_a"
         ).select(F.col("doc_b").alias("doc_id"), "cluster_id")
+        # pointer jumping: also adopt the label OF my current label
+        # (path compression → logarithmic instead of diameter rounds)
+        hop = labels.join(
+            labels.select(
+                F.col("doc_id").alias("cluster_id"),
+                F.col("cluster_id").alias("hop_label"),
+            ),
+            "cluster_id",
+        ).select("doc_id", F.col("hop_label").alias("cluster_id"))
         labels = (
             labels.unionByName(nbr)
+            .unionByName(hop)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint(eager=True)  # keeps per-round lineage O(1)

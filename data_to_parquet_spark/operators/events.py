@@ -213,3 +213,25 @@ def grouped_map_percent_rank(spark, sf_dir):
             "event_id long, event_type string, value double, value_pct double",
         )
     )
+
+
+@EVT.register(
+    "map_json_props",
+    oracle="""
+    SELECT event_id,
+           json_keys(props) AS prop_keys,
+           list_transform(json_keys(props),
+             k -> CAST(json_extract(props, '$.' || k) AS INTEGER)) AS prop_values
+    FROM events
+    """,
+)
+def map_json_props(spark, sf_dir):
+    """MapType surface: parse the JSON props into map<string,int>, expose
+    keys and values as arrays (from_json / map_keys / map_values)."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.map_keys(m).alias("prop_keys"),
+        F.map_values(m).alias("prop_values"),
+    )

@@ -896,3 +896,52 @@ def q18_large_orders(spark, sf_dir):
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(50)
     )
+
+
+@REL.register(
+    "agg_collect_arrays",
+    oracle="""
+    SELECT l_returnflag,
+           array_agg(DISTINCT l_linestatus ORDER BY l_linestatus) AS statuses,
+           COUNT(*) AS n_items
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_collect_arrays(spark, sf_dir):
+    """Array-building aggregate (collect_set, sorted for determinism)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_sort(F.collect_set("l_linestatus")).alias("statuses"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@REL.register(
+    "scalar_null_handling",
+    oracle="""
+    SELECT s_suppkey,
+           coalesce(NULLIF(s_name, ''), 'unknown') AS name_or_default,
+           greatest(s_acctbal, 0.0) AS bal_floor,
+           least(s_acctbal, 5000.0) AS bal_cap,
+           CASE WHEN s_acctbal < 0 THEN NULL ELSE s_acctbal END AS bal_or_null,
+           ifnull(CASE WHEN s_acctbal < 0 THEN NULL ELSE s_acctbal END, -1.0)
+             AS bal_filled
+    FROM supplier
+    """,
+)
+def scalar_null_handling(spark, sf_dir):
+    """NULL-handling scalar surface: coalesce/nullif/greatest/least/ifnull."""
+    s = load_table(spark, sf_dir, "supplier")
+    bal_or_null = F.when(F.col("s_acctbal") < 0, F.lit(None)).otherwise(
+        F.col("s_acctbal")
+    )
+    return s.select(
+        "s_suppkey",
+        F.coalesce(F.nullif("s_name", F.lit("")), F.lit("unknown")).alias(
+            "name_or_default"
+        ),
+        F.greatest("s_acctbal", F.lit(0.0)).alias("bal_floor"),
+        F.least("s_acctbal", F.lit(5000.0)).alias("bal_cap"),
+        bal_or_null.alias("bal_or_null"),
+        F.ifnull(bal_or_null, F.lit(-1.0)).alias("bal_filled"),
+    )

@@ -127,8 +127,17 @@ def connected_components(
         nbr = und.join(
             labels.withColumnRenamed("node", "u"), "u"
         ).select(F.col("v").alias("node"), "component")
+        # pointer jumping (path compression → logarithmic rounds)
+        hop = labels.join(
+            labels.select(
+                F.col("node").alias("component"),
+                F.col("component").alias("__hop"),
+            ),
+            "component",
+        ).select("node", F.col("__hop").alias("component"))
         labels = (
             labels.unionByName(nbr)
+            .unionByName(hop)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)

@@ -1,0 +1,52 @@
+"""Streaming sink patterns: foreachBatch idempotent (exactly-once-style)
+parquet writes — the production sink shape for non-transactional targets."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_foreach_batch_idempotent_parquet_sink(spark, tmp_path):
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
+    source = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet("/root/testdata/sf0.001")
+    )
+    if dict(source.dtypes).get("ts") == "bigint":
+        source = source.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    agg = source.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+    def write_epoch(batch_df, epoch_id: int) -> None:
+        # idempotent: one deterministic directory per epoch; re-running the
+        # epoch overwrites the same path instead of duplicating rows
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out, f"epoch={epoch_id}")
+        )
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_epoch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    written = spark.read.parquet(os.path.join(out, "epoch=0"))
+    batch = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .groupBy("event_type")
+        .count()
+    )
+    got = {r["event_type"]: r["n"] for r in written.collect()}
+    want = {r["event_type"]: r["count"] for r in batch.collect()}
+    assert got == want
