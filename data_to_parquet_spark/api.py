@@ -55,6 +55,42 @@ def convert(
     return n
 
 
+def convert_many(
+    input_paths: list[str] | str,
+    output_dir: str,
+    sheet_name: str | None = None,
+    sheet_index: int | None = None,
+    skip_rows: int = 0,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    spark: SparkSession | None = None,
+    compression: str = "zstd",
+) -> int:
+    """Convert many workbooks (list, glob, or directory) into ONE distributed
+    parquet dataset — the scale path the single-file reference lacks.
+
+    One Spark task per workbook; all files must share the first file's
+    header schema. Returns total rows written.
+    """
+    from .sinks.parquet import to_parquet
+
+    spark = spark or get_spark()
+    df = read_excel(
+        spark,
+        input_paths,
+        sheet_name=sheet_name,
+        sheet_index=sheet_index,
+        skip_rows=skip_rows,
+        batch_size=batch_size,
+    )
+    df = df.cache()
+    try:
+        n = df.count()
+        to_parquet(df, output_dir, compression=compression)
+    finally:
+        df.unpersist()
+    return n
+
+
 async def convert_to_parquet(
     input_path: str,
     output_path: str,

@@ -32,11 +32,14 @@ from pyspark.sql import types as T
 
 from ..errors import DataToParquetError
 from ..kernels import build_headers
-from .xlsx import XlsxWorkbook
+from .xlsx import XlsxWorkbook, walk_rows
 
 __all__ = ["read_excel", "scan_sheet", "open_workbook", "DEFAULT_BATCH_SIZE"]
 
 DEFAULT_BATCH_SIZE = 5000  # reference default: src/main.rs:31-32
+
+# single .xlsx files whose sheet XML exceeds this are split across tasks
+SPLIT_THRESHOLD_BYTES = 4 * 1024 * 1024
 
 
 def open_workbook(path: str):
@@ -222,7 +225,135 @@ def read_excel(
                             dict(zip(cols, columns)), dtype=object
                         )
 
+    if len(paths) == 1 and paths[0].lower().endswith(".xlsx"):
+        split = _read_single_xlsx_split(
+            spark, paths[0], schema, sheet_name, sheet_index, skip_rows, batch_size
+        )
+        if split is not None:
+            return split
+
     files = spark.createDataFrame(
         [(p,) for p in paths], T.StructType([T.StructField("path", T.StringType())])
     ).repartition(len(paths))
     return files.mapInPandas(reader, schema)
+
+
+def _read_single_xlsx_split(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    sheet_name: str | None,
+    sheet_index: int | None,
+    skip_rows: int,
+    batch_size: int,
+) -> DataFrame | None:
+    """Parallelize ONE large .xlsx across tasks by splitting the sheet XML
+    at ``<row`` boundaries.
+
+    The deflate stream itself can't be range-read, so the driver inflates
+    the sheet part once to a scratch file (bytes, no parsing — cheap), scans
+    for row-start offsets with C-speed ``bytes.find``, and hands each task a
+    byte range aligned on whole ``<row>`` elements. Tasks wrap their slice
+    in a synthetic root and run the same ``walk_rows`` decoder (namespace-
+    free fragments), so semantics are identical to the streaming path — the
+    golden tests run through both.
+
+    Returns None for small sheets (single-task streaming path is faster).
+    """
+    import tempfile
+
+    # the scratch file lives on the driver's local disk — executors can only
+    # read it in local mode (cluster mode would need a shared scratch FS)
+    if not spark.sparkContext.master.startswith("local"):
+        return None
+
+    with XlsxWorkbook(path) as wb:
+        sheet = wb.resolve_sheet(sheet_name, sheet_index)
+        member = dict(wb._sheet_targets)[sheet]
+        info = wb._zip.getinfo(member)
+        if info.file_size < SPLIT_THRESHOLD_BYTES:
+            return None
+        dims = wb.dimensions(sheet)
+        data = wb._zip.read(member)
+
+    # geometry + header row resolved driver-side (header text already went
+    # into `schema` via infer_schema)
+    start = data.find(b"<sheetData")
+    end = data.rfind(b"</sheetData>")
+    if start < 0 or end < 0:
+        return None
+    body_start = data.find(b"<row", start)
+    if body_start < 0 or body_start > end:
+        return None
+
+    n_splits = max(1, min(spark.sparkContext.defaultParallelism, 64))
+    approx = max(1, (end - body_start) // n_splits)
+    offsets = [body_start]
+    pos = body_start
+    while True:
+        nxt = data.find(b"<row", pos + approx)
+        if nxt < 0 or nxt >= end:
+            break
+        offsets.append(nxt)
+        pos = nxt
+    offsets.append(end)
+
+    scratch = tempfile.NamedTemporaryFile(
+        prefix="d2p_sheet_", suffix=".xml", delete=False
+    )
+    scratch.write(data)
+    scratch.close()
+    scratch_path = scratch.name
+    del data
+
+    if dims is not None:
+        (r0, c0), (_, c1) = dims
+        start_col, num_cols = c0, c1 - c0 + 1
+        header_row_idx = r0 + skip_rows
+    else:  # geometry from the inferred schema width; origin A1
+        start_col, num_cols = 0, len(schema)
+        header_row_idx = skip_rows
+
+    ranges = [
+        (scratch_path, offsets[i], offsets[i + 1], i)
+        for i in range(len(offsets) - 1)
+    ]
+    cols = [f.name for f in schema.fields]
+    n_cols = len(cols)
+    sst_source = path
+
+    def frag_reader(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        sst: list[str] | None = None
+        for pdf in iterator:
+            for xml_path, lo, hi, _idx in pdf.itertuples(index=False):
+                if sst is None:
+                    with XlsxWorkbook(sst_source) as wb2:
+                        sst = wb2._shared_strings()
+                with open(xml_path, "rb") as f:
+                    f.seek(lo)
+                    frag = f.read(hi - lo)
+                wrapped = b"<sheetData>" + frag + b"</sheetData>"
+                end_col = start_col + num_cols
+                buf: list[list[str | None]] = []
+                for row, cells in walk_rows(io.BytesIO(wrapped), "", sst):
+                    if row <= header_row_idx:
+                        continue  # leading rows + header (driver-side)
+                    dense: list[str | None] = [None] * num_cols
+                    for col, s in cells:
+                        if start_col <= col < end_col:
+                            dense[col - start_col] = s
+                    buf.append(dense)
+                    if len(buf) >= batch_size:
+                        columns = zip(*buf)
+                        yield pd.DataFrame(dict(zip(cols, columns)), dtype=object)
+                        buf = []
+                if buf:
+                    columns = zip(*buf) if buf else [[]] * n_cols
+                    yield pd.DataFrame(dict(zip(cols, columns)), dtype=object)
+
+    rdf = spark.createDataFrame(
+        ranges, "xml_path string, lo long, hi long, idx int"
+    ).repartitionByRange(len(ranges), "idx")
+    return rdf.mapInPandas(frag_reader, schema)

@@ -38,6 +38,93 @@ _PKG_REL_NS = (
 _CELL_REF_RE = re.compile(r"^([A-Z]+)(\d+)$")
 
 
+def walk_rows(stream, ns: str, sst: list[str]):
+    """Row-subtree walker over SpreadsheetML ``<row>`` elements: yields
+    (row_idx, [(col, normalized_string), ...]) per physically-present row.
+
+    ``ns`` is the element-namespace prefix (``{...spreadsheetml...}`` for a
+    full worksheet part, ``""`` for re-parsed XML fragments that lost the
+    default-namespace declaration — see excel.py's large-file split path).
+    """
+    from ..kernels import format_float
+
+    ROW, C, V, IS = f"{ns}row", f"{ns}c", f"{ns}v", f"{ns}is"
+    err_tokens = _XLSX_ERR_TOKENS
+    row_counter = -1
+    for _, el in ET.iterparse(stream):  # end events only
+        if el.tag != ROW:
+            continue
+        r_attr = el.get("r")
+        row_counter = int(r_attr) - 1 if r_attr else row_counter + 1
+        out: list[tuple[int, str]] = []
+        col = -1
+        for c in el:
+            if c.tag != C:
+                continue
+            ref = c.get("r")
+            if ref:
+                # manual A1 parse (letters only; row already known)
+                acc = 0
+                for ch in ref:
+                    o = ord(ch)
+                    if o < 65 or o > 90:
+                        break
+                    acc = acc * 26 + (o - 64)
+                col = acc - 1
+            else:
+                col += 1
+            # decode cell to its normalized string
+            t = c.get("t")
+            v = None
+            is_el = None
+            for child in c:
+                tag = child.tag
+                if tag == V:
+                    v = child.text
+                    break
+                if tag == IS:
+                    is_el = child
+                    break
+            if is_el is not None:
+                out.append((col, "".join(tt.text or "" for tt in is_el.iter(f"{ns}t"))))
+                continue
+            if v is None:
+                out.append((col, ""))  # present-but-empty -> ""
+                continue
+            if t is None or t == "n":
+                # int fast path: canonical digit strings pass through
+                if v.isdigit() or (v[0] == "-" and v[1:].isdigit()):
+                    if len(v) <= 18:
+                        out.append((col, v))
+                        continue
+                    try:
+                        iv = int(v)
+                        if -(2**63) <= iv < 2**63:
+                            out.append((col, str(iv)))
+                            continue
+                    except ValueError:
+                        pass
+                try:
+                    out.append((col, format_float(float(v))))
+                except ValueError:
+                    out.append((col, v))
+            elif t == "s":
+                try:
+                    out.append((col, sst[int(v)]))
+                except (ValueError, IndexError):
+                    out.append((col, v))
+            elif t == "b":
+                out.append(
+                    (col, "false" if v in ("0", "false", "FALSE") else "true")
+                )
+            elif t == "e":
+                out.append((col, err_tokens.get(v, v)))
+            else:  # "str", "d", unknown -> literal text
+                out.append((col, v))
+        yield row_counter, out
+        el.clear()
+
+
 def parse_cell_ref(ref: str) -> tuple[int, int]:
     """``"B3"`` -> (row=2, col=1), both 0-based."""
     m = _CELL_REF_RE.match(ref)
@@ -240,93 +327,8 @@ class XlsxWorkbook:
         """
         sst = self._shared_strings()
         member = dict(self._sheet_targets)[sheet]
-        ROW, C, V, IS = (
-            f"{_MAIN_NS}row",
-            f"{_MAIN_NS}c",
-            f"{_MAIN_NS}v",
-            f"{_MAIN_NS}is",
-        )
-        err_tokens = _XLSX_ERR_TOKENS
-        from ..kernels import format_float
-
-        row_counter = -1
         with self._zip.open(member) as f:
-            for _, el in ET.iterparse(f):  # end events only
-                if el.tag != ROW:
-                    continue
-                r_attr = el.get("r")
-                row_counter = (
-                    int(r_attr) - 1 if r_attr else row_counter + 1
-                )
-                out: list[tuple[int, str]] = []
-                col = -1
-                for c in el:
-                    if c.tag != C:
-                        continue
-                    ref = c.get("r")
-                    if ref:
-                        # manual A1 parse (letters only; row already known)
-                        acc = 0
-                        for ch in ref:
-                            o = ord(ch)
-                            if o < 65 or o > 90:
-                                break
-                            acc = acc * 26 + (o - 64)
-                        col = acc - 1
-                    else:
-                        col += 1
-                    # decode cell to its normalized string
-                    t = c.get("t")
-                    v = None
-                    is_el = None
-                    for child in c:
-                        tag = child.tag
-                        if tag == V:
-                            v = child.text
-                            break
-                        if tag == IS:
-                            is_el = child
-                            break
-                    if is_el is not None:
-                        out.append((col, _text_of(is_el)))
-                        continue
-                    if v is None:
-                        out.append((col, ""))  # present-but-empty -> ""
-                        continue
-                    if t is None or t == "n":
-                        # int fast path: canonical digit strings pass through
-                        if v.isdigit() or (
-                            v[0] == "-" and v[1:].isdigit()
-                        ):
-                            if len(v) <= 18:
-                                out.append((col, v))
-                                continue
-                            try:
-                                iv = int(v)
-                                if -(2**63) <= iv < 2**63:
-                                    out.append((col, str(iv)))
-                                    continue
-                            except ValueError:
-                                pass
-                        try:
-                            out.append((col, format_float(float(v))))
-                        except ValueError:
-                            out.append((col, v))
-                    elif t == "s":
-                        try:
-                            out.append((col, sst[int(v)]))
-                        except (ValueError, IndexError):
-                            out.append((col, v))
-                    elif t == "b":
-                        out.append(
-                            (col, "false" if v in ("0", "false", "FALSE") else "true")
-                        )
-                    elif t == "e":
-                        out.append((col, err_tokens.get(v, v)))
-                    else:  # "str", "d", unknown -> literal text
-                        out.append((col, v))
-                yield row_counter, out
-                el.clear()
+            yield from walk_rows(f, _MAIN_NS, sst)
 
     def close(self) -> None:
         self._zip.close()

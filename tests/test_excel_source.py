@@ -232,3 +232,36 @@ def test_single_file_order_preservation(spark, tmp_path):
     convert(src, out, spark=spark)
     seqs = [int(r["seq"]) for r in spark.read.parquet(out).collect()]
     assert seqs == list(range(n))
+
+
+def test_split_path_equivalence(spark, tmp_path, monkeypatch):
+    """The large-file XML-split path must produce exactly the streaming
+    path's output (incl. null-vs-empty and width truncation)."""
+    from data_to_parquet_spark.sources import excel as excel_mod
+
+    path = str(tmp_path / "split_eq.xlsx")
+    rows = [["a", "b", "c"]]
+    for i in range(5000):
+        rows.append(
+            [i, None if i % 3 == 0 else f"v{i}", ("empty",) if i % 5 == 0 else i * 1.5]
+        )
+    write_xlsx(path, {"S": rows})
+
+    streamed = sorted(_rows(read_excel(spark, path)))
+    monkeypatch.setattr(excel_mod, "SPLIT_THRESHOLD_BYTES", 10_000)
+    split_df = read_excel(spark, path)
+    assert split_df.rdd.getNumPartitions() > 1  # split path engaged
+    assert sorted(_rows(split_df)) == streamed
+
+
+def test_split_path_order_preservation(spark, tmp_path, monkeypatch):
+    from data_to_parquet_spark.sources import excel as excel_mod
+
+    monkeypatch.setattr(excel_mod, "SPLIT_THRESHOLD_BYTES", 10_000)
+    src = str(tmp_path / "big_ordered.xlsx")
+    out = str(tmp_path / "big_ordered.parquet")
+    n = 5000
+    write_xlsx(src, {"S": [["seq"]] + [[i] for i in range(n)]})
+    convert(src, out, spark=spark)
+    seqs = [int(r["seq"]) for r in spark.read.parquet(out).collect()]
+    assert seqs == list(range(n))
