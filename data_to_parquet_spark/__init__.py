@@ -11,7 +11,8 @@ Public API:
 * :mod:`.operators` — relational, dedup, similarity, text, as-of operators.
 """
 
-from .api import convert, convert_to_parquet
+from . import ops
+from .api import convert, convert_many, convert_to_parquet
 from .errors import DataToParquetError
 from .session import get_spark
 from .sinks.parquet import to_parquet, to_single_parquet_file
@@ -21,6 +22,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "convert",
+    "convert_many",
+    "ops",
     "convert_to_parquet",
     "read_excel",
     "to_parquet",
