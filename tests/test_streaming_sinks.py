@@ -50,3 +50,29 @@ def test_foreach_batch_idempotent_parquet_sink(spark, tmp_path):
     got = {r["event_type"]: r["n"] for r in written.collect()}
     want = {r["event_type"]: r["count"] for r in batch.collect()}
     assert got == want
+
+
+def test_incremental_excel_ingestion(spark, tmp_path):
+    """New workbooks are converted exactly once across restarts."""
+    from data_to_parquet_spark.streaming.ingest import stream_excel_to_parquet
+
+    from .xlsx_fixture import write_xlsx
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    out = str(tmp_path / "dataset")
+    ckpt = str(tmp_path / "ckpt2")
+
+    write_xlsx(str(inbox / "a.xlsx"), {"S": [["k", "v"], [1, "a"]]})
+    write_xlsx(str(inbox / "b.xlsx"), {"S": [["k", "v"], [2, "b"]]})
+    q = stream_excel_to_parquet(spark, str(inbox), out, ckpt)
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 2
+
+    # second run with one NEW file: only the new file is ingested
+    write_xlsx(str(inbox / "c.xlsx"), {"S": [["k", "v"], [3, "c"]]})
+    q = stream_excel_to_parquet(spark, str(inbox), out, ckpt)
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    assert sorted(r["k"] for r in back.collect()) == ["1", "2", "3"]
