@@ -23,6 +23,7 @@ __all__ = [
     "sessionize",
     "tumbling_agg",
     "asof_join",
+    "minhash_candidates",
 ]
 
 
@@ -232,3 +233,94 @@ def tumbling_agg(
     return df.groupBy(
         F.window(ts_col, width).alias("window"), *group_cols
     ).agg(*aggs)
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_width: int = 3,
+    est_threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs over arbitrary columns.
+
+    Returns (id_a, id_b, est_jaccard) where est_jaccard is the matching-
+    minhash fraction. Shuffle shape: one groupBy for signatures, one
+    band-bucket equi-join for candidates — sub-quadratic end to end.
+    """
+    rows_per_band = num_hashes // bands
+    toks = tokens(F.col(text_col))
+    shingled = df.select(
+        F.col(id_col).alias("__id"),
+        toks.alias("__toks"),
+    ).select(
+        "__id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, greatest(size(__toks) - {shingle_width}, 0)),"
+                f" i -> concat_ws(' ', slice(__toks, i + 1, {shingle_width})))"
+            )
+        ).alias("__shingle"),
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("__shingle"), F.lit(i))).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = (
+        shingled.groupBy("__id")
+        .agg(*mins)
+        .select(
+            "__id",
+            F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("__sig"),
+        )
+        .cache()
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col("__sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    bb = sig.select(
+        "__id", F.explode(F.array(*band_cols)).alias("__bb")
+    ).select("__id", "__bb.band", "__bb.bucket")
+    cand = (
+        bb.alias("x")
+        .join(
+            bb.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
+        .distinct()
+    )
+    est = (
+        cand.join(
+            sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sa")),
+            "id_a",
+        )
+        .join(
+            sig.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("__sa", "__sb", lambda p, q: p == q),
+                        lambda eq: eq,
+                    )
+                ).cast("double")
+                / F.lit(num_hashes)
+            ).alias("est_jaccard"),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= est_threshold)

@@ -89,3 +89,18 @@ def test_tumbling_agg_generic(spark):
     )
     got = sorted(r["s"] for r in out.collect())
     assert got == [3.0, 5.0]
+
+
+def test_minhash_candidates_generic(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "one two three four five six seven eight nine"),
+        ],
+        "pk long, body string",
+    )
+    pairs = ops.minhash_candidates(
+        docs, "pk", "body", est_threshold=0.3
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
