@@ -235,3 +235,92 @@ def map_json_props(spark, sf_dir):
         F.map_keys(m).alias("prop_keys"),
         F.map_values(m).alias("prop_values"),
     )
+
+
+@EVT.register("udaf_geometric_mean", oracle=None)
+def udaf_geometric_mean(spark, sf_dir):
+    """Custom UDAF via a grouped-agg Pandas UDF: per-event-type geometric
+    mean of `value` (the aggregate Spark doesn't ship natively).
+
+    Scale: grouped-agg pandas UDFs get map-side Arrow batching; for algebraic
+    aggregates like this, the decomposable form (avg of logs JVM-side, exp
+    after) is the 100 TB path — shown alongside to keep the UDAF honest.
+    (Rows-only check: libm exp/ln differ across engines in the last ulp.)
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401 — annotation target for the UDF
+
+    def _gmean(v: pd.Series) -> float:
+        arr = v.to_numpy()
+        return float(np.exp(np.log(arr[arr > 0]).mean()))
+
+    gmean = F.pandas_udf(_gmean, "double", F.PandasUDFType.GROUPED_AGG)
+
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        gmean("value").alias("geo_mean_udaf"),
+        F.exp(F.avg(F.log(F.when(F.col("value") > 0, F.col("value"))))).alias(
+            "geo_mean_algebraic"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@EVT.register(
+    "time_grid_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT time_bucket(INTERVAL '1 hour', min(ts)) AS lo,
+             time_bucket(INTERVAL '1 hour', max(ts)) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour_start
+      FROM bounds
+    ),
+    hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(g.hour_start, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           coalesce(h.n_events, 0) AS n_events,
+           coalesce(h.sum_value, 0.0) AS sum_value
+    FROM grid g LEFT JOIN hourly h USING (hour_start)
+    """,
+)
+def time_grid_fill(spark, sf_dir):
+    """Time-series gap filling: build the complete hourly grid between min
+    and max event time (F.sequence) and left-join the hourly aggregate, so
+    empty hours materialize as zero rows.
+
+    Scale: the grid is hours-between-bounds (tiny, broadcast); the aggregate
+    is one map-side-combinable groupBy.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value", 6)).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "n_events", "sum_value")
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start")
+    )
+    return (
+        grid.join(hourly, "hour_start", "left")
+        .select(
+            F.date_format("hour_start", _TS_FMT).alias("hour_start"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )
