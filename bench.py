@@ -77,8 +77,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
 
-    # warmup: pay JVM/codegen first-run costs outside the timed region
+    # warmup: pay JVM/codegen first-run costs AND Python-worker pool spin-up
+    # (one trivial mapInPandas touches all executor worker slots) outside the
+    # timed region
     queries["q6_revenue_forecast"](spark, sf_dir).count()
+    spark.range(0, 1024, 1, 32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     times: dict[str, float] = {}
 
