@@ -10,6 +10,7 @@ the driver's value-hash comparison holds.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..functions.exprs import distinct_tokens, tokens
 from .base import Registry, load_table
@@ -263,4 +264,80 @@ def fuzzy_match_part_names(spark, sf_dir):
             F.levenshtein("name_a", "name_b").alias("edit_distance"),
         )
         .filter(F.col("edit_distance") <= 10)
+    )
+
+
+@TXT.register("lang_id_ngram", oracle=None)
+def lang_id_ngram(spark, sf_dir):
+    """Language-ID via character-n-gram profiles (the classic Cavnar-Trenkle
+    shape): build per-language bigram profiles from labeled docs (top-25
+    bigrams per lang), score every doc by profile overlap, predict argmax.
+
+    Two phases, both distributed: profile building is one explode+groupBy
+    over labeled data; scoring joins each doc's bigram set against the
+    (broadcast) profiles. (Rows-only check: profiles are engine-computed
+    state, not SQL-expressible in one oracle query.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(length(text) - 1, 1)),"
+        " i -> substring(lower(text), i, 2))"
+    )
+    doc_grams = d.select(
+        "doc_id", "lang", F.array_distinct(bigrams).alias("grams")
+    )
+    profile = (
+        doc_grams.select("lang", F.explode("grams").alias("g"))
+        .groupBy("lang", "g")
+        .count()
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("lang").orderBy(F.desc("count"), "g")
+            ),
+        )
+        .filter(F.col("rn") <= 25)
+        .groupBy("lang")
+        .agg(F.collect_set("g").alias("profile_grams"))
+        .withColumnRenamed("lang", "profile_lang")
+    )
+    scored = doc_grams.join(F.broadcast(profile)).select(
+        "doc_id",
+        "lang",
+        "profile_lang",
+        F.size(F.array_intersect("grams", "profile_grams")).alias("overlap"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("overlap"), "profile_lang")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("profile_lang").alias("pred_lang"), "overlap")
+    )
+
+
+@TXT.register("doc_winnow_fingerprints", oracle=None)
+def doc_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (MOSS-style): hash every char 8-gram,
+    keep the minimum hash in each sliding window of 16 — a position-robust
+    fingerprint set whose collisions localize shared substrings.
+
+    All JVM-side: substring shingles via sequence/transform, xxhash64, and a
+    min-over-sliding-window via transform over window starts. Output is the
+    exploded distinct fingerprint set per doc. (Rows-only: no xxhash64 in
+    DuckDB.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    k, win = 8, 16
+    hashes = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)),"
+        f" i -> xxhash64(substring(text, i, {k})))"
+    )
+    winnowed = F.expr(
+        f"array_distinct(transform("
+        f" sequence(1, greatest(size(__hashes) - {win - 1}, 1)),"
+        f" w -> array_min(slice(__hashes, w, {win}))))"
+    )
+    return (
+        d.select("doc_id", hashes.alias("__hashes"))
+        .select("doc_id", F.explode(winnowed).alias("fingerprint"))
     )
