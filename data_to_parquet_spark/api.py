@@ -46,6 +46,10 @@ def convert(
         skip_rows=skip_rows,
         batch_size=batch_size,
     )
+    # cache + count materializes the parse with FULL task parallelism, then
+    # the single-file write drains the cache through one task. (A one-pass
+    # observe()+coalesce(1) write is strictly worse: coalesce collapses the
+    # parse itself to one task.)
     df = df.cache()
     try:
         n = df.count()
