@@ -413,3 +413,76 @@ def dedup_connected_components(spark, sf_dir):
         labels.select("doc_id"), "doc_id", "left_anti"
     ).withColumn("cluster_id", F.col("doc_id"))
     return labels.unionByName(singletons)
+
+
+@DEDUP.register(
+    "neardup_ngram_jaccard",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, lang,
+             list_filter(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])),
+               x -> x IS NOT NULL) AS s
+      FROM tok
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2
+    """,
+)
+def neardup_ngram_jaccard(spark, sf_dir):
+    """Order-sensitive near-dup: Jaccard over 3-word SHINGLE sets (vs the
+    token-set variant in `neardup_jaccard_pairs`) — detects shared word
+    sequences, not just shared vocabulary.
+
+    Same blocked + salted pair-join shape; shingles are built JVM-side with
+    sequence/transform and 1-based try_element_at so boundary shingles are
+    NULL on both engines (then filtered), keeping oracle parity exact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    shingles = F.expr(
+        "filter(array_distinct(transform("
+        " sequence(1, greatest(size(t) - 2, 1)),"
+        " i -> concat(try_element_at(t, i), ' ',"
+        "             try_element_at(t, i + 1), ' ',"
+        "             try_element_at(t, i + 2)))),"
+        " x -> x IS NOT NULL)"
+    )
+    sh = d.select("doc_id", "lang", t.alias("t")).select(
+        "doc_id", "lang", shingles.alias("s")
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("s").alias("s_a"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(_SALT)).alias("salt_a"),
+    ).repartition(spark.sparkContext.defaultParallelism, "salt_a", "doc_a")
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("s").alias("s_b"),
+        F.explode(F.array(*[F.lit(i) for i in range(_SALT)])).alias("salt_b"),
+    )
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    union = F.size("s_a") + F.size("s_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("salt_a") == F.col("salt_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )
