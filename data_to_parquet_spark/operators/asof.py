@@ -47,11 +47,14 @@ def asof_join(
         payload_struct.alias("__payload"),
     )
     lcols = left.columns
+    # the left rows' __tb is never compared between left rows (ordering ties
+    # only matter among right rows), so NULL typed like the right side keeps
+    # the union well-typed for any tie_break column type
     l = left.select(
         F.col(left_on).alias("__key"),
         F.col(left_time).alias("__t"),
         F.lit(0).alias("__is_right"),
-        F.lit(0).alias("__tb"),
+        F.lit(None).cast(r.schema["__tb"].dataType).alias("__tb"),
         F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
         *[F.col(c) for c in lcols],
     )

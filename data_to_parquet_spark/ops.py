@@ -203,9 +203,11 @@ def sessionize(
     """
     order = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
     w = W.partitionBy(key_col).orderBy(*order)
+    # the running sum MUST use the same total order as the lag window, or
+    # rows with duplicate timestamps get nondeterministic session ids
     wrun = (
         W.partitionBy(key_col)
-        .orderBy(ts_col)
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     flagged = df.withColumn(
@@ -251,6 +253,7 @@ def minhash_candidates(
     band-bucket equi-join for candidates — sub-quadratic end to end.
     """
     rows_per_band = num_hashes // bands
+    prime = (1 << 31) - 1  # Kirsch-Mitzenmacher double-hash modulus
     toks = tokens(F.col(text_col))
     shingled = df.select(
         F.col(id_col).alias("__id"),
@@ -264,12 +267,19 @@ def minhash_candidates(
             )
         ).alias("__shingle"),
     )
+    hashed = shingled.select(
+        "__id",
+        F.pmod(F.xxhash64("__shingle"), F.lit(prime)).alias("__h1"),
+        F.pmod(F.xxhash64("__shingle", F.lit(1)), F.lit(prime)).alias("__h2"),
+    )
     mins = [
-        F.min(F.xxhash64(F.col("__shingle"), F.lit(i))).alias(f"__h{i}")
+        F.min(
+            F.pmod(F.col("__h1") + F.lit(i) * F.col("__h2"), F.lit(prime))
+        ).alias(f"__h{i}")
         for i in range(num_hashes)
     ]
     sig = (
-        shingled.groupBy("__id")
+        hashed.groupBy("__id")
         .agg(*mins)
         .select(
             "__id",

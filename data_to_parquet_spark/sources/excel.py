@@ -56,6 +56,19 @@ def open_workbook(path: str):
     )
 
 
+def _batch_to_pdf(batch: list[list[str | None]], cols: list[str]) -> pd.DataFrame:
+    """Row-major batch -> pandas via C-level transpose. Positional columns
+    (set_axis, not a dict) so duplicate header names — which the reference's
+    naming rules can legitimately produce, e.g. ``a, a_2, a`` -> ``a, a_2,
+    a_2`` — survive instead of collapsing."""
+    n_cols = len(cols)
+    columns = list(zip(*batch)) if batch else [[] for _ in range(n_cols)]
+    pdf = pd.DataFrame(
+        {i: pd.Series(c, dtype=object) for i, c in enumerate(columns)}
+    )
+    return pdf.set_axis(cols, axis=1)
+
+
 def _sheet_geometry(wb, sheet: str, skip_rows: int):
     """(start_col, num_cols, header_row_idx) from the declared dimension box
     (``src/lib.rs:160-162``); None fields if the sheet lacks a dimension
@@ -202,6 +215,21 @@ def read_excel(
 
     schema = infer_schema(paths[0], sheet_name, sheet_index, skip_rows)
     n_cols = len(schema)
+    out_names = schema.fieldNames()
+    if len(set(out_names)) < n_cols:
+        # The reference's naming rules can collide (`a, a_2, a` → a, a_2,
+        # a_2). PySpark's pandas-result verification de-duplicates field
+        # names through a set, so the mapInPandas leg must run with unique
+        # internal names; the duplicates are restored afterwards via toDF.
+        seen: dict[str, int] = {}
+        unique = []
+        for name in out_names:
+            k = seen.get(name, 0)
+            seen[name] = k + 1
+            unique.append(name if k == 0 else f"{name}__dup{k}")
+        schema = T.StructType(
+            [T.StructField(u, T.StringType(), True) for u in unique]
+        )
 
     def reader(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in schema.fields]
@@ -212,30 +240,29 @@ def read_excel(
                     headers, batches = scan_sheet(
                         wb, sheet, skip_rows, batch_size
                     )
-                    if len(headers) != n_cols:
+                    if headers != out_names:
                         raise DataToParquetError(
-                            f"{path!r}: header width {len(headers)} != "
-                            f"schema width {n_cols}"
+                            f"{path!r}: header row {headers} does not match "
+                            f"the schema inferred from the first file "
+                            f"{out_names}"
                         )
                     for batch in batches:
-                        # C-level transpose + per-column dict: much faster
-                        # than pandas' nested-list object-array path
-                        columns = zip(*batch) if batch else [[]] * n_cols
-                        yield pd.DataFrame(
-                            dict(zip(cols, columns)), dtype=object
-                        )
+                        yield _batch_to_pdf(batch, cols)
+
+    def _restore_names(df: DataFrame) -> DataFrame:
+        return df if schema.fieldNames() == out_names else df.toDF(*out_names)
 
     if len(paths) == 1 and paths[0].lower().endswith(".xlsx"):
         split = _read_single_xlsx_split(
             spark, paths[0], schema, sheet_name, sheet_index, skip_rows, batch_size
         )
         if split is not None:
-            return split
+            return _restore_names(split)
 
     files = spark.createDataFrame(
         [(p,) for p in paths], T.StructType([T.StructField("path", T.StringType())])
     ).repartition(len(paths))
-    return files.mapInPandas(reader, schema)
+    return _restore_names(files.mapInPandas(reader, schema))
 
 
 def _read_single_xlsx_split(
@@ -274,7 +301,17 @@ def _read_single_xlsx_split(
         if info.file_size < SPLIT_THRESHOLD_BYTES:
             return None
         dims = wb.dimensions(sheet)
+        if dims is None:
+            # no declared dimension box → geometry must be inferred from the
+            # cell stream; only the streaming path implements that
+            return None
         data = wb._zip.read(member)
+
+    # fragments re-number r-less rows from 0, which would corrupt the
+    # header-relative indexing — require explicit r attributes throughout
+    # (every mainstream writer emits them; fall back to streaming otherwise)
+    if data.count(b"<row ") != data.count(b"<row r="):
+        return None
 
     # geometry + header row resolved driver-side (header text already went
     # into `schema` via infer_schema)
@@ -304,15 +341,14 @@ def _read_single_xlsx_split(
     scratch.write(data)
     scratch.close()
     scratch_path = scratch.name
+    import atexit
+
+    atexit.register(lambda: os.path.exists(scratch_path) and os.remove(scratch_path))
     del data
 
-    if dims is not None:
-        (r0, c0), (_, c1) = dims
-        start_col, num_cols = c0, c1 - c0 + 1
-        header_row_idx = r0 + skip_rows
-    else:  # geometry from the inferred schema width; origin A1
-        start_col, num_cols = 0, len(schema)
-        header_row_idx = skip_rows
+    (r0, c0), (_, c1) = dims  # dims presence checked above
+    start_col, num_cols = c0, c1 - c0 + 1
+    header_row_idx = r0 + skip_rows
 
     ranges = [
         (scratch_path, offsets[i], offsets[i + 1], i)
@@ -346,12 +382,10 @@ def _read_single_xlsx_split(
                             dense[col - start_col] = s
                     buf.append(dense)
                     if len(buf) >= batch_size:
-                        columns = zip(*buf)
-                        yield pd.DataFrame(dict(zip(cols, columns)), dtype=object)
+                        yield _batch_to_pdf(buf, cols)
                         buf = []
                 if buf:
-                    columns = zip(*buf) if buf else [[]] * n_cols
-                    yield pd.DataFrame(dict(zip(cols, columns)), dtype=object)
+                    yield _batch_to_pdf(buf, cols)
 
     rdf = spark.createDataFrame(
         ranges, "xml_path string, lo long, hi long, idx int"

@@ -92,18 +92,23 @@ def walk_rows(stream, ns: str, sst: list[str]):
                 out.append((col, ""))  # present-but-empty -> ""
                 continue
             if t is None or t == "n":
-                # int fast path: canonical digit strings pass through
-                if v.isdigit() or (v[0] == "-" and v[1:].isdigit()):
-                    if len(v) <= 18:
+                # int fast path (calamine parses i64 first, f64 fallback)
+                digits = v[1:] if v[0] == "-" else v
+                if digits.isdigit():
+                    # canonical form passes through untouched; "007"/"-0"
+                    # renormalize via int()
+                    if (
+                        len(digits) <= 18
+                        and (digits == "0" or digits[0] != "0")
+                        and v != "-0"
+                    ):
                         out.append((col, v))
                         continue
-                    try:
-                        iv = int(v)
-                        if -(2**63) <= iv < 2**63:
-                            out.append((col, str(iv)))
-                            continue
-                    except ValueError:
-                        pass
+                    iv = int(v)
+                    if -(2**63) <= iv < 2**63:
+                        out.append((col, str(iv)))
+                        continue
+                    # beyond i64 → f64 like calamine
                 try:
                     out.append((col, format_float(float(v))))
                 except ValueError:
@@ -302,14 +307,18 @@ class XlsxWorkbook:
             return CellValue("error", raw)
         if t == "d":
             return CellValue("iso", raw)
-        # number: int if losslessly integral text (calamine parses i64 first)
+        # number: int if losslessly integral text within i64 (calamine
+        # parses i64 first, falls back to f64)
         try:
-            return CellValue("int", int(raw))
+            iv = int(raw)
+            if -(2**63) <= iv < 2**63:
+                return CellValue("int", iv)
         except ValueError:
-            try:
-                return CellValue("float", float(raw))
-            except ValueError:
-                return CellValue("string", raw)
+            pass
+        try:
+            return CellValue("float", float(raw))
+        except ValueError:
+            return CellValue("string", raw)
 
     # -- fused fast row scan ----------------------------------------------
     def iter_rows_str(

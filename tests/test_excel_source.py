@@ -265,3 +265,50 @@ def test_split_path_order_preservation(spark, tmp_path, monkeypatch):
     convert(src, out, spark=spark)
     seqs = [int(r["seq"]) for r in spark.read.parquet(out).collect()]
     assert seqs == list(range(n))
+
+
+def test_duplicate_header_names_survive(spark, tmp_path):
+    """`a, a_2, a` -> columns [a, a_2, a_2] (reference naming collision) —
+    values must stay positionally aligned, not collapse."""
+    path = str(tmp_path / "dupcols.xlsx")
+    write_xlsx(path, {"S": [["a", "a_2", "a"], ["v1", "v2", "v3"]]})
+    df = read_excel(spark, path)
+    assert df.columns == ["a", "a_2", "a_2"]
+    assert _rows(df) == [("v1", "v2", "v3")]
+
+
+def test_noncanonical_and_huge_numbers(spark, tmp_path):
+    """'007' renormalizes via i64 parse; >i64 digits fall back to f64 (both
+    matching calamine's i64-then-f64 parse order)."""
+    import zipfile
+
+    path = str(tmp_path / "nums.xlsx")
+    write_xlsx(path, {"S": [["n"], [1]]})
+    # patch the sheet XML to carry raw numeric texts the writer won't emit
+    with zipfile.ZipFile(path) as z:
+        names = {i.filename: z.read(i.filename) for i in z.infolist()}
+    sheet = names["xl/worksheets/sheet1.xml"].decode()
+    sheet = sheet.replace(
+        '<c r="A2"><v>1</v></c>',
+        '<c r="A2"><v>007</v></c>',
+    ).replace('<dimension ref="A1:A2"/>', '<dimension ref="A1:A3"/>')
+    sheet = sheet.replace(
+        "</sheetData>",
+        '<row r="3"><c r="A3"><v>99999999999999999999</v></c></row></sheetData>',
+    )
+    names["xl/worksheets/sheet1.xml"] = sheet.encode()
+    with zipfile.ZipFile(path, "w") as z:
+        for n, b in names.items():
+            z.writestr(n, b)
+    got = sorted(_rows(read_excel(spark, path)))
+    assert got == [("100000000000000000000",), ("7",)]
+
+
+def test_mismatched_multi_file_headers_rejected(spark, tmp_path):
+    p1 = str(tmp_path / "m1.xlsx")
+    p2 = str(tmp_path / "m2.xlsx")
+    write_xlsx(p1, {"S": [["id", "amount", "name"], [1, 2, "x"]]})
+    write_xlsx(p2, {"S": [["name", "id", "amount"], ["y", 3, 4]]})
+    df = read_excel(spark, [p1, p2])
+    with pytest.raises(Exception, match="does not match"):
+        df.collect()

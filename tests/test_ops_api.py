@@ -104,3 +104,22 @@ def test_minhash_candidates_generic(spark):
         docs, "pk", "body", est_threshold=0.3
     ).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_asof_join_timestamp_tiebreak(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00")], "k long, t string"
+    ).withColumn("t", F.to_timestamp("t"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "old", "2024-01-01 05:00:00"),
+            (1, "2024-01-01 00:00:00", "new", "2024-01-01 06:00:00"),
+        ],
+        "k long, rt string, tag string, updated string",
+    ).withColumn("rt", F.to_timestamp("rt")).withColumn(
+        "updated", F.to_timestamp("updated")
+    )
+    out = ops.asof_join(
+        left, right, "k", "k", "t", "rt", ["tag"], tie_break="updated"
+    ).collect()
+    assert [r["tag"] for r in out] == ["new"]
