@@ -341,3 +341,70 @@ def doc_winnow_fingerprints(spark, sf_dir):
         d.select("doc_id", hashes.alias("__hashes"))
         .select("doc_id", F.explode(winnowed).alias("fingerprint"))
     )
+
+
+@TXT.register(
+    "pipeline_curate_documents",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, n_chars, text,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), quality AS (
+      SELECT doc_id, lang, n_chars,
+             md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp,
+             len(toks) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+      FROM tok
+      WHERE len(toks) >= 10 AND n_chars BETWEEN 50 AND 5000
+    ), keepers AS (
+      SELECT fp, MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
+      FROM quality GROUP BY fp
+    )
+    SELECT q.doc_id, q.lang, q.n_tokens, q.ttr, k.n_dups
+    FROM quality q JOIN keepers k
+      ON q.fp = k.fp AND q.doc_id = k.keeper_id
+    """,
+)
+def pipeline_curate_documents(spark, sf_dir):
+    """Capstone curation pipeline — the composed form of the operator
+    family: quality gate (token count + length band) → vocabulary
+    fingerprint → duplicate-group collapse keeping the smallest doc_id.
+
+    One narrow map (tokenize + fingerprint) and one hash aggregation (the
+    keeper groupBy) end to end — the shape that curates a 100 TB corpus in
+    two shuffle-light passes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    quality = (
+        d.select("doc_id", "lang", "n_chars", toks.alias("toks"))
+        .filter(
+            (F.size("toks") >= 10) & F.col("n_chars").between(50, 5000)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.md5(
+                F.array_join(F.array_sort(F.array_distinct("toks")), " ")
+            ).alias("fp"),
+            F.size("toks").alias("n_tokens"),
+            (
+                F.size(F.array_distinct("toks")).cast("double")
+                / F.size("toks")
+            ).alias("ttr"),
+        )
+    )
+    keepers = quality.groupBy("fp").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+    return (
+        quality.join(
+            keepers,
+            (quality["fp"] == keepers["fp"])
+            & (quality["doc_id"] == keepers["keeper_id"]),
+        )
+        .select("doc_id", "lang", "n_tokens", "ttr", "n_dups")
+    )
