@@ -408,3 +408,38 @@ def pipeline_curate_documents(spark, sf_dir):
         )
         .select("doc_id", "lang", "n_tokens", "ttr", "n_dups")
     )
+
+
+@TXT.register(
+    "split_train_val_test",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, lang,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN h2 < 'cd' THEN 'train'
+                WHEN h2 < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM tagged
+    """,
+)
+def split_train_val_test(spark, sf_dir):
+    """Deterministic ~80/10/10 train/val/test assignment by content-stable
+    hash (md5 of the id) — the split that never reshuffles when the corpus
+    grows, because membership depends only on the row's own key.
+
+    Scale: pure narrow map; no shuffle; adding data never moves existing
+    rows across splits (the property random splits lack).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(h2 < "cd", F.lit("train"))
+        .when(h2 < "e6", F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
