@@ -76,3 +76,68 @@ def test_incremental_excel_ingestion(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 3
     assert sorted(r["k"] for r in back.collect()) == ["1", "2", "3"]
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Event-time watermark semantics: rows later than the watermark bound
+    are dropped from append-mode windowed aggregation."""
+    import pandas as pd
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "wm_ckpt")
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "k", "v"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        sdf = spark.createDataFrame(pdf)
+        sdf.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"tmp_{name}")
+        )
+        import glob as g
+        import shutil
+
+        part = g.glob(str(tmp_path / f"tmp_{name}" / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{name}.parquet"))
+
+    # batch 1: events up to 12:00 → watermark advances to 11:50
+    write_batch(
+        "b1",
+        [
+            ("2024-01-01 10:00:30", "a", 1.0),
+            ("2024-01-01 12:00:00", "a", 2.0),
+        ],
+    )
+    schema = "ts timestamp, k string, v double"
+    agg = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # one file per micro-batch
+        .parquet(str(src))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sink = "wm_out"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: an hours-late event (10:05, watermark ~11:50) → dropped
+    write_batch("b2", [("2024-01-01 10:05:00", "a", 99.0)])
+    # and a fresh event to push processing forward and finalize windows
+    write_batch("b3", [("2024-01-01 13:00:00", "a", 3.0)])
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {
+        (r["window"]["start"].strftime("%H:%M"), r["n"])
+        for r in spark.sql(f"SELECT * FROM {sink}").collect()
+    }
+    # the 10:00 window finalized with ONE row — the late 10:05 event was
+    # dropped, not merged
+    assert ("10:00", 1) in rows
+    assert ("10:05", 1) not in rows and ("10:00", 2) not in rows
