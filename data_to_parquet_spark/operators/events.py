@@ -173,8 +173,6 @@ def json_functions_events(spark, sf_dir):
 
 
 def _percent_rank_group(pdf):
-    import pandas as _pd  # noqa: F401 (executor-side import)
-
     n = len(pdf)
     ranks = pdf["value"].rank(method="min")
     pdf = pdf.assign(

@@ -140,3 +140,56 @@ def multimodal_frame_sample(spark, sf_dir):
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return with_payload.mapInPandas(sample_frame_batches, _FRAME_SCHEMA)
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orig_width", T.IntegerType()),
+        T.StructField("orig_height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+_TARGET = 224  # canonical vision-model input edge
+
+
+def resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: decode → resize to 224×224 → re-encode.
+
+    STUB resizer — a real one would be PIL/cv2; the deterministic fake
+    derives 'pixels' from the payload bytes and nearest-neighbor-samples
+    them, so batch shapes, binary-out columns and byte budgets are real.
+    """
+    for pdf in it:
+        rows = {k: [] for k in ("doc_id", "orig_width", "orig_height", "width", "height", "resized")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, _ = _fake_decode(payload)
+            # nearest-neighbor sample _TARGET "pixels" per axis from payload
+            n = max(len(payload), 1)
+            idx = [(i * n) // _TARGET for i in range(_TARGET)]
+            resized = bytes(payload[i % n] for i in idx)
+            rows["doc_id"].append(doc_id)
+            rows["orig_width"].append(w)
+            rows["orig_height"].append(h)
+            rows["width"].append(_TARGET)
+            rows["height"].append(_TARGET)
+            rows["resized"].append(resized)
+        yield pd.DataFrame(rows)
+
+
+@MM.register("multimodal_resize_stub", oracle=None)
+def multimodal_resize_stub(spark, sf_dir):
+    """Image-resize pipeline stage: binary in → binary out via mapInPandas
+    (decode/resize stubbed, Arrow binary plumbing real).
+
+    Scale: narrow map; output bytes bounded by 224²; the real resizer slots
+    into the same kernel without touching the Spark plan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return with_payload.mapInPandas(resize_batches, _RESIZE_SCHEMA)
