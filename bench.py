@@ -66,9 +66,29 @@ def _excel_fixture(tmp_root: str = "/tmp/d2p_bench") -> str:
     return path
 
 
+def _excel_fleet_fixture(tmp_root: str = "/tmp/d2p_bench", n_files: int = 16) -> str:
+    """n_files workbooks of _EXCEL_ROWS/n_files rows each (same total cell
+    count as the single-file workload → measures multi-file scaling)."""
+    fleet_dir = os.path.join(tmp_root, f"fleet_{n_files}")
+    if not os.path.isdir(fleet_dir) or len(os.listdir(fleet_dir)) < n_files:
+        os.makedirs(fleet_dir, exist_ok=True)
+        from tests.xlsx_fixture import write_xlsx
+
+        per = _EXCEL_ROWS // n_files
+        for f in range(n_files):
+            rows = [["id", "amount", "name", "active", "category", "score"]]
+            for i in range(per):
+                g = f * per + i
+                rows.append(
+                    [g, g * 1.25, f"name_{g % 997}", g % 3 == 0, f"cat{g % 17}", g % 100 / 10]
+                )
+            write_xlsx(os.path.join(fleet_dir, f"part{f:02d}.xlsx"), {"Data": rows})
+    return fleet_dir
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from data_to_parquet_spark.api import convert
+    from data_to_parquet_spark.api import convert, convert_many
     from data_to_parquet_spark.session import get_spark
 
     import __spark_entry__ as entry_mod
@@ -96,6 +116,13 @@ def main() -> None:
         time.perf_counter() - t0, 3
     )
     assert n == _EXCEL_ROWS, f"conversion row count {n} != {_EXCEL_ROWS}"
+
+    # same cell count split across 16 workbooks → one task per file
+    fleet = _excel_fleet_fixture()
+    t0 = time.perf_counter()
+    n = convert_many(fleet, "/tmp/d2p_bench/fleet_out", sheet_name="Data", spark=spark)
+    times["excel_convert_16_files"] = round(time.perf_counter() - t0, 3)
+    assert n == (_EXCEL_ROWS // 16) * 16
 
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()

@@ -73,3 +73,24 @@ def test_convert_many(spark, tmp_path):
     n = convert_many(paths, out, spark=spark)
     assert n == 3
     assert spark.read.parquet(out).count() == 3
+
+
+def test_sql_surface_over_registered_views(spark, sf_dir):
+    from data_to_parquet_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    out = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    ).collect()
+    assert len(out) == 6  # all flag/status combos in this corpus
+    joined = spark.sql(
+        "SELECT count(*) AS n FROM orders o JOIN customer c"
+        " ON o.o_custkey = c.c_custkey"
+    ).first()["n"]
+    assert joined > 0
