@@ -104,3 +104,42 @@ def test_scan_matches_model(grid, skip, tmp_path_factory):
         return  # header row fully absent — geometry degenerate, skip
     assert headers == m_headers
     assert rows == m_rows
+
+
+_xlsb_cell = st.one_of(
+    st.none(),
+    st.just(("empty",)),
+    st.integers(min_value=-(1 << 28), max_value=(1 << 28)),  # RK int range
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs", "Cc")),
+        max_size=8,
+    ),
+    st.booleans(),
+)
+
+_xlsb_grid = st.lists(
+    st.lists(_xlsb_cell, min_size=1, max_size=5), min_size=1, max_size=6
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(grid=_xlsb_grid, skip=st.integers(min_value=0, max_value=2))
+def test_xlsb_scan_matches_model(grid, skip, tmp_path_factory):
+    """The binary-format scan obeys the same semantic model as xlsx."""
+    from .xlsb_fixture import write_xlsb
+
+    model = _model_scan(grid, skip)
+    path = str(tmp_path_factory.mktemp("propb") / "prop.xlsb")
+    write_xlsb(path, {"S": grid})
+    with open_workbook(path) as wb:
+        headers, batches = scan_sheet(wb, "S", skip_rows=skip)
+        rows = [row for b in batches for row in b]
+    if model is None:
+        assert headers == [] or rows == []
+        return
+    m_headers, m_rows = model
+    if not m_headers:
+        return
+    assert headers == m_headers
+    assert rows == m_rows
