@@ -443,3 +443,41 @@ def split_train_val_test(spark, sf_dir):
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+@TXT.register(
+    "stratified_sample_documents",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents
+    )
+    SELECT doc_id, lang FROM ranked
+    WHERE rn <= CAST(ceil(n_lang * 0.1) AS BIGINT)
+    """,
+)
+def stratified_sample_documents(spark, sf_dir):
+    """Deterministic stratified 10% sample per language: hash-ordered
+    row_number within each stratum (reproducible across runs and engines,
+    unlike rand()-based sampling).
+
+    Scale: one shuffle on the stratum key; per-stratum state is a counter.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")))
+    wc = W.partitionBy("lang")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n_lang"),
+        )
+        .filter(
+            F.col("rn") <= F.ceil(F.col("n_lang") * 0.1).cast("bigint")
+        )
+        .select("doc_id", "lang")
+    )
