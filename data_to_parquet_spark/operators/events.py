@@ -255,13 +255,18 @@ def udaf_geometric_mean(spark, sf_dir):
     gmean = F.pandas_udf(_gmean, "double", F.PandasUDFType.GROUPED_AGG)
 
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        gmean("value").alias("geo_mean_udaf"),
+    # grouped-agg pandas UDFs can't be placed alongside built-in aggregates
+    # on a default session — run the two aggregations separately and join
+    udaf_leg = e.groupBy("event_type").agg(
+        gmean("value").alias("geo_mean_udaf")
+    )
+    algebraic_leg = e.groupBy("event_type").agg(
         F.exp(F.avg(F.log(F.when(F.col("value") > 0, F.col("value"))))).alias(
             "geo_mean_algebraic"
         ),
         F.count(F.lit(1)).alias("n_events"),
     )
+    return udaf_leg.join(algebraic_leg, "event_type")
 
 
 @EVT.register(
