@@ -24,9 +24,10 @@ from data_to_parquet_spark.operators.multimodal import MM
 from data_to_parquet_spark.operators.relational import REL
 from data_to_parquet_spark.operators.similarity import SIM
 from data_to_parquet_spark.operators.text import TXT
+from data_to_parquet_spark.operators.tpch_extra import TPCH_X
 from data_to_parquet_spark.streaming.windows import STREAMING
 
-_REGISTRY = REL.merge(EVT, TXT, DEDUP, SIM, MM, MISC, STREAMING, CDC)
+_REGISTRY = REL.merge(EVT, TXT, DEDUP, SIM, MM, MISC, STREAMING, CDC, TPCH_X)
 
 
 def entry(spark: SparkSession) -> DataFrame:

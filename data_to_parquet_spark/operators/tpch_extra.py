@@ -1,0 +1,504 @@
+"""Remaining TPC-H query shapes (Q2/Q8/Q9/Q11/Q12/Q13/Q16/Q20/Q21), adapted
+to the driver's reduced star schema.
+
+The testdata omits ``partsupp`` and several columns the official queries use
+(``l_commitdate``/``l_receiptdate``/``l_shipmode``, ``ps_supplycost``,
+``o_comment``), so each query here keeps the *operator shape* that makes the
+original interesting — decorrelated min subquery, scalar-subquery threshold,
+outer-join distribution, nested semi-joins, multi-correlation exists/not
+exists — re-expressed over the available columns. The reference itself has no
+relational operators at all (SURVEY.md §2.2, exhaustive grep of
+``src/lib.rs``/``src/main.rs``); this is native-engine surface.
+
+Scale notes follow the module conventions in ``relational.py``: dims are
+broadcast, aggregates are decimal-exact (oracle hashing), every top-k carries
+a total order, and no query materializes on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.exprs import dsum, money
+from .base import Registry, load_table
+
+TPCH_X = Registry()
+
+_D = "double"
+
+
+@TPCH_X.register(
+    "q2_min_price_supplier",
+    oracle="""
+    WITH offer AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS min_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey, MIN(min_price) AS best_price
+      FROM offer GROUP BY l_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, s_suppkey, best_price
+    FROM offer
+      JOIN best ON offer.l_partkey = best.l_partkey
+               AND offer.min_price = best.best_price
+      JOIN part ON p_partkey = offer.l_partkey
+      JOIN supplier ON s_suppkey = offer.l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+    WHERE p_size = 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+    ORDER BY s_acctbal DESC, s_suppkey, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_price_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: decorrelated correlated-MIN subquery.
+
+    No ``partsupp`` in the corpus, so the "offer" relation is derived from
+    lineitem (per part/supplier minimum sell price); the Q2 skeleton —
+    per-part minimum via a grouped subquery equality-joined back, then dim
+    joins and a top-k — is intact. MIN of doubles is order-independent, so
+    no decimal recipe is needed.
+
+    Scale: `offer` and `best` shuffle on l_partkey (same key → one exchange
+    reused); part/supplier/nation/region are broadcast; ORDER BY carries a
+    unique tiebreak (s_suppkey, p_partkey) so LIMIT 100 is deterministic.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    offer = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    best = offer.groupBy("l_partkey").agg(
+        F.min("min_price").alias("best_price")
+    ).withColumnRenamed("l_partkey", "b_partkey")
+    return (
+        offer.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("min_price") == F.col("best_price")),
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "s_suppkey", "best_price")
+        .orderBy(F.desc("s_acctbal"), "s_suppkey", "p_partkey")
+        .limit(100)
+    )
+
+
+@TPCH_X.register(
+    "q8_market_share",
+    oracle="""
+    SELECT year(o_orderdate) AS o_year,
+           CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+             AS mkt_share
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = cn.n_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+    WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY year(o_orderdate)
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's revenue share inside a region, by year.
+
+    Conditional-sum ratio over a 7-way join with the nation dim joined twice
+    (customer side and supplier side). Both SUM legs use the decimal-exact
+    recipe so the ratio is bit-deterministic against DuckDB.
+
+    Scale: the only shuffle join is lineitem⋈orders (both large, keyed on
+    orderkey); part/customer/nation/region/supplier are broadcast. The
+    customer-side region filter prunes before the big join.
+    """
+    li, o, c, s, p, n, r = (
+        load_table(spark, sf_dir, t)
+        for t in ("lineitem", "orders", "customer", "supplier", "part", "nation", "region")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = money(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    zero = F.lit(0).cast("decimal(18,6)")
+    nation_rev = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(zero)
+    return (
+        li.join(F.broadcast(p.filter(F.col("p_type") == "PROMO")),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("r_regionkey") == F.col("cn_region"),
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(nation_rev).cast(_D) / F.sum(rev).cast(_D)).alias("mkt_share")
+        )
+    )
+
+
+@TPCH_X.register(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation, year(l_shipdate) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         - 0.01 * p_retailprice * l_quantity
+                         AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(l_shipdate)
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation and year for a part family.
+
+    ``ps_supplycost`` doesn't exist in this corpus, so cost is proxied as
+    1% of ``p_retailprice`` per unit — the shape (substring part filter,
+    revenue-minus-cost expression, two-key agg over a multi-join) is what's
+    exercised.
+
+    Scale: part (LIKE-filtered), supplier, nation broadcast; the profit
+    expression stays in whole-stage codegen; partial aggregation bounds the
+    shuffle at |nations × years|.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    profit = money(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.01 * F.col("p_retailprice") * F.col("l_quantity"),
+        4,
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast(_D).alias("sum_profit"))
+    )
+
+
+@TPCH_X.register(
+    "q11_important_parts",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS val_dec
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(val_dec AS DOUBLE) AS part_value
+    FROM pv
+    WHERE CAST(val_dec AS DOUBLE) >
+          0.001 * (SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                        AS DECIMAL(18,6))) AS DOUBLE)
+                   FROM lineitem)
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: groups exceeding a scalar-subquery fraction of the
+    global total (no ``partsupp``, so value = per-part revenue).
+
+    Both the per-group and global totals use the decimal-exact sum, compared
+    in DOUBLE after one deterministic multiply, so the threshold decision is
+    identical on both engines.
+
+    Scale: two aggregations over one lineitem scan; the global total is a
+    1-row broadcast (a cross join that Catalyst plans as
+    BroadcastNestedLoopJoin over a single row — constant cost).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = money(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    pv = li.groupBy("l_partkey").agg(F.sum(rev).alias("val_dec"))
+    total = li.agg(F.sum(rev).cast(_D).alias("total"))
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.col("val_dec").cast(_D) > 0.001 * F.col("total"))
+        .select("l_partkey", F.col("val_dec").cast(_D).alias("part_value"))
+    )
+
+
+@TPCH_X.register(
+    "q12_shipping_delay",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) >= 60 THEN 'late'
+                WHEN date_diff('day', o_orderdate, l_shipdate) >= 30 THEN 'slow'
+                ELSE 'fast' END AS speed_bucket,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def q12_shipping_delay(spark, sf_dir):
+    """TPC-H Q12 shape: CASE-bucketed dual conditional counts.
+
+    ``l_shipmode``/``l_commitdate``/``l_receiptdate`` don't exist here, so
+    the bucket is the order→ship delay in days — same grouped
+    CASE-expression + conditional-count skeleton.
+
+    Scale: single lineitem⋈orders shuffle join; the shipdate range predicate
+    is pushed to the parquet scan; integer conditional sums need no decimal
+    treatment.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    delay = F.datediff("l_shipdate", "o_orderdate")
+    bucket = (
+        F.when(delay >= 60, "late").when(delay >= 30, "slow").otherwise("fast")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(bucket.alias("speed_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@TPCH_X.register(
+    "q13_customer_distribution",
+    oracle="""
+    WITH co AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM co GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: outer-join order counts, then a count-of-counts
+    distribution (two stacked aggregations).
+
+    ``o_comment`` doesn't exist, so the anti-filter is on order priority;
+    COUNT(o_orderkey) over the left join still yields 0 for order-less
+    customers — the semantic Q13 tests.
+
+    Scale: customer⋈orders shuffles on custkey; the second aggregation's
+    key space (distinct counts) is tiny, so its shuffle is negligible.
+    AQE coalesces the post-join partitions.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    co = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "5-LOW"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@TPCH_X.register(
+    "q16_supplier_part_cnt",
+    oracle="""
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 14, 20, 25, 30, 40)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+)
+def q16_supplier_part_cnt(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts with a NOT-IN exclusion
+    subquery (negative-balance suppliers stand in for the original's
+    complaint-comment filter; supplier relation derives from lineitem since
+    there is no ``partsupp``).
+
+    Scale: the exclusion list is a broadcast anti-join (s_suppkey is
+    non-null, so NOT IN ≡ anti-join); COUNT(DISTINCT) expands to a two-phase
+    aggregate keyed on (brand, size, suppkey) — bounded by the filtered
+    part×supplier cross-section, not by lineitem.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 9, 14, 20, 25, 30, 40))
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@TPCH_X.register(
+    "q20_part_promotion",
+    oracle="""
+    SELECT s_suppkey, s_name, total_qty
+    FROM supplier JOIN (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+    ) q ON s_suppkey = l_suppkey
+    """,
+)
+def q20_part_promotion(spark, sf_dir):
+    """TPC-H Q20 shape: nested IN subqueries — suppliers who moved more than
+    a threshold quantity of a name-filtered part family in a year.
+
+    (Original compares against 50% of ``ps_availqty``; with no partsupp the
+    threshold is absolute — the nested semi-join pipeline is the point.)
+
+    Scale: the part-family key list is a broadcast semi-join into the
+    lineitem scan (with the shipdate predicate pushed down); the HAVING
+    filters post-aggregate; supplier joins broadcast against the surviving
+    handful of keys.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier")
+    q = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(money("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 300)
+    )
+    return (
+        s.join(q, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("qty_dec").cast(_D).alias("total_qty")
+        )
+    )
+
+
+@TPCH_X.register(
+    "q21_waiting_supplier",
+    oracle="""
+    WITH om AS (
+      SELECT l_orderkey AS om_orderkey, MAX(l_shipdate) AS max_ship,
+             COUNT(DISTINCT l_suppkey) AS n_supp
+      FROM lineitem GROUP BY l_orderkey
+    ), blame AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem JOIN om ON l_orderkey = om_orderkey
+      WHERE l_shipdate = max_ship AND n_supp >= 2
+    ), uniq AS (
+      SELECT l_orderkey FROM blame GROUP BY l_orderkey HAVING COUNT(*) = 1
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM blame
+      JOIN uniq USING (l_orderkey)
+      JOIN orders ON o_orderkey = l_orderkey AND o_orderstatus = 'F'
+      JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: the EXISTS (another supplier on the order) +
+    NOT EXISTS (another supplier shipped later) double correlation,
+    decomposed into per-order aggregates.
+
+    A supplier "kept an order waiting" iff the order is finalized ('F'),
+    involves ≥2 distinct suppliers, and that supplier is the *sole* owner of
+    the order's latest ship date. (Original correlates on
+    ``l_receiptdate > l_commitdate``; absent those columns, latest-shipper
+    carries the same exists/not-exists structure.)
+
+    Scale: two aggregations and the blame join all shuffle on l_orderkey —
+    one exchange reused across stages; orders and supplier broadcast at the
+    end against the much smaller blame set.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    om = li.groupBy(F.col("l_orderkey").alias("om_orderkey")).agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+    blame = (
+        li.join(
+            om,
+            (F.col("l_orderkey") == F.col("om_orderkey"))
+            & (F.col("l_shipdate") == F.col("max_ship"))
+            & (F.col("n_supp") >= 2),
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    uniq = (
+        blame.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_blamed"))
+        .filter(F.col("n_blamed") == 1)
+        .select("l_orderkey")
+    )
+    return (
+        blame.join(uniq, "l_orderkey")
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
