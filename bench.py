@@ -99,11 +99,18 @@ def main() -> None:
 
     # warmup: pay JVM/codegen first-run costs AND Python-worker pool spin-up
     # (one trivial mapInPandas touches all executor worker slots) outside the
-    # timed region
+    # timed region. The set-similarity queries run at sf0.001 here because
+    # their higher-order array expressions (array_intersect / transform /
+    # slice) have ~4s of one-time codegen+JIT cost that would otherwise be
+    # charged to the first timed query that uses them.
     queries["q6_revenue_forecast"](spark, sf_dir).count()
     spark.range(0, 1024, 1, 32).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf):
+        queries["neardup_jaccard_pairs"](spark, warm_sf).count()
+        queries["dedup_minhash_pairs"](spark, warm_sf).count()
 
     times: dict[str, float] = {}
 

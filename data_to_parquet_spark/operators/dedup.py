@@ -86,58 +86,90 @@ _SALT = 16  # parallelism multiplier for low-cardinality block keys
     """,
 )
 def neardup_jaccard_pairs(spark, sf_dir):
-    """Blocked pairwise token-set Jaccard (threshold 0.9).
+    """Exact pairwise token-set Jaccard (threshold 0.9) via prefix filtering
+    (AllPairs/PPJoin): each doc only indexes its ``|d| - ceil(t·|d|) + 1``
+    globally-first tokens; any pair with J ≥ t provably shares an indexed
+    token, so candidates come from an inverted-index self-join instead of an
+    all-pairs block join.
 
-    Scale: pair generation is confined to blocks (here `lang`; at 100 TB the
-    blocking key becomes an LSH bucket — see `dedup_minhash_pairs` — so block
-    sizes stay bounded). A low-cardinality blocking key skews the self-join
-    (one task per block), so the join key is (lang, salt): the left side is
-    salted by doc_id hash, the right side replicated across all salts — same
-    pair set, `_SALT`× the parallelism. That skew treatment is what matters
-    on a 1000-executor cluster.
+    Scale: this is the difference between O(block²) intersects and an
+    index join whose bucket sizes are bounded by rare-token document
+    frequency — tokens are globally ordered by ascending df (the canonical
+    AllPairs ordering), so the indexed prefix of every doc is its *rarest*
+    tokens and no stopword ever becomes a hot join key. The verify step
+    (full array_intersect) runs only on surviving candidates. Same result
+    set as the naive oracle join, exactly.
     """
     d = load_table(spark, sf_dir, "documents")
     # intersect 64-bit token hashes, not strings: same set sizes (collision
-    # probability ~2^-64), far cheaper comparisons in the O(pairs) hot loop
+    # probability ~2^-64), far cheaper comparisons in the verify loop
     tok = d.select(
         "doc_id",
         "lang",
-        F.array_sort(
-            F.array_distinct(
-                F.transform(tokens(F.col("text")), lambda t: F.xxhash64(t))
-            )
+        F.array_distinct(
+            F.transform(tokens(F.col("text")), lambda t: F.xxhash64(t))
         ).alias("toks"),
     )
-    # documents is a single small parquet file → a 1-partition scan; the
-    # expensive part is the pairwise probe, so spread the probe side across
-    # the cluster BEFORE the join (otherwise one task owns every pair).
-    a = tok.select(
+    flat = tok.select("doc_id", "lang", F.explode("toks").alias("tk"))
+    # global token order = (document frequency ASC, token): prefix tokens are
+    # the rarest → small, skew-free candidate buckets
+    df_counts = flat.groupBy("tk").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        flat.join(df_counts, "tk")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tk"))),
+                lambda s: s["tk"],
+            ).alias("toks")
+        )
+    )
+    # prefix length for Jaccard >= t: |d| - ceil(t*|d|) + 1  (t = 0.9)
+    n = F.size("toks")
+    plen = (n - F.ceil(n * 0.9) + 1).cast("int")
+    # candidate generation is SKINNY on purpose: only (doc_id, size, ptok)
+    # flows through the index join — a dup-heavy corpus yields each true
+    # pair once per shared prefix token, and carrying token arrays through
+    # that multiplicity (or verifying per-occurrence) is the quadratic trap;
+    # distinct() collapses the multiplicity before any O(|toks|) work
+    prefix = ordered.select(
+        "doc_id", "lang", n.alias("sz"), F.explode(F.slice("toks", F.lit(1), plen)).alias("ptok")
+    )
+    a = prefix.select(
         F.col("doc_id").alias("doc_a"),
         F.col("lang").alias("lang_a"),
-        F.col("toks").alias("toks_a"),
-        F.pmod(F.xxhash64("doc_id"), F.lit(_SALT)).alias("salt_a"),
-    ).repartition(spark.sparkContext.defaultParallelism, "salt_a", "doc_a")
-    b = tok.select(
+        F.col("sz").alias("sz_a"),
+        F.col("ptok").alias("ptok_a"),
+    )
+    b = prefix.select(
         F.col("doc_id").alias("doc_b"),
         F.col("lang").alias("lang_b"),
-        F.col("toks").alias("toks_b"),
-        F.explode(F.array(*[F.lit(i) for i in range(_SALT)])).alias("salt_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("ptok").alias("ptok_b"),
     )
+    cand = (
+        a.join(
+            b,
+            (F.col("ptok_a") == F.col("ptok_b"))
+            & (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            # size filter: J >= t bounds the size ratio — integer compare
+            # that drops most candidates before they reach distinct/verify
+            & (F.col("sz_a").cast("double") >= 0.9 * F.col("sz_b"))
+            & (F.col("sz_b").cast("double") >= 0.9 * F.col("sz_a")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # verify once per unique candidate pair
+    ta = ordered.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = ordered.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size("toks_a") + F.size("toks_b") - inter
     jac = inter.cast("double") / union
     return (
-        a.join(
-            b,
-            (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("salt_a") == F.col("salt_b"))
-            & (F.col("doc_a") < F.col("doc_b"))
-            # size-ratio prefilter: J(a,b) >= t requires |a| >= t·|b| and
-            # |b| >= t·|a| — an integer compare that skips the O(n) intersect
-            # for most pairs (classic set-similarity-join length filter)
-            & (F.size("toks_a").cast("double") >= 0.9 * F.size("toks_b"))
-            & (F.size("toks_b").cast("double") >= 0.9 * F.size("toks_a")),
-        )
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.9)
     )
@@ -376,38 +408,78 @@ def dedup_connected_components(spark, sf_dir):
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)
     # propagate only over docs that have at least one edge; untouched docs
-    # are their own singleton cluster and join back at the end
+    # are their own singleton cluster and join back at the end.
+    # Round 0 = plain min-neighbor adoption on the original graph (no
+    # contraction join needed while labels are still the identity).
     labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint(eager=True)
-    )
-    prev_sum = labels.agg(F.sum("cluster_id")).first()[0] or 0
-    for _ in range(20):
-        nbr = edges.join(
-            labels.withColumnRenamed("doc_id", "doc_a"), "doc_a"
-        ).select(F.col("doc_b").alias("doc_id"), "cluster_id")
-        # pointer jumping: also adopt the label OF my current label
-        # (path compression → logarithmic instead of diameter rounds)
-        hop = labels.join(
-            labels.select(
-                F.col("doc_id").alias("cluster_id"),
-                F.col("cluster_id").alias("hop_label"),
-            ),
-            "cluster_id",
-        ).select("doc_id", F.col("hop_label").alias("cluster_id"))
-        labels = (
-            labels.unionByName(nbr)
-            .unionByName(hop)
-            .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint(eager=True)  # keeps per-round lineage O(1)
+        edges.groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(F.min("doc_b").alias("mn"))
+        .select(
+            "doc_id", F.least("doc_id", "mn").alias("cluster_id")
         )
-        new_sum = labels.agg(F.sum("cluster_id")).first()[0] or 0
-        if new_sum == prev_sum:  # min-label sum strictly decreases until fixed
+        .localCheckpoint(eager=False)
+    )
+    # Contraction loop: each round rewrites the working edge list through the
+    # current labels — intra-cluster edges become self-loops and vanish, so
+    # the graph (and every subsequent join) shrinks geometrically; the
+    # round's count() is both the materializing action and the loop check.
+    # Contracted edges can drift from member labels (a representative can
+    # migrate while members still point at it), so the inner fixpoint is NOT
+    # trusted as the exit: the outer loop re-contracts the ORIGINAL edge set
+    # through the final labels and only exits when that is empty — exit ⇔
+    # every original edge connects equal labels ⇔ labels are the components
+    # (and min-only adoption pins them to the component minimum, matching
+    # the oracle's MIN over the transitive closure).
+
+    def _contract(es, lbl):
+        la = lbl.select(F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("ca"))
+        lb = lbl.select(F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("cb"))
+        return (
+            es.join(la, "doc_a")
+            .join(lb, "doc_b")
+            .select(F.col("ca").alias("doc_a"), F.col("cb").alias("doc_b"))
+            .filter(F.col("doc_a") != F.col("doc_b"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+
+    work = edges
+    for _ in range(10):
+        for _ in range(20):
+            contracted = _contract(work, labels)
+            if contracted.count() == 0:
+                break
+            work = contracted
+            # every cluster representative adopts its smallest contracted
+            # neighbor; members follow via the label-side join (one hop)
+            m = contracted.groupBy(F.col("doc_a").alias("cluster_id")).agg(
+                F.min("doc_b").alias("mn")
+            )
+            labels = labels.join(m, "cluster_id", "left").select(
+                "doc_id",
+                F.least("cluster_id", F.coalesce("mn", "cluster_id")).alias(
+                    "cluster_id"
+                ),
+            )
+            # pointer jump: if my label's node migrated, follow it — keeps
+            # member labels from drifting behind their representative
+            rep = labels.select(
+                F.col("doc_id").alias("cluster_id"),
+                F.col("cluster_id").alias("rep_label"),
+            )
+            labels = (
+                labels.join(rep, "cluster_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("rep_label", "cluster_id").alias("cluster_id"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        # airtight exit: all ORIGINAL edges must connect equal labels
+        viol = _contract(edges, labels)
+        if viol.count() == 0:
             break
-        prev_sum = new_sum
+        work = viol
     d = load_table(spark, sf_dir, "documents")
     singletons = d.select("doc_id").join(
         labels.select("doc_id"), "doc_id", "left_anti"
