@@ -18,6 +18,7 @@ from .operators.asof import asof_join
 __all__ = [
     "exact_dedup",
     "neardup_jaccard",
+    "neardup_jaccard_prefix",
     "connected_components",
     "cosine_topk",
     "sessionize",
@@ -95,6 +96,90 @@ def neardup_jaccard(
             & (F.size("__toks_a").cast("double") >= t * F.size("__toks_b"))
             & (F.size("__toks_b").cast("double") >= t * F.size("__toks_a")),
         )
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= t)
+    )
+
+
+def neardup_jaccard_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str | None = None,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Pairs of near-duplicate rows by token-set Jaccard — exact
+    prefix-filter (AllPairs/PPJoin) index join, the scale path.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold;
+    identical result set to :func:`neardup_jaccard` (the blocked all-pairs
+    form), but candidates come from an inverted index over each row's
+    ``|d| - ceil(t·|d|) + 1`` rarest tokens (global df-ascending order), so
+    cost scales with candidate pairs, not block². Use this when blocks are
+    large or absent; ``block_col=None`` runs corpus-wide.
+    """
+    t = float(threshold)
+    blk = F.col(block_col) if block_col else F.lit(0)
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        blk.alias("__block"),
+        F.array_distinct(
+            F.transform(tokens(F.col(text_col)), lambda x: F.xxhash64(x))
+        ).alias("__toks"),
+    )
+    flat = tok.select("__id", "__block", F.explode("__toks").alias("__tk"))
+    dfc = flat.groupBy("__tk").agg(F.count(F.lit(1)).alias("__df"))
+    ordered = (
+        flat.join(dfc, "__tk")
+        .groupBy("__id", "__block")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__df", "__tk"))),
+                lambda s: s["__tk"],
+            ).alias("__toks")
+        )
+        .localCheckpoint(eager=False)  # one materialization, four consumers
+    )
+    n = F.size("__toks")
+    plen = (n - F.ceil(n * t) + 1).cast("int")
+    prefix = ordered.select(
+        "__id",
+        "__block",
+        n.alias("__sz"),
+        F.explode(F.slice("__toks", F.lit(1), plen)).alias("__ptok"),
+    )
+    a = prefix.select(
+        F.col("__id").alias("id_a"),
+        F.col("__block").alias("__block_a"),
+        F.col("__sz").alias("__sz_a"),
+        F.col("__ptok").alias("__ptok_a"),
+    )
+    b = prefix.select(
+        F.col("__id").alias("id_b"),
+        F.col("__block").alias("__block_b"),
+        F.col("__sz").alias("__sz_b"),
+        F.col("__ptok").alias("__ptok_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("__ptok_a") == F.col("__ptok_b"))
+            & (F.col("__block_a") == F.col("__block_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("__sz_a").cast("double") >= t * F.col("__sz_b"))
+            & (F.col("__sz_b").cast("double") >= t * F.col("__sz_a")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = ordered.select(F.col("__id").alias("id_a"), F.col("__toks").alias("__toks_a"))
+    tb = ordered.select(F.col("__id").alias("id_b"), F.col("__toks").alias("__toks_b"))
+    inter = F.size(F.array_intersect("__toks_a", "__toks_b"))
+    union = F.size("__toks_a") + F.size("__toks_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= t)
     )

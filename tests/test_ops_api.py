@@ -34,6 +34,43 @@ def test_neardup_jaccard_generic_columns(spark):
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
 
 
+def test_neardup_jaccard_prefix_matches_blocked(spark):
+    # the prefix-filter index join must produce the IDENTICAL pair set as
+    # the blocked all-pairs form on the same input (it is exact, not
+    # approximate) — including with no blocking column at all
+    rows = [
+        (1, "g", "the quick brown fox jumps over the lazy dog"),
+        (2, "g", "the quick brown fox jumps over the lazy cat"),
+        (3, "g", "completely different words entirely here now"),
+        (4, "h", "the quick brown fox jumps over the lazy dog"),
+        (5, "h", "lorem ipsum dolor sit amet consectetur"),
+        (6, "h", "lorem ipsum dolor sit amet consectetuer"),
+    ]
+    df = spark.createDataFrame(rows, "pk long, grp string, body string")
+    for thresh in (0.5, 0.8):
+        blocked = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in ops.neardup_jaccard(
+                df, "pk", "body", "grp", threshold=thresh, salt=4
+            ).collect()
+        }
+        prefixed = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in ops.neardup_jaccard_prefix(
+                df, "pk", "body", block_col="grp", threshold=thresh
+            ).collect()
+        }
+        assert prefixed == blocked
+    # unblocked: doc 4 now also pairs with 1 and 2 across former blocks
+    global_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ops.neardup_jaccard_prefix(
+            df, "pk", "body", threshold=0.8
+        ).collect()
+    }
+    assert (1, 4) in global_pairs
+
+
 def test_connected_components_two_clusters(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "a long, b long"
