@@ -21,13 +21,14 @@ from data_to_parquet_spark.operators.dedup import DEDUP
 from data_to_parquet_spark.operators.events import EVT
 from data_to_parquet_spark.operators.misc import MISC
 from data_to_parquet_spark.operators.multimodal import MM
+from data_to_parquet_spark.operators.pipeline import PIPE
 from data_to_parquet_spark.operators.relational import REL
 from data_to_parquet_spark.operators.similarity import SIM
 from data_to_parquet_spark.operators.text import TXT
 from data_to_parquet_spark.operators.tpch_extra import TPCH_X
 from data_to_parquet_spark.streaming.windows import STREAMING
 
-_REGISTRY = REL.merge(EVT, TXT, DEDUP, SIM, MM, MISC, STREAMING, CDC, TPCH_X)
+_REGISTRY = REL.merge(EVT, TXT, DEDUP, SIM, MM, MISC, STREAMING, CDC, TPCH_X, PIPE)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,308 @@
+"""Training-data curation operators beyond per-doc stats: quality-gate
+decisions, repetition signals, benchmark-contamination checks, sequence
+packing, and source-mix rebalancing — the pipeline steps between "raw
+documents" and "training mixture" at 100 TB.
+
+The reference (KonghaYao/data-to-parquet) has no analytical operators at all
+(SURVEY.md §2.2); this module is north-star extension surface
+(BASELINE.json), sibling to ``operators/text.py`` (per-doc stats) and
+``operators/dedup.py`` (duplicate removal). Every op here is a declarative
+DataFrame pipeline with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.exprs import tokens
+from .base import Registry, load_table
+
+PIPE = Registry()
+
+_D = "double"
+
+# The Gopher-style thresholds used by the keep/drop gate; listed verbatim in
+# the oracle so both engines make the identical decision.
+_MIN_WORDS, _MAX_WORDS = 30, 10_000
+_MIN_AVG_LEN, _MAX_AVG_LEN = 2.0, 12.0
+_MIN_STOPWORDS = 2
+_STOP = ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"]
+
+
+@PIPE.register(
+    "gopher_quality_gate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id, lang, source,
+             len(toks) AS n_words,
+             CAST(len(array_to_string(toks, '')) AS DOUBLE)
+               / len(toks) AS avg_word_len,
+             len(list_filter(toks, t -> list_contains(
+               ['the','a','and','of','to','in','is','that','it','for'], t)))
+               AS n_stopwords
+      FROM tok WHERE len(toks) > 0
+    )
+    SELECT doc_id, lang, source, n_words, avg_word_len, n_stopwords,
+           (n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}) AS pass_length,
+           (avg_word_len BETWEEN {_MIN_AVG_LEN} AND {_MAX_AVG_LEN})
+             AS pass_word_len,
+           (n_stopwords >= {_MIN_STOPWORDS}) AS pass_stopwords,
+           ((n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS})
+            AND (avg_word_len BETWEEN {_MIN_AVG_LEN} AND {_MAX_AVG_LEN})
+            AND n_stopwords >= {_MIN_STOPWORDS}) AS keep
+    FROM m
+    """,
+)
+def gopher_quality_gate(spark, sf_dir):
+    """Gopher-style quality gate: per-rule booleans + the keep/drop decision
+    (word count band, average word length band, minimum stopword hits).
+
+    Unlike ``text_quality_stats`` (signals only), this op emits the gate
+    DECISION per rule, which is what a curation pipeline filters on.
+    Scale: narrow map, no shuffle; the booleans stay in codegen.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", "source", tokens(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    avg_len = (
+        F.length(F.array_join("toks", "")).cast(_D) / n
+    )
+    n_stop = F.size(
+        F.filter("toks", lambda x: F.array_contains(F.array(*[F.lit(s) for s in _STOP]), x))
+    )
+    m = t.filter(n > 0).select(
+        "doc_id",
+        "lang",
+        "source",
+        n.alias("n_words"),
+        avg_len.alias("avg_word_len"),
+        n_stop.alias("n_stopwords"),
+    )
+    pass_length = F.col("n_words").between(_MIN_WORDS, _MAX_WORDS)
+    pass_word_len = F.col("avg_word_len").between(_MIN_AVG_LEN, _MAX_AVG_LEN)
+    pass_stop = F.col("n_stopwords") >= _MIN_STOPWORDS
+    return m.select(
+        "*",
+        pass_length.alias("pass_length"),
+        pass_word_len.alias("pass_word_len"),
+        pass_stop.alias("pass_stopwords"),
+        (pass_length & pass_word_len & pass_stop).alias("keep"),
+    )
+
+
+@PIPE.register(
+    "doc_repetition_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(toks) AS tk FROM tok WHERE len(toks) > 0
+    ), cnt AS (
+      SELECT doc_id, tk, COUNT(*) AS c FROM ex GROUP BY doc_id, tk
+    )
+    SELECT doc_id,
+           SUM(c) AS n_tokens,
+           COUNT(*) AS n_distinct,
+           1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) AS dup_token_frac,
+           CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_token_frac
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def doc_repetition_stats(spark, sf_dir):
+    """Within-document repetition signals (the Gopher repetition rules):
+    duplicate-token fraction and most-common-token mass fraction.
+
+    Scale: explode + two-level aggregation; the (doc_id, token) key is
+    high-cardinality so the shuffle is skew-free, and partial aggregation
+    collapses each doc's repeats map-side.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tk")
+    )
+    cnt = ex.groupBy("doc_id", "tk").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (1.0 - F.count(F.lit(1)).cast(_D) / F.sum("c")).alias("dup_token_frac"),
+        (F.max("c").cast(_D) / F.sum("c")).alias("top_token_frac"),
+    )
+
+
+_SHINGLE_N = 5  # word n-gram width for contamination checks
+_BENCH_MOD = 97  # doc_id % _BENCH_MOD == 0 → doc belongs to the benchmark set
+
+
+@PIPE.register(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - {_SHINGLE_N - 1}, 0)),
+               i -> array_to_string(t[i:i+{_SHINGLE_N - 1}], ' '))) AS s
+      FROM tok
+    ), bench AS (
+      SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % {_BENCH_MOD} = 0
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS g FROM sh
+      WHERE doc_id % {_BENCH_MOD} <> 0 AND len(s) > 0
+    )
+    SELECT ex.doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(bench.g) AS n_contaminated,
+           CAST(COUNT(bench.g) AS DOUBLE) / COUNT(*) AS overlap_frac
+    FROM ex LEFT JOIN bench ON ex.g = bench.g
+    GROUP BY ex.doc_id
+    """,
+)
+def contamination_ngram_overlap(spark, sf_dir):
+    """Benchmark-contamination check: fraction of each document's word
+    {5}-gram shingles that also occur in a held-out "benchmark" set (here
+    the doc_id % 97 == 0 slice stands in for an eval suite).
+
+    Scale: the benchmark shingle dictionary is DISTINCT'd then broadcast —
+    eval suites are tiny next to a training corpus — so the overlap count is
+    a map-side hash-join + partial aggregate over the exploded corpus; no
+    corpus-sized shuffle. This is the standard decontamination shape
+    (e.g. n-gram overlap against test sets) at pretraining scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    # 1-based inclusive slices, mirrored by the DuckDB t[i:i+4] list slice
+    shingles = F.expr(
+        f"array_distinct(transform("
+        f" sequence(1, greatest(size(t) - {_SHINGLE_N - 1}, 0)),"
+        f" i -> array_join(slice(t, i, {_SHINGLE_N}), ' ')))"
+    )
+    sh = d.select("doc_id", t.alias("t")).select(
+        "doc_id", shingles.alias("s")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode("s").alias("g"))
+        .distinct()
+    )
+    ex = sh.filter(
+        (F.col("doc_id") % _BENCH_MOD != 0) & (F.size("s") > 0)
+    ).select("doc_id", F.explode("s").alias("g"))
+    hit = ex.join(
+        F.broadcast(bench.withColumnRenamed("g", "bg")),
+        F.col("g") == F.col("bg"),
+        "left_outer",
+    )
+    return hit.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("bg").alias("n_contaminated"),
+        (F.count("bg").cast(_D) / F.count(F.lit(1))).alias("overlap_frac"),
+    )
+
+
+_CTX = 512  # tokens per packed training sequence
+_PACK_SHARDS = 8  # independent packing streams (parallelism unit)
+
+
+@PIPE.register(
+    "sequence_packing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '')) AS n_tok
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, shard, n_tok,
+             SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS start_tok
+      FROM tok
+    )
+    SELECT doc_id, shard, n_tok,
+           start_tok // {_CTX} AS pack_id,
+           start_tok % {_CTX} AS pack_offset
+    FROM cum
+    """,
+)
+def sequence_packing(spark, sf_dir):
+    """Concatenate-and-chunk sequence packing: documents are concatenated in
+    doc_id order within a shard and cut into {512}-token training sequences;
+    each doc learns its (pack_id, offset) — how pretraining batches are
+    actually laid out.
+
+    Scale: packing is inherently sequential, so the corpus is split into
+    independent shard streams (here doc_id mod 8; in production, one shard
+    per input file/partition) — each shard's running sum is a partitioned
+    window, never a global single-partition sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(tokens(F.col("text"))).alias("n_tok"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    start = (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start_tok")
+    cum = t.select("doc_id", "shard", "n_tok", start)
+    return cum.select(
+        "doc_id",
+        "shard",
+        "n_tok",
+        (F.col("start_tok") / _CTX).cast("bigint").alias("pack_id"),
+        (F.col("start_tok") % _CTX).alias("pack_offset"),
+    )
+
+
+@PIPE.register(
+    "source_mix_weights",
+    oracle="""
+    WITH cnt AS (
+      SELECT lang, source, COUNT(*) AS n_docs
+      FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs,
+           CAST(n_docs AS DOUBLE)
+             / SUM(n_docs) OVER (PARTITION BY lang) AS actual_share,
+           (1.0 / COUNT(*) OVER (PARTITION BY lang))
+             / (CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY lang))
+             AS resample_weight
+    FROM cnt
+    """,
+)
+def source_mix_weights(spark, sf_dir):
+    """Training-mixture rebalancing: per (lang, source) stratum, the actual
+    share of its language and the resampling weight that would equalize
+    sources within each language (weight = target_share / actual_share).
+
+    Scale: one aggregation to stratum counts (tiny), then window math over
+    the stratum table — the weights table is then broadcast-joined back to
+    the corpus by any sampler (see ``stratified_sample_documents``).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cnt = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    wl = W.partitionBy("lang")
+    actual = F.col("n_docs").cast(_D) / F.sum("n_docs").over(wl)
+    target = F.lit(1.0) / F.count(F.lit(1)).over(wl)
+    return cnt.select(
+        "lang",
+        "source",
+        "n_docs",
+        actual.alias("actual_share"),
+        (target / actual).alias("resample_weight"),
+    )
