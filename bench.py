@@ -111,6 +111,18 @@ def main() -> None:
     if os.path.isdir(warm_sf):
         queries["neardup_jaccard_pairs"](spark, warm_sf).count()
         queries["dedup_minhash_pairs"](spark, warm_sf).count()
+    # ...and the xlsx-parse mapInPandas path (Arrow serializers + the parse
+    # UDF's worker code paths), via a 100-row workbook
+    from tests.xlsx_fixture import write_xlsx
+
+    warm_xlsx = "/tmp/d2p_bench/warm_100.xlsx"
+    if not os.path.exists(warm_xlsx):
+        os.makedirs("/tmp/d2p_bench", exist_ok=True)
+        write_xlsx(
+            warm_xlsx,
+            {"Data": [["a", "b"]] + [[i, i * 0.5] for i in range(100)]},
+        )
+    convert(warm_xlsx, "/tmp/d2p_bench/warm_100.parquet", sheet_name="Data", spark=spark)
 
     times: dict[str, float] = {}
 

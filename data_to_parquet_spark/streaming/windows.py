@@ -231,3 +231,105 @@ def streaming_stateful_user_totals(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def _events_stream(spark, sf_dir):
+    """File-source stream over the events table (ns→µs ts normalization)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    source = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(source.dtypes).get("ts") == "bigint":
+        source = source.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return source
+
+
+@STREAMING.register(
+    "streaming_static_enrichment",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def streaming_static_enrichment(spark, sf_dir):
+    """Stream-static join: an event stream enriched against a static
+    dimension (customer), then aggregated by segment — the standard
+    "enrich events with reference data" streaming topology.
+
+    Scale: the static side is broadcast once per trigger (Spark re-plans
+    stream-static joins each micro-batch, so dimension updates are picked
+    up); stream state is only the running aggregate, keyed by the tiny
+    segment dimension with map-side partial aggregation ahead of it.
+    """
+    from ..operators.base import load_table
+
+    source = _events_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    with _counter:
+        _n[0] += 1
+        sink = f"streaming_enrich_out_{_n[0]}"
+    joined = source.join(
+        F.broadcast(customer), source.user_id == customer.c_custkey
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(money("value", 6)).cast("double").alias("sum_value"),
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@STREAMING.register(
+    "streaming_dedup_exactly_once",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_dedup_exactly_once(spark, sf_dir):
+    """Streaming deduplication: the event stream unioned with ITSELF (every
+    event arrives twice) then ``dropDuplicates`` on event_id — at-least-once
+    delivery collapsed to exactly-once, counted per type. The duplicated
+    input makes the dedup observable: without it the counts would be 2×.
+
+    Scale: dedup state is keyed by event_id; with a watermark on the event
+    time the state store evicts keys older than the lateness bound instead
+    of growing forever — the production configuration for at-least-once
+    sources like Kafka replays.
+    """
+    source = _events_stream(spark, sf_dir).unionByName(
+        _events_stream(spark, sf_dir)
+    )
+    with _counter:
+        _n[0] += 1
+        sink = f"streaming_dedup_out_{_n[0]}"
+    deduped = (
+        source.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    q = (
+        deduped.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
