@@ -43,6 +43,13 @@ BENCH_QUERIES = [
     "doc_fingerprint_md5",
     "similarity_topk_bruteforce",
     "similarity_ann_lsh",
+    # added round 1 (post-baseline): TPC-H remainder + curation pipeline
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q21_waiting_supplier",
+    "gopher_quality_gate",
+    "contamination_ngram_overlap",
+    "sequence_packing",
 ]
 
 

@@ -336,3 +336,102 @@ def embedding_array_stats(spark, sf_dir):
         F.array_min(emb).cast("double").alias("vec_min"),
         F.size(emb).alias("dim"),
     )
+
+
+@SIM.register("similarity_ann_pq", oracle=None)
+def similarity_ann_pq(spark, sf_dir):
+    """ANN via product quantization (PQ) with asymmetric distance
+    computation — the memory-bound scale path (IVF-PQ is the standard
+    billion-vector index layout; the IVF half is `similarity_ann_ivf`).
+
+    Train: per-subspace k-means (m=8 subspaces × 8 dims, 16 centroids each,
+    seed 42) on a bounded driver-side sample. Index: each corpus vector
+    compresses to m 4-bit codes (64 dims × 4 bytes → 8 bytes, 32×). Search:
+    each query builds an m×16 dot-product lookup table once; corpus scoring
+    is pure table lookups + adds over the codes (one vectorized numpy pass
+    per Arrow batch — no decompression), with norms approximated from the
+    codebook entries. Exact re-ranking of the PQ top-k is the usual final
+    step at scale; omitted here so the measured operator is the ADC scan
+    itself. (Rows-only check: training is engine-side; recall-vs-bruteforce
+    is pinned in tests/test_ops_api.py.)
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    m_sub, ksub, sample_n = 8, 16, 2048
+
+    sample = np.vstack(
+        [r["embedding"] for r in e.select("embedding").limit(sample_n).collect()]
+    ).astype("float64")
+    dim = sample.shape[1]
+    dsub = dim // m_sub
+    rng = np.random.default_rng(42)
+    codebooks = np.zeros((m_sub, ksub, dsub))
+    for j in range(m_sub):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        cents = sub[rng.choice(len(sub), size=ksub, replace=False)]
+        for _ in range(5):  # Lloyd iterations per subspace
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        codebooks[j] = cents
+    cb_norm2 = (codebooks ** 2).sum(axis=2)  # (m, ksub)
+
+    @F.pandas_udf("array<int>")
+    def encode(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy()).astype("float64")
+        codes = np.empty((len(mat), m_sub), dtype="int32")
+        for j in range(m_sub):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            d2 = (
+                (sub ** 2).sum(axis=1, keepdims=True)
+                - 2 * sub @ codebooks[j].T
+                + cb_norm2[j][None, :]
+            )
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    coded = e.select("vec_id", encode("embedding").alias("codes"))
+
+    qrows = sorted(
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qids = np.array([r["vec_id"] for r in qrows])
+    qmat = np.vstack([r["embedding"] for r in qrows]).astype("float64")
+    nq = len(qids)
+    # per-query LUT: luts[q, j, c] = <query_subvector_j, codebook[j][c]>
+    luts = np.einsum("qjd,jcd->qjc", qmat.reshape(nq, m_sub, dsub), codebooks)
+    qnorm = np.sqrt((qmat ** 2).sum(axis=1))
+
+    def adc_scan(batches):
+        for pdf in batches:
+            codes = np.vstack(pdf["codes"].to_numpy())  # (n, m)
+            n = len(codes)
+            approx_dot = np.zeros((nq, n))
+            xnorm2 = np.zeros(n)
+            for j in range(m_sub):
+                approx_dot += luts[:, j, codes[:, j]]
+                xnorm2 += cb_norm2[j, codes[:, j]]
+            cos = approx_dot / (qnorm[:, None] * np.sqrt(xnorm2)[None, :])
+            vec_ids = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, n),
+                    "neighbor_id": np.tile(vec_ids, nq),
+                    "approx_cos": cos.ravel(),
+                }
+            )
+
+    scored = coded.mapInPandas(
+        adc_scan, "query_id long, neighbor_id long, approx_cos double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("approx_cos"), "neighbor_id")
+    return (
+        scored.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+    )

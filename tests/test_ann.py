@@ -1,0 +1,48 @@
+"""Quality checks for the approximate-similarity operators (rows-only in the
+driver contract): determinism, output shape, and recall against the exact
+brute-force baseline.
+
+Recall bounds are intentionally loose — the synthetic embeddings are close
+to isotropic random vectors, the hardest case for any ANN index — they pin
+"the index is wired correctly" (codes/buckets actually carry signal), not
+production recall.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.01"
+
+
+def _topk_sets(rows):
+    out = defaultdict(set)
+    for r in rows:
+        out[r["query_id"]].add(r["neighbor_id"])
+    return out
+
+
+def test_pq_recall_and_determinism(spark):
+    queries = entry_mod.queries()
+    pq1 = queries["similarity_ann_pq"](spark, SF).collect()
+    pq2 = queries["similarity_ann_pq"](spark, SF).collect()
+    assert sorted(map(tuple, pq1)) == sorted(map(tuple, pq2))
+    bf = _topk_sets(queries["similarity_topk_bruteforce"](spark, SF).collect())
+    pq = _topk_sets(pq1)
+    assert set(pq) == set(bf)  # same query set
+    assert all(len(v) == 10 for v in pq.values())  # k results per query
+    recall = sum(len(pq[q] & bf[q]) / len(bf[q]) for q in bf) / len(bf)
+    # measured 0.32 on the synthetic corpus; 0.15 guards against a broken
+    # index (random top-10 of ~500 would recall ≈ 0.02)
+    assert recall >= 0.15, f"PQ recall collapsed: {recall}"
+
+
+def test_ivf_and_lsh_recall(spark):
+    queries = entry_mod.queries()
+    bf = _topk_sets(queries["similarity_topk_bruteforce"](spark, SF).collect())
+    for name, floor in (("similarity_ann_ivf", 0.15), ("similarity_ann_lsh", 0.1)):
+        approx = _topk_sets(queries[name](spark, SF).collect())
+        got = sum(len(approx[q] & bf[q]) / len(bf[q]) for q in bf) / len(bf)
+        assert got >= floor, f"{name} recall collapsed: {got}"
