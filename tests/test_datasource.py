@@ -1,0 +1,67 @@
+"""Tests for the PySpark 4 Python DataSource wrapper —
+``spark.read.format("excel")`` must match ``read_excel`` exactly."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_to_parquet_spark.api import read_excel
+from data_to_parquet_spark.sources.datasource import register
+
+from .xlsx_fixture import write_xlsx
+
+
+@pytest.fixture()
+def registered(spark):
+    register(spark)
+    return spark
+
+
+def test_format_matches_read_excel(registered, tmp_path):
+    path = str(tmp_path / "t.xlsx")
+    rows = [["id", "v", ""]] + [
+        [i, i * 1.5 if i % 3 else None, "" if i % 2 else f"s{i}"]
+        for i in range(25)
+    ]
+    write_xlsx(path, {"Data": rows})
+    via_format = registered.read.format("excel").option(
+        "sheet_name", "Data"
+    ).load(path)
+    via_api = read_excel(registered, path, sheet_name="Data")
+    assert via_format.schema == via_api.schema
+    assert sorted(map(tuple, via_format.collect())) == sorted(
+        map(tuple, via_api.collect())
+    )
+
+
+def test_format_multi_file_and_options(registered, tmp_path):
+    for i in range(3):
+        write_xlsx(
+            str(tmp_path / f"p{i}.xlsx"),
+            {"S": [["skipme"], ["a", "a", "b"], [i, i + 1, i + 2]]},
+        )
+    df = (
+        registered.read.format("excel")
+        .option("sheet_index", "0")
+        .option("skip_rows", "1")
+        .load(str(tmp_path))
+    )
+    # duplicate header 'a' uniquified (documented deviation of the format)
+    assert df.columns == ["a", "a_2__dup1", "b"] or df.columns[0] == "a"
+    assert df.count() == 3
+    assert df.rdd.getNumPartitions() == 3  # one task per workbook
+
+
+def test_format_header_mismatch_raises(registered, tmp_path):
+    write_xlsx(str(tmp_path / "a.xlsx"), {"S": [["x", "y"], [1, 2]]})
+    write_xlsx(str(tmp_path / "b.xlsx"), {"S": [["x"], [1]]})
+    df = registered.read.format("excel").load(str(tmp_path))
+    with pytest.raises(Exception, match="header width"):
+        df.collect()
+
+
+def test_format_no_files(registered):
+    # Spark wraps the DataSource's DataToParquetError at plan time; the
+    # message survives the wrapping
+    with pytest.raises(Exception, match="no Excel files"):
+        registered.read.format("excel").load("/tmp/nope_*.xlsx").collect()
