@@ -36,7 +36,12 @@ import glob
 import os
 
 from pyspark.sql import types as T
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from ..errors import DataToParquetError
 from .excel import DEFAULT_BATCH_SIZE, open_workbook, scan_sheet
@@ -107,6 +112,12 @@ class ExcelDataSource(DataSource):
     def reader(self, schema: T.StructType) -> "ExcelReader":
         return ExcelReader(self._files(), schema, *self._opts())
 
+    def streamReader(self, schema: T.StructType) -> "ExcelStreamReader":
+        path = self.options.get("path")
+        if not path:
+            raise DataToParquetError("format('excel') requires .load(path)")
+        return ExcelStreamReader(path, schema, *self._opts())
+
 
 class ExcelReader(DataSourceReader):
     def __init__(self, files, schema, sheet_name, sheet_index, skip_rows, batch_size):
@@ -142,6 +153,77 @@ class ExcelReader(DataSourceReader):
                     for i in range(len(self.field_names))
                 ]
                 yield pa.RecordBatch.from_arrays(arrays, self.field_names)
+
+
+class ExcelStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("excel")`` — continuous workbook ingestion.
+
+    Offset model: a high-watermark over the total order ``(mtime_ns, path)``;
+    each micro-batch covers the workbooks strictly after the previous
+    watermark and at-or-before the current one, one InputPartition (= one
+    task) per new file. The engine's checkpoint persists the offsets, giving
+    exactly-once per input file across restarts.
+
+    Caveat (inherent to watermark file sources): a file that lands with a
+    modification time at-or-before an already-committed watermark is never
+    picked up — writers must create files with fresh mtimes (the normal
+    case). The schema is inferred at stream start, so at least one workbook
+    must exist (or pass an explicit schema).
+    """
+
+    def __init__(self, path, schema, sheet_name, sheet_index, skip_rows, batch_size):
+        self.path = path
+        self.field_names = schema.fieldNames()
+        self.sheet_name = sheet_name
+        self.sheet_index = sheet_index
+        self.skip_rows = skip_rows
+        self.batch_size = batch_size
+
+    def _listing(self) -> list[tuple[int, str]]:
+        try:
+            files = _expand(self.path)
+        except DataToParquetError:
+            return []
+        out = []
+        for p in files:
+            try:
+                out.append((os.stat(p).st_mtime_ns, p))
+            except OSError:
+                continue  # deleted between listing and stat
+        return sorted(out)
+
+    def initialOffset(self) -> dict:
+        return {"mt": -1, "path": ""}
+
+    def latestOffset(self) -> dict:
+        listing = self._listing()
+        if not listing:
+            return {"mt": -1, "path": ""}
+        mt, p = listing[-1]
+        return {"mt": mt, "path": p}
+
+    def partitions(self, start: dict, end: dict):
+        lo = (start["mt"], start["path"])
+        hi = (end["mt"], end["path"])
+        return [
+            _FilePartition(p) for (mt, p) in self._listing() if lo < (mt, p) <= hi
+        ]
+
+    def read(self, partition: _FilePartition):
+        reader = ExcelReader(
+            [partition.path],
+            T.StructType(
+                [T.StructField(n, T.StringType(), True) for n in self.field_names]
+            ),
+            self.sheet_name,
+            self.sheet_index,
+            self.skip_rows,
+            self.batch_size,
+        )
+        yield from reader.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # the checkpoint log is the ledger; nothing engine-side to GC
 
 
 def register(spark) -> None:

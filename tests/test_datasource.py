@@ -65,3 +65,36 @@ def test_format_no_files(registered):
     # message survives the wrapping
     with pytest.raises(Exception, match="no Excel files"):
         registered.read.format("excel").load("/tmp/nope_*.xlsx").collect()
+
+
+def test_format_streaming_incremental(registered, tmp_path):
+    import time
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    write_xlsx(str(src / "f1.xlsx"), {"Data": [["id", "v"], [1, "a"], [2, "b"]]})
+
+    def drain():
+        q = (
+            registered.readStream.format("excel")
+            .option("sheet_name", "Data")
+            .load(str(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert registered.read.parquet(out).count() == 2
+    time.sleep(0.05)  # fresh mtime for the watermark
+    write_xlsx(str(src / "f2.xlsx"), {"Data": [["id", "v"], [3, "c"]]})
+    drain()  # restart from checkpoint: only the new file is ingested
+    rows = sorted(map(tuple, registered.read.parquet(out).collect()))
+    assert rows == [("1", "a"), ("2", "b"), ("3", "c")]
+    drain()  # no new files -> no duplicate ingestion
+    assert registered.read.parquet(out).count() == 3
