@@ -101,3 +101,25 @@ def test_partitioned_write_and_partition_pruning(spark, tmp_path):
     full = spark.read.parquet(out).count()
     pruned = back.count()
     assert 0 < pruned < full
+
+
+def test_prefix_jaccard_never_cartesian(spark, sf_dir):
+    """The set-similarity join must be a keyed join on the prefix-token
+    index, never a cross/nested-loop product of the corpus with itself."""
+    plan = _plan(QUERIES["neardup_jaccard_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark shingle dictionary joins broadcast — the corpus-sized
+    side must not shuffle for the overlap count."""
+    plan = _plan(QUERIES["contamination_ngram_overlap"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sequence_packing_window_is_sharded(spark, sf_dir):
+    """Packing must partition its running sum by shard — a global (empty)
+    window partitioning would serialize the corpus through one task."""
+    plan = _plan(QUERIES["sequence_packing"](spark, sf_dir))
+    assert "hashpartitioning(shard" in plan
