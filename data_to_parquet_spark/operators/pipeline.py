@@ -306,3 +306,87 @@ def source_mix_weights(spark, sf_dir):
         actual.alias("actual_share"),
         (target / actual).alias("resample_weight"),
     )
+
+
+_BIN_BUDGET = 512  # token budget per packed bin
+
+
+@PIPE.register(
+    "udtf_pack_bins",
+    oracle=f"""
+    WITH RECURSIVE tok AS (
+      SELECT lang, doc_id,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '')) AS n_tok
+      FROM documents
+    ), ordered AS (
+      SELECT lang, doc_id, n_tok,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM tok
+    ), packed AS (
+      SELECT lang, doc_id, n_tok, rn, 0 AS bin_id, n_tok AS fill
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.lang, o.doc_id, o.n_tok, o.rn,
+             CASE WHEN p.fill + o.n_tok <= {_BIN_BUDGET}
+                  THEN p.bin_id ELSE p.bin_id + 1 END,
+             CASE WHEN p.fill + o.n_tok <= {_BIN_BUDGET}
+                  THEN p.fill + o.n_tok ELSE o.n_tok END
+      FROM packed p JOIN ordered o ON o.lang = p.lang AND o.rn = p.rn + 1
+    )
+    SELECT lang, doc_id, n_tok, bin_id FROM packed
+    """,
+)
+def udtf_pack_bins(spark, sf_dir):
+    """Greedy next-fit bin packing of documents into {512}-token bins per
+    language, implemented as a Python UDTF over a partitioned TABLE argument
+    — the UDTF leg of the engine's user-extension surface (UDF: 
+    `grouped_map_percent_rank`; UDAF: `udaf_geometric_mean`; UDTF: here).
+
+    Next-fit packing carries running state across rows (bin fill resets when
+    the budget would overflow), which no window frame can express — exactly
+    the case for a UDTF with `TABLE(...) PARTITION BY ... ORDER BY ...`:
+    Spark feeds each language's rows in doc_id order through one UDTF
+    instance, and the lazily-evaluated generator keeps the state machine in
+    plain Python. The oracle replays the identical recursion as a DuckDB
+    recursive CTE, so this "non-SQL-expressible" operator still gets a full
+    value-hash check.
+
+    Scale: one UDTF instance per language partition; state is O(1); rows
+    stream through Arrow batches. Skewed partition sizes are the same
+    concern as any PARTITION BY — pre-split with a composite key (as
+    `sequence_packing` does with shards) when one group dominates.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="lang string, doc_id long, n_tok int, bin_id int")
+    class PackBins:
+        def __init__(self):
+            self._fill = None  # None → no row seen yet in this partition
+            self._bin = 0
+
+        def eval(self, row):
+            n = row["n_tok"]
+            if self._fill is None:
+                self._bin, self._fill = 0, n
+            elif self._fill + n <= _BIN_BUDGET:
+                self._fill += n
+            else:
+                self._bin += 1
+                self._fill = n
+            yield row["lang"], row["doc_id"], n, self._bin
+
+    spark.udtf.register("pack_bins", PackBins)
+    d = load_table(spark, sf_dir, "documents")
+    view = "docs_for_packing"
+    d.select(
+        "lang", "doc_id", F.size(tokens(F.col("text"))).alias("n_tok")
+    ).createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT * FROM pack_bins(
+          TABLE(SELECT lang, doc_id, n_tok FROM {view})
+          PARTITION BY lang ORDER BY doc_id
+        )
+        """
+    )
