@@ -32,7 +32,7 @@ from pyspark.sql import types as T
 
 from ..errors import DataToParquetError
 from ..kernels import build_headers
-from .xlsx import XlsxWorkbook, walk_rows
+from .xlsx import XlsxWorkbook, _fast_path_eligible, walk_rows, walk_rows_fast
 
 __all__ = ["read_excel", "scan_sheet", "open_workbook", "DEFAULT_BATCH_SIZE"]
 
@@ -344,6 +344,9 @@ def _read_single_xlsx_split(
     import atexit
 
     atexit.register(lambda: os.path.exists(scratch_path) and os.remove(scratch_path))
+    # eligibility proved once driver-side over the WHOLE sheet buffer; every
+    # fragment inherits it
+    use_fast = _fast_path_eligible(data)
     del data
 
     (r0, c0), (_, c1) = dims  # dims presence checked above
@@ -373,7 +376,12 @@ def _read_single_xlsx_split(
                 wrapped = b"<sheetData>" + frag + b"</sheetData>"
                 end_col = start_col + num_cols
                 buf: list[list[str | None]] = []
-                for row, cells in walk_rows(io.BytesIO(wrapped), "", sst):
+                rows_iter = (
+                    walk_rows_fast(frag, sst)
+                    if use_fast
+                    else walk_rows(io.BytesIO(wrapped), "", sst)
+                ) or walk_rows(io.BytesIO(wrapped), "", sst)
+                for row, cells in rows_iter:
                     if row <= header_row_idx:
                         continue  # leading rows + header (driver-side)
                     dense: list[str | None] = [None] * num_cols
