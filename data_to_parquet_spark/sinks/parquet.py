@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 
 from ..errors import DataToParquetError
 
-__all__ = ["to_parquet", "to_single_parquet_file"]
+__all__ = ["to_parquet", "to_single_parquet_file", "compact_parquet"]
 
 
 def to_parquet(
@@ -66,3 +66,39 @@ def to_single_parquet_file(
         shutil.move(parts[0], path)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def compact_parquet(
+    spark,
+    in_path: str,
+    out_path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    compression: str = "zstd",
+) -> int:
+    """Compact a parquet dataset's small files into ~``target_file_bytes``
+    outputs; returns the number of files written.
+
+    The small-files problem is the canonical failure mode of long-running
+    ingestion at scale (each micro-batch/task leaves a file; a year of
+    5-minute triggers is ~10⁵ files per partition, and open/seek overhead
+    starts to dominate scans). Compaction = read → repartition to
+    ceil(bytes/target) → rewrite. The file count is computed from the
+    dataset's actual on-disk bytes (compressed), so the output chunking
+    tracks data volume, not row counts.
+    """
+    sizes = [
+        os.path.getsize(p)
+        for p in glob.glob(os.path.join(in_path, "**", "*.parquet"), recursive=True)
+    ]
+    if not sizes:
+        raise DataToParquetError(f"no parquet files under {in_path!r}")
+    n_out = max(1, -(-sum(sizes) // target_file_bytes))  # ceil division
+    df = spark.read.parquet(in_path)
+    (
+        df.repartition(n_out)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(out_path)
+    )
+    return len(glob.glob(os.path.join(out_path, "part-*.parquet")))

@@ -94,3 +94,26 @@ def test_sql_surface_over_registered_views(spark, sf_dir):
         " ON o.o_custkey = c.c_custkey"
     ).first()["n"]
     assert joined > 0
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    from data_to_parquet_spark.sinks.parquet import compact_parquet
+
+    src = str(tmp_path / "small")
+    # 64 tiny files (the post-ingestion worst case)
+    spark.range(0, 64_000).repartition(64).write.parquet(src)
+    import glob as g
+
+    assert len(g.glob(f"{src}/part-*.parquet")) == 64
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, out, target_file_bytes=10**9)
+    assert n == 1  # everything fits one target-sized file
+    assert spark.read.parquet(out).count() == 64_000
+    # per-file target smaller than the dataset → several files
+    total = sum(
+        __import__("os").path.getsize(p) for p in g.glob(f"{src}/part-*.parquet")
+    )
+    out2 = str(tmp_path / "compacted2")
+    n2 = compact_parquet(spark, src, out2, target_file_bytes=max(1, total // 4))
+    assert 3 <= n2 <= 5
+    assert spark.read.parquet(out2).count() == 64_000
