@@ -333,3 +333,75 @@ def streaming_dedup_exactly_once(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@STREAMING.register(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS secs_to_purchase
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '10 minutes'
+    """,
+)
+def streaming_stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join: clicks joined to the purchases that
+    followed within 10 minutes, both sides unbounded streams — the
+    attribution topology, and the one streaming join kind that needs
+    dual-sided state.
+
+    Scale: both watermarks plus the time-bound join condition let Spark
+    evict buffered rows once the other side can no longer match (state is
+    O(rate × window), not O(history)); the join shuffles both streams on
+    user_id. The availableNow run drains the bounded corpus, so the result
+    equals the batch interval join — the oracle.
+    """
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (
+            F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
+        ).alias("secs_to_purchase"),
+    )
+    with _counter:
+        _n[0] += 1
+        sink = f"streaming_ssj_out_{_n[0]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
