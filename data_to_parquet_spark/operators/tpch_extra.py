@@ -45,7 +45,7 @@ _D = "double"
       JOIN supplier ON s_suppkey = offer.l_suppkey
       JOIN nation ON n_nationkey = s_nationkey
       JOIN region ON r_regionkey = n_regionkey
-    WHERE p_size = 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+    WHERE p_size <= 25 AND p_type = 'LARGE' AND r_name = 'EUROPE'
     ORDER BY s_acctbal DESC, s_suppkey, p_partkey
     LIMIT 100
     """,
@@ -65,7 +65,7 @@ def q2_min_price_supplier(spark, sf_dir):
     """
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
-        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+        (F.col("p_size") <= 25) & (F.col("p_type") == "LARGE")
     )
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
