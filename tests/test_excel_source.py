@@ -312,3 +312,39 @@ def test_mismatched_multi_file_headers_rejected(spark, tmp_path):
     df = read_excel(spark, [p1, p2])
     with pytest.raises(Exception, match="does not match"):
         df.collect()
+
+
+def test_fast_and_et_walkers_agree(tmp_path):
+    """The find-based fast walker and the ElementTree fallback must produce
+    identical streams (the fast path is only ever an optimization)."""
+    import io
+
+    from data_to_parquet_spark.sources.xlsx import (
+        XlsxWorkbook,
+        _MAIN_NS,
+        _fast_path_eligible,
+        walk_rows,
+        walk_rows_fast,
+    )
+
+    from .xlsx_fixture import write_xlsx
+
+    path = str(tmp_path / "walkers.xlsx")
+    rows = [
+        ["id", "v", "", "note"],
+        [1, 2.5, True, "a&b <c> \"quoted\""],
+        [None, "", -0.0, "x"],
+        [3, 10**19, False, None],
+        [4, ("error", "#DIV/0!"), ("iso", "2024-01-02T03:04:05"), ("formula_str", "=SUM")],
+    ]
+    write_xlsx(path, {"Data": rows})
+    with XlsxWorkbook(path) as wb:
+        sheet = wb.resolve_sheet("Data", None)
+        member = dict(wb._sheet_targets)[sheet]
+        data = wb._zip.read(member)
+        sst = wb._shared_strings()
+        assert _fast_path_eligible(data)
+        fast = list(walk_rows_fast(data, sst))
+        et = list(walk_rows(io.BytesIO(data), _MAIN_NS, sst))
+    assert fast == et
+    assert len(fast) == 5
