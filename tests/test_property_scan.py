@@ -143,3 +143,33 @@ def test_xlsb_scan_matches_model(grid, skip, tmp_path_factory):
         return
     assert headers == m_headers
     assert rows == m_rows
+
+
+@settings(max_examples=40, deadline=None)
+@given(grid=_grid)
+def test_fast_walker_matches_et_walker(grid, tmp_path_factory):
+    """Differential fuzz: the find-based fast walker and the ElementTree
+    walker must emit identical (row, cells) streams for any fixture the
+    writer can produce (sparse cells, unicode, entities, floats, bools)."""
+    import io
+
+    from data_to_parquet_spark.sources.xlsx import (
+        XlsxWorkbook,
+        _MAIN_NS,
+        _fast_path_eligible,
+        walk_rows,
+        walk_rows_fast,
+    )
+
+    path = str(
+        tmp_path_factory.mktemp("walkers") / "grid.xlsx"
+    )
+    write_xlsx(path, {"S": grid})
+    with XlsxWorkbook(path) as wb:
+        member = dict(wb._sheet_targets)["S"]
+        data = wb._zip.read(member)
+        sst = wb._shared_strings()
+        assert _fast_path_eligible(data)
+        fast = list(walk_rows_fast(data, sst))
+        et = list(walk_rows(io.BytesIO(data), _MAIN_NS, sst))
+    assert fast == et
