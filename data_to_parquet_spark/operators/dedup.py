@@ -99,85 +99,21 @@ def neardup_jaccard_pairs(spark, sf_dir):
     tokens and no stopword ever becomes a hot join key. The verify step
     (full array_intersect) runs only on surviving candidates. Same result
     set as the naive oracle join, exactly.
+
+    The algorithm lives in :func:`..ops.neardup_jaccard_prefix` (the
+    parametrized library form — tokenize→df-order→checkpointed signature
+    table→skinny prefix index join→distinct→verify); this query binds it to
+    the documents corpus with `lang` blocking at threshold 0.9.
     """
     d = load_table(spark, sf_dir, "documents")
-    # intersect 64-bit token hashes, not strings: same set sizes (collision
-    # probability ~2^-64), far cheaper comparisons in the verify loop
-    tok = d.select(
-        "doc_id",
-        "lang",
-        F.array_distinct(
-            F.transform(tokens(F.col("text")), lambda t: F.xxhash64(t))
-        ).alias("toks"),
-    )
-    flat = tok.select("doc_id", "lang", F.explode("toks").alias("tk"))
-    # global token order = (document frequency ASC, token): prefix tokens are
-    # the rarest → small, skew-free candidate buckets
-    df_counts = flat.groupBy("tk").agg(F.count(F.lit(1)).alias("df"))
-    ordered = (
-        flat.join(df_counts, "tk")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("df", "tk"))),
-                lambda s: s["tk"],
-            ).alias("toks")
-        )
-        # the signature table feeds FOUR consumers (both index sides, both
-        # verify sides); checkpoint it so tokenize+df+sort runs once, not
-        # per consumer (measured 2.4× on the full query) — at 100 TB this
-        # is "materialize the signature table before the self-join", the
-        # standard shape for set-similarity jobs
-        .localCheckpoint(eager=False)
-    )
-    # prefix length for Jaccard >= t: |d| - ceil(t*|d|) + 1  (t = 0.9)
-    n = F.size("toks")
-    plen = (n - F.ceil(n * 0.9) + 1).cast("int")
-    # candidate generation is SKINNY on purpose: only (doc_id, size, ptok)
-    # flows through the index join — a dup-heavy corpus yields each true
-    # pair once per shared prefix token, and carrying token arrays through
-    # that multiplicity (or verifying per-occurrence) is the quadratic trap;
-    # distinct() collapses the multiplicity before any O(|toks|) work
-    prefix = ordered.select(
-        "doc_id", "lang", n.alias("sz"), F.explode(F.slice("toks", F.lit(1), plen)).alias("ptok")
-    )
-    a = prefix.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("lang").alias("lang_a"),
-        F.col("sz").alias("sz_a"),
-        F.col("ptok").alias("ptok_a"),
-    )
-    b = prefix.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("sz").alias("sz_b"),
-        F.col("ptok").alias("ptok_b"),
-    )
-    cand = (
-        a.join(
-            b,
-            (F.col("ptok_a") == F.col("ptok_b"))
-            & (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("doc_a") < F.col("doc_b"))
-            # size filter: J >= t bounds the size ratio — integer compare
-            # that drops most candidates before they reach distinct/verify
-            & (F.col("sz_a").cast("double") >= 0.9 * F.col("sz_b"))
-            & (F.col("sz_b").cast("double") >= 0.9 * F.col("sz_a")),
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    # verify once per unique candidate pair
-    ta = ordered.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    tb = ordered.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    union = F.size("toks_a") + F.size("toks_b") - inter
-    jac = inter.cast("double") / union
-    return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.9)
+    from ..ops import neardup_jaccard_prefix
+
+    return neardup_jaccard_prefix(
+        d, "doc_id", "text", block_col="lang", threshold=0.9
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "jaccard",
     )
 
 

@@ -353,7 +353,7 @@ def similarity_ann_pq(spark, sf_dir):
     codebook entries. Exact re-ranking of the PQ top-k is the usual final
     step at scale; omitted here so the measured operator is the ADC scan
     itself. (Rows-only check: training is engine-side; recall-vs-bruteforce
-    is pinned in tests/test_ops_api.py.)
+    is pinned in tests/test_ann.py.)
     """
     e = load_table(spark, sf_dir, "embeddings")
     m_sub, ksub, sample_n = 8, 16, 2048

@@ -158,17 +158,23 @@ class ExcelReader(DataSourceReader):
 class ExcelStreamReader(DataSourceStreamReader):
     """``spark.readStream.format("excel")`` — continuous workbook ingestion.
 
-    Offset model: a high-watermark over the total order ``(mtime_ns, path)``;
-    each micro-batch covers the workbooks strictly after the previous
-    watermark and at-or-before the current one, one InputPartition (= one
-    task) per new file. The engine's checkpoint persists the offsets, giving
-    exactly-once per input file across restarts.
+    Offset model: the offset IS the seen-files ledger ``{path: mtime_ns}``
+    (the same design as Spark's built-in FileStreamSource): ``latestOffset``
+    merges the current directory listing into the ledger, and a micro-batch
+    processes exactly the paths present in ``end`` but not in ``start`` —
+    one InputPartition (= one task) per new file. Because membership is by
+    path (not by an mtime watermark), a file landing with an old or tied
+    modification time is still picked up exactly once, and a transiently
+    empty listing (unmounted share, slow NFS) cannot regress the offset and
+    re-ingest history. Exactly-once is keyed by path: a file REWRITTEN in
+    place is NOT ingested again — append-only landing zones are the
+    intended layout (mtimes are recorded for observability only).
 
-    Caveat (inherent to watermark file sources): a file that lands with a
-    modification time at-or-before an already-committed watermark is never
-    picked up — writers must create files with fresh mtimes (the normal
-    case). The schema is inferred at stream start, so at least one workbook
-    must exist (or pass an explicit schema).
+    The ledger grows with the total file count, exactly like
+    FileStreamSource's seen-files map (bounded there only by the optional
+    maxFileAge); directory retention/compaction is the operator's job.
+    The schema is inferred at stream start, so at least one workbook must
+    exist (or pass an explicit schema).
     """
 
     def __init__(self, path, schema, sheet_name, sheet_index, skip_rows, batch_size):
@@ -179,35 +185,35 @@ class ExcelStreamReader(DataSourceStreamReader):
         self.skip_rows = skip_rows
         self.batch_size = batch_size
 
-    def _listing(self) -> list[tuple[int, str]]:
+    def _listing(self) -> dict[str, int]:
         try:
             files = _expand(self.path)
         except DataToParquetError:
-            return []
-        out = []
+            return {}
+        out: dict[str, int] = {}
         for p in files:
             try:
-                out.append((os.stat(p).st_mtime_ns, p))
+                out[p] = os.stat(p).st_mtime_ns
             except OSError:
                 continue  # deleted between listing and stat
-        return sorted(out)
+        return out
 
     def initialOffset(self) -> dict:
-        return {"mt": -1, "path": ""}
+        return {"seen": {}}
 
     def latestOffset(self) -> dict:
-        listing = self._listing()
-        if not listing:
-            return {"mt": -1, "path": ""}
-        mt, p = listing[-1]
-        return {"mt": mt, "path": p}
+        # monotone: the new ledger is a superset of the last one this
+        # instance produced, so an empty/failed listing never shrinks it
+        seen = dict(getattr(self, "_seen", {}))
+        seen.update(
+            {p: mt for p, mt in self._listing().items() if p not in seen}
+        )
+        self._seen = seen
+        return {"seen": seen}
 
     def partitions(self, start: dict, end: dict):
-        lo = (start["mt"], start["path"])
-        hi = (end["mt"], end["path"])
-        return [
-            _FilePartition(p) for (mt, p) in self._listing() if lo < (mt, p) <= hi
-        ]
+        new = sorted(set(end["seen"]) - set(start["seen"]))
+        return [_FilePartition(p) for p in new]
 
     def read(self, partition: _FilePartition):
         reader = ExcelReader(

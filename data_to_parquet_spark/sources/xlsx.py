@@ -11,7 +11,10 @@ distinction, ``src/lib.rs:398`` vs ``:428-433``).
 Memory profile: ``ElementTree.iterparse`` with element eviction keeps only one
 ``<row>`` subtree resident; the shared-strings table is loaded up front (as
 calamine also does). That bounds per-task memory at O(row + sst), which is the
-same bound the reference claims (``README.md:9``).
+same bound the reference claims (``README.md:9``). Exception: sheet parts up
+to ``_FAST_BUFFER_LIMIT`` take the find-based fast path, which buffers the
+whole (inflated) part — per-task memory is then O(min(sheet, limit) + sst);
+larger sheets keep the streaming bound.
 """
 
 from __future__ import annotations
@@ -140,7 +143,12 @@ def walk_rows(stream, ns: str, sst: list[str]):
 # disqualifies the buffer and the ET walker runs instead, so the fast path
 # can never be silently wrong: it either proves its preconditions or defers.
 
-_FAST_BUFFER_LIMIT = 256 * 1024 * 1024  # inflate-to-memory bound (bytes)
+# Per-task inflate-to-memory bound for the fast path. Deliberately small:
+# with one task per workbook, every concurrent task may hold buffer + decoded
+# text (~3× this) at once, so the cap — not O(row) streaming — becomes the
+# per-task memory bound whenever the fast path engages. Sheets above the cap
+# use the streaming ET walker (or the XML-split path for single large files).
+_FAST_BUFFER_LIMIT = 32 * 1024 * 1024
 _MAIN_NS_URI = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
 _XMLNS_PREFIX_RE = re.compile(rb'xmlns:[A-Za-z0-9_]+="([^"]*)"')
 _ROW_TAIL = " />\t\r\n"
@@ -149,6 +157,11 @@ _T_TEXT_RE = re.compile(r"<t(?:\s[^>]*)?>(.*?)</t>", re.S)
 
 
 def _fast_path_eligible(data: bytes) -> bool:
+    # the sheet must actually live in the SpreadsheetML main namespace as
+    # the DEFAULT namespace — otherwise the fast walker would "parse" rows
+    # the namespace-keyed ET walker would (correctly) not recognize at all
+    if data.find(b'xmlns="' + _MAIN_NS_URI.encode() + b'"') == -1:
+        return False
     if data.find(b"<![CDATA[") != -1 or data.find(b"<!--") != -1:
         return False
     if data.find(b"<?", 1) != -1:  # any PI beyond the leading XML decl

@@ -303,14 +303,16 @@ def streaming_static_enrichment(spark, sf_dir):
 )
 def streaming_dedup_exactly_once(spark, sf_dir):
     """Streaming deduplication: the event stream unioned with ITSELF (every
-    event arrives twice) then ``dropDuplicates`` on event_id — at-least-once
-    delivery collapsed to exactly-once, counted per type. The duplicated
-    input makes the dedup observable: without it the counts would be 2×.
+    event arrives twice) then ``dropDuplicatesWithinWatermark`` on event_id
+    — at-least-once delivery collapsed to exactly-once, counted per type.
+    The duplicated input makes the dedup observable: without it the counts
+    would be 2×.
 
-    Scale: dedup state is keyed by event_id; with a watermark on the event
-    time the state store evicts keys older than the lateness bound instead
-    of growing forever — the production configuration for at-least-once
-    sources like Kafka replays.
+    Scale: dedup state is keyed by event_id and evicted once the watermark
+    passes each key's event time — the operator built for at-least-once
+    replays. (Plain ``dropDuplicates([key])`` would NEVER evict here: Spark
+    only ages dedup state when the watermark column is part of the key
+    subset, so its state grows with every distinct key forever.)
     """
     source = _events_stream(spark, sf_dir).unionByName(
         _events_stream(spark, sf_dir)
@@ -320,7 +322,7 @@ def streaming_dedup_exactly_once(spark, sf_dir):
         sink = f"streaming_dedup_out_{_n[0]}"
     deduped = (
         source.withWatermark("ts", "1 hour")
-        .dropDuplicates(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id"])
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_unique"))
     )

@@ -35,10 +35,13 @@ def test_format_matches_read_excel(registered, tmp_path):
 
 
 def test_format_multi_file_and_options(registered, tmp_path):
+    # headers 'a, a_2, a' mangle (reference rules) to 'a, a_2, a_2' — a
+    # RESIDUAL collision, which the format uniquifies with __dupN (the
+    # documented deviation; read_excel instead restores the collision)
     for i in range(3):
         write_xlsx(
             str(tmp_path / f"p{i}.xlsx"),
-            {"S": [["skipme"], ["a", "a", "b"], [i, i + 1, i + 2]]},
+            {"S": [["skipme"], ["a", "a_2", "a"], [i, i + 1, i + 2]]},
         )
     df = (
         registered.read.format("excel")
@@ -46,8 +49,7 @@ def test_format_multi_file_and_options(registered, tmp_path):
         .option("skip_rows", "1")
         .load(str(tmp_path))
     )
-    # duplicate header 'a' uniquified (documented deviation of the format)
-    assert df.columns == ["a", "a_2__dup1", "b"] or df.columns[0] == "a"
+    assert df.columns == ["a", "a_2", "a_2__dup1"]
     assert df.count() == 3
     assert df.rdd.getNumPartitions() == 3  # one task per workbook
 
