@@ -327,3 +327,79 @@ def time_grid_fill(spark, sf_dir):
             F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
         )
     )
+
+
+@EVT.register(
+    "variant_json_events",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+           json_extract_string(props, '$.k') AS k_raw,
+           CAST(json_valid(props) AS BOOLEAN) AS is_valid
+    FROM events
+    """,
+)
+def variant_json_events(spark, sf_dir):
+    """Semi-structured access through Spark 4's VARIANT type: ``parse_json``
+    once, then typed ``variant_get`` extractions — the open-schema column
+    pattern (vs ``json_functions_events``, which re-parses per extraction
+    with get_json_object).
+
+    Scale: VARIANT stores a parsed binary representation, so N field
+    accesses cost one parse (plus shreddable storage in Parquet as the
+    format matures); with string JSON every get_json_object call re-parses
+    the payload.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_value"),
+        F.variant_get(v, "$.k", "string").alias("k_raw"),
+        F.try_parse_json("props").isNotNull().alias("is_valid"),
+    )
+
+
+@EVT.register(
+    "window_value_functions",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, value,
+           first_value(value) OVER w AS first_val,
+           last_value(value) OVER w AS last_val,
+           nth_value(value, 2) OVER w AS second_val,
+           CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS INTEGER) AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_value_functions(spark, sf_dir):
+    """Value-window function family: first/last/nth value over a full-frame
+    window plus ntile bucketing — the remaining analytic functions not
+    covered by the rank/lag families.
+
+    Scale: one shuffle on user_id serves all four functions (same window
+    spec); the full frame is explicit (default frames differ between
+    engines for last_value).
+    """
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "value",
+        F.first("value").over(wf).alias("first_val"),
+        F.last("value").over(wf).alias("last_val"),
+        F.nth_value("value", 2).over(wf).alias("second_val"),
+        F.ntile(4).over(wo).alias("quartile"),
+    )
