@@ -337,91 +337,20 @@ def dedup_connected_components(spark, sf_dir):
     graph via iterative min-label propagation (the dedup step that turns
     pairwise matches into keep/drop decisions).
 
-    Each iteration is one distributed join + groupBy (no driver-side graph);
-    iterations ≤ graph diameter, with a fixpoint check per round. At 100 TB
-    this is the standard large-star/small-star regime — the per-round
-    shuffle is O(|edges|), and the synthetic corpus converges in a few
-    rounds. Oracle: DuckDB recursive-CTE transitive closure.
+    The algorithm — edge-contraction min-label rounds with pointer jumping
+    and an original-edge fixpoint recheck — lives in
+    :func:`..ops.connected_components` (the parametrized library form); this
+    query feeds it the Jaccard-0.9 pair graph and unions back the
+    edge-less documents as their own singleton clusters. At 100 TB the
+    per-round shuffle is O(|current edges|) and shrinks geometrically as
+    clusters contract. Oracle: DuckDB recursive-CTE transitive closure.
     """
+    from ..ops import connected_components
+
     pairs = neardup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    # materialize + truncate lineage once: every iteration re-reads this tiny
-    # edge list instead of re-running the O(n²) pair join
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=True)
-    # propagate only over docs that have at least one edge; untouched docs
-    # are their own singleton cluster and join back at the end.
-    # Round 0 = plain min-neighbor adoption on the original graph (no
-    # contraction join needed while labels are still the identity).
-    labels = (
-        edges.groupBy(F.col("doc_a").alias("doc_id"))
-        .agg(F.min("doc_b").alias("mn"))
-        .select(
-            "doc_id", F.least("doc_id", "mn").alias("cluster_id")
-        )
-        .localCheckpoint(eager=False)
+    labels = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
-    # Contraction loop: each round rewrites the working edge list through the
-    # current labels — intra-cluster edges become self-loops and vanish, so
-    # the graph (and every subsequent join) shrinks geometrically; the
-    # round's count() is both the materializing action and the loop check.
-    # Contracted edges can drift from member labels (a representative can
-    # migrate while members still point at it), so the inner fixpoint is NOT
-    # trusted as the exit: the outer loop re-contracts the ORIGINAL edge set
-    # through the final labels and only exits when that is empty — exit ⇔
-    # every original edge connects equal labels ⇔ labels are the components
-    # (and min-only adoption pins them to the component minimum, matching
-    # the oracle's MIN over the transitive closure).
-
-    def _contract(es, lbl):
-        la = lbl.select(F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("ca"))
-        lb = lbl.select(F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("cb"))
-        return (
-            es.join(la, "doc_a")
-            .join(lb, "doc_b")
-            .select(F.col("ca").alias("doc_a"), F.col("cb").alias("doc_b"))
-            .filter(F.col("doc_a") != F.col("doc_b"))
-            .distinct()
-            .localCheckpoint(eager=False)
-        )
-
-    work = edges
-    for _ in range(10):
-        for _ in range(20):
-            contracted = _contract(work, labels)
-            if contracted.count() == 0:
-                break
-            work = contracted
-            # every cluster representative adopts its smallest contracted
-            # neighbor; members follow via the label-side join (one hop)
-            m = contracted.groupBy(F.col("doc_a").alias("cluster_id")).agg(
-                F.min("doc_b").alias("mn")
-            )
-            labels = labels.join(m, "cluster_id", "left").select(
-                "doc_id",
-                F.least("cluster_id", F.coalesce("mn", "cluster_id")).alias(
-                    "cluster_id"
-                ),
-            )
-            # pointer jump: if my label's node migrated, follow it — keeps
-            # member labels from drifting behind their representative
-            rep = labels.select(
-                F.col("doc_id").alias("cluster_id"),
-                F.col("cluster_id").alias("rep_label"),
-            )
-            labels = (
-                labels.join(rep, "cluster_id", "left")
-                .select(
-                    "doc_id",
-                    F.coalesce("rep_label", "cluster_id").alias("cluster_id"),
-                )
-                .localCheckpoint(eager=False)
-            )
-        # airtight exit: all ORIGINAL edges must connect equal labels
-        viol = _contract(edges, labels)
-        if viol.count() == 0:
-            break
-        work = viol
     d = load_table(spark, sf_dir, "documents")
     singletons = d.select("doc_id").join(
         labels.select("doc_id"), "doc_id", "left_anti"

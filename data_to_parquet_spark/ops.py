@@ -194,8 +194,14 @@ def connected_components(
     """Connected components over an undirected edge list: returns
     (node, component) with component = min node id of the component.
 
-    Iterative min-label propagation; each round is one join + one groupBy
-    with ``localCheckpoint`` lineage truncation; rounds ≤ graph diameter.
+    Edge-contraction min-label rounds: each round rewrites the working edge
+    list through the current labels (intra-cluster edges become self-loops
+    and vanish → the graph shrinks geometrically), every representative
+    adopts its smallest contracted neighbor, and a pointer-jump keeps member
+    labels from drifting behind migrated representatives. Contracted edges
+    can still drift from member labels, so the OUTER loop only exits when
+    the ORIGINAL edge set contracts to empty — exit ⇔ labels are the
+    components, and min-only adoption pins them to the component minimum.
     """
     und = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
@@ -203,35 +209,56 @@ def connected_components(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     ).localCheckpoint(eager=True)
     labels = (
-        und.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
+        und.groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("__mn"))
+        .select("node", F.least("node", "__mn").alias("component"))
+        .localCheckpoint(eager=False)
     )
-    prev = labels.agg(F.sum("component")).first()[0] or 0
-    for _ in range(max_iterations):
-        nbr = und.join(
-            labels.withColumnRenamed("node", "u"), "u"
-        ).select(F.col("v").alias("node"), "component")
-        # pointer jumping (path compression → logarithmic rounds)
-        hop = labels.join(
-            labels.select(
-                F.col("node").alias("component"),
-                F.col("component").alias("__hop"),
-            ),
-            "component",
-        ).select("node", F.col("__hop").alias("component"))
-        labels = (
-            labels.unionByName(nbr)
-            .unionByName(hop)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+
+    def _contract(es, lbl):
+        la = lbl.select(F.col("node").alias("u"), F.col("component").alias("__cu"))
+        lb = lbl.select(F.col("node").alias("v"), F.col("component").alias("__cv"))
+        return (
+            es.join(la, "u")
+            .join(lb, "v")
+            .select(F.col("__cu").alias("u"), F.col("__cv").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
         )
-        cur = labels.agg(F.sum("component")).first()[0] or 0
-        if cur == prev:
+
+    work = und
+    for _ in range(max_iterations):
+        for _ in range(max_iterations):
+            contracted = _contract(work, labels)
+            if contracted.count() == 0:
+                break
+            work = contracted
+            m = contracted.groupBy(F.col("u").alias("component")).agg(
+                F.min("v").alias("__mn")
+            )
+            labels = labels.join(m, "component", "left").select(
+                "node",
+                F.least(
+                    "component", F.coalesce("__mn", "component")
+                ).alias("component"),
+            )
+            rep = labels.select(
+                F.col("node").alias("component"),
+                F.col("component").alias("__rep"),
+            )
+            labels = (
+                labels.join(rep, "component", "left")
+                .select(
+                    "node",
+                    F.coalesce("__rep", "component").alias("component"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        viol = _contract(und, labels)
+        if viol.count() == 0:
             break
-        prev = cur
+        work = viol
     return labels
 
 
