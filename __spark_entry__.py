@@ -30,6 +30,93 @@ from data_to_parquet_spark.streaming.windows import STREAMING
 
 _REGISTRY = REL.merge(EVT, TXT, DEDUP, SIM, MM, MISC, STREAMING, CDC, TPCH_X, PIPE)
 
+# The driver verifies the first 50 registry entries per round. Round 1
+# checked the first 50 of the REL→EVT→TXT ordering; rotate so the
+# never-checked families (MISC/DEDUP/SIM/PIPE/TPCH_X/STREAMING/CDC/TXT-tail/
+# MM) plus the six queries fixed after round 1 land inside the window.
+# Names listed here run first, in this order; the rest keep merge order.
+_PRIORITY = [
+    # reference-parity roundtrip first
+    "excel_roundtrip",
+    # dedup family
+    "dedup_exact_text",
+    "dedup_exact_hash",
+    "neardup_jaccard_pairs",
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "dedup_connected_components",
+    "neardup_ngram_jaccard",
+    # similarity family
+    "similarity_topk_bruteforce",
+    "embedding_neardup_pairs",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "embedding_array_stats",
+    "similarity_ann_pq",
+    # curation pipeline
+    "gopher_quality_gate",
+    "doc_repetition_stats",
+    "contamination_ngram_overlap",
+    "sequence_packing",
+    "source_mix_weights",
+    "udtf_pack_bins",
+    # remaining TPC-H shapes
+    "q2_min_price_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_shipping_delay",
+    "q13_customer_distribution",
+    "q16_supplier_part_cnt",
+    "q20_part_promotion",
+    "q21_waiting_supplier",
+    # streaming
+    "streaming_tumbling_5min",
+    "streaming_session_window",
+    "streaming_stateful_user_totals",
+    "streaming_static_enrichment",
+    "streaming_dedup_exactly_once",
+    "streaming_stream_stream_join",
+    # CDC
+    "scd2_customer_balance_merge",
+    # text tail (never checked in round 1)
+    "regexp_parse_customer_names",
+    "fuzzy_match_part_names",
+    "lang_id_ngram",
+    "doc_winnow_fingerprints",
+    "pipeline_curate_documents",
+    "split_train_val_test",
+    "stratified_sample_documents",
+    # multimodal plumbing
+    "multimodal_decode_manifest",
+    "multimodal_frame_sample",
+    "multimodal_resize_stub",
+    # round-1 err rows, rewritten for hash-stable scalar outputs
+    "approx_aggregates",
+    "agg_collect_arrays",
+    "map_json_props",
+    "udaf_geometric_mean",
+    # round-1 hash fails, oracle dtype casts fixed (slots 51-52: verified
+    # locally; rotate into the window next round)
+    "scalar_part_functions",
+    "events_sessionize_30min",
+]
+
+
+def _reorder(reg, priority):
+    missing = [n for n in priority if n not in reg._queries]
+    if missing:
+        raise KeyError(f"priority names not in registry: {missing}")
+    ordered = {n: reg._queries[n] for n in priority}
+    ordered.update(
+        (n, q) for n, q in reg._queries.items() if n not in ordered
+    )
+    reg._queries = ordered
+    return reg
+
+
+_REGISTRY = _reorder(_REGISTRY, _PRIORITY)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""

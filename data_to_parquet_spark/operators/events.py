@@ -63,8 +63,11 @@ def events_tumbling_5min(spark, sf_dir):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             -- DuckDB windowed SUM(int) is HUGEINT (pandas float64); cast to
+             -- BIGINT so the rendered value matches Spark's long
+             CAST(SUM(new_session) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -217,25 +220,47 @@ def grouped_map_percent_rank(spark, sf_dir):
     "map_json_props",
     oracle="""
     SELECT event_id,
-           json_keys(props) AS prop_keys,
-           list_transform(json_keys(props),
-             k -> CAST(json_extract(props, '$.' || k) AS INTEGER)) AS prop_values
+           array_to_string(list_transform(list_sort(json_keys(props)),
+             k -> k || '=' ||
+                  CAST(CAST(json_extract(props, '$.' || k) AS INTEGER)
+                       AS VARCHAR)), ',') AS props_kv
     FROM events
     """,
 )
 def map_json_props(spark, sf_dir):
     """MapType surface: parse the JSON props into map<string,int>, expose
-    keys and values as arrays (from_json / map_keys / map_values)."""
+    the entries as a canonically-ordered key=value string (from_json /
+    map_entries / array_sort — array output cells crash the driver's
+    pandas row-sort, so the map is rendered to one scalar column)."""
     e = load_table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,int>")
+    entries = F.array_sort(F.map_entries(m))
     return e.select(
         "event_id",
-        F.map_keys(m).alias("prop_keys"),
-        F.map_values(m).alias("prop_values"),
+        F.array_join(
+            F.transform(
+                entries,
+                lambda kv: F.concat_ws(
+                    "=", kv["key"], kv["value"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("props_kv"),
     )
 
 
-@EVT.register("udaf_geometric_mean", oracle=None)
+@EVT.register(
+    "udaf_geometric_mean",
+    oracle="""
+    SELECT event_type,
+           round(exp(avg(ln(value)) FILTER (WHERE value > 0)), 6)
+             AS geo_mean_udaf,
+           round(exp(avg(ln(value)) FILTER (WHERE value > 0)), 6)
+             AS geo_mean_algebraic,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
 def udaf_geometric_mean(spark, sf_dir):
     """Custom UDAF via a grouped-agg Pandas UDF: per-event-type geometric
     mean of `value` (the aggregate Spark doesn't ship natively).
@@ -243,7 +268,8 @@ def udaf_geometric_mean(spark, sf_dir):
     Scale: grouped-agg pandas UDFs get map-side Arrow batching; for algebraic
     aggregates like this, the decomposable form (avg of logs JVM-side, exp
     after) is the 100 TB path — shown alongside to keep the UDAF honest.
-    (Rows-only check: libm exp/ln differ across engines in the last ulp.)
+    Both legs round to 6 decimals so libm/summation-order skew in the last
+    ulps cannot flip the value oracle.
     """
     import numpy as np
     import pandas as pd  # noqa: F401 — annotation target for the UDF
@@ -258,12 +284,13 @@ def udaf_geometric_mean(spark, sf_dir):
     # grouped-agg pandas UDFs can't be placed alongside built-in aggregates
     # on a default session — run the two aggregations separately and join
     udaf_leg = e.groupBy("event_type").agg(
-        gmean("value").alias("geo_mean_udaf")
+        F.round(gmean("value"), 6).alias("geo_mean_udaf")
     )
     algebraic_leg = e.groupBy("event_type").agg(
-        F.exp(F.avg(F.log(F.when(F.col("value") > 0, F.col("value"))))).alias(
-            "geo_mean_algebraic"
-        ),
+        F.round(
+            F.exp(F.avg(F.log(F.when(F.col("value") > 0, F.col("value"))))),
+            6,
+        ).alias("geo_mean_algebraic"),
         F.count(F.lit(1)).alias("n_events"),
     )
     return udaf_leg.join(algebraic_leg, "event_type")

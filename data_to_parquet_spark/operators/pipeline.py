@@ -110,7 +110,7 @@ def gopher_quality_gate(spark, sf_dir):
       SELECT doc_id, tk, COUNT(*) AS c FROM ex GROUP BY doc_id, tk
     )
     SELECT doc_id,
-           SUM(c) AS n_tokens,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
            COUNT(*) AS n_distinct,
            1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) AS dup_token_frac,
            CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_token_frac
@@ -239,8 +239,8 @@ _PACK_SHARDS = 8  # independent packing streams (parallelism unit)
       FROM tok
     )
     SELECT doc_id, shard, n_tok,
-           start_tok // {_CTX} AS pack_id,
-           start_tok % {_CTX} AS pack_offset
+           CAST(start_tok // {_CTX} AS BIGINT) AS pack_id,
+           CAST(start_tok % {_CTX} AS BIGINT) AS pack_offset
     FROM cum
     """,
 )

@@ -482,8 +482,8 @@ def set_except_nations(spark, sf_dir):
            substr(p_type, 1, 5) AS type_prefix,
            length(p_name) AS name_len,
            concat(p_brand, ':', p_type) AS brand_type,
-           floor(p_retailprice) AS price_floor,
-           ceil(p_retailprice) AS price_ceil,
+           CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+           CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
            abs(p_size - 25) AS size_dist,
            p_size % 5 AS size_mod
     FROM part
@@ -741,9 +741,14 @@ def approx_aggregates(spark, sf_dir):
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias(
             "approx_p50"
         ),
-        F.percentile_approx(
-            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.75)), 10000
-        ).alias("approx_quartiles"),
+        # split quartiles into scalar columns: the driver's canonicalizer
+        # sorts output rows with pandas, which cannot sort array cells
+        F.percentile_approx("l_extendedprice", 0.25, 10000).alias(
+            "approx_p25"
+        ),
+        F.percentile_approx("l_extendedprice", 0.75, 10000).alias(
+            "approx_p75"
+        ),
     )
 
 
@@ -902,16 +907,24 @@ def q18_large_orders(spark, sf_dir):
     "agg_collect_arrays",
     oracle="""
     SELECT l_returnflag,
-           array_agg(DISTINCT l_linestatus ORDER BY l_linestatus) AS statuses,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+             AS statuses,
            COUNT(*) AS n_items
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def agg_collect_arrays(spark, sf_dir):
-    """Array-building aggregate (collect_set, sorted for determinism)."""
+    """Array-building aggregate (collect_set, sorted for determinism).
+
+    The array is emitted comma-joined: the driver's canonicalizer sorts
+    output rows with pandas, which cannot sort array cells — joining keeps
+    a full value oracle instead of a rows-only check.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.array_sort(F.collect_set("l_linestatus")).alias("statuses"),
+        F.array_join(
+            F.array_sort(F.collect_set("l_linestatus")), ","
+        ).alias("statuses"),
         F.count(F.lit(1)).alias("n_items"),
     )
 

@@ -19,6 +19,7 @@ __all__ = [
     "exact_dedup",
     "neardup_jaccard",
     "neardup_jaccard_prefix",
+    "neardup_jaccard_count",
     "connected_components",
     "cosine_topk",
     "sessionize",
@@ -104,27 +105,33 @@ def neardup_jaccard(
 def neardup_jaccard_prefix(
     df: DataFrame,
     id_col: str,
-    text_col: str,
+    text_col: str | None = None,
     block_col: str | None = None,
     threshold: float = 0.9,
+    elements: Column | None = None,
 ) -> DataFrame:
-    """Pairs of near-duplicate rows by token-set Jaccard — exact
-    prefix-filter (AllPairs/PPJoin) index join, the scale path.
+    """Pairs of near-duplicate rows by set Jaccard — exact prefix-filter
+    (AllPairs/PPJoin) index join, the scale path.
+
+    The compared sets default to the distinct word tokens of ``text_col``;
+    pass ``elements`` (any expression yielding ``array<string>``, e.g. 3-word
+    shingles) to run the same index join over a different set family.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold;
     identical result set to :func:`neardup_jaccard` (the blocked all-pairs
     form), but candidates come from an inverted index over each row's
-    ``|d| - ceil(t·|d|) + 1`` rarest tokens (global df-ascending order), so
+    ``|d| - ceil(t·|d|) + 1`` rarest elements (global df-ascending order), so
     cost scales with candidate pairs, not block². Use this when blocks are
     large or absent; ``block_col=None`` runs corpus-wide.
     """
     t = float(threshold)
     blk = F.col(block_col) if block_col else F.lit(0)
+    elems = elements if elements is not None else tokens(F.col(text_col))
     tok = df.select(
         F.col(id_col).alias("__id"),
         blk.alias("__block"),
         F.array_distinct(
-            F.transform(tokens(F.col(text_col)), lambda x: F.xxhash64(x))
+            F.transform(elems, lambda x: F.xxhash64(x))
         ).alias("__toks"),
     )
     flat = tok.select("__id", "__block", F.explode("__toks").alias("__tk"))
@@ -185,6 +192,78 @@ def neardup_jaccard_prefix(
     )
 
 
+def neardup_jaccard_count(
+    df: DataFrame,
+    id_col: str,
+    text_col: str | None = None,
+    block_col: str | None = None,
+    threshold: float = 0.2,
+    elements: Column | None = None,
+) -> DataFrame:
+    """Pairs of near-duplicate rows by set Jaccard — exact posting-count
+    intersection join, the LOW-threshold scale path.
+
+    Same contract as :func:`neardup_jaccard_prefix` (returns (id_a, id_b,
+    jaccard), id_a < id_b, jaccard >= threshold), different physical plan:
+    per-element postings self-join + groupBy-count gives each pair's exact
+    intersection size with no array columns, no df-ordering pass, and no
+    separate verify join. Cost is Σ_element df² within a block/size window.
+
+    Crossover: at high thresholds (≈0.7+) the prefix filter indexes only the
+    ``1-t`` rarest fraction of each set and prunes most postings — use
+    ``neardup_jaccard_prefix``. At low thresholds the prefix covers nearly
+    the whole set (no pruning, plus array-verify overhead), while the
+    posting join's size-ratio filter still applies — this form measured 5×
+    faster at t=0.2. Both are exact; pick by threshold.
+    """
+    t = float(threshold)
+    blk = F.col(block_col) if block_col else F.lit(0)
+    elems = elements if elements is not None else tokens(F.col(text_col))
+    sized = df.select(
+        F.col(id_col).alias("__id"),
+        blk.alias("__block"),
+        F.array_distinct(
+            F.transform(elems, lambda x: F.xxhash64(x))
+        ).alias("__toks"),
+    ).select(
+        "__id",
+        "__block",
+        F.size("__toks").alias("__sz"),
+        F.explode("__toks").alias("__h"),
+    )
+    a = sized.select(
+        F.col("__id").alias("id_a"),
+        F.col("__block").alias("__block_a"),
+        F.col("__sz").alias("__sz_a"),
+        F.col("__h").alias("__ha"),
+    )
+    b = sized.select(
+        F.col("__id").alias("id_b"),
+        F.col("__block").alias("__block_b"),
+        F.col("__sz").alias("__sz_b"),
+        F.col("__h").alias("__hb"),
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("__ha") == F.col("__hb"))
+            & (F.col("__block_a") == F.col("__block_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("__sz_a").cast("double") >= t * F.col("__sz_b"))
+            & (F.col("__sz_b").cast("double") >= t * F.col("__sz_a")),
+        )
+        .groupBy("id_a", "id_b", "__sz_a", "__sz_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    jac = F.col("__inter").cast("double") / (
+        F.col("__sz_a") + F.col("__sz_b") - F.col("__inter")
+    )
+    return (
+        inter.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= t)
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str,
@@ -199,9 +278,16 @@ def connected_components(
     and vanish → the graph shrinks geometrically), every representative
     adopts its smallest contracted neighbor, and a pointer-jump keeps member
     labels from drifting behind migrated representatives. Contracted edges
-    can still drift from member labels, so the OUTER loop only exits when
-    the ORIGINAL edge set contracts to empty — exit ⇔ labels are the
-    components, and min-only adoption pins them to the component minimum.
+    can still drift from member labels, so when the working set contracts to
+    empty the loop re-contracts the ORIGINAL edge set and only exits when
+    that is empty too — exit ⇔ labels are the components, and min-only
+    adoption pins them to the component minimum.
+
+    One materializing action per round (the eager checkpoint of the
+    contracted edge list; ``isEmpty`` on the checkpointed result is free).
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iterations`` rounds — silently returning drifted labels would
+    corrupt downstream keep/drop decisions.
     """
     und = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
@@ -224,42 +310,45 @@ def connected_components(
             .select(F.col("__cu").alias("u"), F.col("__cv").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)  # the round's one materialization
         )
 
     work = und
     for _ in range(max_iterations):
-        for _ in range(max_iterations):
-            contracted = _contract(work, labels)
-            if contracted.count() == 0:
-                break
-            work = contracted
-            m = contracted.groupBy(F.col("u").alias("component")).agg(
-                F.min("v").alias("__mn")
-            )
-            labels = labels.join(m, "component", "left").select(
+        contracted = _contract(work, labels)
+        if contracted.isEmpty():
+            # working set exhausted — verify against the ORIGINAL edges
+            # (contracted-space labels can drift behind member labels);
+            # surviving violations feed the same update step below, so
+            # every round with any violation makes label progress
+            contracted = _contract(und, labels)
+            if contracted.isEmpty():
+                return labels
+        work = contracted
+        m = contracted.groupBy(F.col("u").alias("component")).agg(
+            F.min("v").alias("__mn")
+        )
+        labels = labels.join(m, "component", "left").select(
+            "node",
+            F.least(
+                "component", F.coalesce("__mn", "component")
+            ).alias("component"),
+        )
+        rep = labels.select(
+            F.col("node").alias("component"),
+            F.col("component").alias("__rep"),
+        )
+        labels = (
+            labels.join(rep, "component", "left")
+            .select(
                 "node",
-                F.least(
-                    "component", F.coalesce("__mn", "component")
-                ).alias("component"),
+                F.coalesce("__rep", "component").alias("component"),
             )
-            rep = labels.select(
-                F.col("node").alias("component"),
-                F.col("component").alias("__rep"),
-            )
-            labels = (
-                labels.join(rep, "component", "left")
-                .select(
-                    "node",
-                    F.coalesce("__rep", "component").alias("component"),
-                )
-                .localCheckpoint(eager=False)
-            )
-        viol = _contract(und, labels)
-        if viol.count() == 0:
-            break
-        work = viol
-    return labels
+            .localCheckpoint(eager=False)
+        )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds"
+    )
 
 
 def cosine_topk(
@@ -363,6 +452,11 @@ def minhash_candidates(
     Returns (id_a, id_b, est_jaccard) where est_jaccard is the matching-
     minhash fraction. Shuffle shape: one groupBy for signatures, one
     band-bucket equi-join for candidates — sub-quadratic end to end.
+
+    Zero-token rows emit no shingles and drop out of the signature table
+    (an empty-string shingle would pair every empty row with every other at
+    est_jaccard 1.0); rows with fewer than ``shingle_width`` tokens keep
+    their single partial shingle.
     """
     rows_per_band = num_hashes // bands
     prime = (1 << 31) - 1  # Kirsch-Mitzenmacher double-hash modulus
@@ -374,8 +468,11 @@ def minhash_candidates(
         "__id",
         F.explode(
             F.expr(
-                f"transform(sequence(0, greatest(size(__toks) - {shingle_width}, 0)),"
-                f" i -> concat_ws(' ', slice(__toks, i + 1, {shingle_width})))"
+                f"transform("
+                f" slice(sequence(1, greatest(size(__toks) - {shingle_width - 1}, 1)),"
+                f"       1, if(size(__toks) = 0, 0,"
+                f"             greatest(size(__toks) - {shingle_width - 1}, 1))),"
+                f" i -> array_join(slice(__toks, i, {shingle_width}), ' '))"
             )
         ).alias("__shingle"),
     )

@@ -76,10 +76,33 @@ def test_oracle_parity(name, spark, sf_dir):
     res = con.execute(ORACLES[name])
     duck_names = [d[0] for d in res.description]
     duck_rows = res.fetchall()
+    d_pdf = con.execute(ORACLES[name]).df()
     con.close()
 
     assert spark_cols == sorted(duck_names), (
         f"{name}: column mismatch spark={spark_cols} duck={sorted(duck_names)}"
+    )
+    # Rendered-pandas dtype check, mirroring the driver's stringify-hash:
+    # `900` (int64) and `900.0` (float64) are == in Python but hash
+    # differently once each side is converted to pandas and stringified.
+    # Integer widths and datetime units render identically, so compare
+    # dtype families; float32 vs float64 DOES render differently (repr
+    # precision) and stays a mismatch.
+    def _family(dt: str) -> str:
+        if dt.lstrip("u").lstrip("U").lower().startswith("int"):
+            return "int"
+        if dt.startswith("datetime64"):
+            return "datetime"
+        return dt
+
+    s_pdf = sdf.toPandas()
+    dtype_mismatch = {
+        c: (str(s_pdf[c].dtype), str(d_pdf[c].dtype))
+        for c in spark_cols
+        if _family(str(s_pdf[c].dtype)) != _family(str(d_pdf[c].dtype))
+    }
+    assert not dtype_mismatch, (
+        f"{name}: pandas dtype mismatch (spark, duck): {dtype_mismatch}"
     )
     s_rows = _spark_rows(sdf, spark_cols)
     d_rows = _duck_rows(duck_rows, spark_cols, duck_names)
