@@ -235,21 +235,20 @@ def dedup_minhash_pairs(spark, sf_dir):
     return est.filter(F.col("est_jaccard") >= 0.8)
 
 
-@DEDUP.register("dedup_simhash_pairs", oracle=None)
-def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup: 64-bit fingerprints, candidates from 16-bit band
-    equality, verified by Hamming distance ≤ 8.
+_SIMHASH_HAMMING = 3  # max Hamming distance; 4 bands ⇒ exact recall for ≤ 3
 
-    Fingerprint: per token, xxhash64 → each of 64 bits votes ±1; the sign of
-    the per-bit sum is the fingerprint bit. All arithmetic is JVM-side bit
-    ops — no UDFs. (Rows-only check: no xxhash64 in DuckDB.)
+
+def simhash_fingerprints(docs, id_col="doc_id", text_col="text"):
+    """(id, simhash) 64-bit SimHash fingerprints, all JVM-side bit ops.
+
+    Per distinct token, xxhash64 → each of 64 bits votes ±1; the sign of the
+    per-bit sum is the fingerprint bit. One explode + one groupBy pass.
     """
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(distinct_tokens(F.col("text"))).alias("tok")
+    tok = docs.select(
+        id_col, F.explode(distinct_tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     # per-bit vote sums: sum over tokens of (2*bit-1)
-    votes = tok.groupBy("doc_id").agg(
+    votes = tok.groupBy(id_col).agg(
         *[
             F.sum(
                 (F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1)
@@ -258,8 +257,8 @@ def dedup_simhash_pairs(spark, sf_dir):
         ]
     )
     # pack sign bits into one BIGINT via sum of shifted bits
-    packed = votes.select(
-        "doc_id",
+    return votes.select(
+        id_col,
         sum(
             [
                 F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
@@ -275,6 +274,25 @@ def dedup_simhash_pairs(spark, sf_dir):
             F.lit(0).cast("long"),
         ).alias("simhash"),
     )
+
+
+@DEDUP.register("dedup_simhash_pairs", oracle=None)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup: 64-bit fingerprints, candidates from 16-bit band
+    equality, verified by Hamming distance ≤ 3.
+
+    Band/verify guarantee (Manku et al., WWW'07 block-permuted scheme):
+    with 4 disjoint 16-bit bands, any pair at Hamming ≤ 3 differs in at
+    most 3 bands, so at least one band matches exactly — candidate recall
+    for the verified ≤ 3 threshold is 100%, pinned by
+    tests/test_simhash.py against brute-force Hamming pairs. (A looser
+    threshold needs more tables, e.g. Manku's permuted re-blockings —
+    shrinking the chunks instead would collapse the per-band bucket space
+    and blow up |bucket|² at corpus scale.) All arithmetic is JVM-side bit
+    ops — no UDFs. (Rows-only check: no xxhash64 in DuckDB.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    packed = simhash_fingerprints(d)
     bands = packed.select(
         "doc_id",
         "simhash",
@@ -311,7 +329,7 @@ def dedup_simhash_pairs(spark, sf_dir):
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= 8)
+        .filter(F.col("hamming") <= _SIMHASH_HAMMING)
     )
 
 
