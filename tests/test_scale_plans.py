@@ -111,6 +111,16 @@ def test_prefix_jaccard_never_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embedding_neardup_is_bucket_keyed(spark, sf_dir):
+    """Embedding near-dup candidates must come from the sign-LSH band
+    equi-join (keyed on tbl+bucket) — never an all-pairs product or a
+    label-blocked quadratic join."""
+    plan = _plan(QUERIES["embedding_neardup_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "label" not in plan  # blocking key is the LSH bucket, not label
+
+
 def test_contamination_broadcasts_benchmark(spark, sf_dir):
     """The benchmark shingle dictionary joins broadcast — the corpus-sized
     side must not shuffle for the overlap count."""
