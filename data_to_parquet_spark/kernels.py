@@ -116,6 +116,11 @@ class CellValue:
     ``kind`` is one of: ``int float string bool error empty iso``.
     ``iso`` covers DateTimeIso / DurationIso cells (stored ISO-8601 text,
     emitted as-is — reference ``src/lib.rs:395-396``).
+
+    Date-*styled* numeric cells need no kind of their own: the reference's
+    calamine 0.32 is built without the chrono-backed ``dates`` feature
+    (Cargo.toml lists none), so ``DataRef::DateTime`` Display prints the raw
+    serial f64 (``src/lib.rs:394``) — identical to the plain ``float`` path.
     """
 
     __slots__ = ("kind", "value")

@@ -348,3 +348,32 @@ def test_fast_and_et_walkers_agree(tmp_path):
         et = list(walk_rows(io.BytesIO(data), _MAIN_NS, sst))
     assert fast == et
     assert len(fast) == 5
+
+
+def test_date_styled_serial_cells_emit_raw_serial(spark, tmp_path):
+    """Reference parity for date-STYLED numeric cells (src/lib.rs:394).
+
+    The reference builds calamine 0.32 with default features only
+    (Cargo.toml has no feature list), so the chrono-backed `dates` feature
+    is off and `ExcelDateTime`'s Display can only print the raw serial
+    f64 — `cell_to_string` therefore emits "45292.5", not a rendered
+    date. A numeric cell whose style (s= -> cellXfs -> numFmtId 14) marks
+    it as a date must come through as its serial string; ISO t="d" cells
+    stay verbatim text.
+    """
+    path = str(tmp_path / "styled.xlsx")
+    write_xlsx(
+        path,
+        {
+            "Sheet1": [
+                ["when_styled", "midnight", "when_iso"],
+                [
+                    ("date_serial", 45292.5),
+                    ("date_serial", 45292),
+                    ("iso", "2024-01-01T12:00:00"),
+                ],
+            ]
+        },
+    )
+    df = read_excel(spark, path)
+    assert _rows(df) == [("45292.5", "45292", "2024-01-01T12:00:00")]

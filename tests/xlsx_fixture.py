@@ -14,6 +14,8 @@ row is a list of cell specs; a cell spec is one of
 * ``("error", lit)``  — error cell, e.g. ("error", "#DIV/0!")
 * ``("iso", text)``   — ISO date cell (t="d")
 * ``("formula_str", text)`` — formula string cell (t="str")
+* ``("date_serial", num)`` — numeric cell styled with built-in date format
+  numFmtId 14 (``s=`` points at a real styles.xml cellXfs entry)
 """
 
 from __future__ import annotations
@@ -62,6 +64,7 @@ def write_xlsx(
     """
     sst: list[str] = []
     sst_index: dict[str, int] = {}
+    used_date_style = False
 
     def sst_id(s: str) -> int:
         if s not in sst_index:
@@ -83,6 +86,10 @@ def write_xlsx(
                 return f'<c r="{ref}" t="d"><v>{escape(spec[1])}</v></c>'
             if kind == "formula_str":
                 return f'<c r="{ref}" t="str"><v>{escape(spec[1])}</v></c>'
+            if kind == "date_serial":
+                nonlocal used_date_style
+                used_date_style = True
+                return f'<c r="{ref}" s="1"><v>{_fmt_num(spec[1])}</v></c>'
             raise ValueError(f"bad cell spec {spec!r}")
         if isinstance(spec, bool):
             return f'<c r="{ref}" t="b"><v>{1 if spec else 0}</v></c>'
@@ -140,6 +147,11 @@ def write_xlsx(
             f'<Relationship Id="rIdSst" Type="{_REL}/sharedStrings" '
             f'Target="sharedStrings.xml"/>'
         )
+    if used_date_style:
+        rels += (
+            f'<Relationship Id="rIdStyles" Type="{_REL}/styles" '
+            f'Target="styles.xml"/>'
+        )
     wb_rels = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
@@ -161,6 +173,12 @@ def write_xlsx(
             '<Override PartName="/xl/sharedStrings.xml" '
             'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>'
             if shared_strings and sst
+            else ""
+        )
+        + (
+            '<Override PartName="/xl/styles.xml" '
+            'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>'
+            if used_date_style
             else ""
         )
         + "</Types>"
@@ -185,6 +203,19 @@ def write_xlsx(
                 "xl/sharedStrings.xml",
                 f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
                 f'<sst xmlns="{_NS}" count="{len(sst)}" uniqueCount="{len(sst)}">{items}</sst>',
+            )
+        if used_date_style:
+            z.writestr(
+                "xl/styles.xml",
+                f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                f'<styleSheet xmlns="{_NS}">'
+                "<fonts count=\"1\"><font/></fonts>"
+                "<fills count=\"1\"><fill/></fills>"
+                "<borders count=\"1\"><border/></borders>"
+                '<cellStyleXfs count="1"><xf/></cellStyleXfs>'
+                '<cellXfs count="2"><xf numFmtId="0"/>'
+                '<xf numFmtId="14" applyNumberFormat="1"/></cellXfs>'
+                "</styleSheet>",
             )
         for i, xml in enumerate(sheet_xmls):
             z.writestr(f"xl/worksheets/sheet{i + 1}.xml", xml)
