@@ -8,6 +8,14 @@ workbook that ever lands in this prefix, exactly once". The file-source
 checkpoint provides the seen-files ledger; conversion itself reuses
 :func:`..sources.excel.read_excel` (one task per new file) inside
 ``foreachBatch``.
+
+Exactly-once mechanics: ``foreachBatch`` alone is only at-least-once — a
+crash between a write and the checkpoint commit replays the epoch. Each
+batch therefore writes to an epoch-keyed partition directory
+(``output_dir/epoch=<epoch_id>``) with ``mode("overwrite")``: a replayed
+epoch re-materializes the same file set into the same directory instead of
+appending a second copy. Readers see ``epoch`` as an ordinary discovered
+partition column.
 """
 
 from __future__ import annotations
@@ -62,8 +70,10 @@ def stream_excel_to_parquet(
             skip_rows=skip_rows,
             batch_size=batch_size,
         )
-        df.write.mode("append").option("compression", "zstd").parquet(
-            output_dir
+        # epoch-keyed overwrite: replays of an uncommitted epoch (foreachBatch
+        # is at-least-once) land in the same directory with the same content
+        df.write.mode("overwrite").option("compression", "zstd").parquet(
+            f"{output_dir}/epoch={epoch_id}"
         )
 
     writer = (
