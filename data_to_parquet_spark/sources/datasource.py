@@ -69,6 +69,18 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
+def _uniquify(headers: list[str]) -> list[str]:
+    """Residual-collision guard over build_headers output (``a, a_2, a``
+    still collides after the reference's ``_n`` suffixing)."""
+    seen: dict[str, int] = {}
+    unique = []
+    for h in headers:
+        k = seen.get(h, 0)
+        seen[h] = k + 1
+        unique.append(h if k == 0 else f"{h}__dup{k}")
+    return unique
+
+
 class ExcelDataSource(DataSource):
     """Excel workbooks (.xlsx/.xlsb) as a named Spark read format."""
 
@@ -99,14 +111,11 @@ class ExcelDataSource(DataSource):
             headers, _ = scan_sheet(wb, sheet, skip_rows, batch_size=1)
         if not headers:
             raise DataToParquetError("no header row found")
-        seen: dict[str, int] = {}
-        unique = []
-        for h in headers:
-            k = seen.get(h, 0)
-            seen[h] = k + 1
-            unique.append(h if k == 0 else f"{h}__dup{k}")
         return T.StructType(
-            [T.StructField(u, T.StringType(), True) for u in unique]
+            [
+                T.StructField(u, T.StringType(), True)
+                for u in _uniquify(headers)
+            ]
         )
 
     def reader(self, schema: T.StructType) -> "ExcelReader":
@@ -139,11 +148,12 @@ class ExcelReader(DataSourceReader):
             headers, batches = scan_sheet(
                 wb, sheet, self.skip_rows, self.batch_size
             )
-            if len(headers) != len(self.field_names):
+            if _uniquify(headers) != self.field_names:
                 raise DataToParquetError(
-                    f"{partition.path!r}: header width {len(headers)} does "
-                    f"not match the schema inferred from the first file "
-                    f"({len(self.field_names)} columns)"
+                    f"{partition.path!r}: header row {headers!r} does not "
+                    f"match the schema inferred from the first file "
+                    f"({self.field_names!r}) — same-position columns would "
+                    f"be silently remapped"
                 )
             for batch in batches:
                 # columns are positional (reference O9 densify semantics);

@@ -58,7 +58,17 @@ def test_format_header_mismatch_raises(registered, tmp_path):
     write_xlsx(str(tmp_path / "a.xlsx"), {"S": [["x", "y"], [1, 2]]})
     write_xlsx(str(tmp_path / "b.xlsx"), {"S": [["x"], [1]]})
     df = registered.read.format("excel").load(str(tmp_path))
-    with pytest.raises(Exception, match="header width"):
+    with pytest.raises(Exception, match="does not match"):
+        df.collect()
+
+
+def test_format_same_width_renamed_headers_raise(registered, tmp_path):
+    """A later file with the SAME column count but different header names
+    must raise, not be silently positionally remapped (read_excel parity)."""
+    write_xlsx(str(tmp_path / "a.xlsx"), {"S": [["id", "amount"], [1, 2]]})
+    write_xlsx(str(tmp_path / "b.xlsx"), {"S": [["amount", "id"], [3, 4]]})
+    df = registered.read.format("excel").load(str(tmp_path))
+    with pytest.raises(Exception, match="does not match"):
         df.collect()
 
 
