@@ -37,7 +37,9 @@ BENCH_QUERIES = [
     "dedup_exact_hash",
     "neardup_jaccard_pairs",
     "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
     "dedup_connected_components",
+    "embedding_neardup_pairs",
     "percentile_prices_by_flag",
     "text_quality_stats",
     "doc_fingerprint_md5",
@@ -149,6 +151,18 @@ def main() -> None:
     n = convert_many(fleet, "/tmp/d2p_bench/fleet_out", sheet_name="Data", spark=spark)
     times["excel_convert_16_files"] = round(time.perf_counter() - t0, 3)
     assert n == (_EXCEL_ROWS // 16) * 16
+    # regression guard on the parallel-parse path: 16 files of the same total
+    # cell count must not be slower than the single-file (coalesce(1)) path.
+    # Steady-state ratio is ~0.5; 1.5 leaves room for host-load noise while
+    # still catching a fall-back-to-serial regression (ratio >= 2).
+    assert (
+        times["excel_convert_16_files"]
+        < times[f"excel_convert_{_EXCEL_ROWS // 1000}k_rows"] * 1.5
+    ), (
+        "multi-file conversion lost its parallel-parse advantage: "
+        f"{times['excel_convert_16_files']}s for 16 files vs "
+        f"{times[f'excel_convert_{_EXCEL_ROWS // 1000}k_rows']}s single-file"
+    )
 
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
