@@ -90,12 +90,15 @@ def _dd_cosine(a: str, b: str) -> str:
 )
 def similarity_topk_bruteforce(spark, sf_dir):
     """Exact cosine top-k: broadcast the query set, score every corpus vector,
-    take per-query top-k with a row_number window.
+    take per-query top-k with a salted two-stage window.
 
-    Scale: queries are broadcast (no corpus shuffle for scoring); the only
-    shuffle is the per-query top-k, whose input is |corpus|×|queries| scored
-    rows — at real scale, insert a per-partition top-k (mapPartitions heap or
-    AQE-coalesced window) before the global one.
+    Scale: queries are broadcast (no corpus shuffle for scoring). The top-k
+    itself is two window stages: a pre-top-k keyed on (query,
+    hash(neighbor) % 32) spreads the |corpus|×|queries| scored rows over
+    32·|queries| reduce keys — a single per-query window would funnel the
+    whole corpus through |queries| reducer tasks — then the global window
+    ranks the ≤ 32·k survivors per query. Same total order both stages, so
+    the result is identical to the single-window plan.
     """
     e = load_table(spark, sf_dir, "embeddings")
     # precompute each side's norm ONCE per vector (not per pair) — bitwise
@@ -120,9 +123,18 @@ def similarity_topk_bruteforce(spark, sf_dir):
             ).alias("cos_sim"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    order = (F.desc("cos_sim"), "neighbor_id")
+    wpre = W.partitionBy("query_id", "__salt").orderBy(*order)
+    pre = (
+        scored.withColumn(
+            "__salt", F.pmod(F.xxhash64("neighbor_id"), F.lit(32))
+        )
+        .withColumn("__r", F.row_number().over(wpre))
+        .filter(F.col("__r") <= _TOP_K)
+    )
+    w = W.partitionBy("query_id").orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pre.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )

@@ -361,8 +361,13 @@ def cosine_topk(
     """Exact cosine top-k neighbors of each query vector over the corpus.
 
     Returns (query_id, neighbor_id, cos_sim, rank). Queries are broadcast;
-    norms are precomputed per vector; the only shuffle is the per-query
-    top-k window.
+    norms are precomputed per vector. The top-k runs in two window stages:
+    a salted pre-top-k over (query, hash(neighbor) % 32) — 32·|queries|
+    reduce keys instead of |queries|, so no handful of reducer tasks
+    swallows the whole corpus — then the exact global top-k over the ≤
+    32·k survivors per query. The survivor set provably contains the
+    global top-k (same total order), so results are identical to a single
+    window.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -383,9 +388,17 @@ def cosine_topk(
             "cos_sim"
         ),
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    order = (F.desc("cos_sim"), "neighbor_id")
+    wpre = W.partitionBy("query_id", "__salt").orderBy(*order)
+    pre = (
+        scored.withColumn("__salt", F.pmod(F.xxhash64("neighbor_id"), F.lit(32)))
+        .withColumn("__r", F.row_number().over(wpre))
+        .filter(F.col("__r") <= k)
+        .drop("__salt", "__r")
+    )
+    w = W.partitionBy("query_id").orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pre.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 
