@@ -385,6 +385,45 @@ def dedup_connected_components(spark, sf_dir):
 
 
 @DEDUP.register(
+    "dedup_keep_canonical",
+    # same recursive-closure CTE chain as _CC_ORACLE, with the final select
+    # extended by the keep/drop decision (splice keeps the edge definition
+    # bit-identical between the two oracles)
+    oracle=_CC_ORACLE.replace(
+        "SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u",
+        """, labels AS (
+  SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+), kept AS (
+  SELECT cluster_id AS doc_id, COUNT(*) - 1 AS dropped
+  FROM labels GROUP BY cluster_id
+)
+SELECT d.doc_id, d.lang, k.dropped
+FROM documents d JOIN kept k ON d.doc_id = k.doc_id""",
+    ),
+)
+def dedup_keep_canonical(spark, sf_dir):
+    """Dedup materialization: the actual keep/drop decision. Keep the
+    minimum-id document of every near-dup cluster (cluster_id IS the min
+    member id by construction), drop the rest, and report how many
+    duplicates each survivor absorbed.
+
+    This is the operator a training-data pipeline actually runs after
+    clustering: `survivors = corpus ⋈ (labels where doc_id == cluster_id)`.
+    Scale: one groupBy over the (doc_id, cluster_id) label table and one
+    keyed join back to the corpus — both shuffle on doc_id, no new
+    quadratic term beyond the pair graph itself.
+    """
+    labels = dedup_connected_components(spark, sf_dir)
+    kept = (
+        labels.groupBy("cluster_id")
+        .agg((F.count("*") - F.lit(1)).alias("dropped"))
+        .select(F.col("cluster_id").alias("doc_id"), "dropped")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang").join(kept, "doc_id")
+
+
+@DEDUP.register(
     "neardup_ngram_jaccard",
     oracle="""
     WITH tok AS (
