@@ -22,13 +22,16 @@ from data_to_parquet_spark.operators.events import EVT
 from data_to_parquet_spark.operators.misc import MISC
 from data_to_parquet_spark.operators.multimodal import MM
 from data_to_parquet_spark.operators.pipeline import PIPE
+from data_to_parquet_spark.operators.privacy import PRIV
 from data_to_parquet_spark.operators.relational import REL
 from data_to_parquet_spark.operators.similarity import SIM
 from data_to_parquet_spark.operators.text import TXT
 from data_to_parquet_spark.operators.tpch_extra import TPCH_X
 from data_to_parquet_spark.streaming.windows import STREAMING
 
-_REGISTRY = REL.merge(EVT, TXT, DEDUP, SIM, MM, MISC, STREAMING, CDC, TPCH_X, PIPE)
+_REGISTRY = REL.merge(
+    EVT, TXT, DEDUP, SIM, MM, MISC, STREAMING, CDC, TPCH_X, PIPE, PRIV
+)
 
 # The driver verifies the first 50 registry entries per round. Round 1
 # checked the first 50 of the REL→EVT→TXT ordering; rotate so the

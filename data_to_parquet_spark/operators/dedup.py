@@ -485,3 +485,84 @@ def neardup_ngram_jaccard(spark, sf_dir):
         F.col("id_b").alias("doc_b"),
         "jaccard",
     )
+
+
+_PASSAGE_W = 32  # tokens per passage chunk
+
+
+@DEDUP.register(
+    "passage_dedup_fraction",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), pas AS (
+      SELECT doc_id,
+             array_to_string(t[i:i+{_PASSAGE_W - 1}], ' ') AS passage
+      FROM tok, unnest(generate_series(1, len(t), {_PASSAGE_W})) AS g(i)
+      WHERE len(t) > 0
+    ), per_doc AS (
+      SELECT doc_id, passage, COUNT(*) AS m
+      FROM pas GROUP BY doc_id, passage
+    ), pdf AS (
+      SELECT passage, COUNT(*) AS n_docs_with
+      FROM per_doc GROUP BY passage
+    )
+    SELECT per_doc.doc_id,
+           CAST(SUM(m) AS BIGINT) AS n_passages,
+           CAST(SUM(CASE WHEN n_docs_with >= 2 THEN m ELSE 0 END)
+                AS BIGINT) AS n_dup_passages,
+           CAST(SUM(CASE WHEN n_docs_with >= 2 THEN m ELSE 0 END) AS DOUBLE)
+             / SUM(m) AS dup_frac
+    FROM per_doc JOIN pdf USING (passage)
+    GROUP BY per_doc.doc_id
+    """,
+)
+def passage_dedup_fraction(spark, sf_dir):
+    """Passage-level duplication signal (RefinedWeb-style): chunk each
+    document into fixed {32}-token passages, count how many of a document's
+    passages also occur in at least one OTHER document, and emit the
+    duplicated-passage fraction — the filter signal for boilerplate-heavy
+    corpora where whole-doc dedup misses repeated intra-page fragments.
+
+    Scale: the passage doc-frequency table is a two-level aggregation
+    (per-(doc, passage) first, so a doc repeating its own passage doesn't
+    inflate the doc count), then one equi-join back on the passage key —
+    both shuffles key on the passage text, which is high-cardinality and
+    skew-free. At 100 TB you'd join on ``xxhash64(passage)`` to shrink
+    shuffle width (same shape; the string key here keeps the oracle
+    hash-checkable).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    # chunk starts 1, 33, 65, ... — sequence(1, n, 32) needs n >= 1, hence
+    # the size filter (empty-token docs have no passages on either side)
+    passages = F.expr(
+        f"transform(sequence(1, size(t), {_PASSAGE_W}),"
+        f" i -> array_join(slice(t, i, {_PASSAGE_W}), ' '))"
+    )
+    pas = (
+        d.select("doc_id", t.alias("t"))
+        .filter(F.size("t") > 0)
+        .select("doc_id", F.explode(passages).alias("passage"))
+    )
+    per_doc = pas.groupBy("doc_id", "passage").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    pdf = per_doc.groupBy("passage").agg(
+        F.count(F.lit(1)).alias("n_docs_with")
+    )
+    dup_m = F.sum(
+        F.when(F.col("n_docs_with") >= 2, F.col("m")).otherwise(F.lit(0))
+    )
+    return (
+        per_doc.join(pdf, "passage")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n_passages"),
+            dup_m.alias("n_dup_passages"),
+            (dup_m.cast("double") / F.sum("m")).alias("dup_frac"),
+        )
+    )

@@ -398,3 +398,67 @@ def udtf_pack_bins(spark, sf_dir):
         )
         """
     )
+
+
+_TOPNG_N = 3  # word n-gram width for the heavy-hitter report
+_TOPNG_K = 20  # report size
+
+
+@PIPE.register(
+    "corpus_top_ngrams",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), ex AS (
+      SELECT doc_id,
+             array_to_string(t[i:i+{_TOPNG_N - 1}], ' ') AS gram
+      FROM tok, unnest(generate_series(1, greatest(len(t) - {_TOPNG_N - 1}, 0)))
+             AS g(i)
+    )
+    SELECT gram,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM ex GROUP BY gram
+    ORDER BY n_occurrences DESC, gram ASC
+    LIMIT {_TOPNG_K}
+    """,
+)
+def corpus_top_ngrams(spark, sf_dir):
+    """Corpus-wide heavy hitters: the {20} most frequent word {3}-grams with
+    occurrence and document counts — the boilerplate/template detector that
+    feeds block-list curation (a phrase appearing in thousands of documents
+    is navigation chrome, not prose).
+
+    Scale: explode → groupBy(gram) with map-side partial aggregation (the
+    count collapses per task before the shuffle), then a global top-k which
+    Spark executes as TakeOrderedAndProject — per-partition top-k on the
+    aggregated gram table, never a full sort. Ties broken by gram text so
+    the report is deterministic. At 100 TB the exact count of the top
+    handful of grams is still cheap because partial aggregation bounds the
+    shuffle at |distinct grams per partition|; a count-min sketch variant
+    only becomes necessary when the distinct-gram table itself stops
+    fitting, and the report head (what this query emits) stays identical.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    grams = F.expr(
+        f"transform("
+        f" slice(sequence(1, greatest(size(t) - {_TOPNG_N - 1}, 1)),"
+        f"       1, greatest(size(t) - {_TOPNG_N - 1}, 0)),"
+        f" i -> array_join(slice(t, i, {_TOPNG_N}), ' '))"
+    )
+    ex = d.select("doc_id", t.alias("t")).select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    return (
+        ex.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(_TOPNG_K)
+    )

@@ -1,0 +1,102 @@
+"""PII detection and masking — the scrubbing stage of a training-data
+pipeline (emails, phone numbers, and similar machine-recognizable
+identifiers are masked before text reaches a training mixture).
+
+The driver corpus is synthetic and carries no raw PII, so the operator is
+demonstrated over deterministic profile strings synthesized from `customer`
+columns (name + conditionally-present email/phone); the synthesis is part of
+the query on BOTH engines, so the DuckDB oracle value-checks the actual
+detection and masking logic, not fixture data. The reference
+(KonghaYao/data-to-parquet) has no analytical operators (SURVEY.md §2.2);
+this module is north-star extension surface like ``operators/pipeline.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .base import Registry, load_table
+
+PRIV = Registry()
+
+# Shared by both engines: Java regex and DuckDB's RE2 interpret these
+# identically (character classes, \d, bounded/unbounded repetition).
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\+\d+-\d+-\d+"
+
+
+@PRIV.register(
+    "pii_mask_profiles",
+    oracle=f"""
+    WITH prof AS (
+      SELECT c_custkey,
+             c_name
+             || CASE WHEN c_custkey % 3 <> 0
+                THEN ' contact user' || CAST(c_custkey AS VARCHAR)
+                     || '@example.com' ELSE '' END
+             || CASE WHEN c_custkey % 2 = 0
+                THEN ' phone +1-555-'
+                     || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+             || ' segment ' || c_mktsegment AS profile
+      FROM customer
+    )
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(profile, '{_EMAIL_RE}'))
+                AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(profile, '{_PHONE_RE}'))
+                AS INT) AS n_phones,
+           regexp_replace(regexp_replace(profile, '{_EMAIL_RE}', '[EMAIL]',
+                                         'g'),
+                          '{_PHONE_RE}', '[PHONE]', 'g') AS masked
+    FROM prof
+    """,
+)
+def pii_mask_profiles(spark, sf_dir):
+    """PII scrub: count and mask email addresses and phone numbers in a
+    free-text column (synthesized per-customer profile strings — see module
+    docstring), emitting match counts plus the masked text.
+
+    Scale: pure per-row regexp work — a narrow map with no shuffle, fully
+    inside whole-stage codegen (Java regex on the JVM side, never a Python
+    UDF). At 100 TB this is the cheapest pipeline stage per byte; the only
+    design decision that matters is keeping it fused into the same stage as
+    the scan, which a declarative select guarantees.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    profile = F.concat(
+        F.col("c_name"),
+        F.when(
+            key % 3 != 0,
+            F.concat(
+                F.lit(" contact user"),
+                key.cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            key % 2 == 0,
+            F.concat(
+                F.lit(" phone +1-555-"),
+                F.lpad((key % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(" segment "),
+        F.col("c_mktsegment"),
+    )
+    p = c.select("c_custkey", profile.alias("profile"))
+    return p.select(
+        "c_custkey",
+        F.size(
+            F.regexp_extract_all("profile", F.lit(_EMAIL_RE), F.lit(0))
+        ).alias("n_emails"),
+        F.size(
+            F.regexp_extract_all("profile", F.lit(_PHONE_RE), F.lit(0))
+        ).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("profile", _EMAIL_RE, "[EMAIL]"),
+            _PHONE_RE,
+            "[PHONE]",
+        ).alias("masked"),
+    )

@@ -481,3 +481,78 @@ def stratified_sample_documents(spark, sf_dir):
         )
         .select("doc_id", "lang")
     )
+
+
+_TFIDF_TOP = 3  # terms reported per document
+
+
+@TXT.register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+               AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round(tf.tf * ln((1.0 + n.n_docs) / (1.0 + df.df)), 9)
+               AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rnk
+      FROM scored
+    ) t WHERE rnk <= {_TFIDF_TOP}
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Per-document keyword extraction: the top {3} terms by TF-IDF
+    (smoothed idf = ln((1+N)/(1+df))) — the classic signal for topic
+    tagging and source profiling over a training corpus.
+
+    Scale: term frequencies are one (doc, term) aggregation; the document
+    frequency table is a second aggregation over the FIRST one's output
+    (already deduplicated per doc, no re-explode), and it is broadcast back
+    — a term dictionary is tiny next to the corpus. N arrives as a
+    broadcast 1-row cross join, so nothing here collects to the driver.
+    The score is rounded to 9 decimals on both engines so the ranking and
+    the hash are insensitive to last-ulp libm skew in ``ln`` (same
+    technique as `udaf_geometric_mean`); ties break on the term text.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))),
+                9,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TFIDF_TOP)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
