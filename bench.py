@@ -52,6 +52,12 @@ BENCH_QUERIES = [
     "gopher_quality_gate",
     "contamination_ngram_overlap",
     "sequence_packing",
+    # added round 2: passage/semantic dedup, corpus reports, PII scrub
+    "passage_dedup_fraction",
+    "corpus_top_ngrams",
+    "tfidf_top_terms",
+    "pii_mask_profiles",
+    "semdedup_prune",
 ]
 
 

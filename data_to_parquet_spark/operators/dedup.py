@@ -533,36 +533,9 @@ def passage_dedup_fraction(spark, sf_dir):
     both shuffles key on the passage text, which is high-cardinality and
     skew-free. At 100 TB you'd join on ``xxhash64(passage)`` to shrink
     shuffle width (same shape; the string key here keeps the oracle
-    hash-checkable).
+    hash-checkable). Library form: :func:`..ops.passage_dup_stats`.
     """
+    from ..ops import passage_dup_stats
+
     d = load_table(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
-    # chunk starts 1, 33, 65, ... — sequence(1, n, 32) needs n >= 1, hence
-    # the size filter (empty-token docs have no passages on either side)
-    passages = F.expr(
-        f"transform(sequence(1, size(t), {_PASSAGE_W}),"
-        f" i -> array_join(slice(t, i, {_PASSAGE_W}), ' '))"
-    )
-    pas = (
-        d.select("doc_id", t.alias("t"))
-        .filter(F.size("t") > 0)
-        .select("doc_id", F.explode(passages).alias("passage"))
-    )
-    per_doc = pas.groupBy("doc_id", "passage").agg(
-        F.count(F.lit(1)).alias("m")
-    )
-    pdf = per_doc.groupBy("passage").agg(
-        F.count(F.lit(1)).alias("n_docs_with")
-    )
-    dup_m = F.sum(
-        F.when(F.col("n_docs_with") >= 2, F.col("m")).otherwise(F.lit(0))
-    )
-    return (
-        per_doc.join(pdf, "passage")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("m").alias("n_passages"),
-            dup_m.alias("n_dup_passages"),
-            (dup_m.cast("double") / F.sum("m")).alias("dup_frac"),
-        )
-    )
+    return passage_dup_stats(d, "doc_id", "text", passage_tokens=_PASSAGE_W)

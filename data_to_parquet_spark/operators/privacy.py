@@ -15,14 +15,15 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..ops import PII_PATTERNS, mask_pii
 from .base import Registry, load_table
 
 PRIV = Registry()
 
 # Shared by both engines: Java regex and DuckDB's RE2 interpret these
 # identically (character classes, \d, bounded/unbounded repetition).
-_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
-_PHONE_RE = r"\+\d+-\d+-\d+"
+_EMAIL_RE, _EMAIL_TOKEN = PII_PATTERNS["emails"]
+_PHONE_RE, _PHONE_TOKEN = PII_PATTERNS["phones"]
 
 
 @PRIV.register(
@@ -86,17 +87,9 @@ def pii_mask_profiles(spark, sf_dir):
         F.col("c_mktsegment"),
     )
     p = c.select("c_custkey", profile.alias("profile"))
-    return p.select(
-        "c_custkey",
-        F.size(
-            F.regexp_extract_all("profile", F.lit(_EMAIL_RE), F.lit(0))
-        ).alias("n_emails"),
-        F.size(
-            F.regexp_extract_all("profile", F.lit(_PHONE_RE), F.lit(0))
-        ).alias("n_phones"),
-        F.regexp_replace(
-            F.regexp_replace("profile", _EMAIL_RE, "[EMAIL]"),
-            _PHONE_RE,
-            "[PHONE]",
-        ).alias("masked"),
+    masked = mask_pii(
+        p,
+        "profile",
+        patterns={k: PII_PATTERNS[k] for k in ("emails", "phones")},
     )
+    return masked.select("c_custkey", "n_emails", "n_phones", "masked")

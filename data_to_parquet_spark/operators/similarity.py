@@ -515,3 +515,37 @@ def similarity_ann_pq(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
     )
+
+
+_SD_K = 16  # k-means cells
+_SD_TAU = 0.35  # within-cell cosine above which the later vector is pruned
+
+
+@SIM.register("semdedup_prune", oracle=None)
+def semdedup_prune(spark, sf_dir):
+    """SemDedup-style semantic deduplication: cluster the embedding space
+    with k-means (k={16}, same bounded-sample Lloyd trainer as
+    `similarity_ann_ivf`), then within each cell drop every vector that has
+    a lower-id neighbor at cosine >= {0.35} — the keep-first greedy rule
+    (drop b iff exists a < b in b's cell with cos(a, b) >= tau). Emits
+    (vec_id, cell, keep); downstream curation filters on `keep`.
+
+    This is the embedding-space sibling of `dedup_keep_canonical`: instead
+    of an exact near-dup graph it uses cluster-local similarity, which is
+    what makes it tractable at corpus scale — the quadratic term is
+    per-cell (n/k)^2, not n^2, and cells shrink as k grows with the corpus.
+    Clustering + greedy keep-first is the published SemDedup recipe; the
+    deterministic min-id keeper stands in for the paper's
+    farthest-from-centroid choice so reruns are reproducible.
+
+    Scale: assignment is one map-side Pandas-UDF pass (centroids are
+    broadcast constants); the candidate join shuffles on the cell id. At
+    100 TB you'd raise k so cells stay bounded and feed the pair step the
+    same way. (Rows-only check: k-means is engine-side; the prune rule
+    itself is verified against a numpy replay in tests/test_ann.py.)
+    Library form: :func:`..ops.semdedup`.
+    """
+    from ..ops import semdedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semdedup(e, "vec_id", "embedding", k=_SD_K, tau=_SD_TAU)

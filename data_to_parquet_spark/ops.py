@@ -26,6 +26,9 @@ __all__ = [
     "tumbling_agg",
     "asof_join",
     "minhash_candidates",
+    "passage_dup_stats",
+    "mask_pii",
+    "semdedup",
 ]
 
 
@@ -556,3 +559,166 @@ def minhash_candidates(
         )
     )
     return est.filter(F.col("est_jaccard") >= est_threshold)
+
+
+def passage_dup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    passage_tokens: int = 32,
+) -> DataFrame:
+    """Per-document passage-duplication stats: chunk each text into fixed
+    ``passage_tokens``-token passages and report how much of the document
+    consists of passages that also occur in at least one OTHER document.
+
+    Returns (id, n_passages, n_dup_passages, dup_frac). Shuffle shape: two
+    aggregations and one equi-join, all keyed on the passage text —
+    high-cardinality, skew-free. At 100 TB substitute ``xxhash64(passage)``
+    for the passage key to shrink shuffle width.
+    """
+    w = int(passage_tokens)
+    passages = F.expr(
+        f"transform(sequence(1, size(__t), {w}),"
+        f" i -> array_join(slice(__t, i, {w}), ' '))"
+    )
+    pas = (
+        df.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t"))
+        .filter(F.size("__t") > 0)
+        .select("__id", F.explode(passages).alias("__passage"))
+    )
+    per_doc = pas.groupBy("__id", "__passage").agg(F.count(F.lit(1)).alias("__m"))
+    pdf = per_doc.groupBy("__passage").agg(F.count(F.lit(1)).alias("__docs"))
+    dup_m = F.sum(
+        F.when(F.col("__docs") >= 2, F.col("__m")).otherwise(F.lit(0))
+    )
+    return (
+        per_doc.join(pdf, "__passage")
+        .groupBy("__id")
+        .agg(
+            F.sum("__m").alias("n_passages"),
+            dup_m.alias("n_dup_passages"),
+            (dup_m.cast("double") / F.sum("__m")).alias("dup_frac"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+#: default PII patterns: name -> (Java/RE2-compatible regex, mask token)
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "emails": (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "[EMAIL]"),
+    "phones": (r"\+\d+-\d+-\d+", "[PHONE]"),
+    "ipv4s": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+}
+
+
+def mask_pii(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "masked",
+    patterns: dict[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Count and mask machine-recognizable identifiers in ``text_col``.
+
+    Adds one ``n_<name>`` match-count column per pattern plus ``out_col``
+    with every match replaced by its mask token (patterns applied in dict
+    order). Pure per-row JVM regexp work — no shuffle, stays inside
+    whole-stage codegen; the cheapest pipeline stage per byte at 100 TB.
+    """
+    pats = patterns if patterns is not None else PII_PATTERNS
+    out = df
+    for name, (regex, _) in pats.items():
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(text_col, F.lit(regex), F.lit(0))),
+        )
+    masked = F.col(text_col)
+    for regex, token in pats.values():
+        masked = F.regexp_replace(masked, regex, token)
+    return out.withColumn(out_col, masked)
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    tau: float = 0.35,
+    sample_n: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDedup-style semantic dedup over an embedding column: k-means cells
+    (Lloyd on a bounded driver-side sample) + within-cell greedy keep-first
+    prune — drop a row iff a lower-id row in the same cell has cosine >=
+    ``tau``. Returns (id, cell, keep).
+
+    Shuffle shape: cell assignment is one map-side Pandas-UDF pass
+    (centroids broadcast); the candidate join shuffles on the cell id, so
+    the quadratic term is (n/k)^2 per cell — raise ``k`` with corpus size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    sample = np.vstack(
+        [r[vec_col] for r in df.select(vec_col).limit(sample_n).collect()]
+    ).astype("float64")
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(5):  # Lloyd iterations on the sample
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+
+    @F.pandas_udf("int")
+    def nearest_cell(emb: pd.Series) -> pd.Series:
+        m = np.vstack(emb.to_numpy()).astype("float64")
+        d2 = (
+            (m ** 2).sum(axis=1, keepdims=True)
+            - 2 * m @ centroids.T
+            + (centroids ** 2).sum(axis=1)[None, :]
+        )
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    indexed = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        norm(F.col(vec_col)).alias("__nrm"),
+        nearest_cell(vec_col).alias("cell"),
+    )
+    a = indexed.select(
+        F.col("__id").alias("__ida"),
+        F.col("cell").alias("__cella"),
+        F.col("__vec").alias("__veca"),
+        F.col("__nrm").alias("__nrma"),
+    )
+    b = indexed.select(
+        F.col("__id").alias("__idb"),
+        F.col("cell").alias("__cellb"),
+        F.col("__vec").alias("__vecb"),
+        F.col("__nrm").alias("__nrmb"),
+    )
+    drops = (
+        a.join(
+            b,
+            (F.col("__cella") == F.col("__cellb"))
+            & (F.col("__ida") < F.col("__idb")),
+        )
+        .filter(
+            dot(F.col("__veca"), F.col("__vecb"))
+            / (F.col("__nrma") * F.col("__nrmb"))
+            >= float(tau)
+        )
+        .select(F.col("__idb").alias("__id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        indexed.join(drops, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "cell",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -46,3 +46,44 @@ def test_ivf_and_lsh_recall(spark):
         approx = _topk_sets(queries[name](spark, SF).collect())
         got = sum(len(approx[q] & bf[q]) / len(bf[q]) for q in bf) / len(bf)
         assert got >= floor, f"{name} recall collapsed: {got}"
+
+
+def test_semdedup_prune_rule_exact(spark):
+    """Replay the greedy keep-first rule in numpy: given the engine's cell
+    assignment, drop b iff some a < b in the same cell has cos(a, b) >= tau.
+    The engine's keep column must match the replay exactly."""
+    import numpy as np
+
+    from data_to_parquet_spark.operators.similarity import _SD_TAU
+
+    queries = entry_mod.queries()
+    out = {
+        r["vec_id"]: (r["cell"], r["keep"])
+        for r in queries["semdedup_prune"](spark, SF).collect()
+    }
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype="float64")
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    assert set(out) == set(emb)  # one row per vector
+
+    ids = sorted(emb)
+    mat = np.vstack([emb[i] for i in ids])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = mat @ mat.T
+    cell = np.array([out[i][0] for i in ids])
+    expected_drop = set()
+    for bi in range(len(ids)):
+        for ai in range(bi):
+            if cell[ai] == cell[bi] and cos[ai, bi] >= _SD_TAU:
+                expected_drop.add(ids[bi])
+                break
+    actual_drop = {i for i in ids if not out[i][1]}
+    assert actual_drop == expected_drop
+    assert expected_drop, "tau too high: prune is a no-op on this corpus"
+
+    again = {
+        r["vec_id"]: (r["cell"], r["keep"])
+        for r in queries["semdedup_prune"](spark, SF).collect()
+    }
+    assert again == out  # deterministic
