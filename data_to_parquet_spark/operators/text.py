@@ -520,9 +520,13 @@ def tfidf_top_terms(spark, sf_dir):
 
     Scale: term frequencies are one (doc, term) aggregation; the document
     frequency table is a second aggregation over the FIRST one's output
-    (already deduplicated per doc, no re-explode), and it is broadcast back
-    — a term dictionary is tiny next to the corpus. N arrives as a
-    broadcast 1-row cross join, so nothing here collects to the driver.
+    (already deduplicated per doc, no re-explode), joined back on ``term``
+    with NO forced broadcast — a web-scale corpus has 10^8+ distinct
+    terms, so the dictionary is unbounded and only AQE should decide to
+    broadcast when it measures small. The join key is the term itself,
+    which is skew-tolerant here because the left side is already one row
+    per (doc, term). N arrives as a broadcast 1-row cross join, so nothing
+    here collects to the driver.
     The score is rounded to 9 decimals on both engines so the ranking and
     the hash are insensitive to last-ulp libm skew in ``ln`` (same
     technique as `udaf_geometric_mean`); ties break on the term text.
@@ -536,7 +540,7 @@ def tfidf_top_terms(spark, sf_dir):
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .join(F.broadcast(n))
         .select(
             "doc_id",

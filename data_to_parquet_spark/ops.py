@@ -8,6 +8,8 @@ shuffle shape — the property that decides whether it survives 100×.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -621,18 +623,21 @@ def mask_pii(
 
     Adds one ``n_<name>`` match-count column per pattern plus ``out_col``
     with every match replaced by its mask token (patterns applied in dict
-    order). Pure per-row JVM regexp work — no shuffle, stays inside
-    whole-stage codegen; the cheapest pipeline stage per byte at 100 TB.
+    order). Each pattern is counted against the *progressively masked*
+    string — the same text it is then replaced in — so overlapping
+    patterns (e.g. an ipv4 regex that would match digits inside an
+    already-masked phone) yield counts consistent with the final output.
+    Pure per-row JVM regexp work — no shuffle, stays inside whole-stage
+    codegen; the cheapest pipeline stage per byte at 100 TB.
     """
     pats = patterns if patterns is not None else PII_PATTERNS
     out = df
-    for name, (regex, _) in pats.items():
+    masked = F.col(text_col)
+    for name, (regex, token) in pats.items():
         out = out.withColumn(
             f"n_{name}",
-            F.size(F.regexp_extract_all(text_col, F.lit(regex), F.lit(0))),
+            F.size(F.regexp_extract_all(masked, F.lit(regex), F.lit(0))),
         )
-    masked = F.col(text_col)
-    for regex, token in pats.values():
         masked = F.regexp_replace(masked, regex, token)
     return out.withColumn(out_col, masked)
 
@@ -641,26 +646,44 @@ def semdedup(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int = 16,
+    k: int | None = 16,
     tau: float = 0.35,
     sample_n: int = 2048,
     seed: int = 42,
+    cell_target: int = 256,
+    num_salts: int = 8,
 ) -> DataFrame:
     """SemDedup-style semantic dedup over an embedding column: k-means cells
     (Lloyd on a bounded driver-side sample) + within-cell greedy keep-first
     prune — drop a row iff a lower-id row in the same cell has cosine >=
     ``tau``. Returns (id, cell, keep).
 
-    Shuffle shape: cell assignment is one map-side Pandas-UDF pass
-    (centroids broadcast); the candidate join shuffles on the cell id, so
-    the quadratic term is (n/k)^2 per cell — raise ``k`` with corpus size.
-    """
-    import numpy as np
-    import pandas as pd
+    ``k=None`` sizes the cell count from the corpus (one ``df.count()``
+    job): ``k = clamp(n / cell_target, 16, sample_n // 4)``, so cells stay
+    ~``cell_target`` rows and the quadratic within-cell term is bounded as
+    the corpus grows. At 100 TB you'd also raise ``sample_n`` (the Lloyd
+    trainer needs a few samples per cell).
 
+    Shuffle shape: cell assignment is one map-side Pandas-UDF pass
+    (centroids are broadcast constants); the candidate self-join shuffles
+    on ``(cell, salt(id) % num_salts)`` — the right side picks a
+    deterministic salt, the left side is replicated ``num_salts`` ways — so
+    a hot cell fans out over ``num_salts`` reduce keys instead of
+    serializing on one, and the pair set is unchanged (each (a, b) meets in
+    exactly one bucket).
+
+    Note: sampling (and ``k=None`` sizing) runs eager Spark jobs at
+    query-construction time — this operator plans with data, like AQE.
+    """
+    if k is None:
+        n = df.count()
+        k = max(16, min(-(-n // cell_target), max(16, sample_n // 4)))
     sample = np.vstack(
         [r[vec_col] for r in df.select(vec_col).limit(sample_n).collect()]
     ).astype("float64")
+    if len(sample) == 0:
+        raise ValueError("semdedup: input has no rows to sample centroids from")
+    k = min(k, len(sample))
     rng = np.random.default_rng(seed)
     centroids = sample[rng.choice(len(sample), size=k, replace=False)]
     for _ in range(5):  # Lloyd iterations on the sample
@@ -687,22 +710,26 @@ def semdedup(
         norm(F.col(vec_col)).alias("__nrm"),
         nearest_cell(vec_col).alias("cell"),
     )
+    s = int(max(1, num_salts))
     a = indexed.select(
         F.col("__id").alias("__ida"),
         F.col("cell").alias("__cella"),
         F.col("__vec").alias("__veca"),
         F.col("__nrm").alias("__nrma"),
+    ).withColumn(
+        "__salta", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
     )
     b = indexed.select(
         F.col("__id").alias("__idb"),
         F.col("cell").alias("__cellb"),
         F.col("__vec").alias("__vecb"),
         F.col("__nrm").alias("__nrmb"),
-    )
+    ).withColumn("__saltb", F.pmod(F.xxhash64("__idb"), F.lit(s)).cast("int"))
     drops = (
         a.join(
             b,
             (F.col("__cella") == F.col("__cellb"))
+            & (F.col("__salta") == F.col("__saltb"))
             & (F.col("__ida") < F.col("__idb")),
         )
         .filter(

@@ -72,15 +72,25 @@ def test_semdedup_prune_rule_exact(spark):
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     cos = mat @ mat.T
     cell = np.array([out[i][0] for i in ids])
-    expected_drop = set()
+    # The engine computes cosine as a sequential fold; the replay uses a
+    # float64 GEMM. A pair within a few ulps of tau could legitimately land
+    # on either side, so ids whose drop decision hinges on a borderline
+    # pair are excluded from the strict comparison.
+    eps = 1e-9
+    must_drop, may_drop = set(), set()
     for bi in range(len(ids)):
         for ai in range(bi):
-            if cell[ai] == cell[bi] and cos[ai, bi] >= _SD_TAU:
-                expected_drop.add(ids[bi])
+            if cell[ai] != cell[bi]:
+                continue
+            if cos[ai, bi] >= _SD_TAU + eps:
+                must_drop.add(ids[bi])
                 break
+            if cos[ai, bi] >= _SD_TAU - eps:
+                may_drop.add(ids[bi])
     actual_drop = {i for i in ids if not out[i][1]}
-    assert actual_drop == expected_drop
-    assert expected_drop, "tau too high: prune is a no-op on this corpus"
+    uncertain = may_drop - must_drop
+    assert actual_drop - uncertain == must_drop - uncertain
+    assert must_drop, "tau too high: prune is a no-op on this corpus"
 
     again = {
         r["vec_id"]: (r["cell"], r["keep"])

@@ -160,3 +160,58 @@ def test_asof_join_timestamp_tiebreak(spark):
         left, right, "k", "k", "t", "rt", ["tag"], tie_break="updated"
     ).collect()
     assert [r["tag"] for r in out] == ["new"]
+
+
+def test_mask_pii_counts_on_progressively_masked_text(spark):
+    # the email swallows the ipv4-looking substring; counting against the
+    # progressively masked string must report n_ipv4s == 0, consistent with
+    # the final output (counting on the original would say 1)
+    df = spark.createDataFrame(
+        [(1, "mail bob@10.0.0.1.example.com then ping 192.168.0.7")],
+        "id long, body string",
+    )
+    row = ops.mask_pii(df, "body").collect()[0]
+    assert row["n_emails"] == 1
+    assert row["n_ipv4s"] == 1  # only the standalone ip survives the email mask
+    assert row["masked"] == "mail [EMAIL] then ping [IP]"
+
+
+def test_mask_pii_no_patterns_is_identity(spark):
+    df = spark.createDataFrame([(1, "nothing here")], "id long, body string")
+    row = ops.mask_pii(df, "body", patterns={}).collect()[0]
+    assert row["masked"] == "nothing here"
+
+
+def test_semdedup_derived_k_and_salt_exact(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 8)).astype("float64")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vid long, emb array<double>")
+    out = {
+        r["vid"]: (r["cell"], r["keep"])
+        for r in ops.semdedup(
+            df, "vid", "emb", k=None, tau=0.2, cell_target=8, num_salts=3
+        ).collect()
+    }
+    assert set(out) == set(range(60))
+    # replay the greedy keep-first rule on the engine's own cells
+    mat = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = mat @ mat.T
+    cell = np.array([out[i][0] for i in range(60)])
+    expected_drop = {
+        b
+        for b in range(60)
+        if any(cell[a] == cell[b] and cos[a, b] >= 0.2 for a in range(b))
+    }
+    assert {i for i in range(60) if not out[i][1]} == expected_drop
+
+
+def test_semdedup_small_input_clamps_k(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 0.01])],
+        "vid long, emb array<double>",
+    )
+    out = {r["vid"]: r["keep"] for r in ops.semdedup(df, "vid", "emb", k=16, tau=0.9).collect()}
+    assert len(out) == 3  # k clamped to 3 samples, no crash
