@@ -34,75 +34,54 @@ _REGISTRY = REL.merge(
 )
 
 # The driver verifies the first 50 registry entries per round. Round 1
-# checked the first 50 of the REL→EVT→TXT ordering; rotate so the
-# never-checked families (MISC/DEDUP/SIM/PIPE/TPCH_X/STREAMING/CDC/TXT-tail/
-# MM) plus the six queries fixed after round 1 land inside the window.
-# Names listed here run first, in this order; the rest keep merge order.
+# checked the relational window (44 green), round 2 the dedup/similarity/
+# streaming/TPCH-extra/pipeline window (38/38 oracled green). Round 3 puts
+# the 8 queries that have NEVER been driver-verified in slots 1-8, keeps
+# room for queries added this round right after, and fills the rest with
+# green canaries drawn from both prior windows so a regression in either
+# family surfaces. Names listed here run first, in this order; the rest
+# keep merge order (all previously driver-green).
 _PRIORITY = [
-    # reference-parity roundtrip first
-    "excel_roundtrip",
-    # dedup family
-    "dedup_exact_text",
-    "dedup_exact_hash",
-    "neardup_jaccard_pairs",
-    "dedup_minhash_pairs",
-    "dedup_simhash_pairs",
-    "dedup_connected_components",
-    "neardup_ngram_jaccard",
-    # similarity family
-    "similarity_topk_bruteforce",
-    "embedding_neardup_pairs",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "embedding_array_stats",
-    "similarity_ann_pq",
-    # curation pipeline
-    "gopher_quality_gate",
-    "doc_repetition_stats",
-    "contamination_ngram_overlap",
-    "sequence_packing",
-    "source_mix_weights",
-    "udtf_pack_bins",
-    # remaining TPC-H shapes
-    "q2_min_price_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_shipping_delay",
-    "q13_customer_distribution",
-    "q16_supplier_part_cnt",
-    "q20_part_promotion",
-    "q21_waiting_supplier",
-    # streaming
-    "streaming_tumbling_5min",
-    "streaming_session_window",
-    "streaming_stateful_user_totals",
-    "streaming_static_enrichment",
-    "streaming_dedup_exactly_once",
-    "streaming_stream_stream_join",
-    # CDC
-    "scd2_customer_balance_merge",
-    # text tail (never checked in round 1)
-    "regexp_parse_customer_names",
-    "fuzzy_match_part_names",
-    "lang_id_ngram",
-    "doc_winnow_fingerprints",
-    "pipeline_curate_documents",
-    "split_train_val_test",
-    "stratified_sample_documents",
-    # multimodal plumbing
-    "multimodal_decode_manifest",
-    "multimodal_frame_sample",
-    "multimodal_resize_stub",
-    # round-1 err rows, rewritten for hash-stable scalar outputs
-    "approx_aggregates",
-    "agg_collect_arrays",
-    "map_json_props",
-    "udaf_geometric_mean",
-    # round-1 hash fails, oracle dtype casts fixed (slots 51-52: verified
-    # locally; rotate into the window next round)
+    # --- never driver-verified (rounds 1-2 additions/fixes) ---
+    "tfidf_top_terms",
+    "dedup_keep_canonical",
+    "passage_dedup_fraction",
+    "semdedup_prune",
+    "corpus_top_ngrams",
+    "pii_mask_profiles",
     "scalar_part_functions",
     "events_sessionize_30min",
+    # --- new in round 3 (driver-verify on first appearance) ---
+    # (names appended here as operators land)
+    # --- canaries from the round-1 relational window ---
+    "excel_roundtrip",
+    "q1_pricing_summary",
+    "q6_revenue_forecast",
+    "q3_shipping_priority",
+    "topk_orders",
+    "window_top3_suppliers_per_nation",
+    "pivot_returnflag_by_linestatus",
+    "range_join_quantity_bands",
+    "asof_events_latest_order",
+    "grouped_map_percent_rank",
+    "json_functions_events",
+    "text_quality_stats",
+    "token_count_bpe",
+    # --- canaries from the round-2 window ---
+    "dedup_exact_text",
+    "neardup_jaccard_pairs",
+    "dedup_connected_components",
+    "similarity_topk_bruteforce",
+    "embedding_neardup_pairs",
+    "gopher_quality_gate",
+    "contamination_ngram_overlap",
+    "q9_product_profit",
+    "q21_waiting_supplier",
+    "streaming_tumbling_5min",
+    "streaming_stream_stream_join",
+    "scd2_customer_balance_merge",
+    "udaf_geometric_mean",
+    "map_json_props",
 ]
 
 
