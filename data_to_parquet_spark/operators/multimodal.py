@@ -1,11 +1,14 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata,
 decoded/feature-extracted via Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode step is a clearly
-marked STUB (deterministic fake decoder over the payload bytes). Everything
-Spark-side is real and is what matters at scale: the binary column schema,
-the mapInPandas batch shape (pandas ``bytes`` objects in, struct-typed
-metadata out), and the no-shuffle narrow execution.
+The decode step parses REAL image headers for the formats whose containers
+are pure struct-work — PNG (IHDR), JPEG (SOF marker walk), GIF (logical
+screen descriptor) — with stdlib ``struct`` only; payloads that aren't one
+of those fall back to a clearly marked deterministic STUB (the container
+has no PIL/cv2 for full pixel decode). Everything Spark-side is real and is
+what matters at scale: the binary column schema, the mapInPandas batch
+shape (pandas ``bytes`` objects in, struct-typed metadata out), and the
+no-shuffle narrow execution.
 
 At 100 TB the payloads come from ``spark.read.format("binaryFile")`` or
 parquet binary columns; this operator keeps that exact interface.
@@ -13,6 +16,8 @@ parquet binary columns; this operator keeps that exact interface.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -27,6 +32,7 @@ _MANIFEST_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("modality", T.StringType()),
+        T.StructField("format", T.StringType()),
         T.StructField("n_bytes", T.IntegerType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
@@ -35,18 +41,63 @@ _MANIFEST_SCHEMA = T.StructType(
 )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    """STUB image decoder — the real one would be e.g. PIL.Image.open.
+def image_header_dims(payload: bytes) -> tuple[str, int, int] | None:
+    """Parse (format, width, height) from a real image header, stdlib-only.
 
-    Deterministic fake: derives (width, height, checksum) from the bytes so
-    tests/oracles are stable. Replace the body with a real codec in a
-    container that ships one; the Spark plumbing around it is unchanged.
+    PNG: 8-byte signature, then the IHDR chunk carries two big-endian u32s.
+    JPEG: walk the FF-marker segment chain to the first SOFn frame header
+    (skipping the non-frame C4/C8/CC markers), which carries height then
+    width as big-endian u16s. GIF: 6-byte signature then two little-endian
+    u16s. Returns ``None`` when the bytes are not a recognized image — the
+    caller falls back to the deterministic stub.
     """
+    if (
+        payload[:8] == b"\x89PNG\r\n\x1a\n"
+        and len(payload) >= 24
+        and payload[12:16] == b"IHDR"
+    ):
+        w, h = struct.unpack(">II", payload[16:24])
+        return "png", w, h
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                return None  # corrupt segment chain
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:  # bare markers
+                i += 2
+                continue
+            if i + 4 > len(payload):
+                return None
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > len(payload):
+                    return None
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return "jpeg", w, h
+            i += 2 + seg_len
+        return None
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return "gif", w, h
+    return None
+
+
+def _decode(payload: bytes) -> tuple[str, int, int, int]:
+    """(format, width, height, crc32) — real header parse when the payload
+    is PNG/JPEG/GIF, deterministic STUB dimensions otherwise (full pixel
+    decode needs PIL/cv2, absent in this container; the fallback keeps
+    tests/oracles stable and the Spark plumbing identical)."""
+    checksum = zlib.crc32(payload)
+    parsed = image_header_dims(payload)
+    if parsed is not None:
+        fmt, w, h = parsed
+        return fmt, w, h, checksum
     n = len(payload)
-    checksum = 0
-    for i in range(0, n, max(1, n // 64)):  # sample up to 64 positions
-        checksum = (checksum * 131 + payload[i]) % (1 << 31)
-    return 64 + n % 577, 64 + (n * 7) % 577, checksum
+    return "unknown", 64 + n % 577, 64 + (n * 7) % 577, checksum
 
 
 def decode_binary_batches(
@@ -54,15 +105,16 @@ def decode_binary_batches(
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: (doc_id, modality, payload) → manifest rows."""
     for pdf in it:
-        decoded = [_fake_decode(p) for p in pdf["payload"]]
+        decoded = [_decode(p) for p in pdf["payload"]]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].values,
                 "modality": pdf["modality"].values,
+                "format": [d[0] for d in decoded],
                 "n_bytes": [len(p) for p in pdf["payload"]],
-                "width": [d[0] for d in decoded],
-                "height": [d[1] for d in decoded],
-                "checksum": [d[2] for d in decoded],
+                "width": [d[1] for d in decoded],
+                "height": [d[2] for d in decoded],
+                "checksum": [d[3] for d in decoded],
             }
         )
 
@@ -162,11 +214,13 @@ def resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     STUB resizer — a real one would be PIL/cv2; the deterministic fake
     derives 'pixels' from the payload bytes and nearest-neighbor-samples
     them, so batch shapes, binary-out columns and byte budgets are real.
+    Original dimensions come from the real header parse when the payload
+    is a recognized image format.
     """
     for pdf in it:
         rows = {k: [] for k in ("doc_id", "orig_width", "orig_height", "width", "height", "resized")}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            w, h, _ = _fake_decode(payload)
+            _, w, h, _ = _decode(payload)
             # nearest-neighbor sample _TARGET "pixels" per axis from payload
             n = max(len(payload), 1)
             idx = [(i * n) // _TARGET for i in range(_TARGET)]

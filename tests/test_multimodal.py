@@ -1,0 +1,82 @@
+"""Golden tests for the multimodal decode step: real PNG/JPEG/GIF header
+parses (stdlib struct fixtures built byte-by-byte, no image libs needed)
+plus the deterministic stub fallback, end-to-end through mapInPandas."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from data_to_parquet_spark.operators.multimodal import (
+    _MANIFEST_SCHEMA,
+    decode_binary_batches,
+    image_header_dims,
+)
+
+
+def make_png(w: int, h: int) -> bytes:
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+        + b"\x00" * 32  # truncated body; header parse doesn't need it
+    )
+
+
+def make_jpeg(w: int, h: int) -> bytes:
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + b"\x00" * 6
+    # SOF0: len=17, 8-bit precision, height, width, 3 components
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x03"
+        + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def make_gif(w: int, h: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 16
+
+
+def test_image_header_dims_golden():
+    assert image_header_dims(make_png(640, 480)) == ("png", 640, 480)
+    assert image_header_dims(make_jpeg(1024, 768)) == ("jpeg", 1024, 768)
+    assert image_header_dims(make_gif(320, 200)) == ("gif", 320, 200)
+    # progressive JPEG uses SOF2 (0xC2) — same frame-header layout
+    prog = make_jpeg(99, 44).replace(b"\xff\xc0", b"\xff\xc2")
+    assert image_header_dims(prog) == ("jpeg", 99, 44)
+    assert image_header_dims(b"just some text bytes") is None
+    assert image_header_dims(b"") is None
+    assert image_header_dims(b"\xff\xd8\x00garbage") is None  # corrupt chain
+    assert image_header_dims(make_png(1, 1)[:20]) is None  # truncated IHDR
+
+
+def test_decode_manifest_end_to_end_real_images(spark):
+    rows = [
+        (1, "image", make_png(640, 480)),
+        (2, "image", make_jpeg(1024, 768)),
+        (3, "image", make_gif(320, 200)),
+        (4, "audio", b"not an image payload at all"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, modality string, payload binary"
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in df.mapInPandas(
+            decode_binary_batches, _MANIFEST_SCHEMA
+        ).collect()
+    }
+    assert (out[1]["format"], out[1]["width"], out[1]["height"]) == ("png", 640, 480)
+    assert (out[2]["format"], out[2]["width"], out[2]["height"]) == ("jpeg", 1024, 768)
+    assert (out[3]["format"], out[3]["width"], out[3]["height"]) == ("gif", 320, 200)
+    assert out[4]["format"] == "unknown"  # stub fallback path
+    for doc_id, _, payload in [(r[0], r[1], r[2]) for r in rows]:
+        assert out[doc_id]["checksum"] == zlib.crc32(payload)
+        assert out[doc_id]["n_bytes"] == len(payload)
