@@ -377,3 +377,68 @@ def test_date_styled_serial_cells_emit_raw_serial(spark, tmp_path):
     )
     df = read_excel(spark, path)
     assert _rows(df) == [("45292.5", "45292", "2024-01-01T12:00:00")]
+
+
+def test_all_dataref_stringify_arms_one_workbook(spark, tmp_path):
+    """One workbook exercising every calamine ``DataRef`` stringify arm the
+    reference's ``cell_to_string`` handles (/root/reference/src/lib.rs:388-399):
+    Int, Float, String (inline + formula t="str"), SharedString, Bool,
+    DateTime (date-styled serial, emitted raw without the `dates` feature),
+    DateTimeIso, DurationIso, Error, Empty — plus the absent-cell NULL
+    distinction."""
+    path = str(tmp_path / "arms.xlsx")
+    write_xlsx(
+        path,
+        {
+            "Arms": [
+                [
+                    "c_int", "c_float", "c_inline", "c_shared", "c_formula",
+                    "c_bool", "c_serial", "c_iso_dt", "c_iso_dur", "c_err",
+                    "c_empty", "c_absent",
+                ],
+                [
+                    42,
+                    0.30000000000000004,
+                    "inline 哈",
+                    ("shared", "shared twice"),
+                    ("formula_str", "computed"),
+                    True,
+                    ("date_serial", 45678.5),
+                    ("iso", "2024-03-01T12:00:00"),
+                    ("iso", "PT1H30M"),
+                    ("error", "#VALUE!"),
+                    ("empty",),
+                    None,
+                ],
+                [
+                    -7,
+                    1e300,
+                    "",
+                    ("shared", "shared twice"),
+                    ("formula_str", ""),
+                    False,
+                    ("date_serial", 1.0),
+                    ("iso", "1999-12-31"),
+                    ("iso", "P1DT2S"),
+                    ("error", "#REF!"),
+                    ("empty",),
+                    None,
+                ],
+            ]
+        },
+    )
+    df = read_excel(spark, path)
+    assert all(t == "string" for _, t in df.dtypes)
+    got = sorted(_rows(df))
+    assert got == [
+        (
+            # Rust Display never uses scientific notation: 1e300 expands
+            "-7", "1" + "0" * 300, "", "shared twice", "", "false", "1",
+            "1999-12-31", "P1DT2S", "Ref", "", None,
+        ),
+        (
+            "42", "0.30000000000000004", "inline 哈", "shared twice",
+            "computed", "true", "45678.5", "2024-03-01T12:00:00", "PT1H30M",
+            "Value", "", None,
+        ),
+    ]

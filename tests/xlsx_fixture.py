@@ -10,6 +10,7 @@ row is a list of cell specs; a cell spec is one of
 * ``("empty",)``      — present-but-valueless <c/> (→ "" downstream)
 * ``int`` / ``float`` — number cell
 * ``str``             — string cell (inline or shared per ``shared_strings``)
+* ``("shared", s)``   — shared-string cell regardless of the global flag
 * ``bool``            — boolean cell
 * ``("error", lit)``  — error cell, e.g. ("error", "#DIV/0!")
 * ``("iso", text)``   — ISO date cell (t="d")
@@ -84,6 +85,8 @@ def write_xlsx(
                 return f'<c r="{ref}" t="e"><v>{escape(spec[1])}</v></c>'
             if kind == "iso":
                 return f'<c r="{ref}" t="d"><v>{escape(spec[1])}</v></c>'
+            if kind == "shared":
+                return f'<c r="{ref}" t="s"><v>{sst_id(spec[1])}</v></c>'
             if kind == "formula_str":
                 return f'<c r="{ref}" t="str"><v>{escape(spec[1])}</v></c>'
             if kind == "date_serial":
@@ -142,7 +145,7 @@ def write_xlsx(
         f'Type="{_REL}/worksheet" Target="worksheets/sheet{i + 1}.xml"/>'
         for i in range(len(names))
     )
-    if shared_strings and sst:
+    if sst:
         rels += (
             f'<Relationship Id="rIdSst" Type="{_REL}/sharedStrings" '
             f'Target="sharedStrings.xml"/>'
@@ -172,7 +175,7 @@ def write_xlsx(
         + (
             '<Override PartName="/xl/sharedStrings.xml" '
             'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>'
-            if shared_strings and sst
+            if sst
             else ""
         )
         + (
@@ -195,7 +198,7 @@ def write_xlsx(
         z.writestr("_rels/.rels", root_rels)
         z.writestr("xl/workbook.xml", workbook)
         z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
-        if shared_strings and sst:
+        if sst:
             items = "".join(
                 f'<si><t xml:space="preserve">{escape(s)}</t></si>' for s in sst
             )
