@@ -560,3 +560,129 @@ def tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rnk") <= _TFIDF_TOP)
         .select("doc_id", "term", "tf", "df", "tfidf")
     )
+
+
+@TXT.register(
+    "unigram_lm_quality",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+               AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ), corpus AS (
+      SELECT term, SUM(tf) AS c FROM tf GROUP BY term
+    ), n AS (
+      SELECT SUM(c) AS total FROM corpus
+    )
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+           round(SUM(tf.tf * ln(corpus.c / n.total)) / SUM(tf.tf), 9)
+             AS avg_logprob
+    FROM tf JOIN corpus USING (term) CROSS JOIN n
+    GROUP BY tf.doc_id
+    """,
+)
+def unigram_lm_quality(spark, sf_dir):
+    """Language-model quality signal without a model: score every document
+    by the average per-token log-probability under the corpus's own unigram
+    distribution (the cheap stand-in for a KenLM perplexity filter —
+    documents full of corpus-rare tokens score low and are filter
+    candidates).
+
+    Scale: one (doc, term) aggregation, one term aggregation over ITS
+    output, a shuffle join back on term (no forced broadcast — the term
+    dictionary is unbounded; AQE broadcasts when it measures small), and a
+    final per-doc aggregation. All JVM-side; the ln is rounded to 9
+    decimals on both engines only after the per-doc average.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    corpus = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    n = corpus.agg(F.sum("c").cast("double").alias("total"))
+    return (
+        tf.join(corpus, "term")
+        .join(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("c") / F.col("total")))
+                / F.sum("tf"),
+                9,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+_ZIPF_TOP = 1000  # terms used for the log-log fit
+
+
+@TXT.register(
+    "corpus_zipf_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+               AS term
+      FROM documents
+    ), freq AS (
+      SELECT term, COUNT(*) AS c FROM tok GROUP BY term
+    ), ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS rnk
+      FROM freq
+    ), top AS (
+      SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+      FROM ranked WHERE rnk <= {_ZIPF_TOP}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+           round((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                 / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)), 6) AS slope,
+           round((SUM(y) - ((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                 / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))) * SUM(x))
+                 / COUNT(*), 6) AS intercept
+    FROM top
+    """,
+)
+def corpus_zipf_stats(spark, sf_dir):
+    """Corpus health report: least-squares slope of ln(freq) vs ln(rank)
+    over the top {1000} terms — natural text tracks Zipf's law (slope near
+    -1); a synthetic or boilerplate-heavy corpus drifts, so the slope is a
+    one-number drift alarm for an ingest pipeline.
+
+    Scale: one term aggregation, one TakeOrderedAndProject-able top-k by
+    frequency, then a single-row grand aggregate of the regression sums —
+    nothing leaves the cluster until the 1-row result. Rounded to 6 (not
+    9) decimals: the regression sums accumulate ~10^3 ln terms, so the
+    9th decimal is inside cross-engine summation-order noise.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = W.orderBy(F.desc("c"), F.asc("term"))
+    top = (
+        freq.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _ZIPF_TOP)
+        .select(
+            F.log(F.col("rnk").cast("double")).alias("x"),
+            F.log(F.col("c").cast("double")).alias("y"),
+        )
+    )
+    cnt = F.count(F.lit(1))
+    slope = (cnt * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / (
+        cnt * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    )
+    return top.agg(
+        cnt.cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.sum("y") - slope * F.sum("x")) / cnt, 6).alias("intercept"),
+    )
