@@ -52,7 +52,8 @@ _PRIORITY = [
     "scalar_part_functions",
     "events_sessionize_30min",
     # --- new in round 3 (driver-verify on first appearance) ---
-    # (names appended here as operators land)
+    "unigram_lm_quality",
+    "corpus_zipf_stats",
     # --- canaries from the round-1 relational window ---
     "excel_roundtrip",
     "q1_pricing_summary",

@@ -93,7 +93,7 @@ def events_sessionize_30min(spark, sf_dir):
     flagged = e.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
             <= 30 * 60,
             F.lit(0),
         ).otherwise(F.lit(1)),
@@ -429,4 +429,56 @@ def window_value_functions(spark, sf_dir):
         F.last("value").over(wf).alias("last_val"),
         F.nth_value("value", 2).over(wf).alias("second_val"),
         F.ntile(4).over(wo).alias("quartile"),
+    )
+
+
+@EVT.register(
+    "events_rollup_day_hour",
+    oracle="""
+    SELECT CASE WHEN GROUPING(day) = 0
+                THEN strftime(day, '%Y-%m-%d') END AS day,
+           CASE WHEN GROUPING(hr) = 0
+                THEN strftime(hr, '%Y-%m-%d %H:%M:%S') END AS hour_start,
+           CAST(GROUPING(day) * 2 + GROUPING(hr) AS INT) AS lvl,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM (SELECT date_trunc('day', ts) AS day,
+                 date_trunc('hour', ts) AS hr, value
+          FROM events)
+    GROUP BY ROLLUP(day, hr)
+    """,
+)
+def events_rollup_day_hour(spark, sf_dir):
+    """Hypertable-style multi-granularity time rollup: one pass computes the
+    hourly, daily, and grand-total aggregates via ROLLUP(day, hour).
+
+    Scale: map-side partial aggregation feeds all three grains; the shuffle
+    key cardinality is |hours| (the finest grain), so state is bounded by
+    the time span, not the event count. On a cluster this replaces three
+    separate scans of a 100 TB events table with one.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.date_trunc("hour", "ts").alias("hr"),
+            "value",
+        )
+        .rollup("day", "hr")
+        .agg(
+            (F.grouping("day") * 2 + F.grouping("hr"))
+            .cast("int")
+            .alias("lvl"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value", 6)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.when(F.grouping_id() < 2, F.date_format("day", "yyyy-MM-dd"))
+            .alias("day"),
+            F.when(F.grouping_id() == 0, F.date_format("hr", _TS_FMT))
+            .alias("hour_start"),
+            "lvl",
+            "n_events",
+            "sum_value",
+        )
     )

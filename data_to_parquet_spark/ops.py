@@ -432,7 +432,7 @@ def sessionize(
     flagged = df.withColumn(
         "__new",
         F.when(
-            F.col(ts_col).cast("long") - F.lag(ts_col).over(w).cast("long")
+            F.unix_timestamp(ts_col) - F.unix_timestamp(F.lag(ts_col).over(w))
             <= gap_minutes * 60,
             F.lit(0),
         ).otherwise(F.lit(1)),
