@@ -35,25 +35,29 @@ _REGISTRY = REL.merge(
 
 # The driver verifies the first 50 registry entries per round. Round 1
 # checked the relational window (44 green), round 2 the dedup/similarity/
-# streaming/TPCH-extra/pipeline window (38/38 oracled green). Round 3 puts
-# the 8 queries that have NEVER been driver-verified in slots 1-8, keeps
-# room for queries added this round right after, and fills the rest with
-# green canaries drawn from both prior windows so a regression in either
-# family surfaces. Names listed here run first, in this order; the rest
-# keep merge order (all previously driver-green).
+# streaming/TPCH-extra/pipeline window, round 3 the 8 never-verified + new
+# queries (42/42 oracled green). Round 4 leads with this round's FIXES —
+# the only never-driver-green query (events_rollup_day_hour, crashed in r3)
+# and ALL SIX streaming queries (4 crashed on the regenerated NTZ testdata;
+# the other 2 last ran against the old layout) — then the perf-touched
+# queries (minhash/simhash/q10/sessionize precision), queries added this
+# round, and green canaries from every prior window. Names listed here run
+# first, in this order; the rest keep merge order.
 _PRIORITY = [
-    # --- never driver-verified (rounds 1-2 additions/fixes) ---
-    "tfidf_top_terms",
-    "dedup_keep_canonical",
-    "passage_dedup_fraction",
-    "semdedup_prune",
-    "corpus_top_ngrams",
-    "pii_mask_profiles",
-    "scalar_part_functions",
+    # --- round-4 fixes: never green or red last round ---
+    "events_rollup_day_hour",
+    "streaming_tumbling_5min",
+    "streaming_session_window",
+    "streaming_stateful_user_totals",
+    "streaming_static_enrichment",
+    "streaming_dedup_exactly_once",
+    "streaming_stream_stream_join",
+    # --- round-4 code-touched (perf/precision rewrites) ---
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "q10_returned_items",
     "events_sessionize_30min",
-    # --- new in round 3 (driver-verify on first appearance) ---
-    "unigram_lm_quality",
-    "corpus_zipf_stats",
+    # --- new in round 4 (driver-verify on first appearance) ---
     # --- canaries from the round-1 relational window ---
     "excel_roundtrip",
     "q1_pricing_summary",
@@ -78,11 +82,19 @@ _PRIORITY = [
     "contamination_ngram_overlap",
     "q9_product_profit",
     "q21_waiting_supplier",
-    "streaming_tumbling_5min",
-    "streaming_stream_stream_join",
     "scd2_customer_balance_merge",
     "udaf_geometric_mean",
     "map_json_props",
+    # --- canaries from the round-3 window ---
+    "tfidf_top_terms",
+    "dedup_keep_canonical",
+    "passage_dedup_fraction",
+    "semdedup_prune",
+    "corpus_top_ngrams",
+    "pii_mask_profiles",
+    "scalar_part_functions",
+    "unigram_lm_quality",
+    "corpus_zipf_stats",
 ]
 
 

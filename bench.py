@@ -201,9 +201,42 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    regressions = _vs_previous_round(times)
+    if regressions:
+        line["regressions"] = regressions
     if errors:
         line["errors"] = errors
     print(json.dumps(line))
+
+
+def _vs_previous_round(times: dict[str, float]) -> dict[str, str]:
+    """Round-over-round drift guard: compare per-query wall time against the
+    newest BENCH_r*.json in the repo root and report >1.5x slowdowns (only
+    where both runs spent enough time for the ratio to mean anything)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not prior:
+        return {}
+    try:
+        with open(prior[-1]) as f:
+            prev = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        return {}
+    out: dict[str, str] = {}
+    for name, now in times.items():
+        then = prev.get(name)
+        if then and then >= 0.2 and now >= 0.5 and now > then * 1.5:
+            out[name] = (
+                f"{then}s -> {now}s ({now / then:.1f}x vs "
+                f"{os.path.basename(prior[-1])})"
+            )
+    return out
 
 
 if __name__ == "__main__":

@@ -13,24 +13,42 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["Query", "Registry", "load_table"]
+__all__ = ["Query", "Registry", "load_table", "normalize_event_time"]
+
+
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to session-timezone TIMESTAMP.
+
+    The events fixture has shipped in two parquet layouts across testdata
+    generations: TIMESTAMP(NANOS) (surfaces as ``bigint`` under
+    ``spark.sql.legacy.parquet.nanosAsLong``) and TIMESTAMP_NTZ micros.
+    Batch and streaming must read the *same* type regardless — and
+    ``withWatermark`` requires TIMESTAMP (it rejects TIMESTAMP_NTZ with
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The session timezone is pinned
+    UTC (session.py), so the NTZ→TZ cast preserves the wall-clock values
+    and DuckDB oracles keep hashing identically.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        # nanos-as-long: ns are positive, so `div 1000` truncates exactly
+        # like DuckDB's ns→us read does.
+        df = df.withColumn(
+            col, F.timestamp_micros(F.expr(f"{col} div 1000"))
+        )
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-        # default (PARQUET_TYPE_ILLEGAL). Read nanos as long and convert to
-        # microsecond timestamps with integer division (ns are positive, so
-        # `div 1000` truncates exactly like DuckDB's ns→us read does).
+        # Tolerate the TIMESTAMP(NANOS)-era layout, which Spark 4 rejects by
+        # default (PARQUET_TYPE_ILLEGAL) without nanosAsLong.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
-        return df
+        return normalize_event_time(df, "ts")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -52,7 +52,7 @@ def scd2_customer_balance_merge(spark, sf_dir):
         "c_custkey", (F.col("c_acctbal") * 1.1).cast("decimal(18,2)").cast("double").alias("new_acctbal")
     )
     closed = (
-        c.join(F.broadcast(updates), "c_custkey", "left")
+        c.join(updates, "c_custkey", "left")
         .select(
             "c_custkey",
             "c_name",
@@ -63,7 +63,7 @@ def scd2_customer_balance_merge(spark, sf_dir):
             F.lit(1).alias("version"),
         )
     )
-    appended = c.join(F.broadcast(updates), "c_custkey").select(
+    appended = c.join(updates, "c_custkey").select(
         "c_custkey",
         "c_name",
         F.col("new_acctbal").alias("c_acctbal"),

@@ -90,11 +90,14 @@ def events_sessionize_30min(spark, sf_dir):
         .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # microsecond-precision gap compare: the oracle's `ts - LAG(ts) <=
+    # INTERVAL '30 minutes'` is exact to the micro; unix_timestamp truncates
+    # to whole seconds and can flip gaps in (1800s, 1801s)
     flagged = e.withColumn(
         "new_session",
         F.when(
-            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-            <= 30 * 60,
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            <= 30 * 60 * 1_000_000,
             F.lit(0),
         ).otherwise(F.lit(1)),
     )
@@ -473,9 +476,12 @@ def events_rollup_day_hour(spark, sf_dir):
             F.sum(money("value", 6)).cast("double").alias("sum_value"),
         )
         .select(
-            F.when(F.grouping_id() < 2, F.date_format("day", "yyyy-MM-dd"))
+            # grouping()/grouping_id() are only legal inside the rollup
+            # aggregate, so the null-out gating rides the lvl column the
+            # agg already computed (lvl = grouping(day)*2 + grouping(hr))
+            F.when(F.col("lvl") < 2, F.date_format("day", "yyyy-MM-dd"))
             .alias("day"),
-            F.when(F.grouping_id() == 0, F.date_format("hr", _TS_FMT))
+            F.when(F.col("lvl") == 0, F.date_format("hr", _TS_FMT))
             .alias("hour_start"),
             "lvl",
             "n_events",

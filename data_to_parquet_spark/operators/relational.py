@@ -170,7 +170,7 @@ def q3_shipping_priority(spark, sf_dir):
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            c.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")
@@ -226,9 +226,9 @@ def q5_local_supplier_volume(spark, sf_dir):
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -281,7 +281,7 @@ def q10_returned_items(spark, sf_dir):
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
@@ -814,8 +814,8 @@ def q7_nation_volume(spark, sf_dir):
     )
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
@@ -856,7 +856,7 @@ def q14_promo_revenue_ratio(spark, sf_dir):
             (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (
                 F.lit(100.0)
@@ -888,7 +888,7 @@ def q18_large_orders(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "o_orderkey", "o_totalprice")
         .agg(F.sum(money("l_quantity")).alias("qty_dec"))
         .filter(F.col("qty_dec") > 150)
@@ -1020,7 +1020,7 @@ def q19_disjunctive_predicates(spark, sf_dir):
     """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    joined = li.join(p, F.col("p_partkey") == F.col("l_partkey"))
     cond = (
         (
             (F.col("p_brand") == "Brand#1")

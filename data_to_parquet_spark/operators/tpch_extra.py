@@ -82,8 +82,8 @@ def q2_min_price_supplier(spark, sf_dir):
             (F.col("l_partkey") == F.col("b_partkey"))
             & (F.col("min_price") == F.col("best_price")),
         )
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "s_suppkey", "best_price")
@@ -140,7 +140,7 @@ def q8_market_share(spark, sf_dir):
     zero = F.lit(0).cast("decimal(18,6)")
     nation_rev = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(zero)
     return (
-        li.join(F.broadcast(p.filter(F.col("p_type") == "PROMO")),
+        li.join(p.filter(F.col("p_type") == "PROMO"),
                 F.col("p_partkey") == F.col("l_partkey"))
         .join(
             o.filter(
@@ -149,13 +149,13 @@ def q8_market_share(spark, sf_dir):
             ),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
         .join(
             F.broadcast(r.filter(F.col("r_name") == "ASIA")),
             F.col("r_regionkey") == F.col("cn_region"),
         )
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -201,8 +201,8 @@ def q9_product_profit(spark, sf_dir):
         4,
     )
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -371,9 +371,9 @@ def q16_supplier_part_cnt(spark, sf_dir):
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(
-            F.broadcast(bad),
+            bad,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -420,7 +420,7 @@ def q20_part_promotion(spark, sf_dir):
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum(money("l_quantity")).alias("qty_dec"))
         .filter(F.col("qty_dec") > 300)
@@ -504,7 +504,7 @@ def q21_waiting_supplier(spark, sf_dir):
     return (
         blame.join(uniq, "l_orderkey")
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

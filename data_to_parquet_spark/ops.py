@@ -429,11 +429,14 @@ def sessionize(
         .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # compare gaps at microsecond precision (unix_timestamp truncates to
+    # whole seconds, which can misclassify gaps that straddle the threshold
+    # by a sub-second fraction)
     flagged = df.withColumn(
         "__new",
         F.when(
-            F.unix_timestamp(ts_col) - F.unix_timestamp(F.lag(ts_col).over(w))
-            <= gap_minutes * 60,
+            F.unix_micros(ts_col) - F.unix_micros(F.lag(ts_col).over(w))
+            <= gap_minutes * 60 * 1_000_000,
             F.lit(0),
         ).otherwise(F.lit(1)),
     )

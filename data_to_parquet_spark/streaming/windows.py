@@ -16,12 +16,28 @@ import threading
 from pyspark.sql import functions as F
 
 from ..functions.exprs import money
-from ..operators.base import Registry
+from ..operators.base import Registry, normalize_event_time
 
 STREAMING = Registry()
 
 _counter = threading.Lock()
 _n = [0]
+
+
+def _events_stream(spark, sf_dir):
+    """File-source stream over the events table with event-time
+    normalization (nanos-as-long or TIMESTAMP_NTZ → TIMESTAMP, the one type
+    ``withWatermark`` accepts) — the streaming twin of
+    ``operators.base.load_table``; both ride ``normalize_event_time`` so
+    batch and streaming read identical types."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    source = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return normalize_event_time(source, "ts")
 
 
 @STREAMING.register(
@@ -43,24 +59,12 @@ def streaming_tumbling_5min(spark, sf_dir):
     window+type grouping keeps per-trigger state proportional to active
     windows, not history.
     """
-    # events.ts is parquet TIMESTAMP(NANOS): read nanos as long, convert (see
-    # operators.base.load_table for the batch-side twin of this handling)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     with _counter:
         _n[0] += 1
         sink = f"streaming_tumbling_out_{_n[0]}"
-    # the file streaming source wants a directory: stream the sf dir with a
-    # glob filter selecting just the events file
-    source = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(source.dtypes).get("ts") == "bigint":
-        source = source.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    # the file streaming source wants a directory: _events_stream globs just
+    # the events file out of the sf dir and normalizes the ts type
+    source = _events_stream(spark, sf_dir)
     stream = (
         source.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
@@ -117,20 +121,10 @@ def streaming_session_window(spark, sf_dir):
     Scale: session state is per (user, open-session); the watermark closes
     sessions and evicts state; on an unbounded source this runs continuously.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     with _counter:
         _n[0] += 1
         sink = f"streaming_session_out_{_n[0]}"
-    source = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(source.dtypes).get("ts") == "bigint":
-        source = source.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    source = _events_stream(spark, sf_dir)
     agg = (
         source.withWatermark("ts", "10 minutes")
         .groupBy(
@@ -179,20 +173,10 @@ def streaming_stateful_user_totals(spark, sf_dir):
     """
     import pandas as _pd
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     with _counter:
         _n[0] += 1
         sink = f"streaming_stateful_out_{_n[0]}"
-    source = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(source.dtypes).get("ts") == "bigint":
-        source = source.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    source = _events_stream(spark, sf_dir)
 
     def update_totals(key, pdfs, state):
         if state.exists:
@@ -233,22 +217,6 @@ def streaming_stateful_user_totals(spark, sf_dir):
     return spark.table(sink)
 
 
-def _events_stream(spark, sf_dir):
-    """File-source stream over the events table (ns→µs ts normalization)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    source = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(source.dtypes).get("ts") == "bigint":
-        source = source.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    return source
-
-
 @STREAMING.register(
     "streaming_static_enrichment",
     oracle="""
@@ -277,7 +245,7 @@ def streaming_static_enrichment(spark, sf_dir):
         _n[0] += 1
         sink = f"streaming_enrich_out_{_n[0]}"
     joined = source.join(
-        F.broadcast(customer), source.user_id == customer.c_custkey
+        customer, source.user_id == customer.c_custkey
     )
     agg = joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
