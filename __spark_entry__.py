@@ -58,6 +58,12 @@ _PRIORITY = [
     "q10_returned_items",
     "events_sessionize_30min",
     # --- new in round 4 (driver-verify on first appearance) ---
+    "events_sliding_10min",
+    "streaming_sliding_10min",
+    "value_histogram_events",
+    "source_cap_docs",
+    "pii_extract_spans",
+    "dedup_incremental_new_batch",
     # --- canaries from the round-1 relational window ---
     "excel_roundtrip",
     "q1_pricing_summary",

@@ -436,6 +436,109 @@ def window_value_functions(spark, sf_dir):
 
 
 @EVT.register(
+    "events_sliding_10min",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '5 minutes', ts)
+                    - o * INTERVAL '5 minutes',
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events CROSS JOIN (VALUES (0), (1)) AS offs(o)
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_10min(spark, sf_dir):
+    """Sliding (hopping) window aggregate: 10-minute windows every 5
+    minutes — each event contributes to exactly size/hop = 2 windows.
+
+    Spark's ``F.window(ts, size, hop)`` expands each row into its member
+    windows before the aggregate (the oracle mirrors that with a 2-row
+    cross join on the hop offset); both engines align hops to the epoch so
+    the window edges agree. Scale: the fan-out factor is size/hop (a
+    constant), then the same map-side partial aggregation as tumbling —
+    state is |active windows| × |types|, not |events|.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value", 6)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_HIST_STEP = 25  # bucket width over value in [0, 500)
+_HIST_BUCKETS = 20
+
+
+@EVT.register(
+    "value_histogram_events",
+    oracle=f"""
+    SELECT CAST(CASE WHEN value < 0 THEN -1
+                     WHEN value >= {_HIST_STEP * _HIST_BUCKETS} THEN {_HIST_BUCKETS}
+                     ELSE CAST(floor(value / {_HIST_STEP}) AS INT) END AS INT) AS bucket,
+           CAST(CASE WHEN value < 0 THEN -1
+                     WHEN value >= {_HIST_STEP * _HIST_BUCKETS} THEN {_HIST_BUCKETS}
+                     ELSE CAST(floor(value / {_HIST_STEP}) AS INT) END
+                * {_HIST_STEP} AS DOUBLE) AS bucket_lo,
+           COUNT(*) AS n,
+           CAST(MIN(value) AS DOUBLE) AS min_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def value_histogram_events(spark, sf_dir):
+    """Fixed-width histogram of the event value distribution with
+    under/overflow buckets — the one-pass profiling aggregate you run
+    before choosing quality-filter thresholds on a new corpus.
+
+    Scale: a single map-side-combined aggregate keyed by ≤ 22 buckets; the
+    shuffle carries one row per (partition, bucket). Fixed bucket edges
+    (rather than quantile-derived ones) keep it one pass and
+    deterministic; `percentile_prices_by_flag` covers the exact-quantile
+    alternative.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 0, F.lit(-1))
+        .when(
+            F.col("value") >= _HIST_STEP * _HIST_BUCKETS,
+            F.lit(_HIST_BUCKETS),
+        )
+        .otherwise(F.floor(F.col("value") / _HIST_STEP).cast("int"))
+        .cast("int")
+    )
+    return (
+        e.select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * _HIST_STEP).cast("double").alias("bucket_lo"),
+            "n",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+@EVT.register(
     "events_rollup_day_hour",
     oracle="""
     SELECT CASE WHEN GROUPING(day) = 0

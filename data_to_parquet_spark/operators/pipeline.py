@@ -462,3 +462,42 @@ def corpus_top_ngrams(spark, sf_dir):
         .orderBy(F.desc("n_occurrences"), F.asc("gram"))
         .limit(_TOPNG_K)
     )
+
+
+_CAP_PER_SOURCE = 10  # deterministic per-source document cap
+
+
+@PIPE.register(
+    "source_cap_docs",
+    oracle=f"""
+    SELECT doc_id, source, rk
+    FROM (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY md5(text), doc_id) AS INT) AS rk
+      FROM documents
+    )
+    WHERE rk <= {_CAP_PER_SOURCE}
+    """,
+)
+def source_cap_docs(spark, sf_dir):
+    """Per-source document cap: keep at most N docs per source, chosen by
+    a deterministic content-hash order (md5) so reruns and engines agree —
+    the "no single crawl may dominate the mixture" curation rule.
+
+    Scale: one shuffle on source + a per-group top-N. Ranking by a hash
+    rather than doc_id avoids biasing the kept set toward early-crawled
+    documents. If a handful of sources hold most of the corpus (the usual
+    skew), the window sort is still per-source; for pathological
+    single-source skew, the two-stage trick in `topk_orders`' docstring
+    (per-partition pre-top-N, then final) applies unchanged because
+    row_number ≤ N only needs each partition's N smallest hashes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.md5(F.col("text")), "doc_id")
+    return (
+        d.select(
+            "doc_id", "source", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= _CAP_PER_SOURCE)
+    )

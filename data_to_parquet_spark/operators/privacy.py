@@ -93,3 +93,68 @@ def pii_mask_profiles(spark, sf_dir):
         patterns={k: PII_PATTERNS[k] for k in ("emails", "phones")},
     )
     return masked.select("c_custkey", "n_emails", "n_phones", "masked")
+
+
+@PRIV.register(
+    "pii_extract_spans",
+    oracle=f"""
+    WITH prof AS (
+      SELECT c_custkey,
+             c_name
+             || CASE WHEN c_custkey % 3 <> 0
+                THEN ' contact user' || CAST(c_custkey AS VARCHAR)
+                     || '@example.com' ELSE '' END
+             || CASE WHEN c_custkey % 2 = 0
+                THEN ' phone +1-555-'
+                     || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+             || ' segment ' || c_mktsegment AS profile
+      FROM customer
+    )
+    SELECT c_custkey,
+           regexp_extract_all(profile, '{_EMAIL_RE}') AS emails,
+           regexp_extract_all(profile, '{_PHONE_RE}') AS phones
+    FROM prof
+    WHERE len(regexp_extract_all(profile, '{_EMAIL_RE}'))
+          + len(regexp_extract_all(profile, '{_PHONE_RE}')) > 0
+    """,
+)
+def pii_extract_spans(spark, sf_dir):
+    """PII span extraction (the audit/report twin of `pii_mask_profiles`):
+    return every matched identifier per document rather than masking them —
+    what a compliance review or a reversible-pseudonymization stage needs.
+
+    Scale: identical posture to masking — per-row JVM regexp in the scan
+    stage, no shuffle; the match arrays stay bounded by matches-per-doc.
+    Same synthesized profile strings as `pii_mask_profiles`, so the oracle
+    value-checks the extraction itself.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    profile = F.concat(
+        F.col("c_name"),
+        F.when(
+            key % 3 != 0,
+            F.concat(
+                F.lit(" contact user"),
+                key.cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            key % 2 == 0,
+            F.concat(
+                F.lit(" phone +1-555-"),
+                F.lpad((key % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(" segment "),
+        F.col("c_mktsegment"),
+    )
+    p = c.select("c_custkey", profile.alias("profile"))
+    out = p.select(
+        "c_custkey",
+        F.regexp_extract_all("profile", F.lit(_EMAIL_RE), 0).alias("emails"),
+        F.regexp_extract_all("profile", F.lit(_PHONE_RE), 0).alias("phones"),
+    )
+    return out.filter(F.size("emails") + F.size("phones") > 0)

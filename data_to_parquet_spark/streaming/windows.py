@@ -90,6 +90,59 @@ def streaming_tumbling_5min(spark, sf_dir):
 
 
 @STREAMING.register(
+    "streaming_sliding_10min",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '5 minutes', ts)
+                    - o * INTERVAL '5 minutes',
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events CROSS JOIN (VALUES (0), (1)) AS offs(o)
+    GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_10min(spark, sf_dir):
+    """Watermarked sliding-window aggregate: 10-minute windows hopping
+    every 5 — the streaming twin of ``events_sliding_10min`` (same oracle).
+
+    Scale: per-trigger state is |active windows| × |types| with each event
+    feeding size/hop = 2 windows; the watermark closes windows 10 minutes
+    after their end and evicts their state, so an unbounded stream holds a
+    bounded window set.
+    """
+    with _counter:
+        _n[0] += 1
+        sink = f"streaming_sliding_out_{_n[0]}"
+    source = _events_stream(spark, sf_dir)
+    stream = (
+        source.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value", 6)).cast("double").alias("sum_value"),
+        )
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@STREAMING.register(
     "streaming_session_window",
     oracle="""
     WITH flagged AS (
