@@ -64,6 +64,7 @@ _PRIORITY = [
     "source_cap_docs",
     "pii_extract_spans",
     "dedup_incremental_new_batch",
+    "lateral_top2_orders_per_customer",
     # --- canaries from the round-1 relational window ---
     "excel_roundtrip",
     "q1_pricing_summary",
@@ -99,8 +100,6 @@ _PRIORITY = [
     "corpus_top_ngrams",
     "pii_mask_profiles",
     "scalar_part_functions",
-    "unigram_lm_quality",
-    "corpus_zipf_stats",
 ]
 
 

@@ -58,6 +58,13 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "pii_mask_profiles",
     "semdedup_prune",
+    # added round 4: sliding windows, histogram, caps, spans, incremental
+    "events_sliding_10min",
+    "value_histogram_events",
+    "source_cap_docs",
+    "pii_extract_spans",
+    "dedup_incremental_new_batch",
+    "events_rollup_day_hour",
 ]
 
 

@@ -611,27 +611,21 @@ def dedup_incremental_new_batch(spark, sf_dir):
     the per-row compare count; a same-block prefix-filter (as in
     `neardup_jaccard_pairs`) drops in if batches grow.
     """
+    from ..ops import incremental_neardup
+
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", "lang", distinct_tokens(F.col("text")).alias("toks")
     )
-    new_batch = tok.filter(F.col("doc_id") % _INCR_NEW_MOD == 0).select(
-        F.col("doc_id").alias("new_doc_id"),
-        F.col("lang").alias("n_lang"),
-        F.col("toks").alias("n_toks"),
-    )
-    corpus = tok.filter(F.col("doc_id") % _INCR_NEW_MOD != 0).select(
-        F.col("doc_id").alias("dup_of"),
-        F.col("lang").alias("c_lang"),
-        F.col("toks").alias("c_toks"),
-    )
-    inter = F.size(F.array_intersect("n_toks", "c_toks"))
-    union = F.size("n_toks") + F.size("c_toks") - inter
-    jac = inter.cast("double") / union
-    return (
-        corpus.join(
-            F.broadcast(new_batch), F.col("n_lang") == F.col("c_lang")
-        )
-        .select("new_doc_id", "dup_of", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= _INCR_THRESHOLD)
+    return incremental_neardup(
+        tok.filter(F.col("doc_id") % _INCR_NEW_MOD == 0),
+        tok.filter(F.col("doc_id") % _INCR_NEW_MOD != 0),
+        "doc_id",
+        "toks",
+        block_col="lang",
+        threshold=_INCR_THRESHOLD,
+    ).select(
+        F.col("new_id").alias("new_doc_id"),
+        F.col("corpus_id").alias("dup_of"),
+        "jaccard",
     )

@@ -1138,3 +1138,44 @@ def window_rank_family(spark, sf_dir):
         F.cume_dist().over(w).alias("cume"),
         F.percent_rank().over(w).alias("pct"),
     )
+
+
+@REL.register(
+    "lateral_top2_orders_per_customer",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 2
+    ) t
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def lateral_top2_orders_per_customer(spark, sf_dir):
+    """Correlated LATERAL subquery (Spark 4 SQL surface): each BUILDING
+    customer joined to its 2 most recent orders.
+
+    Catalyst decorrelates the LATERAL into a ranked window over the
+    orders side (per-key top-k), not a per-row re-execution — so the plan
+    is the same shuffle-once shape as `window_top3_suppliers_per_nation`
+    and survives scale; the LATERAL form is exercised because it is the
+    SQL idiom users reach for first.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "lat_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM lat_customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )

@@ -31,6 +31,8 @@ __all__ = [
     "passage_dup_stats",
     "mask_pii",
     "semdedup",
+    "cap_per_group",
+    "incremental_neardup",
 ]
 
 
@@ -751,4 +753,76 @@ def semdedup(
             "cell",
             F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
         )
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_cols: list[str | Column] | None = None,
+    hash_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keep at most ``n`` rows per ``group_col`` value, in a deterministic
+    order — the "no group may dominate" sampling/cap rule.
+
+    Order precedence: explicit ``order_cols``; else a content-hash order
+    over ``hash_cols`` (md5 of their concatenation — engine-portable and
+    unbiased by insertion order).
+
+    Shuffle shape: one shuffle on the group key + a per-group top-N
+    (row_number window). Skewed groups sort only their own partitioned
+    slice; the window needs each partition's n smallest keys only.
+    """
+    if order_cols is None:
+        if not hash_cols:
+            raise ValueError("need order_cols or hash_cols")
+        order_cols = [
+            F.md5(F.concat_ws("\x1f", *[F.col(c) for c in hash_cols]))
+        ] + [F.col(c) for c in hash_cols]
+    w = W.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )
+
+
+def incremental_neardup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    elements_col: str,
+    block_col: str | None = None,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Match an incoming batch against an already-deduplicated corpus:
+    emit (new_id, corpus_id, jaccard) for every pair whose element-set
+    Jaccard ≥ ``threshold``. Neither side is compared with itself — the
+    steady-state ingest shape, where the corpus never re-dedups.
+
+    Scale: the batch (assumed ≪ corpus — an ingest window) is broadcast,
+    so the corpus streams past with no shuffle; ``block_col`` (e.g. lang)
+    bounds comparisons per corpus row. For large batches, swap in the
+    prefix-filter index join (`neardup_jaccard_prefix`) on the unioned
+    frame and post-filter to cross-side pairs.
+    """
+    left = new_df.select(
+        F.col(id_col).alias("new_id"),
+        *( [F.col(block_col).alias("__nb")] if block_col else [] ),
+        F.col(elements_col).alias("__ne"),
+    )
+    right = corpus_df.select(
+        F.col(id_col).alias("corpus_id"),
+        *( [F.col(block_col).alias("__cb")] if block_col else [] ),
+        F.col(elements_col).alias("__ce"),
+    )
+    cond = F.col("__nb") == F.col("__cb") if block_col else F.lit(True)
+    inter = F.size(F.array_intersect("__ne", "__ce"))
+    union = F.size("__ne") + F.size("__ce") - inter
+    jac = inter.cast("double") / union
+    return (
+        right.join(F.broadcast(left), cond)
+        .select("new_id", "corpus_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )

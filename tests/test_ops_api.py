@@ -215,3 +215,65 @@ def test_semdedup_small_input_clamps_k(spark):
     )
     out = {r["vid"]: r["keep"] for r in ops.semdedup(df, "vid", "emb", k=16, tau=0.9).collect()}
     assert len(out) == 3  # k clamped to 3 samples, no crash
+
+
+def test_cap_per_group_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, f"s{i % 2}", f"text {i}") for i in range(10)],
+        "pk long, src string, body string",
+    )
+    out = ops.cap_per_group(df, "src", 3, hash_cols=["body"])
+    rows = out.collect()
+    assert len(rows) == 6
+    by_src: dict[str, int] = {}
+    for r in rows:
+        by_src[r["src"]] = by_src.get(r["src"], 0) + 1
+    assert by_src == {"s0": 3, "s1": 3}
+    # deterministic across runs
+    again = {r["pk"] for r in ops.cap_per_group(df, "src", 3, hash_cols=["body"]).collect()}
+    assert again == {r["pk"] for r in rows}
+    # explicit order override
+    first2 = ops.cap_per_group(df, "src", 2, order_cols=["pk"]).collect()
+    assert sorted(r["pk"] for r in first2) == [0, 1, 2, 3]
+
+
+def test_cap_per_group_requires_order(spark):
+    df = spark.createDataFrame([(1, "a")], "pk long, src string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ops.cap_per_group(df, "src", 1)
+
+
+def test_incremental_neardup_asymmetric(spark):
+    toks = F.array_distinct(F.split(F.lower(F.col("body")), " "))
+    new = spark.createDataFrame(
+        [
+            (100, "g", "the quick brown fox jumps"),
+            (101, "g", "nothing shared with anyone"),
+        ],
+        "pk long, grp string, body string",
+    ).withColumn("toks", toks)
+    corpus = spark.createDataFrame(
+        [
+            (1, "g", "the quick brown fox jumps"),
+            (2, "g", "the quick brown fox leaps"),
+            (3, "h", "the quick brown fox jumps"),  # other block
+        ],
+        "pk long, grp string, body string",
+    ).withColumn("toks", toks)
+    got = ops.incremental_neardup(
+        new, corpus, "pk", "toks", block_col="grp", threshold=0.6
+    ).collect()
+    pairs = sorted((r["new_id"], r["corpus_id"]) for r in got)
+    # 100 matches corpus 1 exactly (jac 1.0) and 2 at 4/6; 3 blocked out;
+    # 101 matches nothing; corpus-vs-corpus pairs never emitted
+    assert pairs == [(100, 1), (100, 2)]
+    # no blocking: block 'h' twin now matches too
+    got2 = ops.incremental_neardup(
+        new, corpus, "pk", "toks", threshold=0.99
+    ).collect()
+    assert sorted((r["new_id"], r["corpus_id"]) for r in got2) == [
+        (100, 1),
+        (100, 3),
+    ]

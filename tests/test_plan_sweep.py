@@ -1,0 +1,67 @@
+"""Scale-posture sweep: every registered batch query must plan without a
+CartesianProduct, and may use BroadcastNestedLoopJoin only where one side
+is bounded by construction (explicit allowlist). This mechanically guards
+the 100 TB design rule that pair generation is always blocked/bucketed —
+a regression that sneaks a cross join into any query fails here, not in a
+cluster.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+# Queries where a BroadcastNestedLoopJoin is the *intended* plan because one
+# side is bounded by construction (a literal dim table, a fixed query set, a
+# 1-row aggregate) — never corpus-sized.
+ALLOW_BNLJ = {
+    "range_join_quantity_bands",  # literal band table (3 rows)
+    "similarity_topk_bruteforce",  # fixed query-vector set, broadcast
+    "similarity_ann_lsh",  # same bounded query set
+    "similarity_ann_ivf",
+    "similarity_ann_pq",
+    "embedding_array_stats",  # 1-row global agg joined back
+    "q11_important_parts",  # 1-row scalar-subquery threshold
+    "q22_global_sales_opportunity",  # 1-row avg-balance subquery
+    "time_grid_fill",  # bounded hour grid from min/max
+    "corpus_zipf_stats",  # 1-row corpus totals
+    "unigram_lm_quality",  # 1-row vocab/total join
+    "tfidf_top_terms",  # 1-row corpus doc-count N joined back
+    "lang_id_ngram",  # fixed char-bigram language profiles (bounded)
+}
+
+# Streaming queries execute a real streaming run when built (availableNow to
+# a memory sink), so the batch-plan sweep skips them — their plans are
+# checked by their own oracle-parity runs. The excel roundtrip builds a
+# workbook fixture; its (join-free) plan is covered by the source tests.
+SKIP_PREFIXES = ("streaming_",)
+SKIP = {"excel_roundtrip"}
+
+_QUERIES = [
+    n
+    for n in entry_mod.queries()
+    if not n.startswith(SKIP_PREFIXES) and n not in SKIP
+]
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", _QUERIES)
+def test_no_unbounded_pair_joins(name, spark, sf_dir):
+    df = entry_mod.queries()[name](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if "BroadcastNestedLoopJoin" in plan:
+        assert name in ALLOW_BNLJ, (
+            f"{name} plans a BroadcastNestedLoopJoin but is not on the "
+            "bounded-side allowlist"
+        )
