@@ -65,6 +65,8 @@ _PRIORITY = [
     "pii_extract_spans",
     "dedup_incremental_new_batch",
     "lateral_top2_orders_per_customer",
+    "doc_chunk_windows",
+    "streaming_stream_stream_left_outer",
     # --- canaries from the round-1 relational window ---
     "excel_roundtrip",
     "q1_pricing_summary",
@@ -97,8 +99,6 @@ _PRIORITY = [
     "dedup_keep_canonical",
     "passage_dedup_fraction",
     "semdedup_prune",
-    "corpus_top_ngrams",
-    "pii_mask_profiles",
     "scalar_part_functions",
 ]
 

@@ -686,3 +686,64 @@ def corpus_zipf_stats(spark, sf_dir):
         F.round(slope, 6).alias("slope"),
         F.round((F.sum("y") - slope * F.sum("x")) / cnt, 6).alias("intercept"),
     )
+
+
+_CHUNK_W = 64  # tokens per chunk
+_CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@TXT.register(
+    "doc_chunk_windows",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             CAST(u.start AS BIGINT) AS chunk_start,
+             list_slice(t, u.start, u.start + {_CHUNK_W} - 1) AS chunk
+      FROM tok, UNNEST(range(1, greatest(len(t) - {_CHUNK_W} + 1, 1) + 1,
+                             {_CHUNK_STRIDE})) AS u(start)
+      WHERE len(t) > 0
+    )
+    SELECT doc_id, chunk_start,
+           CAST(len(chunk) AS INT) AS n_chunk_tokens,
+           array_to_string(chunk, ' ') AS chunk_text
+    FROM chunks
+    """,
+)
+def doc_chunk_windows(spark, sf_dir):
+    """Overlapping token-window chunking — the retrieval/embedding prep
+    stage that splits long documents into fixed-size overlapping passages
+    (64 tokens, stride 48) while keeping provenance (doc_id, chunk_start).
+
+    Scale: pure per-row explode with fan-out ~len/stride — no shuffle at
+    all; chunk text stays bounded by the window size, so the output width
+    is constant regardless of document length. Empty docs produce no
+    chunks (matching the oracle's len(t) > 0 guard).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    starts = F.expr(
+        f"sequence(1, greatest(size(t) - {_CHUNK_W} + 1, 1), {_CHUNK_STRIDE})"
+    )
+    return (
+        d.select("doc_id", t.alias("t"))
+        .filter(F.size("t") > 0)
+        .select(
+            "doc_id", F.explode(starts).alias("chunk_start"), "t"
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.expr(f"slice(t, chunk_start, {_CHUNK_W})").alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.size("chunk").alias("n_chunk_tokens"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+    )

@@ -428,3 +428,71 @@ def streaming_stream_stream_join(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@STREAMING.register("streaming_stream_stream_left_outer", oracle=None)
+def streaming_stream_stream_left_outer(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join: every click, attributed to
+    the purchases that followed within 10 minutes — clicks with NO
+    purchase emit a null-extended row once the watermark proves no match
+    can still arrive. The operator real attribution pipelines need (inner
+    joins silently drop non-converting clicks).
+
+    Rows-only check: outer-row emission is governed by the FINAL watermark
+    (max event time - delay), so clicks near the stream's end legitimately
+    stay unemitted — batch SQL has no equivalent cutoff. The semantics are
+    pinned instead by tests/test_streaming_outer_join.py: inner rows equal
+    the batch interval join; null rows are exactly the unmatched clicks
+    whose join window closed below the final watermark.
+
+    Scale: same dual-watermark state eviction as the inner variant — state
+    is O(rate x window) per side; the outer side additionally holds each
+    left row until its window passes the watermark, which the time-bound
+    condition guarantees is finite.
+    """
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias(
+            "secs_to_purchase"
+        ),
+    )
+    with _counter:
+        _n[0] += 1
+        sink = f"streaming_ssj_outer_out_{_n[0]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
