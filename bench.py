@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "pii_extract_spans",
     "dedup_incremental_new_batch",
     "events_rollup_day_hour",
+    "doc_chunk_windows",
+    "lateral_top2_orders_per_customer",
 ]
 
 
@@ -232,7 +234,17 @@ def _vs_previous_round(times: dict[str, float]) -> dict[str, str]:
         return {}
     try:
         with open(prior[-1]) as f:
-            prev = json.load(f).get("queries", {})
+            doc = json.load(f)
+        prev = doc.get("queries")
+        if prev is None:
+            # driver wrapper format: raw bench stdout lives in "tail" —
+            # recover the JSON result line from it
+            prev = {}
+            for line in reversed(doc.get("tail", "").splitlines()):
+                line = line.strip().split("\r")[-1]
+                if line.startswith("{") and '"queries"' in line:
+                    prev = json.loads(line).get("queries", {})
+                    break
     except (OSError, ValueError):
         return {}
     out: dict[str, str] = {}

@@ -807,22 +807,39 @@ def incremental_neardup(
     prefix-filter index join (`neardup_jaccard_prefix`) on the unioned
     frame and post-filter to cross-side pairs.
     """
+    # compare 64-bit element hashes, not raw elements: array_intersect over
+    # longs is far cheaper than over strings, and set cardinalities are
+    # preserved (same practice as the neardup_jaccard_* family, whose
+    # hashed jaccards value-match the raw-string DuckDB oracles)
+    hashed = lambda c: F.array_distinct(  # noqa: E731
+        F.transform(F.col(c), lambda x: F.xxhash64(x))
+    )
     left = new_df.select(
         F.col(id_col).alias("new_id"),
         *( [F.col(block_col).alias("__nb")] if block_col else [] ),
-        F.col(elements_col).alias("__ne"),
+        hashed(elements_col).alias("__ne"),
     )
     right = corpus_df.select(
         F.col(id_col).alias("corpus_id"),
         *( [F.col(block_col).alias("__cb")] if block_col else [] ),
-        F.col(elements_col).alias("__ce"),
+        hashed(elements_col).alias("__ce"),
     )
-    cond = F.col("__nb") == F.col("__cb") if block_col else F.lit(True)
+    t = float(threshold)
+    # size-ratio prefilter: jaccard >= t forces t·|B| <= |A| <= |B|/t, so
+    # hopeless pairs skip the array intersect entirely (evaluated first —
+    # two int compares vs an O(|A|+|B|) set op)
+    ratio = (
+        (F.size("__ne").cast("double") >= t * F.size("__ce"))
+        & (F.size("__ce").cast("double") >= t * F.size("__ne"))
+    )
+    cond = (
+        (F.col("__nb") == F.col("__cb")) & ratio if block_col else ratio
+    )
     inter = F.size(F.array_intersect("__ne", "__ce"))
     union = F.size("__ne") + F.size("__ce") - inter
     jac = inter.cast("double") / union
     return (
         right.join(F.broadcast(left), cond)
         .select("new_id", "corpus_id", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("jaccard") >= t)
     )
