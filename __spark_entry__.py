@@ -67,6 +67,8 @@ _PRIORITY = [
     "lateral_top2_orders_per_customer",
     "doc_chunk_windows",
     "streaming_stream_stream_left_outer",
+    "multimodal_png_manifest",
+    "multimodal_resize_png",
     # --- canaries from the round-1 relational window ---
     "excel_roundtrip",
     "q1_pricing_summary",
@@ -92,8 +94,6 @@ _PRIORITY = [
     "q9_product_profit",
     "q21_waiting_supplier",
     "scd2_customer_balance_merge",
-    "udaf_geometric_mean",
-    "map_json_props",
     # --- canaries from the round-3 window ---
     "tfidf_top_terms",
     "dedup_keep_canonical",

@@ -247,3 +247,165 @@ def multimodal_resize_stub(spark, sf_dir):
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return with_payload.mapInPandas(resize_batches, _RESIZE_SCHEMA)
+
+
+# ---- real PNG pixel path (stdlib zlib + numpy codec, functions/png.py) ----
+
+_PNG_TARGET = 64  # resize edge for the real-pixel path
+
+
+def _doc_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic per-doc image dimensions — mirrored arithmetically in
+    the DuckDB oracle, which is what makes the PNG manifest value-checkable
+    end to end (synthesize → encode → parse must reproduce these)."""
+    return 16 + doc_id % 48, 12 + doc_id % 36  # (width, height)
+
+
+def _synth_image(doc_id: int):
+    import numpy as np
+
+    w, h = _doc_dims(doc_id)
+    ys, xs = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            (xs * 3 + doc_id) % 256,
+            (ys * 5 + doc_id // 7) % 256,
+            (xs ^ ys) % 256,
+        ],
+        axis=-1,
+    ).astype("uint8")
+
+
+def synth_png_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: doc_id → real PNG payload bytes."""
+    from ..functions.png import encode_png
+
+    for pdf in it:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "payload": [
+                    encode_png(_synth_image(int(d))) for d in pdf["doc_id"]
+                ],
+            }
+        )
+
+
+_PNG_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def _png_payloads(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        synth_png_batches, _PNG_PAYLOAD_SCHEMA
+    )
+
+
+@MM.register(
+    "multimodal_png_manifest",
+    oracle="""
+    SELECT doc_id,
+           'png' AS format,
+           CAST(16 + doc_id % 48 AS INT) AS width,
+           CAST(12 + doc_id % 36 AS INT) AS height
+    FROM documents
+    """,
+)
+def multimodal_png_manifest(spark, sf_dir):
+    """REAL image pipeline, value-checked: synthesize an actual PNG per
+    document (stdlib-zlib encoder, ``functions/png.py``), then recover its
+    dimensions by parsing the real IHDR header. The DuckDB oracle computes
+    the expected dimensions arithmetically, so a hash match proves the
+    encoder emits spec-correct PNGs AND the header parser reads them —
+    no imaging library anywhere.
+
+    Scale: two chained narrow maps (synthesize, parse) — Arrow moves the
+    binary batches, no shuffle; at 100 TB the synth stage is replaced by
+    `binaryFile`/parquet binary scans feeding the same parse kernel.
+    """
+
+    def parse_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = [image_header_dims(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "format": [p[0] if p else "unknown" for p in parsed],
+                    "width": [p[1] if p else -1 for p in parsed],
+                    "height": [p[2] if p else -1 for p in parsed],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    return _png_payloads(spark, sf_dir).mapInPandas(parse_batches, schema)
+
+
+def resize_png_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: PNG in → decode pixels → nearest-neighbor resize
+    to 64×64 → re-encode PNG. Real pixels at every step."""
+    from ..functions.png import decode_png, encode_png, resize_nearest
+
+    for pdf in it:
+        rows = {
+            k: []
+            for k in (
+                "doc_id",
+                "orig_width",
+                "orig_height",
+                "width",
+                "height",
+                "resized_png",
+            )
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            img = decode_png(bytes(payload))
+            small = resize_nearest(img, (_PNG_TARGET, _PNG_TARGET))
+            rows["doc_id"].append(doc_id)
+            rows["orig_width"].append(img.shape[1])
+            rows["orig_height"].append(img.shape[0])
+            rows["width"].append(_PNG_TARGET)
+            rows["height"].append(_PNG_TARGET)
+            rows["resized_png"].append(encode_png(small))
+        yield pd.DataFrame(rows)
+
+
+_PNG_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orig_width", T.IntegerType()),
+        T.StructField("orig_height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized_png", T.BinaryType()),
+    ]
+)
+
+
+@MM.register("multimodal_resize_png", oracle=None)
+def multimodal_resize_png(spark, sf_dir):
+    """REAL image-resize stage: decode actual PNG pixels, nearest-neighbor
+    resample to 64×64, re-encode — binary in, binary out, zero imaging
+    dependencies (codec is stdlib zlib + numpy). Pixel correctness is
+    pinned in tests/test_multimodal.py (decode of the output equals the
+    numpy-resampled source image).
+
+    Scale: narrow map, output bounded at 64²×3 bytes/row before
+    compression. (Rows-only driver check: pixel bytes aren't
+    SQL-expressible; the oracled dimension check is
+    `multimodal_png_manifest`.)
+    """
+    return _png_payloads(spark, sf_dir).mapInPandas(
+        resize_png_batches, _PNG_RESIZE_SCHEMA
+    )

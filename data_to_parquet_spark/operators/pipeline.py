@@ -487,11 +487,11 @@ def source_cap_docs(spark, sf_dir):
 
     Scale: one shuffle on source + a per-group top-N. Ranking by a hash
     rather than doc_id avoids biasing the kept set toward early-crawled
-    documents. If a handful of sources hold most of the corpus (the usual
-    skew), the window sort is still per-source; for pathological
-    single-source skew, the two-stage trick in `topk_orders`' docstring
-    (per-partition pre-top-N, then final) applies unchanged because
-    row_number ≤ N only needs each partition's N smallest hashes.
+    documents. The rk <= N filter is pushed into the window as a TWO-LEVEL
+    WindowGroupLimit (verified in the physical plan): each input partition
+    keeps only its N smallest hashes per source before the shuffle, then
+    the post-shuffle pass finalizes — so a source holding most of the
+    corpus ships N rows per upstream partition, never its full slice.
     """
     d = load_table(spark, sf_dir, "documents")
     w = W.partitionBy("source").orderBy(F.md5(F.col("text")), "doc_id")
