@@ -69,6 +69,8 @@ _PRIORITY = [
     "streaming_stream_stream_left_outer",
     "multimodal_png_manifest",
     "multimodal_resize_png",
+    "winsorize_values_by_type",
+    "length_gate_per_lang",
     # --- canaries from the round-1 relational window ---
     "excel_roundtrip",
     "q1_pricing_summary",
@@ -91,8 +93,6 @@ _PRIORITY = [
     "embedding_neardup_pairs",
     "gopher_quality_gate",
     "contamination_ngram_overlap",
-    "q9_product_profit",
-    "q21_waiting_supplier",
     "scd2_customer_balance_merge",
     # --- canaries from the round-3 window ---
     "tfidf_top_terms",

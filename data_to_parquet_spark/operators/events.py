@@ -591,3 +591,49 @@ def events_rollup_day_hour(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+@EVT.register(
+    "winsorize_values_by_type",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, value,
+           CASE WHEN value < lo THEN lo
+                WHEN value > hi THEN hi
+                ELSE value END AS value_winsorized
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    """,
+)
+def winsorize_values_by_type(spark, sf_dir):
+    """Per-group winsorization: clamp each event's value into its type's
+    [p05, p95] band — the standard outlier treatment before a numeric
+    column feeds model features or monitoring baselines.
+
+    Scale: one exact-percentile aggregate per type (map-side combinable
+    sort-based percentile over a LOW-cardinality key) produces a tiny
+    bounds table that AQE broadcasts back onto the stream — the fact table
+    shuffles zero times. Spark `percentile` ≡ DuckDB `quantile_cont`
+    (bit-identical interpolation, proven by `percentile_prices_by_flag`).
+    """
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.groupBy(F.col("event_type").alias("bt")).agg(
+        F.percentile("value", 0.05).alias("lo"),
+        F.percentile("value", 0.95).alias("hi"),
+    )
+    return (
+        e.join(bounds, e.event_type == bounds.bt)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.when(F.col("value") < F.col("lo"), F.col("lo"))
+            .when(F.col("value") > F.col("hi"), F.col("hi"))
+            .otherwise(F.col("value"))
+            .alias("value_winsorized"),
+        )
+    )

@@ -501,3 +501,37 @@ def source_cap_docs(spark, sf_dir):
         )
         .filter(F.col("rk") <= _CAP_PER_SOURCE)
     )
+
+
+@PIPE.register(
+    "length_gate_per_lang",
+    oracle="""
+    WITH cut AS (
+      SELECT lang, quantile_cont(CAST(n_chars AS DOUBLE), 0.3) AS q30
+      FROM documents GROUP BY lang
+    )
+    SELECT doc_id, d.lang, n_chars,
+           n_chars >= q30 AS keep
+    FROM documents d JOIN cut c ON d.lang = c.lang
+    """,
+)
+def length_gate_per_lang(spark, sf_dir):
+    """Per-language adaptive length gate: drop each language's shortest
+    30% of documents — thresholds derived from the corpus itself rather
+    than one global constant, so low-resource languages aren't wiped out
+    by a threshold tuned on the dominant one.
+
+    Scale: same two-step shape as winsorization — a tiny per-lang exact
+    quantile table broadcast back over the corpus; the documents scan
+    shuffles only for the low-cardinality quantile agg.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cut = d.groupBy(F.col("lang").alias("cl")).agg(
+        F.percentile(F.col("n_chars").cast("double"), 0.3).alias("q30")
+    )
+    return d.join(cut, d.lang == cut.cl).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.col("n_chars") >= F.col("q30")).alias("keep"),
+    )
