@@ -71,6 +71,7 @@ _PRIORITY = [
     "multimodal_resize_png",
     "winsorize_values_by_type",
     "length_gate_per_lang",
+    "token_budget_sample",
     # --- canaries from the round-1 relational window ---
     "excel_roundtrip",
     "q1_pricing_summary",
@@ -92,7 +93,6 @@ _PRIORITY = [
     "similarity_topk_bruteforce",
     "embedding_neardup_pairs",
     "gopher_quality_gate",
-    "contamination_ngram_overlap",
     "scd2_customer_balance_merge",
     # --- canaries from the round-3 window ---
     "tfidf_top_terms",

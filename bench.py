@@ -218,14 +218,16 @@ def main() -> None:
     print(json.dumps(line))
 
 
-def _vs_previous_round(times: dict[str, float]) -> dict[str, str]:
+def _vs_previous_round(
+    times: dict[str, float], root: str | None = None
+) -> dict[str, str]:
     """Round-over-round drift guard: compare per-query wall time against the
     newest BENCH_r*.json in the repo root and report >1.5x slowdowns (only
     where both runs spent enough time for the ratio to mean anything)."""
     import glob
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = root or os.path.dirname(os.path.abspath(__file__))
     prior = sorted(
         glob.glob(os.path.join(here, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),

@@ -535,3 +535,52 @@ def length_gate_per_lang(spark, sf_dir):
         "n_chars",
         (F.col("n_chars") >= F.col("q30")).alias("keep"),
     )
+
+
+_TOKEN_BUDGET = 2000  # per-source token budget for the sampled mixture
+
+
+@PIPE.register(
+    "token_budget_sample",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ), run AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM tok
+    )
+    SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM run WHERE cum_tokens <= {_TOKEN_BUDGET}
+    """,
+)
+def token_budget_sample(spark, sf_dir):
+    """Token-budget sampling: take documents per source, in deterministic
+    content-hash order, until each source's cumulative token count reaches
+    its budget — how a training mixture is actually assembled ("x tokens of
+    source A, y of source B"), as opposed to per-document caps.
+
+    Scale: one shuffle on source + a running-sum window; the hash order
+    makes the drawn sample stable across runs and engines. The cumulative
+    predicate keeps the first k docs whose running total fits — a doc
+    larger than the remaining budget ends its source's intake (simple,
+    deterministic; a bin-packing variant is `udtf_pack_bins`).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        tok.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= _TOKEN_BUDGET)
+    )

@@ -1,0 +1,55 @@
+"""Unit pins for bench.py's round-over-round drift guard — the driver runs
+bench every round, so the guard's parsing of prior-round artifacts (both the
+raw bench line and the driver's wrapper-with-tail format) must not rot."""
+
+from __future__ import annotations
+
+import json
+
+from bench import _vs_previous_round
+
+
+def _write(tmp_path, name, doc):
+    (tmp_path / name).write_text(json.dumps(doc))
+
+
+def test_no_prior_files(tmp_path):
+    assert _vs_previous_round({"q": 9.9}, root=str(tmp_path)) == {}
+
+
+def test_raw_format_flags_only_real_drift(tmp_path):
+    _write(
+        tmp_path,
+        "BENCH_r01.json",
+        {"queries": {"fast": 0.05, "slow": 2.0, "ok": 1.0}},
+    )
+    out = _vs_previous_round(
+        # fast: below the then>=0.2 floor (timer noise) — never flagged;
+        # slow: 3x — flagged; ok: 1.2x — under threshold
+        {"fast": 0.4, "slow": 6.0, "ok": 1.2},
+        root=str(tmp_path),
+    )
+    assert set(out) == {"slow"}
+    assert "3.0x" in out["slow"]
+
+
+def test_driver_wrapper_format_and_newest_round_wins(tmp_path):
+    _write(tmp_path, "BENCH_r01.json", {"queries": {"q": 0.5}})
+    line = json.dumps(
+        {"metric": "total_query_wall_time", "queries": {"q": 2.0}}
+    )
+    _write(
+        tmp_path,
+        "BENCH_r02.json",
+        {"n": 2, "rc": 0, "tail": f"progress noise\r\n{line}\n"},
+    )
+    # vs r02 (2.0s) a 2.4s run is fine; vs r01 (0.5s) it would flag — the
+    # NEWEST round must win, through the wrapper's tail field
+    assert _vs_previous_round({"q": 2.4}, root=str(tmp_path)) == {}
+    out = _vs_previous_round({"q": 9.0}, root=str(tmp_path))
+    assert "BENCH_r02.json" in out["q"]
+
+
+def test_corrupt_prior_is_ignored(tmp_path):
+    (tmp_path / "BENCH_r01.json").write_text("{not json")
+    assert _vs_previous_round({"q": 9.9}, root=str(tmp_path)) == {}
