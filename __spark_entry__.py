@@ -72,6 +72,8 @@ _PRIORITY = [
     "winsorize_values_by_type",
     "length_gate_per_lang",
     "token_budget_sample",
+    "cross_source_overlap",
+    "table_profile_lineitem",
     # --- canaries from the round-1 relational window ---
     "excel_roundtrip",
     "q1_pricing_summary",
@@ -84,8 +86,6 @@ _PRIORITY = [
     "asof_events_latest_order",
     "grouped_map_percent_rank",
     "json_functions_events",
-    "text_quality_stats",
-    "token_count_bpe",
     # --- canaries from the round-2 window ---
     "dedup_exact_text",
     "neardup_jaccard_pairs",

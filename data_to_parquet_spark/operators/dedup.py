@@ -629,3 +629,52 @@ def dedup_incremental_new_batch(spark, sf_dir):
         F.col("corpus_id").alias("dup_of"),
         "jaccard",
     )
+
+
+@DEDUP.register(
+    "cross_source_overlap",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, source,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS toks
+      FROM documents
+    ), pairs AS (
+      SELECT a.source AS sa, b.source AS sb
+      FROM tok a JOIN tok b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+            >= 0.9
+    )
+    SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+           COUNT(*) AS n_pairs
+    FROM pairs GROUP BY 1, 2
+    """,
+)
+def cross_source_overlap(spark, sf_dir):
+    """Cross-source duplication matrix: for every pair of sources, how many
+    near-duplicate document pairs (Jaccard >= 0.9) they share — the
+    diagnostic that tells you which crawls/mirrors are copying each other
+    and should be collapsed before mixture weighting. The diagonal
+    (source_a = source_b) measures within-source redundancy.
+
+    Scale: rides the prefix-filter index join of `neardup_jaccard_pairs`
+    (no all-pairs work), then two cheap hash-joins to attach sources and a
+    tiny |sources|^2-bounded aggregate.
+    """
+    pairs = neardup_jaccard_pairs(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    src = d.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

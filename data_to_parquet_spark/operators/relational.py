@@ -1179,3 +1179,43 @@ def lateral_top2_orders_per_customer(spark, sf_dir):
         WHERE c.c_mktsegment = 'BUILDING'
         """
     )
+
+
+@REL.register(
+    "table_profile_lineitem",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS distinct_orders,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           CAST(SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_tax,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+           strftime(MIN(l_shipdate), '%Y-%m-%d') AS first_ship,
+           strftime(MAX(l_shipdate), '%Y-%m-%d') AS last_ship,
+           COUNT(DISTINCT l_returnflag) AS distinct_flags
+    FROM lineitem
+    """,
+)
+def table_profile_lineitem(spark, sf_dir):
+    """One-pass dataset profile: row count, key cardinalities, null counts,
+    numeric and date ranges — the first query anyone runs against an
+    unfamiliar table, expressed as a single aggregate.
+
+    Scale: one scan; COUNT(DISTINCT) columns expand to the standard Expand
+    + two-level aggregate, everything map-side combinable. For 100 TB
+    interactive profiling swap count_distinct for approx_count_distinct
+    (`approx_aggregates` demonstrates the sketch path).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("distinct_orders"),
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.sum(F.isnull("l_tax").cast("long")).alias("null_tax"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_ship"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship"),
+        F.countDistinct("l_returnflag").alias("distinct_flags"),
+    )
