@@ -67,6 +67,12 @@ BENCH_QUERIES = [
     "events_rollup_day_hour",
     "doc_chunk_windows",
     "lateral_top2_orders_per_customer",
+    "winsorize_values_by_type",
+    "length_gate_per_lang",
+    "token_budget_sample",
+    "cross_source_overlap",
+    "table_profile_lineitem",
+    "multimodal_png_manifest",
 ]
 
 
