@@ -112,8 +112,14 @@ def pii_mask_profiles(spark, sf_dir):
       FROM customer
     )
     SELECT c_custkey,
-           regexp_extract_all(profile, '{_EMAIL_RE}') AS emails,
-           regexp_extract_all(profile, '{_PHONE_RE}') AS phones
+           -- COALESCE: DuckDB's array_to_string is NULL on [], Spark's
+           -- array_join is '' — align on ''.
+           COALESCE(array_to_string(
+               list_sort(regexp_extract_all(profile, '{_EMAIL_RE}')),
+               ','), '') AS emails,
+           COALESCE(array_to_string(
+               list_sort(regexp_extract_all(profile, '{_PHONE_RE}')),
+               ','), '') AS phones
     FROM prof
     WHERE len(regexp_extract_all(profile, '{_EMAIL_RE}'))
           + len(regexp_extract_all(profile, '{_PHONE_RE}')) > 0
@@ -128,6 +134,12 @@ def pii_extract_spans(spark, sf_dir):
     stage, no shuffle; the match arrays stay bounded by matches-per-doc.
     Same synthesized profile strings as `pii_mask_profiles`, so the oracle
     value-checks the extraction itself.
+
+    Output contract: spans are emitted as sorted, comma-joined STRINGS, not
+    array<string> — the driver's canonicalizer sorts result cells with
+    pandas, which cannot hash list cells (the round-4 red mark; same
+    constraint `agg_collect_arrays` documents in operators/relational.py).
+    Joining keeps a full value oracle.
     """
     c = load_table(spark, sf_dir, "customer")
     key = F.col("c_custkey")
@@ -152,9 +164,13 @@ def pii_extract_spans(spark, sf_dir):
         F.col("c_mktsegment"),
     )
     p = c.select("c_custkey", profile.alias("profile"))
-    out = p.select(
+    spans = p.select(
         "c_custkey",
-        F.regexp_extract_all("profile", F.lit(_EMAIL_RE), 0).alias("emails"),
-        F.regexp_extract_all("profile", F.lit(_PHONE_RE), 0).alias("phones"),
+        F.regexp_extract_all("profile", F.lit(_EMAIL_RE), 0).alias("_emails"),
+        F.regexp_extract_all("profile", F.lit(_PHONE_RE), 0).alias("_phones"),
     )
-    return out.filter(F.size("emails") + F.size("phones") > 0)
+    return spans.filter(F.size("_emails") + F.size("_phones") > 0).select(
+        "c_custkey",
+        F.array_join(F.array_sort("_emails"), ",").alias("emails"),
+        F.array_join(F.array_sort("_phones"), ",").alias("phones"),
+    )

@@ -117,6 +117,51 @@ def test_oracle_parity(name, spark, sf_dir):
     )
 
 
+def _nested_columns(schema):
+    """Columns whose type the driver's canonicalizer cannot sort/hash.
+
+    The driver canonicalizes oracled results with pandas ``sort_values``,
+    which raises ``TypeError: unhashable type`` on list/dict cells
+    (round-4 red mark: ``pii_extract_spans``). This harness used to mask
+    that by tuple-izing list cells in ``_norm`` — so "passing here implies
+    passing there" was false for nested outputs. The lint below restores
+    that guarantee: every oracled query must have a flat output schema.
+    """
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracled_schema_is_flat(name, spark, sf_dir):
+    schema = QUERIES[name](spark, sf_dir).schema
+    nested = _nested_columns(schema)
+    assert not nested, (
+        f"{name}: oracled query emits nested columns {nested}; the driver's "
+        "canonicalizer crashes on array/map/struct cells — serialize them "
+        "(e.g. F.array_join(F.array_sort(...), ',')) on both engines"
+    )
+
+
+def test_flat_schema_lint_catches_arrays(spark):
+    """The lint itself must flag nested outputs (regression test for the
+    round-4 gap where an arrayed query passed locally but crashed the
+    driver)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(
+        F.col("id"),
+        F.array(F.lit("a"), F.lit("b")).alias("arr"),
+        F.create_map(F.lit("k"), F.lit("v")).alias("m"),
+        F.struct(F.lit(1).alias("x")).alias("s"),
+    )
+    assert _nested_columns(df.schema) == ["arr", "m", "s"]
+
+
 @pytest.mark.parametrize(
     "name", sorted(set(QUERIES) - set(ORACLES))
 )
