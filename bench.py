@@ -234,10 +234,15 @@ def _vs_previous_round(
     import re
 
     here = root or os.path.dirname(os.path.abspath(__file__))
-    prior = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
-    )
+    # Keep only strictly-numeric round files: a stray BENCH_rerun.json also
+    # matches the glob and would crash the int() sort after every query has
+    # already run — degrade to "no prior" instead.
+    numbered = [
+        (int(m.group(1)), p)
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p)))
+    ]
+    prior = [p for _, p in sorted(numbered)]
     if not prior:
         return {}
     try:

@@ -480,7 +480,11 @@ def streaming_stream_stream_left_outer(spark, sf_dir):
         F.col("c_user").alias("user_id"),
         "click_id",
         "purchase_id",
-        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias(
+        # Floor of the microsecond DIFFERENCE, not a difference of per-value
+        # second floors: with sub-second event times the two disagree by 1
+        # whenever frac(c_ts) > frac(p_ts), and the semantics pinned by
+        # tests/test_streaming_outer_join.py are int(total_seconds()).
+        F.expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000").alias(
             "secs_to_purchase"
         ),
     )

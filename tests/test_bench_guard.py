@@ -50,6 +50,15 @@ def test_driver_wrapper_format_and_newest_round_wins(tmp_path):
     assert "BENCH_r02.json" in out["q"]
 
 
+def test_stray_non_numeric_artifact_is_ignored(tmp_path):
+    # BENCH_rerun.json matches the BENCH_r*.json glob but has no round
+    # number — must degrade to "no prior"/newest-numeric, not crash.
+    _write(tmp_path, "BENCH_rerun.json", {"queries": {"q": 0.5}})
+    assert _vs_previous_round({"q": 9.9}, root=str(tmp_path)) == {}
+    _write(tmp_path, "BENCH_r01.json", {"queries": {"q": 3.0}})
+    assert _vs_previous_round({"q": 3.1}, root=str(tmp_path)) == {}
+
+
 def test_corrupt_prior_is_ignored(tmp_path):
     (tmp_path / "BENCH_r01.json").write_text("{not json")
     assert _vs_previous_round({"q": 9.9}, root=str(tmp_path)) == {}
