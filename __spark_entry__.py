@@ -34,72 +34,71 @@ _REGISTRY = REL.merge(
 )
 
 # The driver verifies the first 50 registry entries per round. Round 1
-# checked the relational window (44 green), round 2 the dedup/similarity/
-# streaming/TPCH-extra/pipeline window, round 3 the 8 never-verified + new
-# queries (42/42 oracled green). Round 4 leads with this round's FIXES —
-# the only never-driver-green query (events_rollup_day_hour, crashed in r3)
-# and ALL SIX streaming queries (4 crashed on the regenerated NTZ testdata;
-# the other 2 last ran against the old layout) — then the perf-touched
-# queries (minhash/simhash/q10/sessionize precision), queries added this
-# round, and green canaries from every prior window. Names listed here run
-# first, in this order; the rest keep merge order.
+# checked the relational window, round 2 the dedup/similarity/streaming/
+# TPCH-extra/pipeline window, round 3 the never-verified + new queries,
+# round 4 the streaming/NTZ fixes + all round-4 additions (50 checked:
+# 43 green, 6 rows-only clean, 1 red). Round 5 ROTATES to the
+# least-recently-verified queries — the NTZ incident proved stale greens
+# rot when testdata regenerates. Order: this round's code-touched fixes
+# and additions first (red pii_extract_spans, the outer-join precision
+# fix, the CC rewrite, rows-only→oracle upgrades), then every query whose
+# last driver contact was round 1, then the round-2 window. Names listed
+# here run first, in this order; the rest keep merge order.
 _PRIORITY = [
-    # --- round-4 fixes: never green or red last round ---
-    "events_rollup_day_hour",
-    "streaming_tumbling_5min",
-    "streaming_session_window",
-    "streaming_stateful_user_totals",
-    "streaming_static_enrichment",
-    "streaming_dedup_exactly_once",
-    "streaming_stream_stream_join",
-    # --- round-4 code-touched (perf/precision rewrites) ---
-    "dedup_minhash_pairs",
-    "dedup_simhash_pairs",
-    "q10_returned_items",
-    "events_sessionize_30min",
-    # --- new in round 4 (driver-verify on first appearance) ---
-    "events_sliding_10min",
-    "streaming_sliding_10min",
-    "value_histogram_events",
-    "source_cap_docs",
+    # --- round-5 code-touched (fixes + rewrites; verify first) ---
     "pii_extract_spans",
-    "dedup_incremental_new_batch",
-    "lateral_top2_orders_per_customer",
-    "doc_chunk_windows",
     "streaming_stream_stream_left_outer",
-    "multimodal_png_manifest",
-    "multimodal_resize_png",
-    "winsorize_values_by_type",
-    "length_gate_per_lang",
-    "token_budget_sample",
-    "cross_source_overlap",
-    "table_profile_lineitem",
-    # --- canaries from the round-1 relational window ---
-    "excel_roundtrip",
-    "q1_pricing_summary",
-    "q6_revenue_forecast",
-    "q3_shipping_priority",
-    "topk_orders",
-    "window_top3_suppliers_per_nation",
-    "pivot_returnflag_by_linestatus",
-    "range_join_quantity_bands",
-    "asof_events_latest_order",
-    "grouped_map_percent_rank",
-    "json_functions_events",
-    # --- canaries from the round-2 window ---
-    "dedup_exact_text",
-    "neardup_jaccard_pairs",
     "dedup_connected_components",
-    "similarity_topk_bruteforce",
-    "embedding_neardup_pairs",
-    "gopher_quality_gate",
-    "scd2_customer_balance_merge",
-    # --- canaries from the round-3 window ---
-    "tfidf_top_terms",
-    "dedup_keep_canonical",
-    "passage_dedup_fraction",
-    "semdedup_prune",
-    "scalar_part_functions",
+    # --- last driver-checked in round 1 (19 — oldest greens) ---
+    "unpivot_part_measures",
+    "q17_small_quantity_revenue",
+    "percentile_prices_by_flag",
+    "q4_late_shipment_priority",
+    "q7_nation_volume",
+    "q14_promo_revenue_ratio",
+    "q18_large_orders",
+    "scalar_null_handling",
+    "q15_top_supplier",
+    "q19_disjunctive_predicates",
+    "q22_global_sales_opportunity",
+    "window_range_7day_avg",
+    "window_rank_family",
+    "events_tumbling_5min",
+    "time_grid_fill",
+    "variant_json_events",
+    "window_value_functions",
+    "lang_id_stopword",
+    "doc_fingerprint_md5",
+    # --- last driver-checked in round 2 (29) ---
+    "approx_aggregates",
+    "agg_collect_arrays",
+    "regexp_parse_customer_names",
+    "fuzzy_match_part_names",
+    "lang_id_ngram",
+    "doc_winnow_fingerprints",
+    "pipeline_curate_documents",
+    "split_train_val_test",
+    "stratified_sample_documents",
+    "dedup_exact_hash",
+    "neardup_ngram_jaccard",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "embedding_array_stats",
+    "similarity_ann_pq",
+    "multimodal_decode_manifest",
+    "multimodal_frame_sample",
+    "multimodal_resize_stub",
+    "q2_min_price_supplier",
+    "q8_market_share",
+    "q11_important_parts",
+    "q12_shipping_delay",
+    "q13_customer_distribution",
+    "q16_supplier_part_cnt",
+    "q20_part_promotion",
+    "doc_repetition_stats",
+    "sequence_packing",
+    "source_mix_weights",
+    "udtf_pack_bins",
 ]
 
 
