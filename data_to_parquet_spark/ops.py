@@ -160,19 +160,37 @@ def neardup_jaccard_prefix(
         "__id",
         "__block",
         n.alias("__sz"),
-        F.explode(F.slice("__toks", F.lit(1), plen)).alias("__ptok"),
+        F.posexplode(F.slice("__toks", F.lit(1), plen)).alias(
+            "__pos", "__ptok"
+        ),
     )
     a = prefix.select(
         F.col("__id").alias("id_a"),
         F.col("__block").alias("__block_a"),
         F.col("__sz").alias("__sz_a"),
+        F.col("__pos").alias("__pos_a"),
         F.col("__ptok").alias("__ptok_a"),
     )
     b = prefix.select(
         F.col("__id").alias("id_b"),
         F.col("__block").alias("__block_b"),
         F.col("__sz").alias("__sz_b"),
+        F.col("__pos").alias("__pos_b"),
         F.col("__ptok").alias("__ptok_b"),
+    )
+    # PPJoin positional filter (Xiao et al.): for the FIRST common prefix
+    # token of a true pair there is no shared element before it in either
+    # set (both sets follow the same global df order, so common prefix
+    # tokens appear in the same relative order on each side), hence
+    # overlap <= 1 + min(remaining_a, remaining_b). A pair with J >= t
+    # needs overlap >= ceil(t/(1+t)·(|a|+|b|)), and the bound is largest at
+    # the first match — so every true pair survives via its first-match
+    # row, while ~half the candidate rows fail the bound and never reach
+    # the distinct/verify shuffle (measured 2.25M -> 1.07M at sf0.1).
+    alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("__sz_a") + F.col("__sz_b")))
+    ubound = F.lit(1) + F.least(
+        F.col("__sz_a") - F.col("__pos_a") - F.lit(1),
+        F.col("__sz_b") - F.col("__pos_b") - F.lit(1),
     )
     cand = (
         a.join(
@@ -181,7 +199,8 @@ def neardup_jaccard_prefix(
             & (F.col("__block_a") == F.col("__block_b"))
             & (F.col("id_a") < F.col("id_b"))
             & (F.col("__sz_a").cast("double") >= t * F.col("__sz_b"))
-            & (F.col("__sz_b").cast("double") >= t * F.col("__sz_a")),
+            & (F.col("__sz_b").cast("double") >= t * F.col("__sz_a"))
+            & (ubound >= alpha),
         )
         .select("id_a", "id_b")
         .distinct()
