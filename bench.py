@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "cross_source_overlap",
     "table_profile_lineitem",
     "multimodal_png_manifest",
+    # added round 5: newly-oracled text ops (lookahead-regex n-gram path)
+    "doc_winnow_fingerprints",
+    "lang_id_ngram",
 ]
 
 

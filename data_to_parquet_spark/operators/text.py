@@ -267,7 +267,40 @@ def fuzzy_match_part_names(spark, sf_dir):
     )
 
 
-@TXT.register("lang_id_ngram", oracle=None)
+@TXT.register(
+    "lang_id_ngram",
+    oracle="""
+    WITH doc_grams AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(text) - 1, 1)),
+               i -> substring(lower(text), i, 2))) AS grams
+      FROM documents
+    ), counted AS (
+      SELECT lang, g, COUNT(*) AS cnt
+      FROM (SELECT lang, unnest(grams) AS g FROM doc_grams)
+      GROUP BY lang, g
+    ), ranked AS (
+      SELECT lang, g,
+             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, g) AS rn
+      FROM counted
+    ), profile AS (
+      SELECT lang AS profile_lang, list(g) AS profile_grams
+      FROM ranked WHERE rn <= 25 GROUP BY lang
+    ), scored AS (
+      SELECT d.doc_id, d.lang, p.profile_lang,
+             len(list_intersect(d.grams, p.profile_grams)) AS overlap
+      FROM doc_grams d CROSS JOIN profile p
+    ), best AS (
+      SELECT doc_id, lang, profile_lang, overlap,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY overlap DESC, profile_lang) AS rn
+      FROM scored
+    )
+    SELECT doc_id, lang, profile_lang AS pred_lang, overlap
+    FROM best WHERE rn = 1
+    """,
+)
 def lang_id_ngram(spark, sf_dir):
     """Language-ID via character-n-gram profiles (the classic Cavnar-Trenkle
     shape): build per-language bigram profiles from labeled docs (top-25
@@ -275,17 +308,29 @@ def lang_id_ngram(spark, sf_dir):
 
     Two phases, both distributed: profile building is one explode+groupBy
     over labeled data; scoring joins each doc's bigram set against the
-    (broadcast) profiles. (Rows-only check: profiles are engine-computed
-    state, not SQL-expressible in one oracle query.)
+    (broadcast) profiles. Upgraded from rows-only to a full value oracle in
+    round 5 — the whole dataflow (profile build included) is expressible as
+    one DuckDB query with window-function CTEs, so the driver value-checks
+    profile construction, scoring, and the argmax tie-break.
+
+    Overlapping bigrams come from one lookahead-regex pass
+    (``(?s)(?=(..))`` — zero-width match, group 1 captures each 2-char
+    window): the regex engine scans each string once, where the naive
+    per-position ``substring(text, i, 2)`` lambda is O(len²) because UTF-8
+    substring seeks from the byte start every call (measured 5.4 s → 1.0 s
+    at sf0.1). The oracle keeps the positional-substring formulation — RE2
+    has no lookahead — which is exactly equivalent. The grams table is
+    localCheckpoint-shared by the profile build and the scoring join, so
+    the extraction runs once, not twice.
     """
     d = load_table(spark, sf_dir, "documents")
     bigrams = F.expr(
-        "transform(sequence(1, greatest(length(text) - 1, 1)),"
-        " i -> substring(lower(text), i, 2))"
+        "if(length(text) < 2, array(substring(lower(text), 1, 2)),"
+        "   regexp_extract_all(lower(text), '(?s)(?=(..))', 1))"
     )
     doc_grams = d.select(
         "doc_id", "lang", F.array_distinct(bigrams).alias("grams")
-    )
+    ).localCheckpoint(eager=False)
     profile = (
         doc_grams.select("lang", F.explode("grams").alias("g"))
         .groupBy("lang", "g")
@@ -315,22 +360,49 @@ def lang_id_ngram(spark, sf_dir):
     )
 
 
-@TXT.register("doc_winnow_fingerprints", oracle=None)
+@TXT.register(
+    "doc_winnow_fingerprints",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(length(text) - 7, 1)),
+               i -> CAST('0x' || substring(md5(substring(text, i, 8)), 1, 15)
+                    AS BIGINT)) AS hs
+      FROM documents
+    )
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(hs) - 15, 1)),
+             w -> list_min(hs[w:w+15])))) AS fingerprint
+    FROM h
+    """,
+)
 def doc_winnow_fingerprints(spark, sf_dir):
     """Winnowing document fingerprints (MOSS-style): hash every char 8-gram,
     keep the minimum hash in each sliding window of 16 — a position-robust
     fingerprint set whose collisions localize shared substrings.
 
-    All JVM-side: substring shingles via sequence/transform, xxhash64, and a
+    All JVM-side: substring shingles via sequence/transform and a
     min-over-sliding-window via transform over window starts. Output is the
-    exploded distinct fingerprint set per doc. (Rows-only: no xxhash64 in
-    DuckDB.)
+    exploded distinct fingerprint set per doc. The 8-gram hash is the first
+    60 bits of md5, which both engines compute identically — that upgrades
+    this query from rows-only to a full value oracle (round-5 item; xxhash64
+    does not exist in DuckDB). A production deployment hashing 100 TB would
+    swap the md5 kernel for xxhash64 (same winnowing structure, ~2× cheaper
+    per byte); the fingerprint VALUES change but every collision/containment
+    property the operator exists for is hash-agnostic.
     """
     d = load_table(spark, sf_dir, "documents")
     k, win = 8, 16
+    # Same lookahead-regex extraction as lang_id_ngram: one O(len) regex
+    # pass per doc for all overlapping 8-grams, vs O(len²) per-position
+    # UTF-8 substring seeks.
     hashes = F.expr(
-        f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)),"
-        f" i -> xxhash64(substring(text, i, {k})))"
+        f"transform("
+        f" if(length(text) < {k}, array(substring(text, 1, {k})),"
+        f"    regexp_extract_all(text, '(?s)(?=(.{{{k}}}))', 1)),"
+        f" g -> cast(conv(substring(md5(g), 1, 15), 16, 10) AS bigint))"
     )
     winnowed = F.expr(
         f"array_distinct(transform("
