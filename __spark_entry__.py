@@ -50,6 +50,7 @@ _PRIORITY = [
     "streaming_stream_stream_left_outer",
     "dedup_connected_components",
     "multimodal_mixed_manifest",
+    "multimodal_wav_manifest",
     # --- last driver-checked in round 1 (19 — oldest greens) ---
     "unpivot_part_measures",
     "q17_small_quantity_revenue",

@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "doc_winnow_fingerprints",
     "lang_id_ngram",
     "multimodal_mixed_manifest",
+    "multimodal_wav_manifest",
 ]
 
 

@@ -508,6 +508,92 @@ def multimodal_mixed_manifest(spark, sf_dir):
     return payloads.mapInPandas(decode_batches, schema)
 
 
+_WAV_RATE = 16_000
+
+
+def synth_wav_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: doc_id → real 16-bit PCM WAV payload (sine tone,
+    frequency and length derived from doc_id)."""
+    import numpy as np
+
+    from ..functions.wav import encode_wav
+
+    def synth(doc_id: int) -> bytes:
+        n = 4000 + doc_id % 4000
+        freq = 220 + doc_id % 440
+        t = np.arange(n)
+        tone = (10_000 * np.sin(2 * np.pi * freq * t / _WAV_RATE)).astype(
+            np.int16
+        )
+        return encode_wav(tone, _WAV_RATE)
+
+    for pdf in it:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "payload": [synth(int(d)) for d in pdf["doc_id"]],
+            }
+        )
+
+
+@MM.register(
+    "multimodal_wav_manifest",
+    oracle=f"""
+    SELECT doc_id,
+           {_WAV_RATE} AS sample_rate,
+           CAST(4000 + doc_id % 4000 AS BIGINT) AS n_samples,
+           CAST(4000 + doc_id % 4000 AS DOUBLE) * 1000 / {_WAV_RATE}
+             AS duration_ms
+    FROM documents
+    """,
+)
+def multimodal_wav_manifest(spark, sf_dir):
+    """REAL audio pipeline, value-checked: synthesize a PCM sine tone per
+    document, encode it as an actual WAV file (stdlib RIFF codec,
+    ``functions/wav.py``), then recover sample rate and sample count by
+    FULLY DECODING the PCM — geometry comes from the decoded array, not a
+    header field. The DuckDB oracle computes the expected values
+    arithmetically, so a hash match proves the encoder writes spec-correct
+    RIFF/PCM and the decoder reconstructs every frame.
+
+    Scale: identical posture to the image manifests — two chained narrow
+    maps over Arrow batches, no shuffle; real deployments point the decode
+    kernel at `binaryFile`/parquet binary columns instead of the synth
+    stage.
+    """
+    from ..functions.wav import decode_wav
+
+    def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "sample_rate", "n_samples")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, rate = decode_wav(bytes(payload))
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(samples))
+            out = pd.DataFrame(rows)
+            out["duration_ms"] = (
+                out["n_samples"].astype("float64") * 1000 / _WAV_RATE
+            )
+            yield out
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("duration_ms", T.DoubleType()),
+        ]
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(synth_wav_batches, _PNG_PAYLOAD_SCHEMA)
+        .mapInPandas(decode_batches, schema)
+    )
+
+
 @MM.register("multimodal_resize_png", oracle=None)
 def multimodal_resize_png(spark, sf_dir):
     """REAL image-resize stage: decode actual PNG pixels, nearest-neighbor
