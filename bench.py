@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "lang_id_ngram",
     "multimodal_mixed_manifest",
     "multimodal_wav_manifest",
+    "multimodal_frame_sample",
 ]
 
 

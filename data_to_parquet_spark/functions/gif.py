@@ -23,7 +23,13 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_gif", "decode_gif", "quantize_332"]
+__all__ = [
+    "encode_gif",
+    "encode_gif_frames",
+    "decode_gif",
+    "decode_gif_frames",
+    "quantize_332",
+]
 
 
 def quantize_332(arr: np.ndarray) -> np.ndarray:
@@ -193,7 +199,131 @@ def encode_gif(arr: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def encode_gif_frames(
+    frames: list[np.ndarray], delay_cs: int = 10
+) -> bytes:
+    """List of same-shape (H, W, 3) uint8 frames → animated GIF89a bytes.
+
+    One global color table over the union of all frames' colors (≤256 —
+    quantize first otherwise); each frame is a full-canvas image block
+    preceded by a graphic-control extension carrying ``delay_cs``
+    (centiseconds). This is the "video as a stack of frames" container the
+    frame-sampling operator decodes.
+    """
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape[:2]
+    stack = []
+    for f in frames:
+        a = np.ascontiguousarray(f, dtype=np.uint8)
+        if a.shape != (h, w, 3):
+            raise ValueError("all frames must be identical (H, W, 3)")
+        stack.append(a)
+    allpx = np.concatenate([a.reshape(-1, 3) for a in stack])
+    palette, inv = np.unique(allpx, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"{len(palette)} colors > 256; quantize first")
+    pal_bits = max(1, int(len(palette) - 1).bit_length())
+    table_size = 1 << pal_bits
+    pal_bytes = np.zeros((table_size, 3), dtype=np.uint8)
+    pal_bytes[: len(palette)] = palette
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack(
+        "<HHBBB", w, h, 0x80 | ((pal_bits - 1) << 4) | (pal_bits - 1), 0, 0
+    )
+    out += pal_bytes.tobytes()
+    min_code_size = max(2, pal_bits)
+    per = h * w
+    for fi in range(len(stack)):
+        # graphic control extension: disposal=none, no transparency
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(min_code_size)
+        idx = inv[fi * per : (fi + 1) * per].astype(np.uint8)
+        lzw = _lzw_encode(idx, min_code_size)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_frames(data: bytes) -> list[np.ndarray]:
+    """GIF bytes → list of full-canvas (H, W, 3) uint8 RGB frames.
+
+    Sub-rectangle frames are composited onto the running canvas (disposal
+    "none" semantics — each frame paints over the previous one), which is
+    what a frame sampler needs. GCE transparency is not applied (the
+    encoder above never writes it); interlaced frames are reordered.
+    """
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(
+            n, 3
+        )
+        pos += 3 * n
+    canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:
+            ix, iy, iw, ih, iflags = struct.unpack(
+                "<HHHHB", data[pos + 1 : pos + 10]
+            )
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(
+                    data[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("no color table")
+            min_code_size = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            indices = _lzw_decode(bytes(lzw), min_code_size, iw * ih)
+            rows = indices.reshape(ih, iw)
+            if iflags & 0x40:
+                ordered = np.empty_like(rows)
+                src = 0
+                for start, step in _INTERLACE_PASSES:
+                    n_rows = len(range(start, ih, step))
+                    ordered[start:ih:step] = rows[src : src + n_rows]
+                    src += n_rows
+                rows = ordered
+            canvas[iy : iy + ih, ix : ix + iw] = pal[rows]
+            frames.append(canvas.copy())
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("no image data in GIF")
+    return frames
 
 
 def decode_gif(data: bytes) -> np.ndarray:

@@ -14,7 +14,9 @@ from data_to_parquet_spark.functions.gif import (
     _lzw_decode,
     _lzw_encode,
     decode_gif,
+    decode_gif_frames,
     encode_gif,
+    encode_gif_frames,
     quantize_332,
 )
 
@@ -116,6 +118,48 @@ def test_decode_interlaced():
         out += lzw[i : i + 255]
     out += b"\x00\x3b"
     assert (decode_gif(bytes(out)) == img).all()
+
+
+def test_animated_round_trip():
+    rng = np.random.default_rng(13)
+    base = quantize_332(rng.integers(0, 256, (14, 22, 3), dtype=np.uint8))
+    frames = [np.roll(base, k, axis=1) for k in range(5)]
+    data = encode_gif_frames(frames, delay_cs=7)
+    back = decode_gif_frames(data)
+    assert len(back) == 5
+    for a, b in zip(frames, back):
+        assert (a == b).all()
+    # first-frame decode agrees with the multi-frame decoder
+    assert (decode_gif(data) == frames[0]).all()
+
+
+def test_animated_subrect_composites_onto_canvas():
+    """A frame covering only a sub-rectangle must paint over the previous
+    canvas (disposal 'none'), not reset it."""
+    h, w = 10, 12
+    f0 = np.zeros((h, w, 3), np.uint8)
+    data = bytearray(encode_gif_frames([f0, f0]))
+    # rewrite the SECOND image descriptor to a 2x3 rect at (4, 5) and
+    # re-encode its pixel data as palette index of f0's single color
+    # (simpler: build manually)
+    palette = np.array([[0, 0, 0], [255, 0, 0]], np.uint8)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80, 0, 0)  # 2-entry GCT (bits=1)
+    out += palette.tobytes()
+    full = _lzw_encode(np.zeros(h * w, np.uint8), 2)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0) + bytes([2])
+    out += bytes([len(full)]) + full + b"\x00"
+    rect = _lzw_encode(np.ones(2 * 3, np.uint8), 2)
+    out += b"\x2c" + struct.pack("<HHHHB", 5, 4, 3, 2, 0) + bytes([2])
+    out += bytes([len(rect)]) + rect + b"\x00"
+    out += b"\x3b"
+    frames = decode_gif_frames(bytes(out))
+    assert len(frames) == 2
+    assert (frames[0] == 0).all()
+    expected = frames[0].copy()
+    expected[4:6, 5:8] = [255, 0, 0]
+    assert (frames[1] == expected).all()
 
 
 def test_decode_skips_extension_blocks():
