@@ -51,6 +51,7 @@ _PRIORITY = [
     "dedup_connected_components",
     "multimodal_mixed_manifest",
     "multimodal_wav_manifest",
+    "multimodal_pixel_stats",
     # --- last driver-checked in round 1 (19 — oldest greens) ---
     "unpivot_part_measures",
     "q17_small_quantity_revenue",

@@ -648,6 +648,70 @@ def multimodal_wav_manifest(spark, sf_dir):
     )
 
 
+@MM.register(
+    "multimodal_pixel_stats",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             16 + doc_id % 48 AS w,
+             12 + doc_id % 36 AS h
+      FROM documents
+    ), px AS (
+      SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i
+      FROM dims
+    )
+    SELECT doc_id,
+           CAST(MAX(w * h) AS BIGINT) AS n_pixels,
+           CAST(SUM(((i % w) * 3 + doc_id) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM(((i // w) * 5 + doc_id // 7) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM(xor(i % w, i // w) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_pixel_stats(spark, sf_dir):
+    """Pixel CONTENT verification — the strongest multimodal oracle in the
+    repo: encode the synthetic image as a real PNG, fully decode it, and
+    emit exact per-channel integer sums. The DuckDB oracle recomputes the
+    sums arithmetically from the image-synthesis formula (one
+    generate_series per pixel), so a hash match proves every single pixel
+    survives the encode→compress→decode round trip — not just the
+    geometry the manifest queries check.
+
+    Scale: same two chained narrow maps; per-row output is four integers,
+    so this doubles as the "feature extraction" stage shape (mean color /
+    brightness stats over a 100 TB image corpus).
+    """
+    from ..functions.png import decode_png
+
+    def stats_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = {
+                k: []
+                for k in ("doc_id", "n_pixels", "sum_r", "sum_g", "sum_b")
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_png(bytes(payload)).astype(np.int64)
+                rows["doc_id"].append(doc_id)
+                rows["n_pixels"].append(img.shape[0] * img.shape[1])
+                rows["sum_r"].append(int(img[..., 0].sum()))
+                rows["sum_g"].append(int(img[..., 1].sum()))
+                rows["sum_b"].append(int(img[..., 2].sum()))
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_pixels", T.LongType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+        ]
+    )
+    return _png_payloads(spark, sf_dir).mapInPandas(stats_batches, schema)
+
+
 @MM.register("multimodal_resize_png", oracle=None)
 def multimodal_resize_png(spark, sf_dir):
     """REAL image-resize stage: decode actual PNG pixels, nearest-neighbor
