@@ -52,6 +52,7 @@ _PRIORITY = [
     "multimodal_mixed_manifest",
     "multimodal_wav_manifest",
     "multimodal_pixel_stats",
+    "passage_dedup_rewrite",
     # --- last driver-checked in round 1 (19 — oldest greens) ---
     "unpivot_part_measures",
     "q17_small_quantity_revenue",

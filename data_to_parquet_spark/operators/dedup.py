@@ -584,6 +584,106 @@ def passage_dedup_fraction(spark, sf_dir):
     return passage_dup_stats(d, "doc_id", "text", passage_tokens=_PASSAGE_W)
 
 
+@DEDUP.register(
+    "passage_dedup_rewrite",
+    # chunk-key packing: doc_id*100000 + chunk_idx is a portable
+    # lexicographic (doc_id, chunk_idx) order key on both engines
+    # (chunk_idx is bounded by tokens/32 ≪ 100000)
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), pas AS (
+      SELECT doc_id,
+             CAST((i - 1) / {_PASSAGE_W} AS BIGINT) AS chunk_idx,
+             array_to_string(t[i:i+{_PASSAGE_W - 1}], ' ') AS passage
+      FROM tok, unnest(generate_series(1, len(t), {_PASSAGE_W})) AS g(i)
+      WHERE len(t) > 0
+    ), win AS (
+      SELECT passage,
+             MIN(doc_id * 100000 + chunk_idx) AS wkey
+      FROM pas GROUP BY passage
+    ), kept AS (
+      SELECT p.doc_id, p.chunk_idx, p.passage
+      FROM pas p JOIN win USING (passage)
+      WHERE p.doc_id * 100000 + p.chunk_idx = win.wkey
+    ), totals AS (
+      SELECT doc_id, COUNT(*) AS n_chunks FROM pas GROUP BY doc_id
+    ), kc AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(passage, ' ' ORDER BY chunk_idx) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT totals.doc_id,
+           CAST(COALESCE(kc.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(totals.n_chunks - COALESCE(kc.n_kept, 0) AS BIGINT)
+             AS n_dropped,
+           COALESCE(kc.clean_text, '') AS clean_text
+    FROM totals LEFT JOIN kc USING (doc_id)
+    """,
+)
+def passage_dedup_rewrite(spark, sf_dir):
+    """Passage-level dedup MATERIALIZATION — the stage that actually
+    rewrites the corpus (the fraction query above only scores it): every
+    32-token passage keeps exactly its first global occurrence (ordered by
+    (doc_id, chunk_idx)); later occurrences — across documents or repeated
+    within one — are cut, and each document's cleaned text is reassembled
+    from its surviving chunks in order.
+
+    Scale: same two passage-keyed shuffles as the fraction query (winner
+    per passage, join back) plus one per-doc reassembly aggregation; the
+    reassembly is keyed on doc_id, so its width is the document count, and
+    no stage ever holds more than a doc's chunks in one group. At 100 TB
+    the passage key becomes xxhash64(passage) (string keys here keep the
+    oracle hash-checkable).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    chunks = (
+        d.select("doc_id", t.alias("t"))
+        .filter(F.size("t") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t), {_PASSAGE_W}),"
+                    f" i -> struct(cast((i - 1) div {_PASSAGE_W} as bigint)"
+                    f"             as chunk_idx,"
+                    f"             array_join(slice(t, i, {_PASSAGE_W}), ' ')"
+                    f"             as passage))"
+                )
+            ).alias("c"),
+        )
+        .select("doc_id", "c.chunk_idx", "c.passage")
+    )
+    key = F.col("doc_id") * F.lit(100000) + F.col("chunk_idx")
+    winners = chunks.groupBy("passage").agg(F.min(key).alias("wkey"))
+    kept = chunks.join(winners, "passage").filter(key == F.col("wkey"))
+    totals = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+    kc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "passage"))),
+                lambda s: s["passage"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return totals.join(kc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).alias(
+            "n_dropped"
+        ),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
 _INCR_NEW_MOD = 7  # docs with doc_id % 7 == 0 play the "incoming batch"
 _INCR_THRESHOLD = 0.9
 
