@@ -53,6 +53,9 @@ _PRIORITY = [
     "multimodal_wav_manifest",
     "multimodal_pixel_stats",
     "passage_dedup_rewrite",
+    "set_intersect_all_nations",
+    "set_except_all_nations",
+    "full_outer_nation_activity",
     # --- last driver-checked in round 1 (19 — oldest greens) ---
     "unpivot_part_measures",
     "q17_small_quantity_revenue",

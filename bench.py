@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "multimodal_mixed_manifest",
     "multimodal_wav_manifest",
     "multimodal_frame_sample",
+    "passage_dedup_rewrite",
 ]
 
 

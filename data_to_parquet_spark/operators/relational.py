@@ -475,6 +475,98 @@ def set_except_nations(spark, sf_dir):
 
 
 @REL.register(
+    "set_intersect_all_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect_all_nations(spark, sf_dir):
+    """INTERSECT ALL (multiset semantics): one row per nation per
+    min(#customers, #suppliers) — the bag form Spark implements as
+    ``intersectAll`` via a counted aggregate + generate, no distinct
+    collapse. Completes the set-op family next to the DISTINCT forms.
+
+    Scale: same one shuffle on the compared key as INTERSECT; multiset
+    counting happens map-side first.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return c.select(F.col("c_nationkey").alias("nationkey")).intersectAll(
+        s.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@REL.register(
+    "set_except_all_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_except_all_nations(spark, sf_dir):
+    """EXCEPT ALL (multiset semantics): per nation, max(0, #customers −
+    #suppliers) surviving rows — Spark's ``exceptAll``."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return c.select(F.col("c_nationkey").alias("nationkey")).exceptAll(
+        s.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@REL.register(
+    "full_outer_nation_activity",
+    oracle="""
+    WITH cc AS (
+      SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+      FROM customer GROUP BY c_nationkey
+    ), ss AS (
+      SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT COALESCE(cc.nationkey, ss.nationkey) AS nationkey,
+           CAST(COALESCE(n_customers, 0) AS BIGINT) AS n_customers,
+           CAST(COALESCE(n_suppliers, 0) AS BIGINT) AS n_suppliers,
+           CASE WHEN cc.nationkey IS NULL THEN 'suppliers_only'
+                WHEN ss.nationkey IS NULL THEN 'customers_only'
+                ELSE 'both' END AS activity
+    FROM cc FULL OUTER JOIN ss ON cc.nationkey = ss.nationkey
+    """,
+)
+def full_outer_nation_activity(spark, sf_dir):
+    """FULL OUTER join — the one join type the repo had not yet registered:
+    per-nation customer counts against per-nation supplier counts, keeping
+    nations that appear on only one side (null-extended, coalesced to 0)
+    with a side indicator.
+
+    Scale: both inputs are pre-aggregated to nation cardinality before the
+    join, so the outer join itself is tiny regardless of fact-table SF —
+    aggregate-then-join, never join-then-aggregate, is the posture that
+    survives 100 TB.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cc = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    ss = s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    j = cc.join(ss, "nationkey", "full_outer")
+    return j.select(
+        "nationkey",
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        F.when(F.col("n_customers").isNull(), F.lit("suppliers_only"))
+        .when(F.col("n_suppliers").isNull(), F.lit("customers_only"))
+        .otherwise(F.lit("both"))
+        .alias("activity"),
+    )
+
+
+@REL.register(
     "scalar_part_functions",
     oracle="""
     SELECT p_partkey,
