@@ -49,13 +49,24 @@ _PRIORITY = [
     "pii_extract_spans",
     "streaming_stream_stream_left_outer",
     "dedup_connected_components",
+    # rides the round-5 prefix-join rewrite (positional filter + memo):
+    "neardup_jaccard_pairs",
+    "cross_source_overlap",
+    "dedup_keep_canonical",
+    "dedup_incremental_new_batch",
+    # rides the round-5 multi-file read path change:
+    "excel_roundtrip",
+    # new or newly-oracled in round 5:
     "multimodal_mixed_manifest",
     "multimodal_wav_manifest",
     "multimodal_pixel_stats",
+    "multimodal_frame_sample",
     "passage_dedup_rewrite",
     "set_intersect_all_nations",
     "set_except_all_nations",
     "full_outer_nation_activity",
+    "lang_id_ngram",
+    "doc_winnow_fingerprints",
     # --- last driver-checked in round 1 (19 — oldest greens) ---
     "unpivot_part_measures",
     "q17_small_quantity_revenue",
@@ -81,8 +92,6 @@ _PRIORITY = [
     "agg_collect_arrays",
     "regexp_parse_customer_names",
     "fuzzy_match_part_names",
-    "lang_id_ngram",
-    "doc_winnow_fingerprints",
     "pipeline_curate_documents",
     "split_train_val_test",
     "stratified_sample_documents",
@@ -93,7 +102,6 @@ _PRIORITY = [
     "embedding_array_stats",
     "similarity_ann_pq",
     "multimodal_decode_manifest",
-    "multimodal_frame_sample",
     "multimodal_resize_stub",
     "q2_min_price_supplier",
     "q8_market_share",
