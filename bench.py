@@ -146,6 +146,38 @@ def main() -> None:
         spark.range(0, 1024, 1, 32).mapInPandas(
             lambda it: it, "id long"
         ).count()
+
+        # warm the codec-stage one-time costs in every worker slot: module
+        # imports (numpy + functions/{png,gif,jpeg,wav}) AND the JVM Arrow
+        # binary-column serialization path — the first binary-producing
+        # mapInPandas otherwise pays ~3 s of JIT/codegen that belongs to no
+        # particular query
+        def _warm_codecs(it):
+            import numpy as _np
+            import pandas as _pd
+
+            from data_to_parquet_spark.functions.png import encode_png
+
+            for pdf in it:
+                img = _np.zeros((8, 8, 3), _np.uint8)
+                yield _pd.DataFrame(
+                    {"payload": [encode_png(img)] * len(pdf)}
+                )
+
+        def _warm_consume(it):
+            import pandas as _pd
+
+            from data_to_parquet_spark.functions import gif, jpeg, wav  # noqa: F401
+            from data_to_parquet_spark.functions.png import decode_png
+
+            for pdf in it:
+                yield _pd.DataFrame(
+                    {"n": [decode_png(bytes(p)).size for p in pdf["payload"]]}
+                )
+
+        spark.range(0, 64, 1, 32).mapInPandas(
+            _warm_codecs, "payload binary"
+        ).mapInPandas(_warm_consume, "n long").count()
         warm_sf = "/root/testdata/sf0.001"
         if os.path.isdir(warm_sf):
             queries["neardup_jaccard_pairs"](spark, warm_sf).count()
