@@ -65,6 +65,7 @@ _PRIORITY = [
     "set_intersect_all_nations",
     "set_except_all_nations",
     "full_outer_nation_activity",
+    "contamination_bloom_flags",
     "lang_id_ngram",
     "doc_winnow_fingerprints",
     # --- last driver-checked in round 1 (19 — oldest greens) ---

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "multimodal_wav_manifest",
     "multimodal_frame_sample",
     "passage_dedup_rewrite",
+    "contamination_bloom_flags",
 ]
 
 

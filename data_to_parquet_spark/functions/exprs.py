@@ -19,6 +19,7 @@ __all__ = [
     "cosine",
     "tokens",
     "distinct_tokens",
+    "exploded_rows",
 ]
 
 # -- exact-arithmetic aggregates ------------------------------------------
@@ -85,3 +86,37 @@ def tokens(text: Column) -> Column:
 
 def distinct_tokens(text: Column) -> Column:
     return F.array_distinct(tokens(text))
+
+
+# -- fast explode of computed arrays ---------------------------------------
+
+
+def exploded_rows(df, keep, arr: Column, alias: str):
+    """Explode a COMPUTED array expression without paying the interpreted
+    GenerateExec penalty.
+
+    ``df.select(F.explode(expensive_expr))`` lets CollapseProject inline the
+    array expression into the generator, where higher-order functions and
+    lambdas evaluate OUTSIDE whole-stage codegen — measured 5× slower than
+    this shape on the 5-gram shingle explode (4.0 s → 0.8 s at sf0.1).
+    Here the array is evaluated once per input row in a codegen'd
+    projection below the Generate; the generator's child is a trivial
+    position ``sequence``; elements are fetched by a plain ``element_at``
+    projection above it (Project cannot collapse through Generate).
+
+    ``keep``: column names to carry through; ``arr``: the array expression;
+    ``alias``: output column name for the exploded element. Null/empty
+    arrays yield no rows, matching ``explode`` exactly (the greatest/slice
+    guard makes the position list empty for size 0 and NULL — Spark's
+    ``sequence(1, 0)`` is the DESCENDING [1, 0], not empty).
+    """
+    tmp = df.select(*keep, arr.alias("__x_arr"))
+    pos = F.explode(
+        F.expr(
+            "slice(sequence(1, greatest(size(__x_arr), 1)),"
+            " 1, greatest(size(__x_arr), 0))"
+        )
+    ).alias("__x_i")
+    return tmp.select(*keep, "__x_arr", pos).select(
+        *keep, F.element_at("__x_arr", F.col("__x_i")).alias(alias)
+    )

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.exprs import distinct_tokens, tokens
+from ..functions.exprs import distinct_tokens, exploded_rows, tokens
 from .base import Registry, load_table
 
 DEDUP = Registry()
@@ -161,17 +161,17 @@ def _minhash_signatures(docs, text_col="text"):
     one identical empty-string shingle and pair with all the others at
     est_jaccard 1.0. Docs with 1–2 tokens keep their single partial shingle.
     """
-    shingled = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform("
-                f" slice(sequence(1, greatest(size(tokens) - {_SHINGLE_W - 1}, 1)),"
-                f"       1, if(size(tokens) = 0, 0,"
-                f"             greatest(size(tokens) - {_SHINGLE_W - 1}, 1))),"
-                f" i -> array_join(slice(tokens, i, {_SHINGLE_W}), ' '))"
-            )
-        ).alias("shingle"),
+    shingled = exploded_rows(
+        docs,
+        ["doc_id"],
+        F.expr(
+            f"transform("
+            f" slice(sequence(1, greatest(size(tokens) - {_SHINGLE_W - 1}, 1)),"
+            f"       1, if(size(tokens) = 0, 0,"
+            f"             greatest(size(tokens) - {_SHINGLE_W - 1}, 1))),"
+            f" i -> array_join(slice(tokens, i, {_SHINGLE_W}), ' '))"
+        ),
+        "shingle",
     ).select(
         "doc_id",
         F.pmod(F.xxhash64("shingle"), F.lit(_MH_PRIME)).alias("h1"),
@@ -263,8 +263,8 @@ def simhash_fingerprints(docs, id_col="doc_id", text_col="text"):
     Per distinct token, xxhash64 → each of 64 bits votes ±1; the sign of the
     per-bit sum is the fingerprint bit. One explode + one groupBy pass.
     """
-    tok = docs.select(
-        id_col, F.explode(distinct_tokens(F.col(text_col))).alias("tok")
+    tok = exploded_rows(
+        docs, [id_col], distinct_tokens(F.col(text_col)), "tok"
     ).withColumn("h", F.xxhash64("tok"))
     # per-bit vote sums: sum over tokens of (2*bit-1)
     votes = tok.groupBy(id_col).agg(
@@ -641,23 +641,18 @@ def passage_dedup_rewrite(spark, sf_dir):
     """
     d = load_table(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
-    chunks = (
-        d.select("doc_id", t.alias("t"))
-        .filter(F.size("t") > 0)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(t), {_PASSAGE_W}),"
-                    f" i -> struct(cast((i - 1) div {_PASSAGE_W} as bigint)"
-                    f"             as chunk_idx,"
-                    f"             array_join(slice(t, i, {_PASSAGE_W}), ' ')"
-                    f"             as passage))"
-                )
-            ).alias("c"),
-        )
-        .select("doc_id", "c.chunk_idx", "c.passage")
-    )
+    chunks = exploded_rows(
+        d.select("doc_id", t.alias("t")).filter(F.size("t") > 0),
+        ["doc_id"],
+        F.expr(
+            f"transform(sequence(1, size(t), {_PASSAGE_W}),"
+            f" i -> struct(cast((i - 1) div {_PASSAGE_W} as bigint)"
+            f"             as chunk_idx,"
+            f"             array_join(slice(t, i, {_PASSAGE_W}), ' ')"
+            f"             as passage))"
+        ),
+        "c",
+    ).select("doc_id", "c.chunk_idx", "c.passage")
     key = F.col("doc_id") * F.lit(100000) + F.col("chunk_idx")
     winners = chunks.groupBy("passage").agg(F.min(key).alias("wkey"))
     kept = chunks.join(winners, "passage").filter(key == F.col("wkey"))

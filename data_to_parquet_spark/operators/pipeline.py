@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions.exprs import tokens
+from ..functions.exprs import exploded_rows, tokens
 from .base import Registry, load_table
 
 PIPE = Registry()
@@ -126,9 +126,7 @@ def doc_repetition_stats(spark, sf_dir):
     collapses each doc's repeats map-side.
     """
     d = load_table(spark, sf_dir, "documents")
-    ex = d.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("tk")
-    )
+    ex = exploded_rows(d, ["doc_id"], tokens(F.col("text")), "tk")
     cnt = ex.groupBy("doc_id", "tk").agg(F.count(F.lit(1)).alias("c"))
     return cnt.groupBy("doc_id").agg(
         F.sum("c").alias("n_tokens"),
@@ -200,14 +198,15 @@ def contamination_ngram_overlap(spark, sf_dir):
     sh = d.select("doc_id", t.alias("t")).select(
         "doc_id", shingles.alias("s")
     )
-    bench = (
-        sh.filter(F.col("doc_id") % _BENCH_MOD == 0)
-        .select(F.explode("s").alias("g"))
-        .distinct()
+    bench = exploded_rows(
+        sh.filter(F.col("doc_id") % _BENCH_MOD == 0), [], F.col("s"), "g"
+    ).distinct()
+    ex = exploded_rows(
+        sh.filter(F.col("doc_id") % _BENCH_MOD != 0),
+        ["doc_id"],
+        F.col("s"),
+        "g",
     )
-    ex = sh.filter(
-        (F.col("doc_id") % _BENCH_MOD != 0) & (F.size("s") > 0)
-    ).select("doc_id", F.explode("s").alias("g"))
     hit = ex.join(
         F.broadcast(bench.withColumnRenamed("g", "bg")),
         F.col("g") == F.col("bg"),
@@ -217,6 +216,122 @@ def contamination_ngram_overlap(spark, sf_dir):
         F.count(F.lit(1)).alias("n_shingles"),
         F.count("bg").alias("n_contaminated"),
         (F.count("bg").cast(_D) / F.count(F.lit(1))).alias("overlap_frac"),
+    )
+
+
+_BLOOM_BITS = 1 << 17  # bloom filter width (16 KiB bitmap)
+_BLOOM_K = 4  # hash functions
+
+
+@PIPE.register("contamination_bloom_flags", oracle=None)
+def contamination_bloom_flags(spark, sf_dir):
+    """Bloom-filter decontamination — the LARGE-dirty-set scale path. The
+    exact variant above broadcasts the benchmark shingle dictionary, which
+    works while eval suites are small; when the deny-set grows to billions
+    of n-grams (every test set + every known benchmark + leaked docs), the
+    broadcast becomes the bottleneck. The bloom posture fixes the shipped
+    state at m bits REGARDLESS of set size: build a 2^17-bit / 4-hash
+    filter from the benchmark shingles, ship the 16 KiB bitmap as a plan
+    literal, and probe every doc's shingles with pure JVM bit arithmetic — a
+    no-shuffle narrow map over the corpus, zero per-row joins.
+
+    One-sided error by construction: a truly contaminated shingle ALWAYS
+    hits (no false negatives — the property decontamination needs); false
+    positives over-flag at rate ≈ (set_bits/m)^k, pinned under 0.1% of
+    checked shingles by tests/test_bloom_contamination.py, which also
+    verifies flagged ⊇ exact per doc. Rows-only: xxhash64 is not available
+    to DuckDB; semantics are pinned against the exact query in the test.
+
+    Crossover note: at THIS corpus scale the exact broadcast join is
+    faster (the benchmark dictionary is tiny); the bloom path wins when
+    the deny-set no longer broadcasts. Both are kept registered because
+    they are different points on the same scale curve.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    shingles = F.expr(
+        f"array_distinct(transform("
+        f" slice(sequence(1, greatest(size(t) - {_SHINGLE_N - 1}, 1)),"
+        f"       1, greatest(size(t) - {_SHINGLE_N - 1}, 0)),"
+        f" i -> array_join(slice(t, i, {_SHINGLE_N}), ' ')))"
+    )
+    sh = d.select("doc_id", t.alias("t")).select(
+        "doc_id", shingles.alias("s")
+    )
+    # build: k bit positions per benchmark shingle, OR'd into m bits. The
+    # position set is collected driver-side — it is bounded by k·|benchmark
+    # shingles| (and at true scale this is a one-time fold into 16 KiB,
+    # exactly what e.g. spark.util.sketch.BloomFilter materializes).
+    bench_pos = (
+        exploded_rows(
+            sh.filter(F.col("doc_id") % _BENCH_MOD == 0),
+            [],
+            F.col("s"),
+            "g",
+        )
+        .distinct()
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.col("g"), F.lit(i)),
+                            F.lit(_BLOOM_BITS),
+                        )
+                        for i in range(_BLOOM_K)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    words = [0] * (_BLOOM_BITS // 64)
+    for (pos,) in bench_pos.collect():
+        words[pos // 64] |= 1 << (pos % 64)
+    # signed-long literal array (Spark longs are signed; bit 63 wraps).
+    # ONE Literal node (F.lit on the whole list) — a CreateArray of 2048
+    # elements is not constant-folded and measured 6× slower end to end.
+    wlits = F.lit(
+        [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    )
+    # probe: explode shingles (index-explode — see exploded_rows) and test
+    # the k bits with PLAIN column expressions, then re-aggregate per doc.
+    # Higher-order-function lambdas evaluate outside whole-stage codegen
+    # (a filter/forall formulation measured 6× slower than the exact
+    # broadcast join it was meant to beat); flat bit arithmetic stays in
+    # codegen, and the one extra doc_id aggregation is partial-combined.
+    ex = exploded_rows(
+        sh.filter(F.col("doc_id") % _BENCH_MOD != 0),
+        ["doc_id"],
+        F.col("s"),
+        "g",
+    ).withColumn("__w", wlits)
+    hit = None
+    for i in range(_BLOOM_K):
+        # codegen'd subexpression elimination dedupes the repeated hash
+        bit = F.expr(
+            f"(shiftright(element_at(__w,"
+            f" CAST(pmod(xxhash64(g, {i}), {_BLOOM_BITS}) div 64 AS INT)"
+            f" + 1),"
+            f" CAST(pmod(xxhash64(g, {i}), {_BLOOM_BITS}) % 64 AS INT))"
+            f" & 1) = 1"
+        )
+        hit = bit if hit is None else (hit & bit)
+    return (
+        ex.select("doc_id", hit.cast("int").alias("__hit"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("__hit").alias("n_flagged"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_flagged",
+            (F.col("n_flagged").cast(_D) / F.col("n_shingles")).alias(
+                "flagged_frac"
+            ),
+        )
     )
 
 
@@ -450,8 +565,8 @@ def corpus_top_ngrams(spark, sf_dir):
         f"       1, greatest(size(t) - {_TOPNG_N - 1}, 0)),"
         f" i -> array_join(slice(t, i, {_TOPNG_N}), ' '))"
     )
-    ex = d.select("doc_id", t.alias("t")).select(
-        "doc_id", F.explode(grams).alias("gram")
+    ex = exploded_rows(
+        d.select("doc_id", t.alias("t")), ["doc_id"], grams, "gram"
     )
     return (
         ex.groupBy("gram")

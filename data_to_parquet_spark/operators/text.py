@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions.exprs import distinct_tokens, tokens
+from ..functions.exprs import distinct_tokens, exploded_rows, tokens
 from .base import Registry, load_table
 
 TXT = Registry()
@@ -409,9 +409,11 @@ def doc_winnow_fingerprints(spark, sf_dir):
         f" sequence(1, greatest(size(__hashes) - {win - 1}, 1)),"
         f" w -> array_min(slice(__hashes, w, {win}))))"
     )
-    return (
-        d.select("doc_id", hashes.alias("__hashes"))
-        .select("doc_id", F.explode(winnowed).alias("fingerprint"))
+    return exploded_rows(
+        d.select("doc_id", hashes.alias("__hashes")),
+        ["doc_id"],
+        winnowed,
+        "fingerprint",
     )
 
 
@@ -605,7 +607,7 @@ def tfidf_top_terms(spark, sf_dir):
     """
     d = load_table(spark, sf_dir, "documents")
     tf = (
-        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        exploded_rows(d, ["doc_id"], tokens(F.col("text")), "term")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -672,7 +674,7 @@ def unigram_lm_quality(spark, sf_dir):
     """
     d = load_table(spark, sf_dir, "documents")
     tf = (
-        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        exploded_rows(d, ["doc_id"], tokens(F.col("text")), "term")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -736,7 +738,7 @@ def corpus_zipf_stats(spark, sf_dir):
     """
     d = load_table(spark, sf_dir, "documents")
     freq = (
-        d.select(F.explode(tokens(F.col("text"))).alias("term"))
+        exploded_rows(d, [], tokens(F.col("text")), "term")
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .functions.exprs import dot, norm, tokens
+from .functions.exprs import dot, exploded_rows, norm, tokens
 from .operators.asof import asof_join
 
 __all__ = [
@@ -141,7 +141,7 @@ def neardup_jaccard_prefix(
             F.transform(elems, lambda x: F.xxhash64(x))
         ).alias("__toks"),
     )
-    flat = tok.select("__id", "__block", F.explode("__toks").alias("__tk"))
+    flat = exploded_rows(tok, ["__id", "__block"], F.col("__toks"), "__tk")
     dfc = flat.groupBy("__tk").agg(F.count(F.lit(1)).alias("__df"))
     ordered = (
         flat.join(dfc, "__tk")
@@ -245,17 +245,15 @@ def neardup_jaccard_count(
     t = float(threshold)
     blk = F.col(block_col) if block_col else F.lit(0)
     elems = elements if elements is not None else tokens(F.col(text_col))
-    sized = df.select(
+    tok = df.select(
         F.col(id_col).alias("__id"),
         blk.alias("__block"),
         F.array_distinct(
             F.transform(elems, lambda x: F.xxhash64(x))
         ).alias("__toks"),
-    ).select(
-        "__id",
-        "__block",
-        F.size("__toks").alias("__sz"),
-        F.explode("__toks").alias("__h"),
+    ).select("__id", "__block", F.size("__toks").alias("__sz"), "__toks")
+    sized = exploded_rows(
+        tok, ["__id", "__block", "__sz"], F.col("__toks"), "__h"
     )
     a = sized.select(
         F.col("__id").alias("id_a"),
@@ -503,20 +501,17 @@ def minhash_candidates(
     rows_per_band = num_hashes // bands
     prime = (1 << 31) - 1  # Kirsch-Mitzenmacher double-hash modulus
     toks = tokens(F.col(text_col))
-    shingled = df.select(
-        F.col(id_col).alias("__id"),
-        toks.alias("__toks"),
-    ).select(
-        "__id",
-        F.explode(
-            F.expr(
-                f"transform("
-                f" slice(sequence(1, greatest(size(__toks) - {shingle_width - 1}, 1)),"
-                f"       1, if(size(__toks) = 0, 0,"
-                f"             greatest(size(__toks) - {shingle_width - 1}, 1))),"
-                f" i -> array_join(slice(__toks, i, {shingle_width}), ' '))"
-            )
-        ).alias("__shingle"),
+    shingled = exploded_rows(
+        df.select(F.col(id_col).alias("__id"), toks.alias("__toks")),
+        ["__id"],
+        F.expr(
+            f"transform("
+            f" slice(sequence(1, greatest(size(__toks) - {shingle_width - 1}, 1)),"
+            f"       1, if(size(__toks) = 0, 0,"
+            f"             greatest(size(__toks) - {shingle_width - 1}, 1))),"
+            f" i -> array_join(slice(__toks, i, {shingle_width}), ' '))"
+        ),
+        "__shingle",
     )
     hashed = shingled.select(
         "__id",
@@ -607,10 +602,13 @@ def passage_dup_stats(
         f"transform(sequence(1, size(__t), {w}),"
         f" i -> array_join(slice(__t, i, {w}), ' '))"
     )
-    pas = (
-        df.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t"))
-        .filter(F.size("__t") > 0)
-        .select("__id", F.explode(passages).alias("__passage"))
+    pas = exploded_rows(
+        df.select(
+            F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t")
+        ).filter(F.size("__t") > 0),
+        ["__id"],
+        passages,
+        "__passage",
     )
     per_doc = pas.groupBy("__id", "__passage").agg(F.count(F.lit(1)).alias("__m"))
     pdf = per_doc.groupBy("__passage").agg(F.count(F.lit(1)).alias("__docs"))
