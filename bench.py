@@ -126,6 +126,9 @@ def _excel_fleet_fixture(tmp_root: str = "/tmp/d2p_bench", n_files: int = 16) ->
 
 
 def main() -> None:
+    # captured before the JVM spins up, so it reflects co-tenant load, not
+    # the bench's own 32 threads
+    load_at_start = [round(x, 2) for x in os.getloadavg()]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from data_to_parquet_spark.api import convert, convert_many
     from data_to_parquet_spark.session import get_spark
@@ -256,6 +259,10 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # host-contention context: same-code totals have varied 54-76 s
+        # purely with co-tenant load; pre-JVM 1/5/15-min load averages let
+        # a reader separate real drift from a noisy-neighbor window
+        "loadavg_at_start": load_at_start,
     }
     regressions = _vs_previous_round(times)
     if regressions:
