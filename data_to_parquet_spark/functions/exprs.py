@@ -20,6 +20,7 @@ __all__ = [
     "tokens",
     "distinct_tokens",
     "exploded_rows",
+    "exploded_rows_pos",
 ]
 
 # -- exact-arithmetic aggregates ------------------------------------------
@@ -119,4 +120,22 @@ def exploded_rows(df, keep, arr: Column, alias: str):
     ).alias("__x_i")
     return tmp.select(*keep, "__x_arr", pos).select(
         *keep, F.element_at("__x_arr", F.col("__x_i")).alias(alias)
+    )
+
+
+def exploded_rows_pos(df, keep, arr: Column, pos_alias: str, alias: str):
+    """``posexplode`` twin of :func:`exploded_rows`: same interpreted-
+    GenerateExec avoidance, emitting the 0-based element position under
+    ``pos_alias`` alongside the element."""
+    tmp = df.select(*keep, arr.alias("__x_arr"))
+    pos = F.explode(
+        F.expr(
+            "slice(sequence(1, greatest(size(__x_arr), 1)),"
+            " 1, greatest(size(__x_arr), 0))"
+        )
+    ).alias("__x_i")
+    return tmp.select(*keep, "__x_arr", pos).select(
+        *keep,
+        (F.col("__x_i") - F.lit(1)).alias(pos_alias),
+        F.element_at("__x_arr", F.col("__x_i")).alias(alias),
     )

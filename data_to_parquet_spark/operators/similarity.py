@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions.exprs import cosine, dot, norm
+from ..functions.exprs import cosine, dot, exploded_rows_pos, norm
 from .base import Registry, load_table
 
 SIM = Registry()
@@ -177,11 +177,8 @@ def embedding_neardup_pairs(spark, sf_dir):
     synthetic corpus (which has no pairs above cos 0.8).
     """
     e = load_table(spark, sf_dir, "embeddings")
-    bands = e.select(
-        "vec_id",
-        F.posexplode(_nd_buckets_spark(F.col("embedding"))).alias(
-            "tbl", "bucket"
-        ),
+    bands = exploded_rows_pos(
+        e, ["vec_id"], _nd_buckets_spark(F.col("embedding")), "tbl", "bucket"
     )
     # skinny distinct on the id pair BEFORE touching vectors: multi-table
     # collisions collapse on 2 longs, not 2 x 64 floats
