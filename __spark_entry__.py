@@ -66,6 +66,7 @@ _PRIORITY = [
     "set_except_all_nations",
     "full_outer_nation_activity",
     "contamination_bloom_flags",
+    "similarity_recall_report",
     "lang_id_ngram",
     "doc_winnow_fingerprints",
     # --- last driver-checked in round 1 (19 — oldest greens) ---

@@ -546,3 +546,56 @@ def semdedup_prune(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
     return semdedup(e, "vec_id", "embedding", k=_SD_K, tau=_SD_TAU)
+
+
+@SIM.register("similarity_recall_report", oracle=None)
+def similarity_recall_report(spark, sf_dir):
+    """ANN quality observability: recall@10 of every approximate index
+    (LSH / IVF / PQ) against the exact brute-force top-10, per query and
+    per method — the dashboard row an embedding-retrieval deployment
+    watches when tuning L/k/nprobe/code-size.
+
+    Computed as a left join of the exact neighbor set onto each method's
+    result set on (query_id, neighbor_id); recall = matched/10. Rows-only:
+    the ANN methods' hyperplane/centroid constants are engine-side (same
+    reason the underlying index queries are rows-only); the recall FLOORS
+    are pinned in tests/test_ann.py.
+
+    Scale: every input is already a top-10-per-query table (≤ 10·|queries|
+    rows), so the joins here are on bounded frames — the report costs
+    nothing next to the indexes it audits.
+    """
+    exact = similarity_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    methods = (
+        ("lsh", similarity_ann_lsh),
+        ("ivf", similarity_ann_ivf),
+        ("pq", similarity_ann_pq),
+    )
+    reports = []
+    for name, fn in methods:
+        got = fn(spark, sf_dir).select(
+            F.col("query_id").alias("g_query"),
+            F.col("neighbor_id").alias("g_nb"),
+        )
+        matched = exact.join(
+            got,
+            (F.col("query_id") == F.col("g_query"))
+            & (F.col("neighbor_id") == F.col("g_nb")),
+            "left_outer",
+        )
+        reports.append(
+            matched.groupBy("query_id").agg(
+                F.lit(name).alias("method"),
+                F.count(F.lit(1)).alias("k"),
+                F.count("g_nb").alias("matched"),
+                (F.count("g_nb").cast("double") / F.count(F.lit(1))).alias(
+                    "recall_at_10"
+                ),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.select("query_id", "method", "k", "matched", "recall_at_10")
