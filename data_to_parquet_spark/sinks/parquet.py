@@ -22,7 +22,12 @@ from pyspark.sql import DataFrame
 
 from ..errors import DataToParquetError
 
-__all__ = ["to_parquet", "to_single_parquet_file", "compact_parquet"]
+__all__ = [
+    "to_parquet",
+    "to_single_parquet_file",
+    "compact_parquet",
+    "to_sorted_parquet",
+]
 
 
 def to_parquet(
@@ -66,6 +71,42 @@ def to_single_parquet_file(
         shutil.move(parts[0], path)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def to_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    *,
+    n_files: int | None = None,
+    compression: str = "zstd",
+) -> None:
+    """Layout-optimized write: range-partition on ``sort_cols`` then sort
+    within each partition before writing.
+
+    Every output file then covers a DISJOINT range of the sort key, so the
+    parquet min/max statistics become tight and any engine (Spark's
+    parquet filter pushdown, DuckDB zone-map skipping, Trino, ...) prunes
+    whole files/row-groups on range predicates over those columns. This is
+    the single highest-leverage storage decision for a 100 TB table that
+    is predominantly filtered on one dimension (event time, ship date):
+    the scan cost of `WHERE d BETWEEN x AND y` drops from O(table) to
+    O(selected range). Verified against actual parquet footer metadata in
+    tests/test_sorted_layout.py.
+
+    ``repartitionByRange`` samples the key distribution, so file ranges
+    are balanced by ROW COUNT (not naive key arithmetic) — skew in the
+    sort key produces more files for hot ranges, which is exactly what a
+    scan-pruning layout wants.
+    """
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(path)
+    )
 
 
 def compact_parquet(
