@@ -260,9 +260,11 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # host-contention context: same-code totals have varied 54-76 s
-        # purely with co-tenant load; pre-JVM 1/5/15-min load averages let
-        # a reader separate real drift from a noisy-neighbor window
+        # purely with co-tenant load (observed 1-min load swinging 0.7→4.7
+        # inside two minutes); start+end 1/5/15-min load averages let a
+        # reader separate real drift from a noisy-neighbor window
         "loadavg_at_start": load_at_start,
+        "loadavg_at_end": [round(x, 2) for x in os.getloadavg()],
     }
     regressions = _vs_previous_round(times)
     if regressions:
