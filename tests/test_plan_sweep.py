@@ -32,6 +32,7 @@ ALLOW_BNLJ = {
     "unigram_lm_quality",  # 1-row vocab/total join
     "tfidf_top_terms",  # 1-row corpus doc-count N joined back
     "lang_id_ngram",  # fixed char-bigram language profiles (bounded)
+    "similarity_recall_report",  # wraps the allowlisted brute-force top-k
 }
 
 # Streaming queries execute a real streaming run when built (availableNow to
