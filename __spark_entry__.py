@@ -67,6 +67,7 @@ _PRIORITY = [
     "full_outer_nation_activity",
     "contamination_bloom_flags",
     "similarity_recall_report",
+    "multimodal_resize_pixel_sums",
     "lang_id_ngram",
     "doc_winnow_fingerprints",
     # --- last driver-checked in round 1 (19 — oldest greens) ---

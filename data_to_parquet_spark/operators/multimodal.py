@@ -712,6 +712,66 @@ def multimodal_pixel_stats(spark, sf_dir):
     return _png_payloads(spark, sf_dir).mapInPandas(stats_batches, schema)
 
 
+@MM.register(
+    "multimodal_resize_pixel_sums",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             16 + doc_id % 48 AS w,
+             12 + doc_id % 36 AS h
+      FROM documents
+    ), px AS (
+      SELECT doc_id, w, h, j.j, i.i
+      FROM dims, generate_series(0, 63) AS j(j), generate_series(0, 63) AS i(i)
+    )
+    SELECT doc_id,
+           CAST(SUM((i * w // 64 * 3 + doc_id) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((j * h // 64 * 5 + doc_id // 7) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM(xor(i * w // 64, j * h // 64) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_resize_pixel_sums(spark, sf_dir):
+    """Pixel-exact verification of the RESIZE pipeline: synthesize → encode
+    PNG → decode → nearest-neighbor resample to 64×64 → re-encode →
+    decode AGAIN → exact per-channel sums of the final pixels. The DuckDB
+    oracle recomputes the sums from pure index arithmetic (nearest-neighbor
+    source index = (dst·src_extent) // 64 composed with the synthesis
+    formula), so a hash match proves the resample grid and both codec round
+    trips are bit-exact on every one of the 4096 output pixels per doc —
+    the strongest claim the multimodal family makes.
+
+    Scale: same chained narrow maps as the other codec stages; output is
+    four integers per row.
+    """
+    import numpy as np
+
+    from ..functions.png import decode_png, encode_png, resize_nearest
+
+    def sums_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "sum_r", "sum_g", "sum_b")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_png(bytes(payload))
+                small = resize_nearest(img, (_PNG_TARGET, _PNG_TARGET))
+                final = decode_png(encode_png(small)).astype(np.int64)
+                rows["doc_id"].append(doc_id)
+                rows["sum_r"].append(int(final[..., 0].sum()))
+                rows["sum_g"].append(int(final[..., 1].sum()))
+                rows["sum_b"].append(int(final[..., 2].sum()))
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+        ]
+    )
+    return _png_payloads(spark, sf_dir).mapInPandas(sums_batches, schema)
+
+
 @MM.register("multimodal_resize_png", oracle=None)
 def multimodal_resize_png(spark, sf_dir):
     """REAL image-resize stage: decode actual PNG pixels, nearest-neighbor
