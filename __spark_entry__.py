@@ -68,6 +68,17 @@ _PRIORITY = [
     "contamination_bloom_flags",
     "similarity_recall_report",
     "multimodal_resize_pixel_sums",
+    # plan shape changed by the round-5 explode-via-indices conversion
+    # (oracled — driver re-confirms the rewritten plans):
+    "contamination_ngram_overlap",
+    "corpus_top_ngrams",
+    "tfidf_top_terms",
+    "unigram_lm_quality",
+    "corpus_zipf_stats",
+    "doc_repetition_stats",
+    "passage_dedup_fraction",
+    "neardup_ngram_jaccard",
+    "embedding_neardup_pairs",
     "lang_id_ngram",
     "doc_winnow_fingerprints",
     # --- last driver-checked in round 1 (19 — oldest greens) ---
