@@ -68,6 +68,7 @@ _PRIORITY = [
     "contamination_bloom_flags",
     "similarity_recall_report",
     "multimodal_resize_pixel_sums",
+    "streaming_global_topk_users",
     # plan shape changed by the round-5 explode-via-indices conversion
     # (oracled — driver re-confirms the rewritten plans):
     "contamination_ngram_overlap",

@@ -500,3 +500,54 @@ def streaming_stream_stream_left_outer(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@STREAMING.register(
+    "streaming_global_topk_users",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY total_value DESC, user_id
+    LIMIT 10
+    """,
+)
+def streaming_global_topk_users(spark, sf_dir):
+    """Streaming global top-k: the continuously-maintained leaderboard
+    (top spenders, hottest keys, heaviest shards). Complete output mode is
+    the one mode that permits ORDER BY + LIMIT on a streaming aggregate —
+    every trigger re-emits the full, re-ranked top-10.
+
+    Scale: state is the per-user running aggregate (high-cardinality key →
+    even partitions); the sort ranks the AGGREGATED table (|users| rows),
+    never raw events, and the limit bounds the sink write to k rows per
+    trigger. The availableNow drain makes the final table equal the batch
+    GROUP BY → ORDER BY → LIMIT — the oracle (tie-broken on user_id so the
+    k-th place is deterministic on both engines).
+    """
+    from ..functions.exprs import money
+
+    with _counter:
+        _n[0] += 1
+        sink = f"streaming_topk_out_{_n[0]}"
+    source = _events_stream(spark, sf_dir)
+    ranked = (
+        source.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value", 6)).cast("double").alias("total_value"),
+        )
+        .orderBy(F.desc("total_value"), "user_id")
+        .limit(10)
+    )
+    q = (
+        ranked.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
