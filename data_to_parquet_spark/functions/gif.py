@@ -53,6 +53,10 @@ def quantize_332(arr: np.ndarray) -> np.ndarray:
 
 def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
     """GIF variable-code-size LZW over a flat palette-index array."""
+    # the byte-wise walk below reads raw buffer bytes — a wider dtype
+    # (e.g. an int array from arithmetic promotion) would interleave
+    # zero bytes silently
+    indices = np.ascontiguousarray(indices, dtype=np.uint8)
     clear = 1 << min_code_size
     eoi = clear + 1
     next_code = eoi + 1
