@@ -69,6 +69,7 @@ _PRIORITY = [
     "similarity_recall_report",
     "multimodal_resize_pixel_sums",
     "streaming_global_topk_users",
+    "bpe_first_merges",
     # plan shape changed by the round-5 explode-via-indices conversion
     # (oracled — driver re-confirms the rewritten plans):
     "contamination_ngram_overlap",

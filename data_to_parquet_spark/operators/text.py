@@ -821,3 +821,54 @@ def doc_chunk_windows(spark, sf_dir):
             F.array_join("chunk", " ").alias("chunk_text"),
         )
     )
+
+
+@TXT.register(
+    "bpe_first_merges",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS t
+      FROM documents
+    ), pairs AS (
+      SELECT substring(t, i, 2) AS pair
+      FROM tok, unnest(generate_series(1, length(t) - 1)) AS g(i)
+      WHERE length(t) >= 2
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+)
+def bpe_first_merges(spark, sf_dir):
+    """Tokenizer induction, first BPE iteration: count every adjacent
+    character pair across the corpus's tokens and rank the top-20 merge
+    candidates — the inner loop of byte-pair-encoding vocabulary training
+    (each BPE step merges the most frequent adjacent pair; this query IS
+    one step, distributed).
+
+    Scale: token explode (index-explode, codegen) → one lookahead-regex
+    pass per token for its overlapping char pairs → partial-aggregated
+    count keyed on a ≤2-char string (bounded key space ≈ 36² — every
+    partition pre-collapses to at most that many rows map-side, so the
+    shuffle is constant-size regardless of corpus bytes) →
+    TakeOrderedAndProject for the top-20. A full BPE trainer iterates this
+    with a merge table; each iteration has this exact shuffle shape.
+    Deterministic tie-break on the pair text keeps rank 20 stable.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = exploded_rows(d, [], tokens(F.col("text")), "t")
+    pairs = exploded_rows(
+        toks.filter(F.length("t") >= 2),
+        [],
+        F.expr("regexp_extract_all(t, '(?s)(?=(..))', 1)"),
+        "pair",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
