@@ -70,6 +70,7 @@ _PRIORITY = [
     "multimodal_resize_pixel_sums",
     "streaming_global_topk_users",
     "bpe_first_merges",
+    "funnel_view_click_purchase",
     # plan shape changed by the round-5 explode-via-indices conversion
     # (oracled — driver re-confirms the rewritten plans):
     "contamination_ngram_overlap",

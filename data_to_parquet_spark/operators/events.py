@@ -637,3 +637,84 @@ def winsorize_values_by_type(spark, sf_dir):
             .alias("value_winsorized"),
         )
     )
+
+
+@EVT.register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           strftime(v.t_view, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           strftime(c.t_click, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(p.t_purchase, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CASE WHEN p.user_id IS NOT NULL THEN 3
+                WHEN c.user_id IS NOT NULL THEN 2
+                ELSE 1 END AS steps_reached
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase): per user, the
+    first view, the first click AT OR AFTER that view, and the first
+    purchase at or after that click — the sequence-constrained funnel every
+    product-analytics stack computes (an unordered GROUP BY would count a
+    purchase that preceded the view).
+
+    Scale: where the SQL oracle needs three self-joins, the Spark plan is
+    one hash partitioning on user_id reused end to end — two stacked
+    window minimums (each step's threshold) and a final aggregate, with NO
+    additional exchange between them (Spark reuses the child's hash
+    partitioning for same-key windows and groupBys). One shuffle of the
+    events table, total, regardless of funnel depth.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    tv = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    stage1 = e.withColumn("t_view", tv)
+    tc = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") >= F.col("t_view")),
+            F.col("ts"),
+        )
+    ).over(w)
+    stage2 = stage1.withColumn("t_click", tc)
+    agg = (
+        stage2.groupBy("user_id")
+        .agg(
+            F.min("t_view").alias("t_view"),
+            F.min("t_click").alias("t_click"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase"),
+        )
+        .filter(F.col("t_view").isNotNull())
+    )
+    return agg.select(
+        "user_id",
+        F.date_format("t_view", _TS_FMT).alias("view_ts"),
+        F.date_format("t_click", _TS_FMT).alias("click_ts"),
+        F.date_format("t_purchase", _TS_FMT).alias("purchase_ts"),
+        F.when(F.col("t_purchase").isNotNull(), F.lit(3))
+        .when(F.col("t_click").isNotNull(), F.lit(2))
+        .otherwise(F.lit(1))
+        .alias("steps_reached"),
+    )
