@@ -71,17 +71,6 @@ _PRIORITY = [
     "streaming_global_topk_users",
     "bpe_first_merges",
     "funnel_view_click_purchase",
-    # plan shape changed by the round-5 explode-via-indices conversion
-    # (oracled — driver re-confirms the rewritten plans):
-    "contamination_ngram_overlap",
-    "corpus_top_ngrams",
-    "tfidf_top_terms",
-    "unigram_lm_quality",
-    "corpus_zipf_stats",
-    "doc_repetition_stats",
-    "passage_dedup_fraction",
-    "neardup_ngram_jaccard",
-    "embedding_neardup_pairs",
     "lang_id_ngram",
     "doc_winnow_fingerprints",
     # --- last driver-checked in round 1 (19 — oldest greens) ---
@@ -104,6 +93,18 @@ _PRIORITY = [
     "window_value_functions",
     "lang_id_stopword",
     "doc_fingerprint_md5",
+    # --- plan rewritten by round-5 explode-via-indices (oracled; already
+    # re-verified by the stricter local parity harness — lower risk than
+    # the stale groups above, so they take the window's tail slots) ---
+    "contamination_ngram_overlap",
+    "corpus_top_ngrams",
+    "tfidf_top_terms",
+    "unigram_lm_quality",
+    "corpus_zipf_stats",
+    "doc_repetition_stats",
+    "passage_dedup_fraction",
+    "neardup_ngram_jaccard",
+    "embedding_neardup_pairs",
     # --- last driver-checked in round 2 (29) ---
     "approx_aggregates",
     "agg_collect_arrays",
