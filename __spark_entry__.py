@@ -71,6 +71,7 @@ _PRIORITY = [
     "streaming_global_topk_users",
     "bpe_first_merges",
     "funnel_view_click_purchase",
+    "cohort_retention_weekly",
     "lang_id_ngram",
     "doc_winnow_fingerprints",
     # --- last driver-checked in round 1 (19 — oldest greens) ---

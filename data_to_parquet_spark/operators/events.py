@@ -718,3 +718,62 @@ def funnel_view_click_purchase(spark, sf_dir):
         .otherwise(F.lit(1))
         .alias("steps_reached"),
     )
+
+
+@EVT.register(
+    "cohort_retention_weekly",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             CAST(date_diff('day', f.cohort,
+                            date_trunc('week', e.ts)) / 7 AS INT)
+               AS week_offset
+      FROM events e JOIN first f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+           week_offset,
+           COUNT(*) AS n_users
+    FROM activity GROUP BY cohort, week_offset
+    """,
+)
+def cohort_retention_weekly(spark, sf_dir):
+    """Weekly cohort retention — the canonical product-analytics matrix:
+    users grouped by the week of their first event (the cohort), counted
+    once per later week in which they were active (the offset). Every
+    retention dashboard is a pivot of this output.
+
+    Scale: the first-event table and the activity join both key on
+    user_id, so one hash partitioning serves the aggregate AND the join
+    probe side; the per-(user, cohort, offset) distinct then re-keys to
+    the matrix cells, whose cardinality is |cohorts| × |offsets| — tiny.
+    Week arithmetic stays on JVM date functions (both engines truncate to
+    ISO Monday).
+    """
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = (
+        e.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    ).select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_users",
+    )
