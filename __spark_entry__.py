@@ -72,6 +72,7 @@ _PRIORITY = [
     "bpe_first_merges",
     "funnel_view_click_purchase",
     "cohort_retention_weekly",
+    "dq_check_lineitem",
     "lang_id_ngram",
     "doc_winnow_fingerprints",
     # --- last driver-checked in round 1 (19 — oldest greens) ---

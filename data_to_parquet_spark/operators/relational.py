@@ -1311,3 +1311,73 @@ def table_profile_lineitem(spark, sf_dir):
         F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship"),
         F.countDistinct("l_returnflag").alias("distinct_flags"),
     )
+
+
+@REL.register(
+    "dq_check_lineitem",
+    oracle="""
+    SELECT 'l_quantity_in_1_50' AS rule,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate_not_null',
+           COUNT(*),
+           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount_in_0_1',
+           COUNT(*),
+           CAST(SUM(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'extendedprice_positive',
+           COUNT(*),
+           CAST(SUM(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'returnflag_in_domain',
+           COUNT(*),
+           CAST(SUM(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1 END) AS BIGINT)
+    FROM lineitem
+    ORDER BY rule
+    """,
+)
+def dq_check_lineitem(spark, sf_dir):
+    """Data-quality assertion sweep (the dbt-test / expectations shape):
+    evaluate a rule list — range bounds, non-null, cross-column ordering,
+    domain membership — in ONE scan, emitting per-rule row and violation
+    counts. The operator a pipeline runs before promoting a 100 TB drop.
+
+    Scale: all rules are conditional aggregates over a single pass (the
+    oracle's UNION of per-rule scans is the naive form; Spark computes one
+    aggregate and unpivots), so cost is one map-side-combined scan
+    regardless of rule count.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = {
+        "l_quantity_in_1_50": ~F.col("l_quantity").between(1, 50),
+        "l_shipdate_not_null": F.col("l_shipdate").isNull(),
+        "l_discount_in_0_1": ~F.col("l_discount").between(0, 1),
+        "extendedprice_positive": ~(F.col("l_extendedprice") > 0),
+        "returnflag_in_domain": ~F.col("l_returnflag").isin("A", "N", "R"),
+    }
+    agg = li.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(
+                F.when(cond.isNull() | cond, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"__v_{i}")
+            for i, cond in enumerate(rules.values())
+        ],
+    )
+    stack = ", ".join(
+        f"'{name}', __v_{i}" for i, name in enumerate(rules)
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(rules)}, {stack}) AS (rule, n_violations)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select("rule", "n_rows", "n_violations")
