@@ -73,6 +73,7 @@ _PRIORITY = [
     "funnel_view_click_purchase",
     "cohort_retention_weekly",
     "dq_check_lineitem",
+    "incremental_agg_merge",
     "lang_id_ngram",
     "doc_winnow_fingerprints",
     # --- last driver-checked in round 1 (19 — oldest greens) ---

@@ -1381,3 +1381,57 @@ def dq_check_lineitem(spark, sf_dir):
         ),
         F.col("__n").alias("n_rows"),
     ).select("rule", "n_rows", "n_violations")
+
+
+@REL.register(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_spent,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS avg_spent
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def incremental_agg_merge(spark, sf_dir):
+    """Incremental materialized-aggregate maintenance: the per-customer
+    spend summary is kept as ALGEBRAIC partials (count, decimal sum), a
+    new batch is aggregated independently, and the two partial tables are
+    merged by key — never re-reading the base data. Derived measures
+    (avg) are computed from merged partials at read time.
+
+    The query splits orders on a date (the "already materialized" half vs
+    the "new batch"), builds each half's partials separately, merges, and
+    derives — and must equal the one-shot GROUP BY over everything, which
+    is the oracle. That equality IS the correctness property of
+    incremental view maintenance for algebraic aggregates.
+
+    Scale: maintenance cost is O(|batch|) + a keyed merge against the
+    materialized partial table; the 100 TB history is never rescanned.
+    Partials use the exact-decimal sum recipe, so merge order cannot
+    perturb the result.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    split = F.lit("1997-01-01").cast("timestamp")
+
+    def partials(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(money("o_totalprice")).alias("__s"),
+        )
+
+    base = partials(o.filter(F.col("o_orderdate") < split))
+    delta = partials(o.filter(F.col("o_orderdate") >= split))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(F.sum("__n").alias("n_orders"), F.sum("__s").alias("__s"))
+    )
+    return merged.select(
+        "o_custkey",
+        "n_orders",
+        F.col("__s").cast(_D).alias("total_spent"),
+        (F.col("__s").cast(_D) / F.col("n_orders")).alias("avg_spent"),
+    )
