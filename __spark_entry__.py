@@ -74,6 +74,7 @@ _PRIORITY = [
     "cohort_retention_weekly",
     "dq_check_lineitem",
     "incremental_agg_merge",
+    "hourly_anomaly_zscores",
     "lang_id_ngram",
     "doc_winnow_fingerprints",
     # --- last driver-checked in round 1 (19 — oldest greens) ---

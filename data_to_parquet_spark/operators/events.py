@@ -17,6 +17,7 @@ from .base import Registry, load_table
 EVT = Registry()
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_D = "double"
 
 
 @EVT.register(
@@ -776,4 +777,70 @@ def cohort_retention_weekly(spark, sf_dir):
         F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
         "week_offset",
         "n_users",
+    )
+
+
+@EVT.register(
+    "hourly_anomaly_zscores",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), stats AS (
+      SELECT event_type,
+             CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_n,
+             COUNT(*) AS n_hours,
+             CAST(SUM(n * n) AS DOUBLE) AS sum_sq,
+             CAST(SUM(n) AS DOUBLE) AS sum_n
+      FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type,
+           strftime(h.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           h.n,
+           round((h.n - s.mean_n)
+                 / sqrt((s.sum_sq - s.sum_n * s.sum_n / s.n_hours)
+                        / (s.n_hours - 1)), 9) AS zscore
+    FROM hourly h JOIN stats s ON h.event_type = s.event_type
+    WHERE s.n_hours > 1
+      AND abs((h.n - s.mean_n)
+              / sqrt((s.sum_sq - s.sum_n * s.sum_n / s.n_hours)
+                     / (s.n_hours - 1))) >= 2.0
+    """,
+)
+def hourly_anomaly_zscores(spark, sf_dir):
+    """Volume anomaly detection: per event type, hours whose event count
+    sits ≥ 2 sample standard deviations from that type's hourly mean — the
+    monitoring query behind every traffic-spike/drop alert.
+
+    Determinism across engines: counts are integers, so Σn and Σn² are
+    EXACT in both engines; mean/variance/z are then single double-precision
+    expressions over exact inputs (no order-dependent float accumulation),
+    rounded to 9 decimals for the value hash — the same recipe the repo's
+    other float oracles use. Scale: one hourly aggregate (map-side
+    combined), one tiny per-type stats table joined back broadcast; the
+    fact table is scanned once.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        (F.sum("n").cast(_D) / F.count(F.lit(1))).alias("mean_n"),
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(F.col("n") * F.col("n")).cast(_D).alias("sum_sq"),
+        F.sum("n").cast(_D).alias("sum_n"),
+    )
+    z = (F.col("n") - F.col("mean_n")) / F.sqrt(
+        (F.col("sum_sq") - F.col("sum_n") * F.col("sum_n") / F.col("n_hours"))
+        / (F.col("n_hours") - 1)
+    )
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter((F.col("n_hours") > 1) & (F.abs(z) >= 2.0))
+        .select(
+            "event_type",
+            F.date_format("h", _TS_FMT).alias("hour"),
+            "n",
+            F.round(z, 9).alias("zscore"),
+        )
     )
