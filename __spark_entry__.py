@@ -75,6 +75,7 @@ _PRIORITY = [
     "dq_check_lineitem",
     "incremental_agg_merge",
     "hourly_anomaly_zscores",
+    "cardinality_sketch_report",
     "lang_id_ngram",
     "doc_winnow_fingerprints",
     # --- last driver-checked in round 1 (19 — oldest greens) ---

@@ -1435,3 +1435,43 @@ def incremental_agg_merge(spark, sf_dir):
         F.col("__s").cast(_D).alias("total_spent"),
         (F.col("__s").cast(_D) / F.col("n_orders")).alias("avg_spent"),
     )
+
+
+@REL.register("cardinality_sketch_report", oracle=None)
+def cardinality_sketch_report(spark, sf_dir):
+    """Sketch-accuracy observability: per column, the exact distinct count
+    next to the HyperLogLog++ estimate and its relative error — the audit
+    that tells a pipeline when `approx_count_distinct` (constant memory,
+    one pass, mergeable across 100 TB of partitions) can replace an exact
+    distinct (a full shuffle of the key). Rows-only: HLL estimates are
+    engine-specific by construction; the ≤5% error property is pinned in
+    tests/test_sketch_report.py.
+
+    Scale: the exact side is the expensive half at 100 TB and exists here
+    as the ground truth; the report's point is that the sketch column
+    makes the exact one optional.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"]
+    agg = li.agg(
+        *[F.count_distinct(F.col(c)).alias(f"__e_{c}") for c in cols],
+        *[
+            F.approx_count_distinct(c, 0.02).alias(f"__a_{c}")
+            for c in cols
+        ],
+    )
+    stack = ", ".join(f"'{c}', __e_{c}, __a_{c}" for c in cols)
+    out = agg.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS (col_name, exact, estimate)"
+        )
+    )
+    return out.select(
+        "col_name",
+        "exact",
+        "estimate",
+        (
+            F.abs(F.col("estimate") - F.col("exact")).cast(_D)
+            / F.col("exact")
+        ).alias("rel_error"),
+    )
