@@ -37,13 +37,18 @@ _REGISTRY = REL.merge(
 # checked the relational window, round 2 the dedup/similarity/streaming/
 # TPCH-extra/pipeline window, round 3 the never-verified + new queries,
 # round 4 the streaming/NTZ fixes + all round-4 additions (50 checked:
-# 43 green, 6 rows-only clean, 1 red). Round 5 ROTATES to the
-# least-recently-verified queries — the NTZ incident proved stale greens
-# rot when testdata regenerates. Order: this round's code-touched fixes
-# and additions first (red pii_extract_spans, the outer-join precision
-# fix, the CC rewrite, rows-only→oracle upgrades), then every query whose
-# last driver contact was round 1, then the round-2 window. Names listed
-# here run first, in this order; the rest keep merge order.
+# 43 green, 6 rows-only clean, 1 red). Round 5 order (the NTZ incident
+# proved stale greens rot when testdata regenerates, so recency matters):
+# 1) every round-5 fix, rewrite-dependent, or NEW query (the red
+#    pii_extract_spans fix first, prefix-join/memo riders, the multi-file
+#    Excel rider, all new codecs/operators, the two rows-only→oracle
+#    upgrades) — first driver contact or re-contact after code changes;
+# 2) all 19 queries whose last driver contact was round 1 (oldest greens);
+# 3) oracled queries whose PLAN was rewritten by the explode-via-indices
+#    conversion (already re-verified by the stricter local parity harness,
+#    so they take the window tail);
+# 4) the round-2 window. Names listed here run first, in this order; the
+#    rest keep merge order.
 _PRIORITY = [
     # --- round-5 code-touched (fixes + rewrites + new; verify first) ---
     "pii_extract_spans",
