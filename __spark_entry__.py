@@ -52,6 +52,8 @@ _REGISTRY = REL.merge(
 _PRIORITY = [
     # --- round-5 code-touched (fixes + rewrites + new; verify first) ---
     "pii_extract_spans",
+    "event_transition_matrix",
+    "rfm_customer_segments",
     "streaming_stream_stream_left_outer",
     "dedup_connected_components",
     # rides the round-5 prefix-join rewrite (positional filter + memo):

@@ -844,3 +844,58 @@ def hourly_anomaly_zscores(spark, sf_dir):
             F.round(z, 9).alias("zscore"),
         )
     )
+
+
+@EVT.register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ), t AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type),
+                 9) AS prob
+    FROM t
+    """,
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences:
+    for every (prev_type -> next_type) pair, the transition count and the
+    conditional probability P(next | prev) — the building block behind
+    clickstream path analysis and next-event prediction features.
+
+    Determinism: the per-user ordering ties on ts are broken by event_id,
+    so both engines see identical lag pairs; counts are exact integers and
+    prob is a single double division rounded to 9 — the repo's standard
+    float-oracle recipe. Scale: ONE shuffle on user_id feeds the lag
+    window (users are independent — no skew beyond per-user fan-in), the
+    pair aggregate is map-side combined into a |types|^2-bounded result,
+    and the probability window runs over that tiny aggregate, not the
+    fact table.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = W.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast(_D) / F.sum("n").over(wp), 9).alias("prob"),
+    )

@@ -18,6 +18,7 @@ a total order, and no query materializes on the driver.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..functions.exprs import dsum, money
 from .base import Registry, load_table
@@ -507,4 +508,88 @@ def q21_waiting_supplier(spark, sf_dir):
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@TPCH_X.register(
+    "rfm_customer_segments",
+    oracle="""
+    WITH cm AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spent
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT c_nationkey, spent,
+             NTILE(4) OVER (PARTITION BY c_nationkey
+                            ORDER BY last_order, o_custkey) AS r_score,
+             NTILE(4) OVER (PARTITION BY c_nationkey
+                            ORDER BY n_orders, o_custkey) AS f_score,
+             NTILE(4) OVER (PARTITION BY c_nationkey
+                            ORDER BY spent, o_custkey) AS m_score
+      FROM cm JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT n_name, r_score, f_score, m_score,
+           COUNT(*) AS n_customers,
+           CAST(SUM(spent) AS DOUBLE) AS segment_revenue
+    FROM scored JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, r_score, f_score, m_score
+    """,
+)
+def rfm_customer_segments(spark, sf_dir):
+    """RFM (recency/frequency/monetary) customer segmentation: quartile
+    scores per metric via NTILE *within each nation*, then segment-level
+    customer counts and revenue — the canonical marketing-analytics
+    cohorting query.
+
+    Determinism: every NTILE ordering carries an o_custkey tiebreak, and
+    monetary stays DECIMAL(18,2) end-to-end (exact, order-independent
+    sums in both engines; cast to DOUBLE only at the final projection).
+    Scale: the window input is ONE ROW PER CUSTOMER (the orders fact
+    table is pre-aggregated by custkey with map-side combine), and the
+    windows are partitioned by nation — no single-partition global sort.
+    At a scale where |customers|/|nations| still overwhelms a partition,
+    the same scores come from threshold bucketing against broadcast
+    quantile boundaries (the adaptive-length-gate pattern in
+    pipeline.py); NTILE is kept here for its exact equal-depth
+    tie-broken semantics, which the oracle can mirror verbatim.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(money("o_totalprice")).alias("spent"),
+    )
+    j = cm.join(c, cm.o_custkey == c.c_custkey).select(
+        "o_custkey", "c_nationkey", "last_order", "n_orders", "spent"
+    )
+    scored = j.select(
+        "c_nationkey",
+        "spent",
+        F.ntile(4)
+        .over(
+            W.partitionBy("c_nationkey").orderBy("last_order", "o_custkey")
+        )
+        .alias("r_score"),
+        F.ntile(4)
+        .over(
+            W.partitionBy("c_nationkey").orderBy("n_orders", "o_custkey")
+        )
+        .alias("f_score"),
+        F.ntile(4)
+        .over(W.partitionBy("c_nationkey").orderBy("spent", "o_custkey"))
+        .alias("m_score"),
+    )
+    return (
+        scored.join(
+            F.broadcast(n), scored.c_nationkey == n.n_nationkey
+        )
+        .groupBy("n_name", "r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("spent").cast(_D).alias("segment_revenue"),
+        )
     )
