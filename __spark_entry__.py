@@ -54,6 +54,9 @@ _PRIORITY = [
     "pii_extract_spans",
     "event_transition_matrix",
     "rfm_customer_segments",
+    "bigram_coverage_quality",
+    "basket_brand_pairs",
+    "order_trend_by_priority",
     "streaming_stream_stream_left_outer",
     "dedup_connected_components",
     # rides the round-5 prefix-join rewrite (positional filter + memo):

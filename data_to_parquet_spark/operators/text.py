@@ -872,3 +872,72 @@ def bpe_first_merges(spark, sf_dir):
         .orderBy(F.desc("n"), "pair")
         .limit(20)
     )
+
+
+_BGC_MIN = 3  # corpus occurrences for a bigram to count as "known"
+
+
+@TXT.register(
+    "bigram_coverage_quality",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bigram
+      FROM tok, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
+    ), corpus AS (
+      SELECT bigram, COUNT(*) AS c FROM ex GROUP BY bigram
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(CASE WHEN c >= {_BGC_MIN} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_known,
+           round(CAST(SUM(CASE WHEN c >= {_BGC_MIN} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 9) AS coverage
+    FROM ex JOIN corpus USING (bigram)
+    GROUP BY doc_id
+    """,
+)
+def bigram_coverage_quality(spark, sf_dir):
+    """Bigram-coverage quality signal: for every document, the fraction of
+    its word bigrams that occur at least {3} times in the whole corpus —
+    the integer-exact stand-in for a KenLM out-of-vocabulary-rate filter
+    (documents built from corpus-rare word transitions score low; gibberish
+    and boilerplate-free templates surface at the extremes). Complements
+    ``unigram_lm_quality``, which scores isolated-token likelihood only.
+
+    Determinism: counts are exact integers end-to-end; the only float is
+    the final single division, rounded to 9 (the repo's standard recipe —
+    no order-dependent float accumulation anywhere). Scale: one bigram
+    explode (codegen'd via ``exploded_rows``), two map-side-combined
+    aggregations, and a shuffle join back on the bigram key sized by AQE
+    (the bigram dictionary is unbounded — never force-broadcast it); the
+    per-doc aggregate shuffles on doc_id only once.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    grams = F.expr(
+        "transform("
+        " slice(sequence(1, greatest(size(t) - 1, 1)),"
+        "       1, greatest(size(t) - 1, 0)),"
+        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+    )
+    ex = exploded_rows(
+        d.select("doc_id", t.alias("t")), ["doc_id"], grams, "bigram"
+    )
+    corpus = ex.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    known = F.when(F.col("c") >= _BGC_MIN, 1).otherwise(0)
+    return (
+        ex.join(corpus, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(known).alias("n_known"),
+            F.round(
+                F.sum(known).cast("double") / F.count(F.lit(1)), 9
+            ).alias("coverage"),
+        )
+    )

@@ -593,3 +593,184 @@ def rfm_customer_segments(spark, sf_dir):
             F.sum("spent").cast(_D).alias("segment_revenue"),
         )
     )
+
+
+@TPCH_X.register(
+    "basket_brand_pairs",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+    ), tot AS (
+      SELECT p_brand, COUNT(*) AS n FROM ob GROUP BY p_brand
+    ), n AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS total FROM ob
+    ), pairs AS (
+      SELECT x.p_brand AS brand_a, y.p_brand AS brand_b,
+             COUNT(*) AS n_both
+      FROM ob x JOIN ob y
+        ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
+      GROUP BY x.p_brand, y.p_brand
+    )
+    SELECT brand_a, brand_b, n_both, ta.n AS n_a, tb.n AS n_b,
+           round(CAST(n_both AS DOUBLE) / ta.n, 9) AS confidence,
+           round(CAST(n_both AS DOUBLE) * n.total / (ta.n * tb.n), 9)
+             AS lift
+    FROM pairs
+      JOIN tot ta ON ta.p_brand = brand_a
+      JOIN tot tb ON tb.p_brand = brand_b
+      CROSS JOIN n
+    WHERE n_both >= 5
+    """,
+)
+def basket_brand_pairs(spark, sf_dir):
+    """Market-basket affinity: for every pair of part brands co-occurring
+    in at least 5 orders, the co-occurrence count, per-brand order counts,
+    confidence P(b|a), and lift — the association-rule mining primitive
+    behind recommendation and cross-sell analytics.
+
+    Determinism: every statistic is an exact integer count; confidence and
+    lift are single double expressions over those ints, rounded to 9.
+    Scale: the order→brand incidence list is deduped with one shuffle;
+    the self-join shuffles BOTH SIDES ON THE SAME KEY (orderkey — one
+    co-partitioned exchange, reusable), and the per-order pair fan-out is
+    bounded by |brands|²/2 = 300 regardless of order size; the pair
+    aggregate and brand totals are map-side combined into
+    |brands|²-bounded tables, so the final enrichment joins broadcast
+    domain-bounded dims (25 brands, 1-row total), never SF-scaling data.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    tot = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    n = ob.agg(F.countDistinct("l_orderkey").alias("total"))
+    x = ob.select(
+        F.col("l_orderkey").alias("xo"), F.col("p_brand").alias("brand_a")
+    )
+    y = ob.select(
+        F.col("l_orderkey").alias("yo"), F.col("p_brand").alias("brand_b")
+    )
+    pairs = (
+        x.join(
+            y,
+            (F.col("xo") == F.col("yo"))
+            & (F.col("brand_a") < F.col("brand_b")),
+        )
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 5)
+    )
+    ta = tot.select(
+        F.col("p_brand").alias("ba"), F.col("n").alias("n_a")
+    )
+    tb = tot.select(
+        F.col("p_brand").alias("bb"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), F.col("ba") == F.col("brand_a"))
+        .join(F.broadcast(tb), F.col("bb") == F.col("brand_b"))
+        .join(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_both").cast(_D) / F.col("n_a"), 9).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_both").cast(_D)
+                * F.col("total")
+                / (F.col("n_a") * F.col("n_b")),
+                9,
+            ).alias("lift"),
+        )
+    )
+
+
+@TPCH_X.register(
+    "order_trend_by_priority",
+    oracle="""
+    WITH weekly AS (
+      SELECT o_orderpriority,
+             date_diff('day', DATE '1992-01-06',
+                       CAST(date_trunc('week', o_orderdate) AS DATE)) // 7
+               AS wk,
+             COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY o_orderpriority, date_trunc('week', o_orderdate)
+    ), s AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             CAST(SUM(wk) AS DOUBLE) AS sx,
+             CAST(SUM(n_orders) AS DOUBLE) AS sy,
+             CAST(SUM(wk * n_orders) AS DOUBLE) AS sxy,
+             CAST(SUM(wk * wk) AS DOUBLE) AS sxx
+      FROM weekly GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n AS n_weeks,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
+             AS slope_per_week,
+           round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 9)
+             AS intercept
+    FROM s WHERE n >= 2
+    """,
+)
+def order_trend_by_priority(spark, sf_dir):
+    """Per-group ordinary-least-squares trend: for each order priority, the
+    slope and intercept of weekly order volume over time — the demand-trend
+    regression behind forecasting dashboards, computed distributed in
+    closed form rather than with REGR_SLOPE.
+
+    Why not the built-in regr_* aggregates: both engines implement them
+    with streaming covariance updates whose float rounding is
+    order-dependent — cross-engine hashes would flap. Here x (week index
+    anchored at Monday 1992-01-06) and y (weekly counts) are integers, so
+    Σx, Σy, Σxy, Σx² are EXACT in both engines regardless of partitioning
+    or order; slope/intercept are then single double expressions over
+    those exact sums, rounded to 9. Scale: one map-side-combined aggregate
+    to (priority, week) — shuffle bounded by |priorities|×|weeks| — and a
+    second tiny aggregate over its output; the fact table is scanned once,
+    nothing is collected, and no global sort or window exists anywhere.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    weekly = (
+        o.select(
+            "o_orderpriority",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("o_orderdate")).cast("date"),
+                    F.lit("1992-01-06").cast("date"),
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("wk"),
+        )
+        .groupBy("o_orderpriority", "wk")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    s = weekly.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("wk").cast(_D).alias("sx"),
+        F.sum("n_orders").cast(_D).alias("sy"),
+        F.sum(F.col("wk") * F.col("n_orders")).cast(_D).alias("sxy"),
+        F.sum(F.col("wk") * F.col("wk")).cast(_D).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.filter(F.col("n") >= 2).select(
+        "o_orderpriority",
+        F.col("n").alias("n_weeks"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den, 9
+        ).alias("slope_per_week"),
+        F.round(
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")) / den,
+            9,
+        ).alias("intercept"),
+    )
