@@ -57,6 +57,7 @@ _PRIORITY = [
     "bigram_coverage_quality",
     "basket_brand_pairs",
     "order_trend_by_priority",
+    "image_dhash_neardup",
     "streaming_stream_stream_left_outer",
     "dedup_connected_components",
     # rides the round-5 prefix-join rewrite (positional filter + memo):

@@ -788,3 +788,138 @@ def multimodal_resize_png(spark, sf_dir):
     return _png_payloads(spark, sf_dir).mapInPandas(
         resize_png_batches, _PNG_RESIZE_SCHEMA
     )
+
+
+_DHASH_CLASSES = 37  # visual-content classes — forces real duplicate images
+
+
+def synth_class_png_batches(
+    it: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: doc_id → PNG whose CONTENT is keyed by
+    doc_id % _DHASH_CLASSES, so distinct documents carry visually
+    identical payloads (the near-dup population every image-dedup pass
+    hunts for)."""
+    from ..functions.png import encode_png
+
+    for pdf in it:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "payload": [
+                    encode_png(_synth_image(int(d) % _DHASH_CLASSES))
+                    for d in pdf["doc_id"]
+                ],
+            }
+        )
+
+
+def dhash_hex(img) -> str:
+    """Difference hash over a decoded RGB image: nearest-neighbor sample a
+    9x8 luminance grid (sx = gx*w//9, sy = gy*h//8 — plain floor), then one
+    bit per horizontal neighbor pair (left < right), packed row-major into
+    16 hex chars. Integer arithmetic only (luminance = 299R+587G+114B kept
+    unscaled), so the oracle can reproduce every bit arithmetically."""
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    sx = (np.arange(9) * w) // 9
+    sy = (np.arange(8) * h) // 8
+    px = img[np.ix_(sy, sx)].astype(np.int64)
+    lum = 299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]
+    bits = lum[:, 1:] > lum[:, :-1]  # 8x8 boolean
+    weights = 1 << (7 - np.arange(8))
+    row_bytes = (bits * weights).sum(axis=1)
+    return "".join(f"{b:02X}" for b in row_bytes)
+
+
+@MM.register(
+    "image_dhash_neardup",
+    oracle=f"""
+    WITH d2 AS (
+      SELECT doc_id, doc_id % {_DHASH_CLASSES} AS cls,
+             16 + (doc_id % {_DHASH_CLASSES}) % 48 AS w,
+             12 + (doc_id % {_DHASH_CLASSES}) % 36 AS h
+      FROM documents
+    ), grid AS (
+      SELECT doc_id, cls, i % 9 AS gx, i // 9 AS gy,
+             ((i % 9) * w) // 9 AS sx, ((i // 9) * h) // 8 AS sy
+      FROM d2, unnest(generate_series(0, 71)) AS t(i)
+    ), gray AS (
+      SELECT doc_id, gx, gy,
+             299 * ((sx * 3 + cls) % 256)
+           + 587 * ((sy * 5 + cls // 7) % 256)
+           + 114 * (xor(sx, sy) % 256) AS lum
+      FROM grid
+    ), bits AS (
+      SELECT a.doc_id, a.gy,
+             CAST(SUM(CASE WHEN b.lum > a.lum
+                           THEN 1 << (7 - a.gx) ELSE 0 END)
+                  AS BIGINT) AS row_byte
+      FROM gray a JOIN gray b
+        ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+      WHERE a.gx < 8
+      GROUP BY a.doc_id, a.gy
+    ), hashes AS (
+      SELECT doc_id,
+             string_agg(lpad(to_hex(row_byte), 2, '0'), ''
+                        ORDER BY gy) AS dhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT dhash, COUNT(*) AS n_images,
+           MIN(doc_id) AS canonical_doc
+    FROM hashes GROUP BY dhash
+    HAVING COUNT(*) >= 2
+    """,
+)
+def image_dhash_neardup(spark, sf_dir):
+    """Image near-duplicate detection by perceptual difference-hash: every
+    document's (real, encoded) PNG is decoded, dHashed, and bucketed; any
+    hash shared by ≥2 images is a near-dup cluster. The DuckDB oracle
+    re-derives every dHash BIT arithmetically from the synthesis formula —
+    a hash match proves the PNG encode→decode round trip AND the
+    NN-sample/luminance/gradient pipeline are pixel-exact end to end.
+
+    Scale: the codec+hash stage is a narrow Arrow-batched map (the 100 TB
+    shape: binary parquet scan → mapInPandas); the only shuffle is the
+    groupBy on the 16-char hash, map-side combined, with output bounded by
+    |distinct perceptual hashes|. Exactly the exact-dedup plan
+    (dedup.py:34) with a perceptual key instead of sha256 — buckets then
+    feed pairwise verification just like the banded-LSH paths.
+    """
+
+    def hash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.png import decode_png
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "dhash": [
+                        dhash_hex(decode_png(bytes(p)))
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("dhash", T.StringType()),
+        ]
+    )
+    d = load_table(spark, sf_dir, "documents")
+    payloads = (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(synth_class_png_batches, _PNG_PAYLOAD_SCHEMA)
+    )
+    return (
+        payloads.mapInPandas(hash_batches, schema)
+        .groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_images") >= 2)
+    )
