@@ -82,6 +82,14 @@ BENCH_QUERIES = [
     "multimodal_frame_sample",
     "passage_dedup_rewrite",
     "contamination_bloom_flags",
+    # added round 5 (session 2): sequence analytics, segmentation,
+    # association rules, regression, bigram quality, perceptual image dedup
+    "event_transition_matrix",
+    "rfm_customer_segments",
+    "basket_brand_pairs",
+    "order_trend_by_priority",
+    "bigram_coverage_quality",
+    "image_dhash_neardup",
 ]
 
 

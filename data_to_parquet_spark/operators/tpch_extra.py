@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions.exprs import dsum, money
+from ..functions.exprs import dsum, exploded_rows, money
 from .base import Registry, load_table
 
 TPCH_X = Registry()
@@ -631,34 +631,44 @@ def basket_brand_pairs(spark, sf_dir):
 
     Determinism: every statistic is an exact integer count; confidence and
     lift are single double expressions over those ints, rounded to 9.
-    Scale: the order→brand incidence list is deduped with one shuffle;
-    the self-join shuffles BOTH SIDES ON THE SAME KEY (orderkey — one
-    co-partitioned exchange, reusable), and the per-order pair fan-out is
-    bounded by |brands|²/2 = 300 regardless of order size; the pair
-    aggregate and brand totals are map-side combined into
-    |brands|²-bounded tables, so the final enrichment joins broadcast
-    domain-bounded dims (25 brands, 1-row total), never SF-scaling data.
+    Scale: ONE fact-side shuffle — collect_set(p_brand) per order dedups
+    and gathers brands in the same exchange — then pairs are generated
+    map-side from each order's ≤|brands| array (fan-out bounded at
+    |brands|²/2 = 300 per order regardless of order size) and counted with
+    map-side combine into a |brands|²-bounded table. The final enrichment
+    joins broadcast domain-bounded dims (25 brand totals, 1-row grand
+    total), never SF-scaling data. The naive self-join-on-orderkey
+    formulation ties at sf0.1 wall-clock but costs two extra incidence
+    exchanges and five lineitem scans in the physical plan — the gap that
+    widens with the fact table.
     """
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    ob = (
+    # ONE shuffle total on the fact side: collect_set(p_brand) per order
+    # dedups and gathers in the same exchange (partial collect_set runs
+    # map-side), replacing the distinct + self-join formulation that
+    # shuffled the incidence list twice and re-scanned lineitem for every
+    # consumer. Everything downstream — pair explode, brand totals, order
+    # count — derives from this checkpointed per-order table (bounded at
+    # one row per order, ≤|brands|-element arrays).
+    per_order = (
         li.join(p, F.col("p_partkey") == F.col("l_partkey"))
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("bs"))
+        .localCheckpoint(eager=False)
     )
-    tot = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
-    n = ob.agg(F.countDistinct("l_orderkey").alias("total"))
-    x = ob.select(
-        F.col("l_orderkey").alias("xo"), F.col("p_brand").alias("brand_a")
+    tot = exploded_rows(per_order, [], F.col("bs"), "p_brand").groupBy(
+        "p_brand"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    n = per_order.agg(F.count(F.lit(1)).alias("total"))
+    pair_arr = F.expr(
+        "flatten(transform(bs, (a, i) ->"
+        " transform(slice(bs, i + 2, size(bs)), b -> struct(a, b))))"
     )
-    y = ob.select(
-        F.col("l_orderkey").alias("yo"), F.col("p_brand").alias("brand_b")
-    )
+    ex = exploded_rows(per_order, [], pair_arr, "pr")
     pairs = (
-        x.join(
-            y,
-            (F.col("xo") == F.col("yo"))
-            & (F.col("brand_a") < F.col("brand_b")),
+        ex.select(
+            F.col("pr.a").alias("brand_a"), F.col("pr.b").alias("brand_b")
         )
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
