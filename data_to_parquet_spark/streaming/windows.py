@@ -551,3 +551,130 @@ def streaming_global_topk_users(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def _tws_available() -> bool:
+    """``transformWithStateInPandas`` speaks a protobuf state protocol to
+    the JVM state server; without the ``protobuf`` package the driver-side
+    worker crashes before ``init`` ever runs (STREAMING_PYTHON_RUNNER_
+    INITIALIZATION_FAILURE importing StateMessage_pb2). Register the query
+    only where the dependency exists — real clusters have it; this
+    container must not pip install. The legacy-API sibling
+    ``streaming_stateful_user_totals`` keeps arbitrary-stateful coverage
+    driver-checked everywhere."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_TWS_ORACLE = """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM events GROUP BY user_id
+    """
+
+
+def _register_tws(fn):
+    if _tws_available():
+        return STREAMING.register(
+            "streaming_tws_user_stats", oracle=_TWS_ORACLE
+        )(fn)
+    return fn
+
+
+@_register_tws
+def streaming_tws_user_stats(spark, sf_dir):
+    """Arbitrary stateful streaming via ``transformWithStateInPandas`` —
+    the Spark 4 successor to ``applyInPandasWithState`` (typed state
+    variables managed by the state-store, not one opaque tuple): per-user
+    running (count, exact total in integer micros, first/last event time)
+    held in a ValueState, emitted per trigger in update mode.
+
+    On a bounded availableNow run the final update equals the batch GROUP
+    BY — the oracle, so the driver value-checks the new API end to end
+    (its sibling ``streaming_stateful_user_totals`` pins the legacy API).
+
+    Scale: state is keyed by user_id — high cardinality, even partitions —
+    with O(1) bytes per key; the state store checkpoints it per trigger,
+    RocksDB-backed on a real cluster, and processing is Arrow-batched
+    pandas per key group.
+    """
+    import pandas as _pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            # event times as integer micros: exact, and state schemas
+            # stay primitive-typed
+            self._s = handle.getValueState(
+                "stats",
+                "n long, total_micros long, first_us long, last_us long",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._s.get() if self._s.exists() else None
+            n, total, first_us, last_us = prev or (0, 0, None, None)
+            for pdf in rows:
+                n += len(pdf)
+                total += int(
+                    (_pd.Series(pdf["value"]) * 1_000_000).round().sum()
+                )
+                ts_us = _pd.Series(pdf["ts"]).astype("int64") // 1000
+                lo, hi = int(ts_us.min()), int(ts_us.max())
+                first_us = lo if first_us is None else min(first_us, lo)
+                last_us = hi if last_us is None else max(last_us, hi)
+            self._s.update((n, total, first_us, last_us))
+            yield _pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_micros": [total],
+                    "first_us": [first_us],
+                    "last_us": [last_us],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    with _counter:
+        _n[0] += 1
+        sink = f"streaming_tws_out_{_n[0]}"
+    source = _events_stream(spark, sf_dir)
+    out = source.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType=(
+            "user_id long, n_events long, total_micros long,"
+            " first_us long, last_us long"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "user_id",
+        "n_events",
+        (F.col("total_micros") / 1_000_000).alias("total_value"),
+        F.date_format(
+            F.timestamp_micros(F.col("first_us")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("first_ts"),
+        F.date_format(
+            F.timestamp_micros(F.col("last_us")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("last_ts"),
+    )

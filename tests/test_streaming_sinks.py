@@ -181,3 +181,24 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # dropped, not merged
     assert ("10:00", 1) in rows
     assert ("10:05", 1) not in rows and ("10:00", 2) not in rows
+
+
+def test_tws_registration_matches_protobuf_availability():
+    """transformWithStateInPandas needs protobuf (its state protocol);
+    the query must be registered exactly when the dependency imports, so
+    environments without it (this container) never expose a query that
+    crashes on first contact."""
+    from data_to_parquet_spark.streaming import windows as w
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        available = True
+    except ImportError:
+        available = False
+    assert w._tws_available() is available
+    assert (
+        "streaming_tws_user_stats" in w.STREAMING.queries()
+    ) is available
+    # the implementation itself must stay importable either way
+    assert callable(w.streaming_tws_user_stats)
