@@ -58,6 +58,8 @@ _PRIORITY = [
     "basket_brand_pairs",
     "order_trend_by_priority",
     "image_dhash_neardup",
+    "jsonl_ingest",
+    "csv_ingest",
     "streaming_stream_stream_left_outer",
     "dedup_connected_components",
     # rides the round-5 prefix-join rewrite (positional filter + memo):

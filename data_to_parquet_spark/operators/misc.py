@@ -51,3 +51,131 @@ def excel_roundtrip(spark, sf_dir):
     df = read_excel(spark, src, sheet_name="Data")
     to_single_parquet_file(df, out)
     return spark.read.parquet(out)
+
+
+_JSONL_ROWS = 2000
+
+
+def _jsonl_fixture(path: str) -> None:
+    """Deterministic JSONL corpus: every row derived arithmetically from
+    its index (the oracle recomputes the same rows from generate_series,
+    so correctness never depends on reading the file twice). Exercises
+    the parser arms that bite in practice: absent fields → NULL, booleans,
+    decimal text → double, and \\uXXXX escapes (ensure_ascii)."""
+    import json
+
+    with open(path, "w") as f:
+        for i in range(_JSONL_ROWS):
+            row = {
+                "id": i,
+                "name": f"name_{(i * 13) % 97}",
+                "flag": i % 3 == 0,
+            }
+            if i % 5 != 0:
+                row["score"] = ((i * 7) % 1000) / 10.0
+            if i % 7 == 0:
+                row["note"] = f"café {i}"
+            f.write(json.dumps(row, ensure_ascii=True) + "\n")
+
+
+@MISC.register(
+    "jsonl_ingest",
+    oracle=f"""
+    SELECT i AS id,
+           'name_' || CAST((i * 13) % 97 AS VARCHAR) AS name,
+           CASE WHEN i % 5 = 0 THEN NULL
+                ELSE ((i * 7) % 1000) / 10.0 END AS score,
+           i % 3 = 0 AS flag,
+           CASE WHEN i % 7 = 0 THEN 'café ' || CAST(i AS VARCHAR)
+                ELSE NULL END AS note
+    FROM generate_series(0, {_JSONL_ROWS - 1}) AS t(i)
+    """,
+)
+def jsonl_ingest(spark, sf_dir):
+    """JSONL ingestion — the interchange format every LLM training-data
+    pipeline speaks: write a deterministic .jsonl corpus, read it through
+    Spark's native json source with an EXPLICIT schema, and emit the typed
+    rows. The DuckDB oracle recomputes every row arithmetically from the
+    fixture formula, so a hash match proves Spark's JSON parser handles
+    absent→NULL fields, booleans, decimal-text doubles, and unicode
+    escapes exactly.
+
+    Scale: newline-delimited JSON splits at line boundaries, so a 100 TB
+    corpus parallelizes per HDFS block with no coordination; pinning the
+    schema up front skips the inference pre-pass (a full extra scan), and
+    unused columns are pruned at the parser. Conversion to parquet from
+    here is ``df.write.parquet`` — the reference's pipeline shape (O12)
+    with JSONL in place of Excel.
+    """
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "d2p_jsonl_fixture.jsonl")
+    _jsonl_fixture(path)
+    return (
+        spark.read.schema(
+            "id long, name string, score double, flag boolean, note string"
+        )
+        .json(path)
+        .select("id", "name", "score", "flag", "note")
+    )
+
+
+_CSV_ROWS = 2000
+
+
+def _csv_fixture(path: str) -> None:
+    """Deterministic CSV corpus via the stdlib csv writer (RFC-4180
+    quoting: embedded commas and doubled quotes), same arithmetic-oracle
+    contract as the JSONL fixture. Empty string cells become NULL under
+    Spark's default nullValue."""
+    import csv
+
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["id", "label", "qty", "price"])
+        for i in range(_CSV_ROWS):
+            label = "" if i % 4 == 0 else f'it,em "{i % 53}"'
+            w.writerow([i, label, i % 11, f"{(i * 3) % 500}.{i % 10}"])
+
+
+@MISC.register(
+    "csv_ingest",
+    oracle=f"""
+    SELECT i AS id,
+           CASE WHEN i % 4 = 0 THEN NULL
+                ELSE 'it,em "' || CAST(i % 53 AS VARCHAR) || '"' END
+             AS label,
+           i % 11 AS qty,
+           CAST((i * 3) % 500 AS VARCHAR) || '.'
+             || CAST(i % 10 AS VARCHAR) AS price
+    FROM generate_series(0, {_CSV_ROWS - 1}) AS t(i)
+    """,
+)
+def csv_ingest(spark, sf_dir):
+    """CSV ingestion through Spark's native csv source: header row,
+    RFC-4180 quoting (embedded commas, doubled quotes — ``escape`` set to
+    ``\"`` because Spark's default is backslash), and empty-cell → NULL.
+    Price is read as STRING deliberately: the oracle reproduces the exact
+    text, proving the parser's field segmentation rather than float
+    formatting. The DuckDB oracle recomputes all rows arithmetically —
+    no second read of the file.
+
+    Scale: like JSONL, CSV splits at line boundaries (quoted embedded
+    newlines would force multiLine=true and kill splittability — the
+    fixture deliberately has none, which is the format guidance a 100 TB
+    pipeline should enforce at the producer); schema pinned, no inference
+    scan.
+    """
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "d2p_csv_fixture.csv")
+    _csv_fixture(path)
+    return (
+        spark.read.schema("id long, label string, qty long, price string")
+        .option("header", "true")
+        .option("escape", '"')
+        .csv(path)
+        .select("id", "label", "qty", "price")
+    )
