@@ -60,6 +60,8 @@ _PRIORITY = [
     "image_dhash_neardup",
     "jsonl_ingest",
     "csv_ingest",
+    "gdpr_erasure_audit",
+    "k_anonymity_audit",
     "streaming_stream_stream_left_outer",
     "dedup_connected_components",
     # rides the round-5 prefix-join rewrite (positional filter + memo):
