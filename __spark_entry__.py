@@ -62,6 +62,7 @@ _PRIORITY = [
     "csv_ingest",
     "gdpr_erasure_audit",
     "k_anonymity_audit",
+    "compression_ratio_signal",
     "streaming_stream_stream_left_outer",
     "dedup_connected_components",
     # rides the round-5 prefix-join rewrite (positional filter + memo):

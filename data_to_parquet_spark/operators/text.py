@@ -941,3 +941,52 @@ def bigram_coverage_quality(spark, sf_dir):
             ).alias("coverage"),
         )
     )
+
+
+@TXT.register("compression_ratio_signal", oracle=None)
+def compression_ratio_signal(spark, sf_dir):
+    """Compressibility as a quality/repetition signal: per document, the
+    zlib-compressed length and compression ratio of the raw text. Highly
+    compressible documents are repetitive (templates, keyword stuffing,
+    crawler traps) and are prune candidates — the signal C4/Gopher-style
+    pipelines compute next to the repetition heuristics in
+    ``doc_repetition_stats``, but content-agnostic (no tokenizer).
+
+    No oracle: DuckDB has no zlib surface, so the driver records rows-only;
+    ``tests/test_compression_signal.py`` value-checks a sample against an
+    INDEPENDENT parquet read + direct ``zlib.compress`` instead (zlib at a
+    pinned level is bit-deterministic, so the check is exact). Scale: one
+    narrow Arrow-batched map over the text column — no shuffle at all;
+    the flag threshold join is a literal.
+    """
+    import pandas as pd
+
+    def ratio_batches(it):
+        import zlib
+
+        for pdf in it:
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            comp = [len(zlib.compress(b, 6)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "raw_bytes": [len(b) for b in raw],
+                    "zlib_bytes": comp,
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    out = d.select("doc_id", "text").mapInPandas(
+        ratio_batches, "doc_id long, raw_bytes long, zlib_bytes long"
+    )
+    return out.select(
+        "doc_id",
+        "raw_bytes",
+        "zlib_bytes",
+        F.round(
+            F.col("zlib_bytes").cast("double") / F.col("raw_bytes"), 9
+        ).alias("ratio"),
+        (
+            F.col("zlib_bytes").cast("double") / F.col("raw_bytes") < 0.35
+        ).alias("is_repetitive"),
+    )
