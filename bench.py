@@ -90,6 +90,11 @@ BENCH_QUERIES = [
     "order_trend_by_priority",
     "bigram_coverage_quality",
     "image_dhash_neardup",
+    "jsonl_ingest",
+    "csv_ingest",
+    "gdpr_erasure_audit",
+    "k_anonymity_audit",
+    "compression_ratio_signal",
 ]
 
 
