@@ -33,6 +33,7 @@ ALLOW_BNLJ = {
     "tfidf_top_terms",  # 1-row corpus doc-count N joined back
     "lang_id_ngram",  # fixed char-bigram language profiles (bounded)
     "similarity_recall_report",  # wraps the allowlisted brute-force top-k
+    "basket_brand_pairs",  # 1-row grand-total order count joined back
 }
 
 # Streaming queries execute a real streaming run when built (availableNow to
