@@ -63,6 +63,7 @@ _PRIORITY = [
     "gdpr_erasure_audit",
     "k_anonymity_audit",
     "compression_ratio_signal",
+    "part_hierarchy_rollup",
     "streaming_stream_stream_left_outer",
     "dedup_connected_components",
     # rides the round-5 prefix-join rewrite (positional filter + memo):

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "gdpr_erasure_audit",
     "k_anonymity_audit",
     "compression_ratio_signal",
+    "part_hierarchy_rollup",
 ]
 
 

@@ -784,3 +784,62 @@ def order_trend_by_priority(spark, sf_dir):
             9,
         ).alias("intercept"),
     )
+
+
+@TPCH_X.register(
+    "part_hierarchy_rollup",
+    oracle="""
+    WITH RECURSIVE anc AS (
+      SELECT p_partkey AS part, p_partkey AS node, 0 AS depth
+      FROM part
+      UNION ALL
+      SELECT part, node // 10, depth + 1 FROM anc WHERE node >= 10
+    )
+    SELECT CAST(a.node AS BIGINT) AS root,
+           CAST(a.depth AS BIGINT) AS depth,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS subtree_value
+    FROM anc a JOIN part ON p_partkey = a.part
+    WHERE a.node < 10
+    GROUP BY a.node, a.depth
+    """,
+)
+def part_hierarchy_rollup(spark, sf_dir):
+    """Recursive-CTE hierarchy rollup (WITH RECURSIVE — new engine surface
+    in Spark 4): walk every part up a derived assembly tree (parent =
+    partkey div 10, so roots are the single-digit keys and depth is the
+    digit count) and aggregate part count + exact retail value per
+    (root, depth) — the BOM-explosion / org-chart query shape that needed
+    driver-side iteration before recursion landed in Catalyst.
+
+    Engine note: Spark spells integer division ``DIV``, DuckDB ``//`` —
+    the only dialect difference; semantics (floor on positives) agree.
+    Determinism: pure integer recursion + decimal-exact sums. Scale:
+    recursion depth is bounded at the key's digit count (~7 at any SF), so
+    the working set is ≤ depth × |part| narrow rows; each recursion step
+    is a map-side projection+filter (no join in the recursive leg), and
+    the final aggregate is one shuffle over ≤ 9×depth groups.
+    """
+    p = load_table(spark, sf_dir, "part")
+    p.select("p_partkey", "p_retailprice").createOrReplaceTempView(
+        "part_hier_src"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+          SELECT p_partkey AS part, p_partkey AS node, 0 AS depth
+          FROM part_hier_src
+          UNION ALL
+          SELECT part, node DIV 10, depth + 1 FROM anc WHERE node >= 10
+        )
+        SELECT CAST(a.node AS BIGINT) AS root,
+               CAST(a.depth AS BIGINT) AS depth,
+               COUNT(*) AS n_parts,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS subtree_value
+        FROM anc a JOIN part_hier_src ON p_partkey = a.part
+        WHERE a.node < 10
+        GROUP BY a.node, a.depth
+        """
+    )
