@@ -328,6 +328,10 @@ def lang_id_ngram(spark, sf_dir):
         "if(length(text) < 2, array(substring(lower(text), 1, 2)),"
         "   regexp_extract_all(lower(text), '(?s)(?=(..))', 1))"
     )
+    # (A pre-projection repartition like doc_winnow_fingerprints' was
+    # A/B-tested here and LOST — bigram extraction is light enough that
+    # the extra exchange + multi-partition checkpoint cost more than the
+    # parallelism saves: median 1.60 s → 1.87 s at sf0.1.)
     doc_grams = d.select(
         "doc_id", "lang", F.array_distinct(bigrams).alias("grams")
     ).localCheckpoint(eager=False)
@@ -409,8 +413,15 @@ def doc_winnow_fingerprints(spark, sf_dir):
         f" sequence(1, greatest(size(__hashes) - {win - 1}, 1)),"
         f" w -> array_min(slice(__hashes, w, {win}))))"
     )
+    # ~300 md5+conv calls per doc: the dominant cost is this projection,
+    # and the single-file test scan otherwise runs it in ONE task (same
+    # fix as the codec queries' payload stage). At 100 TB the scan arrives
+    # already partitioned and this spread is a no-op shuffle of skinny
+    # (doc_id, text) rows.
     return exploded_rows(
-        d.select("doc_id", hashes.alias("__hashes")),
+        d.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", hashes.alias("__hashes")),
         ["doc_id"],
         winnowed,
         "fingerprint",
