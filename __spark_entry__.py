@@ -64,6 +64,7 @@ _PRIORITY = [
     "k_anonymity_audit",
     "compression_ratio_signal",
     "part_hierarchy_rollup",
+    "snapshot_diff_customers",
     "streaming_stream_stream_left_outer",
     "dedup_connected_components",
     # rides the round-5 prefix-join rewrite (positional filter + memo):

@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "k_anonymity_audit",
     "compression_ratio_signal",
     "part_hierarchy_rollup",
+    "snapshot_diff_customers",
 ]
 
 

@@ -71,3 +71,85 @@ def scd2_customer_balance_merge(spark, sf_dir):
         F.lit(2).alias("version"),
     )
     return closed.unionByName(appended)
+
+
+@CDC.register(
+    "snapshot_diff_customers",
+    oracle="""
+    WITH v2 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 13 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_acctbal
+      FROM customer WHERE c_custkey % 11 = 0
+    )
+    SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+           CASE WHEN a.c_custkey IS NULL THEN 'added'
+                WHEN b.c_custkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           a.c_acctbal AS old_acctbal,
+           b.c_acctbal AS new_acctbal
+    FROM customer a FULL OUTER JOIN v2 b ON a.c_custkey = b.c_custkey
+    WHERE a.c_custkey IS NULL OR b.c_custkey IS NULL
+       OR a.c_acctbal <> b.c_acctbal
+    """,
+)
+def snapshot_diff_customers(spark, sf_dir):
+    """Snapshot diff — the table-format-free CDC primitive: given two
+    versions of a table (v2 derived deterministically: every 13th key
+    deleted, every 7th balance bumped, every 11th re-inserted under a new
+    key), emit the row-level changeset (added / removed / changed with
+    old+new values) via one full-outer join on the business key. This is
+    the diff a downstream incremental consumer replays, and the inverse of
+    the SCD-2 merge above.
+
+    Scale: ONE shuffle per side on the key (sort-merge full outer; both
+    sides SF-scaling so no broadcast), comparison is a narrow projection,
+    and unchanged rows — the overwhelming majority at 100 TB — are
+    filtered before anything materializes. With both snapshots bucketed on
+    the key (plans/bucketing.py) the exchanges disappear entirely.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select("c_custkey", "c_acctbal")
+    v2 = (
+        base.filter(F.col("c_custkey") % 13 != 0)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100.0
+            )
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+        .unionByName(
+            base.filter(F.col("c_custkey") % 11 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                "c_acctbal",
+            )
+        )
+    )
+    a = base.select(
+        F.col("c_custkey").alias("a_key"), F.col("c_acctbal").alias("old_acctbal")
+    )
+    b = v2.select(
+        F.col("c_custkey").alias("b_key"), F.col("c_acctbal").alias("new_acctbal")
+    )
+    return (
+        a.join(b, F.col("a_key") == F.col("b_key"), "full_outer")
+        .filter(
+            F.col("a_key").isNull()
+            | F.col("b_key").isNull()
+            | (F.col("old_acctbal") != F.col("new_acctbal"))
+        )
+        .select(
+            F.coalesce(F.col("a_key"), F.col("b_key")).alias("c_custkey"),
+            F.when(F.col("a_key").isNull(), "added")
+            .when(F.col("b_key").isNull(), "removed")
+            .otherwise("changed")
+            .alias("change_type"),
+            "old_acctbal",
+            "new_acctbal",
+        )
+    )
