@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "compression_ratio_signal",
     "part_hierarchy_rollup",
     "snapshot_diff_customers",
+    "mad_outlier_events",
 ]
 
 

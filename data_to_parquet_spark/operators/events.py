@@ -899,3 +899,74 @@ def event_transition_matrix(spark, sf_dir):
         "n",
         F.round(F.col("n").cast(_D) / F.sum("n").over(wp), 9).alias("prob"),
     )
+
+
+@EVT.register(
+    "mad_outlier_events",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, m.med,
+             median(abs(e.value - m.med)) AS mad
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY e.event_type, m.med
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(m.med, 9) AS med,
+           round(m.mad, 9) AS mad,
+           CAST(SUM(CASE WHEN abs(e.value - m.med) > 3 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN mad m ON e.event_type = m.event_type
+    GROUP BY e.event_type, m.med, m.mad
+    """,
+)
+def mad_outlier_events(spark, sf_dir):
+    """Robust outlier detection by median absolute deviation: per event
+    type, the median, the MAD (median of |x − median|), and how many
+    events sit more than 3 MADs out — the robust alternative to the
+    z-score sweep in ``hourly_anomaly_zscores`` (medians don't move when
+    the outliers themselves get extreme; std-dev does).
+
+    Determinism: exact interpolated medians (Spark ``median`` ≡ DuckDB
+    ``median``/``quantile_cont``, bit-identical on doubles — the
+    ``percentile_prices_by_flag`` precedent), |x−med| and the 3·MAD
+    comparison are identical double expressions per row, counts are ints;
+    med/mad rounded 9 for display only. Scale: three passes over the fact
+    table (median → MAD → flag count), each a map-side-combinable
+    aggregate over |event types| groups, with the tiny per-type stats
+    broadcast back each round — exact medians genuinely need the extra
+    passes; at interactive 100 TB you'd swap in percentile_approx
+    (``approx_aggregates``) and keep this as the audited-correctness
+    variant.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    return (
+        e.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.round("med", 9).alias("med"),
+            F.round("mad", 9).alias("mad"),
+            "n_outliers",
+        )
+    )
