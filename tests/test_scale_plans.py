@@ -182,3 +182,40 @@ def test_aqe_splits_skewed_join_partition(spark):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
+    """Join-strategy selection must react to RUNTIME sizes, not estimates:
+    a join side that is planned large (1M-row scan, above the broadcast
+    threshold) but measures tiny after its filter+aggregate should be
+    re-planned by AQE from sort-merge to broadcast-hash mid-query. At
+    100 TB this is what saves the shuffle when a selective dimension
+    filter can't be costed statically."""
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1MB")
+    try:
+        big = spark.range(0, 1_000_000).select(
+            F.col("id").alias("k"), (F.col("id") % 100).alias("v")
+        )
+        small = (
+            spark.range(0, 1_000_000)
+            .select(F.col("id").alias("k"))
+            .filter(F.col("k") % 10000 == 0)
+            .groupBy("k")
+            .agg(F.count("*").alias("c"))
+        )
+        j = big.join(small, "k")
+        assert len(j.toPandas()) == 100
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        final, _, initial = plan.partition("== Initial Plan ==")
+        assert "BroadcastHashJoin" in final, (
+            "AQE did not convert to broadcast:\n" + plan
+        )
+        # the static plan chose SMJ — proving the conversion happened at
+        # runtime rather than in the initial costing
+        assert "SortMergeJoin" in initial
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
