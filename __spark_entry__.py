@@ -66,6 +66,7 @@ _PRIORITY = [
     "part_hierarchy_rollup",
     "snapshot_diff_customers",
     "mad_outlier_events",
+    "streaming_chained_windows",
     "streaming_stream_stream_left_outer",
     "dedup_connected_components",
     # rides the round-5 prefix-join rewrite (positional filter + memo):

