@@ -67,6 +67,7 @@ _PRIORITY = [
     "snapshot_diff_customers",
     "mad_outlier_events",
     "streaming_chained_windows",
+    "clamped_running_balance",
     "streaming_stream_stream_left_outer",
     "dedup_connected_components",
     # rides the round-5 prefix-join rewrite (positional filter + memo):

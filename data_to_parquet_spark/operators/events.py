@@ -970,3 +970,79 @@ def mad_outlier_events(spark, sf_dir):
             "n_outliers",
         )
     )
+
+
+@EVT.register(
+    "clamped_running_balance",
+    oracle="""
+    WITH deltas AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100) AS BIGINT)
+                  WHEN event_type = 'error'
+                    THEN -CAST(round(value * 100) AS BIGINT)
+                  ELSE 0 END AS delta
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list(delta ORDER BY ts, event_id)),
+             (acc, x) -> greatest(acc + x, CAST(0 AS BIGINT))
+           ) AS final_balance_cents
+    FROM deltas GROUP BY user_id
+    """,
+)
+def clamped_running_balance(spark, sf_dir):
+    """Floor-clamped running balance per user — purchases credit, errors
+    debit, and the balance can never go below zero. The clamp makes each
+    step depend on the PREVIOUS clamped value, so no window function can
+    express it (a running sum ignores the floor; this is the canonical
+    inventory-with-stockouts / prepaid-credit recurrence). This is the
+    operator class ``applyInPandas`` exists for: a sequential per-key
+    scan, keyed so every group is independent.
+
+    Determinism: deltas are exact integer cents; the fold order is pinned
+    by (ts, event_id); DuckDB mirrors the recurrence with
+    ``list_reduce``. Scale: ONE shuffle on user_id, then Arrow-batched
+    per-user folds with O(1) memory — per-key sequential state is
+    embarrassingly parallel across keys, which is also why the streaming
+    twin (``applyInPandasWithState``/``transformWithState``) holds the
+    same recurrence as its per-key state at unbounded length.
+    """
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    deltas = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("long"),
+        )
+        .when(
+            F.col("event_type") == "error",
+            -F.round(F.col("value") * 100).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("delta"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        bal = 0
+        for d in pdf["delta"]:
+            bal = max(bal + int(d), 0)
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "final_balance_cents": [bal],
+            }
+        )
+
+    return deltas.groupBy("user_id").applyInPandas(
+        fold, "user_id long, n_events long, final_balance_cents long"
+    )
