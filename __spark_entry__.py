@@ -68,6 +68,8 @@ _PRIORITY = [
     "mad_outlier_events",
     "streaming_chained_windows",
     "clamped_running_balance",
+    "orc_roundtrip",
+    "scd2_point_in_time_join",
     "streaming_stream_stream_left_outer",
     "dedup_connected_components",
     # rides the round-5 prefix-join rewrite (positional filter + memo):

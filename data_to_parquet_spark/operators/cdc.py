@@ -153,3 +153,79 @@ def snapshot_diff_customers(spark, sf_dir):
             "new_acctbal",
         )
     )
+
+
+@CDC.register(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, 1 AS version, c_acctbal AS bal,
+             DATE '1992-01-01' AS valid_from,
+             DATE '1994-01-01' + INTERVAL (c_custkey % 1000) DAY AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 2, c_acctbal + 500.0,
+             DATE '1994-01-01' + INTERVAL (c_custkey % 1000) DAY,
+             DATE '2099-01-01'
+      FROM customer
+    )
+    SELECT o_orderpriority, version,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders JOIN dim ON o_custkey = c_custkey
+     AND CAST(o_orderdate AS DATE) >= CAST(valid_from AS DATE)
+     AND CAST(o_orderdate AS DATE) < CAST(valid_to AS DATE)
+    GROUP BY o_orderpriority, version
+    """,
+)
+def scd2_point_in_time_join(spark, sf_dir):
+    """Point-in-time (temporal validity) join: every order is matched to
+    the dimension VERSION that was valid on its order date — the lookup
+    every SCD-2 dimension exists to serve, and the temporal complement of
+    ``asof_events_latest_order`` (as-of = latest ≤ t over events; this =
+    membership in a [valid_from, valid_to) interval). The versioned dim
+    is derived deterministically (each customer flips to version 2 on a
+    per-key date), so both engines build identical history.
+
+    Scale: an EQUI-join on the business key with the interval bounds as a
+    residual predicate — per key only \\|versions\\| rows survive, so there
+    is no range explosion and the join shuffles exactly like any
+    fact⋈dim key join (broadcast when the dim fits, SMJ otherwise; AQE
+    decides — the dim scales with SF, so no forced hint). The final
+    aggregate is map-side combined over \\|priorities\\|×\\|versions\\| groups.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    flip = F.date_add(
+        F.lit("1994-01-01").cast("date"), (F.col("c_custkey") % 1000).cast("int")
+    )
+    v1 = c.select(
+        "c_custkey",
+        F.lit(1).alias("version"),
+        F.lit("1992-01-01").cast("date").alias("valid_from"),
+        flip.alias("valid_to"),
+    )
+    v2 = c.select(
+        "c_custkey",
+        F.lit(2).alias("version"),
+        flip.alias("valid_from"),
+        F.lit("2099-01-01").cast("date").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    od = F.col("o_orderdate").cast("date")
+    return (
+        o.join(
+            dim,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (od >= F.col("valid_from"))
+            & (od < F.col("valid_to")),
+        )
+        .groupBy("o_orderpriority", "version")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -12,9 +12,11 @@ from __future__ import annotations
 import os
 import tempfile
 
+from pyspark.sql import functions as F
+
 from ..sinks.parquet import to_single_parquet_file
 from ..sources.excel import read_excel
-from .base import Registry
+from .base import Registry, load_table
 
 MISC = Registry()
 
@@ -178,4 +180,54 @@ def csv_ingest(spark, sf_dir):
         .option("escape", '"')
         .csv(path)
         .select("id", "label", "qty", "price")
+    )
+
+
+@MISC.register(
+    "orc_roundtrip",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY doc_id)) AS id_digest
+    FROM documents GROUP BY lang, source
+    """,
+)
+def orc_roundtrip(spark, sf_dir):
+    """ORC sink + source round trip: write the documents table to ORC
+    (Spark's second built-in columnar format), read it back, and aggregate
+    — the oracle runs the same aggregate on the ORIGINAL parquet, so a
+    hash match proves every row and value survived the format conversion
+    (the id_digest pins exact membership, not just counts).
+
+    Scale: ORC shares parquet's stripe/row-group pruning and predicate
+    pushdown in Spark; the write is one narrow stage (no shuffle), and at
+    100 TB this is the standard interchange path with Hive-era consumers.
+    """
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"d2p_orc_roundtrip_{abs(hash(sf_dir)) % 10**8}",
+    )
+    d.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("id_digest"),
+        )
     )
