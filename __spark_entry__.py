@@ -39,11 +39,13 @@ _REGISTRY = REL.merge(
 # round 4 the streaming/NTZ fixes + all round-4 additions (50 checked:
 # 43 green, 6 rows-only clean, 1 red). Round 5 order (the NTZ incident
 # proved stale greens rot when testdata regenerates, so recency matters):
-# 1) every round-5 fix, rewrite-dependent, or NEW query (the red
-#    pii_extract_spans fix first, prefix-join/memo riders, the multi-file
-#    Excel rider, all new codecs/operators, the two rows-only→oracle
-#    upgrades) — first driver contact or re-contact after code changes;
-# 2) all 19 queries whose last driver contact was round 1 (oldest greens);
+# 1) every round-5 fix, rewrite-dependent, or NEW query (session 2's 20
+#    new operators lead, then session 1's fixes/riders/new codecs and the
+#    two rows-only→oracle upgrades) — first driver contact or re-contact
+#    after code changes;
+# 2) the queries whose last driver contact was round 1 (oldest greens) —
+#    with 20 session-2 additions the 50-slot window now reaches only the
+#    first few of these; the rest roll to round 6;
 # 3) oracled queries whose PLAN was rewritten by the explode-via-indices
 #    conversion (already re-verified by the stricter local parity harness,
 #    so they take the window tail);
