@@ -98,6 +98,9 @@ BENCH_QUERIES = [
     "part_hierarchy_rollup",
     "snapshot_diff_customers",
     "mad_outlier_events",
+    "clamped_running_balance",
+    "orc_roundtrip",
+    "scd2_point_in_time_join",
 ]
 
 
