@@ -33,6 +33,10 @@ __all__ = [
     "semdedup",
     "cap_per_group",
     "incremental_neardup",
+    "transition_matrix",
+    "mad_outliers",
+    "snapshot_diff",
+    "clamped_fold",
 ]
 
 
@@ -859,4 +863,139 @@ def incremental_neardup(
         right.join(F.broadcast(left), cond)
         .select("new_id", "corpus_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= t)
+    )
+
+
+def transition_matrix(
+    df: DataFrame, key: str, order_by: list[str], state: str
+) -> DataFrame:
+    """First-order Markov transition counts + conditional probabilities
+    over per-``key`` sequences of ``state``, ordered by ``order_by``
+    (include a unique tiebreaker for determinism).
+
+    Returns (prev_state, next_state, n, prob). Shuffle shape: one
+    exchange on ``key`` for the lag window, then a map-side-combined
+    aggregate bounded by |states|²; the probability window runs over that
+    tiny table. Generic form of ``event_transition_matrix``.
+    """
+    w = W.partitionBy(key).orderBy(*order_by)
+    pairs = (
+        df.select(
+            F.lag(state).over(w).alias("prev_state"),
+            F.col(state).alias("next_state"),
+        )
+        .filter(F.col("prev_state").isNotNull())
+        .groupBy("prev_state", "next_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = W.partitionBy("prev_state")
+    return pairs.select(
+        "prev_state",
+        "next_state",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wp)).alias("prob"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame, group: str, value: str, k: float = 3.0
+) -> DataFrame:
+    """Rows whose ``value`` deviates more than ``k`` MADs from their
+    group's median — robust outlier flagging (median/MAD don't move when
+    the outliers get extreme; mean/stddev do).
+
+    Shuffle shape: two map-side-combined aggregates over |groups| (exact
+    medians need the extra pass) with the tiny stats table broadcast
+    back; the returned frame is the input plus ``is_outlier``. Generic
+    form of ``mad_outlier_events``.
+    """
+    med = df.groupBy(group).agg(F.median(value).alias("__med"))
+    mad = (
+        df.join(F.broadcast(med), group)
+        .groupBy(group, "__med")
+        .agg(F.median(F.abs(F.col(value) - F.col("__med"))).alias("__mad"))
+    )
+    return (
+        df.join(F.broadcast(mad), group)
+        .withColumn(
+            "is_outlier",
+            F.abs(F.col(value) - F.col("__med")) > k * F.col("__mad"),
+        )
+        .drop("__med", "__mad")
+    )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, compare: list[str]
+) -> DataFrame:
+    """Row-level changeset between two table versions: one full-outer
+    join on ``key``, classifying added / removed / changed over the
+    ``compare`` columns (null-safe). Unchanged rows are filtered before
+    anything materializes — the overwhelming majority at scale.
+
+    Shuffle shape: one exchange per side on ``key`` (none if both sides
+    are bucketed on it). Generic form of ``snapshot_diff_customers``.
+    """
+    a = old.select(
+        F.col(key).alias("__ak"),
+        *[F.col(c).alias(f"old_{c}") for c in compare],
+    )
+    b = new.select(
+        F.col(key).alias("__bk"),
+        *[F.col(c).alias(f"new_{c}") for c in compare],
+    )
+    changed = None
+    for c in compare:
+        neq = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        changed = neq if changed is None else (changed | neq)
+    return (
+        a.join(b, F.col("__ak") == F.col("__bk"), "full_outer")
+        .filter(
+            F.col("__ak").isNull() | F.col("__bk").isNull() | changed
+        )
+        .select(
+            F.coalesce(F.col("__ak"), F.col("__bk")).alias(key),
+            F.when(F.col("__ak").isNull(), "added")
+            .when(F.col("__bk").isNull(), "removed")
+            .otherwise("changed")
+            .alias("change_type"),
+            *[F.col(f"old_{c}") for c in compare],
+            *[F.col(f"new_{c}") for c in compare],
+        )
+    )
+
+
+def clamped_fold(
+    df: DataFrame,
+    key: str,
+    order_by: list[str],
+    delta: str,
+    floor: int = 0,
+) -> DataFrame:
+    """Per-key sequential fold ``bal = max(bal + delta, floor)`` in
+    ``order_by`` order — the recurrence class (inventory with stockouts,
+    prepaid credit) that window functions cannot express because each
+    step depends on the previous CLAMPED value.
+
+    Returns (key, n_rows, final_value). Shuffle shape: one exchange on
+    ``key``, then Arrow-batched per-key scans with O(1) state. Generic
+    form of ``clamped_running_balance``.
+    """
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_by)
+        bal = 0
+        for d in pdf[delta]:
+            bal = max(bal + int(d), floor)
+        return pd.DataFrame(
+            {
+                key: [pdf[key].iloc[0]],
+                "n_rows": [len(pdf)],
+                "final_value": [bal],
+            }
+        )
+
+    key_type = dict(df.dtypes)[key]
+    return df.groupBy(key).applyInPandas(
+        fold, f"{key} {key_type}, n_rows long, final_value long"
     )

@@ -277,3 +277,65 @@ def test_incremental_neardup_asymmetric(spark):
         (100, 1),
         (100, 3),
     ]
+
+
+def test_transition_matrix_generic(spark):
+    from data_to_parquet_spark.ops import transition_matrix
+
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (2, 1, "b"), (2, 2, "b")],
+        "k long, t long, s string",
+    )
+    out = {
+        (r["prev_state"], r["next_state"]): (r["n"], r["prob"])
+        for r in transition_matrix(df, "k", ["t"], "s").collect()
+    }
+    assert out[("a", "b")] == (1, 1.0)
+    assert out[("b", "a")][0] == 1 and abs(out[("b", "a")][1] - 0.5) < 1e-12
+    assert out[("b", "b")][0] == 1 and abs(out[("b", "b")][1] - 0.5) < 1e-12
+
+
+def test_mad_outliers_generic(spark):
+    from data_to_parquet_spark.ops import mad_outliers
+
+    rows = [("g", float(v)) for v in [10, 11, 12, 13, 14, 100]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["v"]: r["is_outlier"] for r in mad_outliers(df, "g", "v").collect()}
+    assert out[100.0] is True
+    assert all(not out[float(v)] for v in [10, 11, 12, 13, 14])
+
+
+def test_snapshot_diff_generic(spark):
+    from data_to_parquet_spark.ops import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, bal double"
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 25.0), (4, 40.0)], "id long, bal double"
+    )
+    out = {
+        r["id"]: (r["change_type"], r["old_bal"], r["new_bal"])
+        for r in snapshot_diff(old, new, "id", ["bal"]).collect()
+    }
+    assert out == {
+        2: ("changed", 20.0, 25.0),
+        3: ("removed", 30.0, None),
+        4: ("added", None, 40.0),
+    }
+    assert 1 not in out  # unchanged rows never surface
+
+
+def test_clamped_fold_generic(spark):
+    from data_to_parquet_spark.ops import clamped_fold
+
+    df = spark.createDataFrame(
+        [(1, 1, 5), (1, 2, -10), (1, 3, 4), (2, 1, -3)],
+        "k long, t long, d long",
+    )
+    out = {
+        r["k"]: (r["n_rows"], r["final_value"])
+        for r in clamped_fold(df, "k", ["t"], "d").collect()
+    }
+    # key 1: 0+5=5 -> max(5-10,0)=0 -> 0+4=4; key 2: max(-3,0)=0
+    assert out == {1: (3, 4), 2: (1, 0)}
