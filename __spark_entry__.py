@@ -72,6 +72,7 @@ _PRIORITY = [
     "clamped_running_balance",
     "orc_roundtrip",
     "scd2_point_in_time_join",
+    "weighted_sample_topk",
     "streaming_stream_stream_left_outer",
     "dedup_connected_components",
     # rides the round-5 prefix-join rewrite (positional filter + memo):

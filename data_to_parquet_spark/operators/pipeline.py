@@ -699,3 +699,65 @@ def token_budget_sample(spark, sf_dir):
         tok.withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= _TOKEN_BUDGET)
     )
+
+
+_WS_K = 100  # weighted sample size
+
+
+@PIPE.register(
+    "weighted_sample_topk",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                      AS BIGINT) + 1.0) / 4503599627370497.0)
+               / n_chars AS k
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, round(k, 9) AS sample_key
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT {_WS_K}
+    """,
+)
+def weighted_sample_topk(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    each document draws a deterministic pseudo-uniform u from md5(doc_id)
+    and competes with key ln(u)/weight (weight = n_chars, so longer
+    documents are proportionally likelier); the global top-k IS a
+    weight-proportional sample — the importance-sampling primitive for
+    building training mixtures ("sample 10B tokens ∝ quality score")
+    without a shuffle-the-world random sort.
+
+    Determinism: u is md5-derived (both engines bit-identical), the key is
+    one ln + one division on it, and the ordering carries a doc_id
+    tiebreak; the emitted key is rounded to 9 for the value hash. Scale:
+    no shuffle at all before the top-k — Spark executes the global ORDER
+    BY + LIMIT as TakeOrderedAndProject (per-partition top-k, then a
+    k-row merge on the driver side of the exchange), so a 100 TB corpus
+    ships k rows per partition, never itself.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # 13 hex chars = 52 bits: exact in a double, u ∈ (0, 1]
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / F.lit(4503599627370497.0)
+    k = F.log(u) / F.col("n_chars")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            k.alias("__k"),
+        )
+        .orderBy(F.desc("__k"), "doc_id")
+        .limit(_WS_K)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round("__k", 9).alias("sample_key"),
+        )
+    )
