@@ -1001,3 +1001,75 @@ def compression_ratio_signal(spark, sf_dir):
             F.col("zlib_bytes").cast("double") / F.col("raw_bytes") < 0.35
         ).alias("is_repetitive"),
     )
+
+
+@TXT.register(
+    "unicode_normalize_names",
+    oracle="""
+    WITH accented AS (
+      SELECT c_custkey,
+             translate(c_name, 'AEIOUaeiou',
+                       'ÁÉÍÓÚáéíóú') AS raw_name
+      FROM customer
+    )
+    SELECT c_custkey, raw_name,
+           strip_accents(nfc_normalize(raw_name)) AS folded,
+           len(raw_name) AS n_chars_raw,
+           len(strip_accents(nfc_normalize(raw_name))) AS n_chars_folded
+    FROM accented
+    """,
+)
+def unicode_normalize_names(spark, sf_dir):
+    """Unicode normalization + accent folding — the text-normalization
+    stage every multilingual pipeline runs before matching/dedup (NFC to
+    canonical-compose, then diacritic stripping). The corpus is ASCII, so
+    accented input is synthesized deterministically (vowels → acute
+    forms) in BOTH engines; the oracle folds with DuckDB's native
+    ``strip_accents(nfc_normalize(...))`` while Spark folds with a
+    vectorized ``unicodedata`` kernel (NFKD → drop combining marks →
+    NFC) — a hash match proves the two fold identically, codepoint for
+    codepoint, including the length accounting (``len`` counts
+    codepoints in both engines).
+
+    Scale: the Python stage is one narrow Arrow-batched map (no shuffle);
+    character translate and length stay JVM-side in codegen.
+    """
+    import pandas as pd
+
+    c = load_table(spark, sf_dir, "customer")
+    accented = c.select(
+        "c_custkey",
+        F.translate(
+            F.col("c_name"), "AEIOUaeiou", "ÁÉÍÓÚáéíóú"
+        ).alias("raw_name"),
+    )
+
+    def fold_batches(it):
+        import unicodedata
+
+        def fold(s: str) -> str:
+            decomposed = unicodedata.normalize("NFKD", s)
+            stripped = "".join(
+                ch for ch in decomposed if not unicodedata.combining(ch)
+            )
+            return unicodedata.normalize("NFC", stripped)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "c_custkey": pdf["c_custkey"].values,
+                    "raw_name": pdf["raw_name"].values,
+                    "folded": [fold(s) for s in pdf["raw_name"]],
+                }
+            )
+
+    folded = accented.mapInPandas(
+        fold_batches, "c_custkey long, raw_name string, folded string"
+    )
+    return folded.select(
+        "c_custkey",
+        "raw_name",
+        "folded",
+        F.length("raw_name").alias("n_chars_raw"),
+        F.length("folded").alias("n_chars_folded"),
+    )
