@@ -74,6 +74,7 @@ _PRIORITY = [
     "scd2_point_in_time_join",
     "weighted_sample_topk",
     "unicode_normalize_names",
+    "graph_triangle_count",
     "streaming_stream_stream_left_outer",
     "dedup_connected_components",
     # rides the round-5 prefix-join rewrite (positional filter + memo):

@@ -843,3 +843,123 @@ def part_hierarchy_rollup(spark, sf_dir):
         GROUP BY a.node, a.depth
         """
     )
+
+
+@TPCH_X.register(
+    "graph_triangle_count",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+    ), pairs AS (
+      SELECT x.p_brand AS a, y.p_brand AS b, COUNT(*) AS n
+      FROM ob x JOIN ob y
+        ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
+      GROUP BY 1, 2
+    ), med AS (
+      SELECT median(n) AS m FROM pairs
+    ), edges AS (
+      -- median-relative threshold: ~half the pairs survive at ANY scale
+      -- factor (a fixed count would yield the empty or the complete graph)
+      SELECT a, b FROM pairs, med WHERE n > m
+    ), deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT a AS v FROM edges UNION ALL SELECT b FROM edges
+      ) GROUP BY v
+    ), oriented AS (
+      -- orient every edge from lower to higher (degree, name): each
+      -- triangle then has exactly ONE wedge vertex with two out-edges
+      SELECT CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS lo,
+             CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS hi
+      FROM edges JOIN deg da ON da.v = a JOIN deg db ON db.v = b
+    ), wedges AS (
+      SELECT e1.lo AS w, e1.hi AS u, e2.hi AS v
+      FROM oriented e1 JOIN oriented e2
+        ON e1.lo = e2.lo AND e1.hi < e2.hi
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_vertices,
+           (SELECT COUNT(*) FROM edges) AS n_edges,
+           (SELECT COUNT(*) FROM wedges w
+            JOIN (SELECT least(lo, hi) AS cl, greatest(lo, hi) AS ch
+                  FROM oriented) e
+              ON e.cl = w.u AND e.ch = w.v) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Graph analytics: triangle counting over the brand co-occurrence
+    graph (edges = brand pairs co-occurring more often than the median
+    pair — a scale-invariant threshold), using the
+    degree-ordered edge-orientation algorithm — orient every edge toward
+    the higher-(degree, name) endpoint, enumerate wedges only at each
+    edge's LOW vertex, and close them against the oriented edge list.
+    Clustering-coefficient numerators, community pre-checks, and spam-ring
+    detection all start here.
+
+    Why this shape scales: naive triangle join is Σ d(v)² wedges; the
+    orientation bounds per-vertex wedge fan-out by out-degree ≤ O(√|E|)
+    (arboricity bound), which is THE standard distributed-triangle trick —
+    on a 100 TB edge list both joins are shuffle equi-joins on vertex
+    keys, no broadcast of anything unbounded. Determinism: pure integer
+    counts over an exactly-derived edge set. The corpus graph is small
+    (|brands| ≤ 25); the plan, not the data, is the demonstration.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    x = ob.select(F.col("l_orderkey").alias("xo"), F.col("p_brand").alias("a"))
+    y = ob.select(F.col("l_orderkey").alias("yo"), F.col("p_brand").alias("b"))
+    pairs = (
+        x.join(y, (F.col("xo") == F.col("yo")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    med = pairs.agg(F.median("n").alias("m"))
+    edges = (
+        pairs.join(F.broadcast(med))
+        .filter(F.col("n") > F.col("m"))
+        .select("a", "b")
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        edges.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    e1 = oriented.select(F.col("lo").alias("w"), F.col("hi").alias("u"))
+    e2 = oriented.select(F.col("lo").alias("w2"), F.col("hi").alias("v2"))
+    wedges = e1.join(
+        e2, (F.col("w") == F.col("w2")) & (F.col("u") < F.col("v2"))
+    ).select("w", "u", F.col("v2").alias("v"))
+    # wedge endpoints are name-ordered (u < v), so normalize closing edges
+    # to name order too — the closure check becomes a plain EQUI-join
+    # (hash-joinable at any scale), not an OR-of-orientations nested loop
+    closing = oriented.select(
+        F.least("lo", "hi").alias("cl"), F.greatest("lo", "hi").alias("ch")
+    )
+    tri = wedges.join(
+        closing, (F.col("cl") == F.col("u")) & (F.col("ch") == F.col("v"))
+    )
+    nv = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
+    ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    nt = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return nv.join(F.broadcast(ne)).join(F.broadcast(nt))
