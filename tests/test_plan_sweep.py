@@ -34,6 +34,7 @@ ALLOW_BNLJ = {
     "lang_id_ngram",  # fixed char-bigram language profiles (bounded)
     "similarity_recall_report",  # wraps the allowlisted brute-force top-k
     "basket_brand_pairs",  # 1-row grand-total order count joined back
+    "graph_triangle_count",  # three 1-row scalar counts cross-joined
 }
 
 # Streaming queries execute a real streaming run when built (availableNow to
