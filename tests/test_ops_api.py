@@ -339,3 +339,13 @@ def test_clamped_fold_generic(spark):
     }
     # key 1: 0+5=5 -> max(5-10,0)=0 -> 0+4=4; key 2: max(-3,0)=0
     assert out == {1: (3, 4), 2: (1, 0)}
+
+
+def test_priority_window_names_are_registered():
+    """Every name in the driver verify-window priority list must be a
+    registered query — a typo would silently waste a verification slot."""
+    import __spark_entry__ as entry_mod
+
+    registered = set(entry_mod.queries())
+    missing = [n for n in entry_mod._PRIORITY if n not in registered]
+    assert not missing, f"_PRIORITY names not in queries(): {missing}"

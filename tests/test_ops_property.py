@@ -107,3 +107,88 @@ def test_connected_components_match_union_find(spark, seed):
         for r in ops.connected_components(df, "u", "v").collect()
     }
     assert got == _union_find_components(edges)
+
+
+# ---- session-2 generic ops: randomized invariants ------------------------
+
+
+def _random_events(seed: int, n: int = 60, n_keys: int = 5):
+    rng = random.Random(seed)
+    return [
+        (
+            rng.randrange(n_keys),
+            i,  # unique order tiebreaker
+            rng.choice(["a", "b", "c"]),
+            rng.randint(-50, 50),
+        )
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_transition_matrix_probs_sum_to_one(spark, seed):
+    rows = _random_events(seed)
+    df = spark.createDataFrame(rows, "k long, t long, s string, d long")
+    out = ops.transition_matrix(df, "k", ["t"], "s").collect()
+    # per prev_state, probabilities sum to 1 and n matches a brute count
+    by_prev: dict[str, float] = {}
+    for r in out:
+        by_prev[r["prev_state"]] = by_prev.get(r["prev_state"], 0.0) + r["prob"]
+    assert all(abs(v - 1.0) < 1e-9 for v in by_prev.values())
+    brute: dict[tuple, int] = {}
+    seqs: dict[int, list] = {}
+    for k, t, s, _ in sorted(rows, key=lambda r: (r[0], r[1])):
+        seqs.setdefault(k, []).append(s)
+    for seq in seqs.values():
+        for p, nx in zip(seq, seq[1:]):
+            brute[(p, nx)] = brute.get((p, nx), 0) + 1
+    assert {(r["prev_state"], r["next_state"]): r["n"] for r in out} == brute
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_clamped_fold_matches_sequential_reference(spark, seed):
+    rows = _random_events(seed)
+    df = spark.createDataFrame(rows, "k long, t long, s string, d long")
+    out = {
+        r["k"]: r["final_value"]
+        for r in ops.clamped_fold(df, "k", ["t"], "d", floor=0).collect()
+    }
+    ref: dict[int, int] = {}
+    for k, t, _, d in sorted(rows, key=lambda r: (r[0], r[1])):
+        ref[k] = max(ref.get(k, 0) + d, 0)
+    assert out == ref
+    assert all(v >= 0 for v in out.values())
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_snapshot_diff_roundtrip_invariants(spark, seed):
+    rng = random.Random(seed)
+    old_rows = [(i, float(rng.randint(0, 5))) for i in range(30)]
+    df = spark.createDataFrame(old_rows, "id long, v double")
+    # identical snapshots diff to empty
+    assert ops.snapshot_diff(df, df, "id", ["v"]).count() == 0
+    # a known perturbation is reported exactly once per affected key
+    new_rows = [(i, v + (1.0 if i % 7 == 0 else 0.0))
+                for i, v in old_rows if i % 11 != 0]
+    new_rows.append((999, 1.0))
+    df2 = spark.createDataFrame(new_rows, "id long, v double")
+    out = {r["id"]: r["change_type"]
+           for r in ops.snapshot_diff(df, df2, "id", ["v"]).collect()}
+    expect = {i: "changed" for i, _ in old_rows if i % 7 == 0 and i % 11 != 0}
+    expect.update({i: "removed" for i, _ in old_rows if i % 11 == 0})
+    expect[999] = "added"
+    assert out == expect
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_mad_outliers_never_flags_majority(spark, seed):
+    rng = random.Random(seed)
+    rows = [("g", float(rng.randint(10, 20))) for _ in range(50)]
+    rows += [("g", 1000.0)]  # one gross outlier
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = ops.mad_outliers(df, "g", "v").collect()
+    flagged = [r["v"] for r in out if r["is_outlier"]]
+    assert 1000.0 in flagged
+    # MAD breakdown point: a single outlier cannot drag the fence over
+    # the bulk of the data
+    assert len(flagged) < len(rows) / 2
