@@ -75,6 +75,7 @@ _PRIORITY = [
     "weighted_sample_topk",
     "unicode_normalize_names",
     "graph_triangle_count",
+    "session_dwell_bounce",
     "streaming_stream_stream_left_outer",
     "dedup_connected_components",
     # rides the round-5 prefix-join rewrite (positional filter + memo):

@@ -1046,3 +1046,103 @@ def clamped_running_balance(spark, sf_dir):
     return deltas.groupBy("user_id").applyInPandas(
         fold, "user_id long, n_events long, final_balance_cents long"
     )
+
+
+@EVT.register(
+    "session_dwell_bounce",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL '30 minutes'
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_session) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    ), stats AS (
+      SELECT user_id, session_id,
+             COUNT(*) AS n_events,
+             (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000
+               AS duration_s,
+             hour(MIN(ts)) AS start_hour
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT CAST(start_hour AS INT) AS start_hour,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           round(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 9) AS bounce_rate,
+           round(CAST(SUM(duration_s) AS DOUBLE) / COUNT(*), 9)
+             AS avg_duration_s,
+           round(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 9)
+             AS avg_events
+    FROM stats GROUP BY start_hour
+    """,
+)
+def session_dwell_bounce(spark, sf_dir):
+    """Session dwell-time and bounce-rate report by hour of session start:
+    sessionize (30-minute gap rule, the `events_sessionize_30min` CTE),
+    then roll sessions up into the engagement report every product
+    dashboard shows — sessions, bounce rate (single-event sessions), mean
+    dwell seconds, mean events per session.
+
+    Determinism: durations are integer seconds via the round-5 convention
+    ``(unix_micros(max) − unix_micros(min)) div 1_000_000`` (floor of the
+    difference — not a difference of per-value floors, which drifts ±1 on
+    sub-second timestamps); all ratios are single divisions over exact
+    ints, rounded 9. Scale: one shuffle on user_id drives both window
+    passes (same partitioning — one exchange), the per-session aggregate
+    shuffles on (user, session), and the final 24-row report is map-side
+    combined.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            <= 30 * 60 * 1_000_000,
+            0,
+        )
+        .otherwise(1)
+        .alias("new_session"),
+    )
+    sess = flagged.select(
+        "user_id", "ts", F.sum("new_session").over(wrun).alias("session_id")
+    )
+    stats = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("duration_s"),
+        F.hour(F.min("ts")).alias("start_hour"),
+    )
+    bounce = F.when(F.col("n_events") == 1, 1).otherwise(0)
+    return stats.groupBy("start_hour").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(bounce).alias("n_bounces"),
+        F.round(F.sum(bounce).cast(_D) / F.count(F.lit(1)), 9).alias(
+            "bounce_rate"
+        ),
+        F.round(
+            F.sum("duration_s").cast(_D) / F.count(F.lit(1)), 9
+        ).alias("avg_duration_s"),
+        F.round(
+            F.sum("n_events").cast(_D) / F.count(F.lit(1)), 9
+        ).alias("avg_events"),
+    )
