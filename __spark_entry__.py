@@ -76,6 +76,7 @@ _PRIORITY = [
     "unicode_normalize_names",
     "graph_triangle_count",
     "session_dwell_bounce",
+    "cusum_changepoint_daily",
     "streaming_stream_stream_left_outer",
     "dedup_connected_components",
     # rides the round-5 prefix-join rewrite (positional filter + memo):

@@ -963,3 +963,107 @@ def graph_triangle_count(spark, sf_dir):
     ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     nt = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
     return nv.join(F.broadcast(ne)).join(F.broadcast(nt))
+
+
+_CUSUM_SLACK = 5  # k: slack per step, in orders
+_CUSUM_H = 50.0  # alarm threshold
+
+
+@TPCH_X.register(
+    "cusum_changepoint_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ), m AS (
+      SELECT o_orderpriority,
+             CAST(SUM(n) AS BIGINT) AS total_n,
+             COUNT(*) AS n_days
+      FROM daily GROUP BY o_orderpriority
+    ), c AS (
+      SELECT d.o_orderpriority, m.n_days, d.d,
+             CAST(SUM(n * m.n_days - m.total_n
+                      - {_CUSUM_SLACK} * m.n_days)
+               OVER (PARTITION BY d.o_orderpriority ORDER BY d.d
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM daily d JOIN m ON d.o_orderpriority = m.o_orderpriority
+    ), s AS (
+      SELECT o_orderpriority, n_days,
+             cum - least(CAST(0 AS BIGINT),
+                         CAST(MIN(cum) OVER (
+                           PARTITION BY o_orderpriority ORDER BY d
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)) AS s_t,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY d DESC) AS rn_last
+      FROM c
+    )
+    SELECT o_orderpriority, n_days,
+           round(CAST(MAX(CASE WHEN rn_last = 1 THEN s_t END)
+                      AS DOUBLE) / n_days, 9) AS final_s,
+           round(CAST(MAX(s_t) AS DOUBLE) / n_days, 9) AS max_s,
+           CAST(MAX(s_t) AS DOUBLE) / n_days > {_CUSUM_H} AS drift_alarm
+    FROM s GROUP BY o_orderpriority, n_days
+    """,
+)
+def cusum_changepoint_daily(spark, sf_dir):
+    """CUSUM changepoint detection over daily order volume per priority:
+    the one-sided cumulative sum S_t = max(0, S_(t-1) + (x_t − μ − k))
+    accumulates sustained drift that per-point z-scores
+    (``hourly_anomaly_zscores``) and robust fences (``mad_outlier_events``)
+    miss — the sequential-drift arm of the anomaly family.
+
+    Instead of folding the recurrence, both engines use the prefix-sum
+    identity S_t = C_t − min(C_0..C_t) (C_0 = 0, C = running sum of
+    deviations — the min window INCLUDES the current row), and the series
+    is SCALED BY n_days so every intermediate is an exact integer:
+    y_t = n_t·D − T − k·D = D·(n_t − μ − k). The whole computation is
+    order-robust and bit-deterministic; the only floats are the final /D
+    divisions, rounded 9. Scale: the fact table collapses map-side to
+    |priorities|×|days| rows; the windows run over that tiny series
+    partitioned by priority, never over the fact table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.col("o_orderdate").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = daily.groupBy("o_orderpriority").agg(
+        F.sum("n").alias("total_n"), F.count(F.lit(1)).alias("n_days")
+    )
+    y = (
+        F.col("n") * F.col("n_days")
+        - F.col("total_n")
+        - _CUSUM_SLACK * F.col("n_days")
+    )
+    wcum = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = daily.join(F.broadcast(m), "o_orderpriority").select(
+        "o_orderpriority",
+        "d",
+        "n_days",
+        F.sum(y).over(wcum).alias("cum"),
+    )
+    s_t = F.col("cum") - F.least(
+        F.lit(0).cast("long"), F.min("cum").over(wcum)
+    )
+    wlast = W.partitionBy("o_orderpriority").orderBy(F.desc("d"))
+    st = c.select(
+        "o_orderpriority",
+        "n_days",
+        s_t.alias("s_t"),
+        F.row_number().over(wlast).alias("rn_last"),
+    )
+    return st.groupBy("o_orderpriority", "n_days").agg(
+        F.round(
+            F.max(F.when(F.col("rn_last") == 1, F.col("s_t"))).cast(_D)
+            / F.col("n_days"),
+            9,
+        ).alias("final_s"),
+        F.round(F.max("s_t").cast(_D) / F.col("n_days"), 9).alias("max_s"),
+        (
+            F.max("s_t").cast(_D) / F.col("n_days") > _CUSUM_H
+        ).alias("drift_alarm"),
+    )
