@@ -101,6 +101,11 @@ BENCH_QUERIES = [
     "clamped_running_balance",
     "orc_roundtrip",
     "scd2_point_in_time_join",
+    "weighted_sample_topk",
+    "unicode_normalize_names",
+    "graph_triangle_count",
+    "session_dwell_bounce",
+    "cusum_changepoint_daily",
 ]
 
 
