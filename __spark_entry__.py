@@ -77,6 +77,7 @@ _PRIORITY = [
     "graph_triangle_count",
     "session_dwell_bounce",
     "cusum_changepoint_daily",
+    "xml_ingest",
     "streaming_stream_stream_left_outer",
     "dedup_connected_components",
     # rides the round-5 prefix-join rewrite (positional filter + memo):

@@ -231,3 +231,64 @@ def orc_roundtrip(spark, sf_dir):
             ).alias("id_digest"),
         )
     )
+
+
+_XML_ROWS = 1500
+
+
+def _xml_fixture(path: str) -> None:
+    """Deterministic XML corpus (same arithmetic-oracle contract as the
+    JSONL/CSV fixtures): attributes, element text, absent elements → NULL,
+    and entity-escaped content."""
+    from xml.sax.saxutils import escape
+
+    with open(path, "w") as f:
+        f.write("<rows>\n")
+        for i in range(_XML_ROWS):
+            name = escape(f"item <{i % 41}> & co")
+            score = f"<score>{(i * 3) % 97}</score>" if i % 6 != 0 else ""
+            f.write(
+                f'  <row id="{i}"><name>{name}</name>{score}</row>\n'
+            )
+        f.write("</rows>\n")
+
+
+@MISC.register(
+    "xml_ingest",
+    oracle=f"""
+    SELECT i AS id,
+           'item <' || CAST(i % 41 AS VARCHAR) || '> & co' AS name,
+           CASE WHEN i % 6 = 0 THEN NULL
+                ELSE (i * 3) % 97 END AS score
+    FROM generate_series(0, {_XML_ROWS - 1}) AS t(i)
+    """,
+)
+def xml_ingest(spark, sf_dir):
+    """XML ingestion through Spark 4's native xml source (the spark-xml
+    merge): attribute columns (``_id`` via ``attributePrefix``), element
+    text, absent-element → NULL, and entity unescaping (&lt;/&amp;). The
+    DuckDB oracle recomputes all rows arithmetically — a hash match proves
+    the parser's structure handling end to end.
+
+    Scale: unlike JSONL/CSV, XML rows span lines, so the source splits on
+    the rowTag boundary scan rather than newlines — still distributed, but
+    the docstring-level guidance for a 100 TB feed is: land XML once,
+    convert to parquet (this query's shape), never re-scan it.
+    """
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "d2p_xml_fixture.xml")
+    _xml_fixture(path)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "row")
+        .option("attributePrefix", "_")
+        .schema("_id long, name string, score long")
+        .load(path)
+        .select(
+            F.col("_id").alias("id"),
+            "name",
+            "score",
+        )
+    )
