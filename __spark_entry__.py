@@ -78,6 +78,7 @@ _PRIORITY = [
     "session_dwell_bounce",
     "cusum_changepoint_daily",
     "xml_ingest",
+    "text_source_roundtrip",
     "streaming_stream_stream_left_outer",
     "dedup_connected_components",
     # rides the round-5 prefix-join rewrite (positional filter + memo):

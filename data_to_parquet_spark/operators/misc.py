@@ -292,3 +292,52 @@ def xml_ingest(spark, sf_dir):
             "score",
         )
     )
+
+
+@MISC.register(
+    "text_source_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+           md5(string_agg(md5(text), ',' ORDER BY md5(text)))
+             AS corpus_digest
+    FROM documents
+    """,
+)
+def text_source_roundtrip(spark, sf_dir):
+    """Line-oriented text source round trip: dump every document as one
+    line of a .txt corpus (the rawest LLM-data interchange form), read it
+    back through ``spark.read.text``, and emit a content digest (md5 over
+    the sorted per-line md5s). The oracle computes the same digest from
+    the ORIGINAL parquet table, so a hash match proves the dump+scan is
+    lossless. (The corpus has no embedded newlines — the precondition
+    line-oriented text requires; the writer would have to escape
+    otherwise.)
+
+    Scale: text splits per line like JSONL/CSV; the digest aggregate is
+    one map-side-combined pass. The fixture dump is a driver-side loop
+    ONLY because the oracle needs one deterministic local file — the
+    production dump is ``df.write.text`` (distributed, same format). The
+    sort inside the digest is over the collected hash LIST per group
+    (single global group) — fine for a checksum, not a pattern for
+    data-sized output.
+    """
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"d2p_text_roundtrip_{abs(hash(sf_dir)) % 10**8}.txt",
+    )
+    with open(path, "w") as f:
+        for row in d.select("text").toLocalIterator():
+            f.write(row["text"] + "\n")
+    back = spark.read.text(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.md5(
+            F.concat_ws(",", F.array_sort(F.collect_list(F.md5("value"))))
+        ).alias("corpus_digest"),
+    )
