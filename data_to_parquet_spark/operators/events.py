@@ -996,20 +996,25 @@ def mad_outlier_events(spark, sf_dir):
 )
 def clamped_running_balance(spark, sf_dir):
     """Floor-clamped running balance per user — purchases credit, errors
-    debit, and the balance can never go below zero. The clamp makes each
-    step depend on the PREVIOUS clamped value, so no window function can
-    express it (a running sum ignores the floor; this is the canonical
-    inventory-with-stockouts / prepaid-credit recurrence). This is the
-    operator class ``applyInPandas`` exists for: a sequential per-key
-    scan, keyed so every group is independent.
+    debit, and the balance can never go below zero. Each step depends on
+    the PREVIOUS clamped value (a plain running sum ignores the floor);
+    this is the canonical inventory-with-stockouts / prepaid-credit
+    recurrence, and the demonstration slot for ``applyInPandas``
+    sequential per-key scans — the shape that stays available when a
+    recurrence has NO closed form. (This one does: S_t = C_t −
+    min(C_0..C_t), the same prefix-sum identity
+    ``cusum_changepoint_daily`` uses in pure SQL — the kernel exploits it
+    to run as two vectorized numpy passes instead of a Python loop, and
+    the identity itself is pinned against the step-by-step fold in
+    ``tests/test_ops_property.py``.)
 
     Determinism: deltas are exact integer cents; the fold order is pinned
     by (ts, event_id); DuckDB mirrors the recurrence with
     ``list_reduce``. Scale: ONE shuffle on user_id, then Arrow-batched
-    per-user folds with O(1) memory — per-key sequential state is
-    embarrassingly parallel across keys, which is also why the streaming
-    twin (``applyInPandasWithState``/``transformWithState``) holds the
-    same recurrence as its per-key state at unbounded length.
+    per-user kernels with O(rows-per-user) memory — per-key sequential
+    state is embarrassingly parallel across keys, which is also why the
+    streaming twin (``applyInPandasWithState``/``transformWithState``)
+    holds the same recurrence as its per-key state at unbounded length.
     """
     import pandas as pd
 
@@ -1032,9 +1037,9 @@ def clamped_running_balance(spark, sf_dir):
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
-        bal = 0
-        for d in pdf["delta"]:
-            bal = max(bal + int(d), 0)
+        # vectorized via the prefix-sum identity: S_N = C_N - min(0, min C)
+        c = pdf["delta"].to_numpy().cumsum()
+        bal = int(c[-1] - min(0, int(c.min())))
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],

@@ -192,3 +192,20 @@ def test_mad_outliers_never_flags_majority(spark, seed):
     # MAD breakdown point: a single outlier cannot drag the fence over
     # the bulk of the data
     assert len(flagged) < len(rows) / 2
+
+
+@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("floor", [-5, 3])
+def test_clamped_fold_nonzero_floor(spark, seed, floor):
+    """The closed form must hold for NON-zero floors too (the round-5
+    first attempt was only correct at floor=0 — caught by brute force)."""
+    rows = _random_events(seed, n=40)
+    df = spark.createDataFrame(rows, "k long, t long, s string, d long")
+    out = {
+        r["k"]: r["final_value"]
+        for r in ops.clamped_fold(df, "k", ["t"], "d", floor=floor).collect()
+    }
+    ref: dict[int, int] = {}
+    for k, t, _, d in sorted(rows, key=lambda r: (r[0], r[1])):
+        ref[k] = max(ref.get(k, 0) + d, floor)
+    assert out == ref
