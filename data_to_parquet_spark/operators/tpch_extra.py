@@ -905,15 +905,21 @@ def graph_triangle_count(spark, sf_dir):
     """
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    ob = (
+    # same single-shuffle pair generation as basket_brand_pairs:
+    # collect_set per order dedups+gathers in one exchange, pairs explode
+    # map-side with fan-out bounded by |brands|^2/2
+    per_order = (
         li.join(p, F.col("p_partkey") == F.col("l_partkey"))
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("bs"))
     )
-    x = ob.select(F.col("l_orderkey").alias("xo"), F.col("p_brand").alias("a"))
-    y = ob.select(F.col("l_orderkey").alias("yo"), F.col("p_brand").alias("b"))
+    pair_arr = F.expr(
+        "flatten(transform(bs, (a, i) ->"
+        " transform(slice(bs, i + 2, size(bs)), b -> struct(a, b))))"
+    )
     pairs = (
-        x.join(y, (F.col("xo") == F.col("yo")) & (F.col("a") < F.col("b")))
+        exploded_rows(per_order, [], pair_arr, "pr")
+        .select(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=False)
