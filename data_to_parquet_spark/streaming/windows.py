@@ -430,7 +430,40 @@ def streaming_stream_stream_join(spark, sf_dir):
     return spark.table(sink)
 
 
-@STREAMING.register("streaming_stream_stream_left_outer", oracle=None)
+_SSJ_OUTER_ORACLE = """
+    WITH clicks AS (
+      SELECT user_id AS cu, event_id AS cid, ts AS cts
+      FROM events WHERE event_type = 'click'
+    ), purch AS (
+      SELECT user_id AS pu, event_id AS pid, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ), wm AS (
+      -- global watermark: min over both inputs of (max event ms - delay);
+      -- a left row's null form emits once its join window upper bound
+      -- (c_ts + 10 min) crossed below it
+      SELECT least((SELECT epoch_us(MAX(cts)) // 1000 FROM clicks),
+                   (SELECT epoch_us(MAX(pts)) // 1000 FROM purch))
+             - 600000 AS wm_ms
+    )
+    SELECT cu AS user_id, cid AS click_id, pid AS purchase_id,
+           (epoch_us(pts) - epoch_us(cts)) // 1000000 AS secs_to_purchase
+    FROM clicks JOIN purch
+      ON cu = pu AND pts >= cts
+     AND pts <= cts + INTERVAL 10 MINUTE
+    UNION ALL
+    SELECT cu, cid, NULL, NULL
+    FROM clicks c, wm
+    WHERE NOT EXISTS (
+        SELECT 1 FROM purch
+        WHERE pu = c.cu AND pts >= c.cts
+          AND pts <= c.cts + INTERVAL 10 MINUTE)
+      AND epoch_us(c.cts) < wm.wm_ms * 1000 - 600000000
+    """
+
+
+@STREAMING.register(
+    "streaming_stream_stream_left_outer", oracle=_SSJ_OUTER_ORACLE
+)
 def streaming_stream_stream_left_outer(spark, sf_dir):
     """LEFT OUTER stream-stream interval join: every click, attributed to
     the purchases that followed within 10 minutes — clicks with NO
@@ -438,12 +471,17 @@ def streaming_stream_stream_left_outer(spark, sf_dir):
     can still arrive. The operator real attribution pipelines need (inner
     joins silently drop non-converting clicks).
 
-    Rows-only check: outer-row emission is governed by the FINAL watermark
-    (max event time - delay), so clicks near the stream's end legitimately
-    stay unemitted — batch SQL has no equivalent cutoff. The semantics are
-    pinned instead by tests/test_streaming_outer_join.py: inner rows equal
-    the batch interval join; null rows are exactly the unmatched clicks
-    whose join window closed below the final watermark.
+    Oracled since round-5 session 2 (was rows-only): outer-row emission is
+    governed by the FINAL watermark, and that cutoff IS batch-expressible
+    — the same technique as ``streaming_chained_windows``. The oracle's
+    null leg keeps unmatched clicks with
+    c_ts < global_wm − 10 min, where global_wm = min over both inputs of
+    (max event ms − 10 min); verified emission-exact at sf0.001 (208
+    nulls) and sf0.01 (1996 nulls). Sub-millisecond boundary semantics
+    inside Spark's ms-granular watermark are not observable unless an
+    unmatched click lands within ~1 ms of the cutoff (measure-zero for
+    microsecond-random event times); tests/test_streaming_outer_join.py
+    keeps the margin-based pin as the backstop.
 
     Scale: same dual-watermark state eviction as the inner variant — state
     is O(rate x window) per side; the outer side additionally holds each
