@@ -2,9 +2,13 @@
 
 ``excel_roundtrip`` exercises the full reference pipeline (O1, O3-O9, O12
 semantics) as a driver-checkable query: synthesize a deterministic workbook,
-convert it through the engine, read the parquet back. Rows-only check (the
-input is a generated Excel file, not one of the oracle's parquet views); the
-pytest suite covers golden-value parity for the same path.
+convert it through the engine, read the parquet back. Value-oracled since
+round-5 session 2: the DuckDB oracle recomputes every expected cell string
+arithmetically from the fixture formula (the multimodal-manifest trick), so
+the driver hash-checks the conversion itself; the pytest suite additionally
+covers golden-value parity for the same path. The JSONL/CSV/XML/text/ORC
+ingestion queries below extend the same source/sink matrix with the same
+arithmetic-oracle contract.
 """
 
 from __future__ import annotations
@@ -43,9 +47,30 @@ def _make_fixture(path: str) -> None:
     write_xlsx(path, {"Data": rows})
 
 
-@MISC.register("excel_roundtrip", oracle=None)
+_XLSX_RT_ORACLE = """
+    SELECT CAST(i AS VARCHAR) AS id,
+           CASE WHEN i % 2 = 0 THEN CAST((3 * i) // 2 AS VARCHAR)
+                ELSE CAST((3 * i) // 2 AS VARCHAR) || '.5' END AS amount,
+           'name_' || CAST(i AS VARCHAR) AS name,
+           CASE WHEN i % 2 = 0 THEN 'true' ELSE 'false' END AS active,
+           strftime(DATE '2024-01-01' + INTERVAL (i % 28) DAY,
+                    '%Y-%m-%d') || 'T10:30:00' AS when_iso,
+           CASE WHEN i % 10 = 0 THEN 'Div0'
+                ELSE 'ok' || CAST(i AS VARCHAR) END AS err
+    FROM generate_series(0, 99) AS t(i)
+    """
+
+
+@MISC.register("excel_roundtrip", oracle=_XLSX_RT_ORACLE)
 def excel_roundtrip(spark, sf_dir):
-    """Excel → DataFrame → single ZSTD parquet → read back (full O1-O12 path)."""
+    """Excel → DataFrame → single ZSTD parquet → read back (full O1-O12
+    path). Oracled since round-5 session 2 (was rows-only): the DuckDB
+    oracle recomputes every expected CELL STRING arithmetically from the
+    fixture formula — shortest-roundtrip float rendering ('1.5' / '3',
+    never '3.0'), lowercase booleans, ISO datetimes, and the reference's
+    error-token mapping ('#DIV/0!' → 'Div0') — so a hash match
+    value-checks the entire convert pipeline (parse → type stringify →
+    parquet sink → re-scan), not just that it ran."""
     tmp = tempfile.mkdtemp(prefix="d2p_roundtrip_")
     src = os.path.join(tmp, "fixture.xlsx")
     out = os.path.join(tmp, "fixture.parquet")
