@@ -79,6 +79,7 @@ _PRIORITY = [
     "cusum_changepoint_daily",
     "xml_ingest",
     "text_source_roundtrip",
+    "dedup_minhash_md5_pairs",
     "streaming_stream_stream_left_outer",
     "dedup_connected_components",
     # rides the round-5 prefix-join rewrite (positional filter + memo):

@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "graph_triangle_count",
     "session_dwell_bounce",
     "cusum_changepoint_daily",
+    "dedup_minhash_md5_pairs",
 ]
 
 

@@ -792,3 +792,175 @@ def cross_source_overlap(spark, sf_dir):
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+_MH_PERMS = 32  # md5-variant permutation count (8 bands x 4 rows)
+_MH_BAND_W = 4
+
+
+@DEDUP.register(
+    "dedup_minhash_md5_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM tok, unnest(generate_series(1, greatest(len(t) - 2, 0)))
+             AS g(i)
+    ), hh AS (
+      -- Kirsch-Mitzenmacher: K functions from TWO md5 draws per shingle,
+      -- h_p = (h1 + p*h2) mod P with P = 2^31 - 1 (products stay in i64)
+      SELECT doc_id,
+             CAST('0x' || substring(md5('1:' || shingle), 1, 15)
+                  AS BIGINT) % 2147483647 AS h1,
+             CAST('0x' || substring(md5('2:' || shingle), 1, 15)
+                  AS BIGINT) % 2147483647 AS h2
+      FROM sh
+    ), mh AS (
+      SELECT doc_id, p, MIN((h1 + p * h2) % 2147483647) AS mh
+      FROM hh, unnest(generate_series(0, {_MH_PERMS - 1})) AS g(p)
+      GROUP BY doc_id, p
+    ), bands AS (
+      SELECT doc_id, p // {_MH_BAND_W} AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p)) AS sig
+      FROM mh GROUP BY doc_id, p // {_MH_BAND_W}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, est_jaccard FROM (
+      SELECT c.doc_a, c.doc_b,
+             round(CAST(SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END)
+                        AS DOUBLE) / {_MH_PERMS}, 9) AS est_jaccard
+      FROM cand c
+        JOIN mh x ON x.doc_id = c.doc_a
+        JOIN mh y ON y.doc_id = c.doc_b AND y.p = x.p
+      GROUP BY c.doc_a, c.doc_b
+    ) WHERE est_jaccard >= 0.8
+    """,
+)
+def dedup_minhash_md5_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup pairs with a FULL value oracle: the same
+    structure as the production ``dedup_minhash_pairs`` — 3-word shingles,
+    {32} min-hashes in 8 bands of 4, band-equality candidate join,
+    signature-agreement estimate ≥ 0.8 — but the two
+    Kirsch-Mitzenmacher base hashes are md5-derived, which DuckDB can
+    compute; xxhash64 (the production choice, ~2× cheaper per digest)
+    cannot be mirrored. This query
+    exists so the ALGORITHM — every minhash value, band signature,
+    candidate pair, and similarity estimate — is hash-checked
+    cross-engine rather than pinned only by recall tests. Zero-shingle
+    documents drop out exactly as in the production variant.
+
+    Scale: identical shape — shingle explode (codegen'd), map-side
+    combined min per (doc, perm), banded equi-self-join (output bounded
+    by true band collisions), per-pair agreement count. No cartesian.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    shingle_arr = F.expr(
+        "array_distinct(transform("
+        " slice(sequence(1, greatest(size(t) - 2, 1)),"
+        "       1, greatest(size(t) - 2, 0)),"
+        " i -> array_join(slice(t, i, 3), ' ')))"
+    )
+    sh = exploded_rows(tok, ["doc_id"], shingle_arr, "shingle")
+
+    def _mdh(prefix):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(prefix), F.col("shingle"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(2147483647)
+        )
+
+    # Kirsch-Mitzenmacher double hashing, exactly like the production
+    # variant: TWO md5 draws per shingle, K derived functions — 16x fewer
+    # digest evaluations than hashing (p, shingle) per permutation
+    hh = sh.select("doc_id", _mdh("1:").alias("h1"), _mdh("2:").alias("h2"))
+    perms = exploded_rows(
+        hh,
+        ["doc_id", "h1", "h2"],
+        F.expr(f"sequence(0, {_MH_PERMS - 1})"),
+        "p",
+    )
+    mh = (
+        perms.select(
+            "doc_id",
+            "p",
+            (
+                (F.col("h1") + F.col("p") * F.col("h2"))
+                % F.lit(2147483647)
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "p")
+        .agg(F.min("h").alias("mh"))
+        .localCheckpoint(eager=False)
+    )
+    bands = (
+        mh.withColumn("band", (F.col("p") / _MH_BAND_W).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("p", "mh"))),
+                        lambda st: st["mh"].cast("string"),
+                    ),
+                )
+            ).alias("sig")
+        )
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", F.col("sig").alias("sa")
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("band").alias("band_b"),
+        F.col("sig").alias("sb"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("sa") == F.col("sb"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x = mh.select(
+        F.col("doc_id").alias("doc_a"), "p", F.col("mh").alias("mx")
+    )
+    y = mh.select(
+        F.col("doc_id").alias("yb"),
+        F.col("p").alias("py"),
+        F.col("mh").alias("my"),
+    )
+    return (
+        cand.join(x, "doc_a")
+        .join(
+            y,
+            (F.col("doc_b") == F.col("yb")) & (F.col("p") == F.col("py")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("mx") == F.col("my"), 1).otherwise(0)
+                ).cast("double")
+                / _MH_PERMS,
+                9,
+            ).alias("est_jaccard")
+        )
+        .filter(F.col("est_jaccard") >= 0.8)
+    )
