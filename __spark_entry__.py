@@ -80,6 +80,7 @@ _PRIORITY = [
     "xml_ingest",
     "text_source_roundtrip",
     "dedup_minhash_md5_pairs",
+    "dedup_simhash_md5_pairs",
     "streaming_stream_stream_left_outer",
     "dedup_connected_components",
     # rides the round-5 prefix-join rewrite (positional filter + memo):

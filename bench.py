@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "session_dwell_bounce",
     "cusum_changepoint_daily",
     "dedup_minhash_md5_pairs",
+    "dedup_simhash_md5_pairs",
 ]
 
 

@@ -964,3 +964,241 @@ def dedup_minhash_md5_pairs(spark, sf_dir):
         )
         .filter(F.col("est_jaccard") >= 0.8)
     )
+
+
+@DEDUP.register(
+    "dedup_simhash_md5_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS tok
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h
+      FROM tok
+    ), votes AS (
+      SELECT doc_id,
+             SUM(((h >> 0) & 1) * 2 - 1) AS v0,
+             SUM(((h >> 1) & 1) * 2 - 1) AS v1,
+             SUM(((h >> 2) & 1) * 2 - 1) AS v2,
+             SUM(((h >> 3) & 1) * 2 - 1) AS v3,
+             SUM(((h >> 4) & 1) * 2 - 1) AS v4,
+             SUM(((h >> 5) & 1) * 2 - 1) AS v5,
+             SUM(((h >> 6) & 1) * 2 - 1) AS v6,
+             SUM(((h >> 7) & 1) * 2 - 1) AS v7,
+             SUM(((h >> 8) & 1) * 2 - 1) AS v8,
+             SUM(((h >> 9) & 1) * 2 - 1) AS v9,
+             SUM(((h >> 10) & 1) * 2 - 1) AS v10,
+             SUM(((h >> 11) & 1) * 2 - 1) AS v11,
+             SUM(((h >> 12) & 1) * 2 - 1) AS v12,
+             SUM(((h >> 13) & 1) * 2 - 1) AS v13,
+             SUM(((h >> 14) & 1) * 2 - 1) AS v14,
+             SUM(((h >> 15) & 1) * 2 - 1) AS v15,
+             SUM(((h >> 16) & 1) * 2 - 1) AS v16,
+             SUM(((h >> 17) & 1) * 2 - 1) AS v17,
+             SUM(((h >> 18) & 1) * 2 - 1) AS v18,
+             SUM(((h >> 19) & 1) * 2 - 1) AS v19,
+             SUM(((h >> 20) & 1) * 2 - 1) AS v20,
+             SUM(((h >> 21) & 1) * 2 - 1) AS v21,
+             SUM(((h >> 22) & 1) * 2 - 1) AS v22,
+             SUM(((h >> 23) & 1) * 2 - 1) AS v23,
+             SUM(((h >> 24) & 1) * 2 - 1) AS v24,
+             SUM(((h >> 25) & 1) * 2 - 1) AS v25,
+             SUM(((h >> 26) & 1) * 2 - 1) AS v26,
+             SUM(((h >> 27) & 1) * 2 - 1) AS v27,
+             SUM(((h >> 28) & 1) * 2 - 1) AS v28,
+             SUM(((h >> 29) & 1) * 2 - 1) AS v29,
+             SUM(((h >> 30) & 1) * 2 - 1) AS v30,
+             SUM(((h >> 31) & 1) * 2 - 1) AS v31,
+             SUM(((h >> 32) & 1) * 2 - 1) AS v32,
+             SUM(((h >> 33) & 1) * 2 - 1) AS v33,
+             SUM(((h >> 34) & 1) * 2 - 1) AS v34,
+             SUM(((h >> 35) & 1) * 2 - 1) AS v35,
+             SUM(((h >> 36) & 1) * 2 - 1) AS v36,
+             SUM(((h >> 37) & 1) * 2 - 1) AS v37,
+             SUM(((h >> 38) & 1) * 2 - 1) AS v38,
+             SUM(((h >> 39) & 1) * 2 - 1) AS v39,
+             SUM(((h >> 40) & 1) * 2 - 1) AS v40,
+             SUM(((h >> 41) & 1) * 2 - 1) AS v41,
+             SUM(((h >> 42) & 1) * 2 - 1) AS v42,
+             SUM(((h >> 43) & 1) * 2 - 1) AS v43,
+             SUM(((h >> 44) & 1) * 2 - 1) AS v44,
+             SUM(((h >> 45) & 1) * 2 - 1) AS v45,
+             SUM(((h >> 46) & 1) * 2 - 1) AS v46,
+             SUM(((h >> 47) & 1) * 2 - 1) AS v47,
+             SUM(((h >> 48) & 1) * 2 - 1) AS v48,
+             SUM(((h >> 49) & 1) * 2 - 1) AS v49,
+             SUM(((h >> 50) & 1) * 2 - 1) AS v50,
+             SUM(((h >> 51) & 1) * 2 - 1) AS v51,
+             SUM(((h >> 52) & 1) * 2 - 1) AS v52,
+             SUM(((h >> 53) & 1) * 2 - 1) AS v53,
+             SUM(((h >> 54) & 1) * 2 - 1) AS v54,
+             SUM(((h >> 55) & 1) * 2 - 1) AS v55,
+             SUM(((h >> 56) & 1) * 2 - 1) AS v56,
+             SUM(((h >> 57) & 1) * 2 - 1) AS v57,
+             SUM(((h >> 58) & 1) * 2 - 1) AS v58,
+             SUM(((h >> 59) & 1) * 2 - 1) AS v59
+      FROM hashed GROUP BY doc_id
+    ), sim AS (
+      SELECT doc_id,
+             (CASE WHEN v0 > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN v1 > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN v2 > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN v3 > 0 THEN 8 ELSE 0 END)
+             + (CASE WHEN v4 > 0 THEN 16 ELSE 0 END)
+             + (CASE WHEN v5 > 0 THEN 32 ELSE 0 END)
+             + (CASE WHEN v6 > 0 THEN 64 ELSE 0 END)
+             + (CASE WHEN v7 > 0 THEN 128 ELSE 0 END)
+             + (CASE WHEN v8 > 0 THEN 256 ELSE 0 END)
+             + (CASE WHEN v9 > 0 THEN 512 ELSE 0 END)
+             + (CASE WHEN v10 > 0 THEN 1024 ELSE 0 END)
+             + (CASE WHEN v11 > 0 THEN 2048 ELSE 0 END)
+             + (CASE WHEN v12 > 0 THEN 4096 ELSE 0 END)
+             + (CASE WHEN v13 > 0 THEN 8192 ELSE 0 END)
+             + (CASE WHEN v14 > 0 THEN 16384 ELSE 0 END)
+             + (CASE WHEN v15 > 0 THEN 32768 ELSE 0 END)
+             + (CASE WHEN v16 > 0 THEN 65536 ELSE 0 END)
+             + (CASE WHEN v17 > 0 THEN 131072 ELSE 0 END)
+             + (CASE WHEN v18 > 0 THEN 262144 ELSE 0 END)
+             + (CASE WHEN v19 > 0 THEN 524288 ELSE 0 END)
+             + (CASE WHEN v20 > 0 THEN 1048576 ELSE 0 END)
+             + (CASE WHEN v21 > 0 THEN 2097152 ELSE 0 END)
+             + (CASE WHEN v22 > 0 THEN 4194304 ELSE 0 END)
+             + (CASE WHEN v23 > 0 THEN 8388608 ELSE 0 END)
+             + (CASE WHEN v24 > 0 THEN 16777216 ELSE 0 END)
+             + (CASE WHEN v25 > 0 THEN 33554432 ELSE 0 END)
+             + (CASE WHEN v26 > 0 THEN 67108864 ELSE 0 END)
+             + (CASE WHEN v27 > 0 THEN 134217728 ELSE 0 END)
+             + (CASE WHEN v28 > 0 THEN 268435456 ELSE 0 END)
+             + (CASE WHEN v29 > 0 THEN 536870912 ELSE 0 END)
+             + (CASE WHEN v30 > 0 THEN 1073741824 ELSE 0 END)
+             + (CASE WHEN v31 > 0 THEN 2147483648 ELSE 0 END)
+             + (CASE WHEN v32 > 0 THEN 4294967296 ELSE 0 END)
+             + (CASE WHEN v33 > 0 THEN 8589934592 ELSE 0 END)
+             + (CASE WHEN v34 > 0 THEN 17179869184 ELSE 0 END)
+             + (CASE WHEN v35 > 0 THEN 34359738368 ELSE 0 END)
+             + (CASE WHEN v36 > 0 THEN 68719476736 ELSE 0 END)
+             + (CASE WHEN v37 > 0 THEN 137438953472 ELSE 0 END)
+             + (CASE WHEN v38 > 0 THEN 274877906944 ELSE 0 END)
+             + (CASE WHEN v39 > 0 THEN 549755813888 ELSE 0 END)
+             + (CASE WHEN v40 > 0 THEN 1099511627776 ELSE 0 END)
+             + (CASE WHEN v41 > 0 THEN 2199023255552 ELSE 0 END)
+             + (CASE WHEN v42 > 0 THEN 4398046511104 ELSE 0 END)
+             + (CASE WHEN v43 > 0 THEN 8796093022208 ELSE 0 END)
+             + (CASE WHEN v44 > 0 THEN 17592186044416 ELSE 0 END)
+             + (CASE WHEN v45 > 0 THEN 35184372088832 ELSE 0 END)
+             + (CASE WHEN v46 > 0 THEN 70368744177664 ELSE 0 END)
+             + (CASE WHEN v47 > 0 THEN 140737488355328 ELSE 0 END)
+             + (CASE WHEN v48 > 0 THEN 281474976710656 ELSE 0 END)
+             + (CASE WHEN v49 > 0 THEN 562949953421312 ELSE 0 END)
+             + (CASE WHEN v50 > 0 THEN 1125899906842624 ELSE 0 END)
+             + (CASE WHEN v51 > 0 THEN 2251799813685248 ELSE 0 END)
+             + (CASE WHEN v52 > 0 THEN 4503599627370496 ELSE 0 END)
+             + (CASE WHEN v53 > 0 THEN 9007199254740992 ELSE 0 END)
+             + (CASE WHEN v54 > 0 THEN 18014398509481984 ELSE 0 END)
+             + (CASE WHEN v55 > 0 THEN 36028797018963968 ELSE 0 END)
+             + (CASE WHEN v56 > 0 THEN 72057594037927936 ELSE 0 END)
+             + (CASE WHEN v57 > 0 THEN 144115188075855872 ELSE 0 END)
+             + (CASE WHEN v58 > 0 THEN 288230376151711744 ELSE 0 END)
+             + (CASE WHEN v59 > 0 THEN 576460752303423488 ELSE 0 END) AS simhash
+      FROM votes
+    ), bands AS (
+      SELECT doc_id, simhash, k AS band,
+             (simhash >> (15 * k)) & 32767 AS bval
+      FROM sim, unnest(generate_series(0, 3)) AS g(k)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_md5_pairs(spark, sf_dir):
+    """SimHash near-dup with a FULL value oracle: the production
+    ``dedup_simhash_pairs`` algorithm — per-token bit votes, banded
+    candidate generation, Hamming ≤ 3 verify (Manku et al. WWW'07; with 4
+    disjoint bands any pair at Hamming ≤ 3 matches at least one band
+    exactly, so candidate recall is 100%) — built on a 60-bit md5-derived
+    token hash (15 hex chars) instead of xxhash64, so DuckDB re-derives
+    every vote, fingerprint bit, band bucket, and verified pair. Four
+    15-bit bands preserve the distance-3 guarantee; 60 positive bits also
+    drop the sign-bit packing special case the 64-bit variant needs.
+
+    Scale: identical shape to production — one token explode, ONE
+    map-side-combined 60-aggregate pass (no per-bit explode), band
+    equi-self-join bounded by true bucket collisions, and an O(1)-per-pair
+    bit_count verify. No cartesian anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = exploded_rows(
+        d.select("doc_id", distinct_tokens(F.col("text")).alias("t")),
+        ["doc_id"],
+        F.col("t"),
+        "tok",
+    ).withColumn(
+        "h",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"),
+    )
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"v{b}".format(b=b))
+            for b in range(60)
+        ]
+    )
+    packed = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"v{b}".format(b=b)) > 0, F.lit(1 << b))
+                .otherwise(F.lit(0))
+                .cast("long")
+                for b in range(60)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    ).localCheckpoint(eager=False)
+    bands = packed.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.expr("sequence(0, 3)")).alias("band"),
+    ).withColumn(
+        "bval",
+        # shiftright() takes only literal bit counts; the SQL form accepts
+        # a column expression
+        F.expr("(simhash >> (band * 15)) & 32767"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sa"),
+        "band",
+        F.col("bval").alias("ba"),
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sb"),
+        F.col("band").alias("band_b"),
+        F.col("bval").alias("bb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("ba") == F.col("bb"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(
+                F.col("sa").bitwiseXOR(F.col("sb"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
