@@ -52,6 +52,11 @@ _REGISTRY = REL.merge(
 # 4) the round-2 window. Names listed here run first, in this order; the
 #    rest keep merge order.
 _PRIORITY = [
+    # --- round-5 session-3 new queries (first driver contact) ---
+    "bm25_rank_queries",
+    "inverted_index_postings",
+    "skew_salted_agg_events",
+    "zorder_locality_orders",
     # --- round-5 code-touched (fixes + rewrites + new; verify first) ---
     "pii_extract_spans",
     "event_transition_matrix",

@@ -108,6 +108,12 @@ BENCH_QUERIES = [
     "cusum_changepoint_daily",
     "dedup_minhash_md5_pairs",
     "dedup_simhash_md5_pairs",
+    # added round 5 (session 3): retrieval, index build, skew-salted agg,
+    # z-order clustering
+    "bm25_rank_queries",
+    "inverted_index_postings",
+    "skew_salted_agg_events",
+    "zorder_locality_orders",
 ]
 
 

@@ -1150,3 +1150,79 @@ def session_dwell_bounce(spark, sf_dir):
             F.sum("n_events").cast(_D) / F.count(F.lit(1)), 9
         ).alias("avg_events"),
     )
+
+
+_SALT_BUCKETS = 32
+
+
+@EVT.register(
+    "skew_salted_agg_events",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 9) AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def skew_salted_agg_events(spark, sf_dir):
+    """Salted two-phase aggregation over a low-cardinality, skew-prone key.
+
+    The semantics are a plain ``GROUP BY event_type`` (the oracle IS that
+    query) — the operator exists for its physical shape. With only a
+    handful of event types, a direct groupBy at 100 TB lands each type's
+    entire volume on ONE reducer (|types| tasks do all the work; one hot
+    type = one straggler). Salting splits phase 1 into
+    (event_type, salt) groups — {32}× more, uniformly spread because the
+    salt is a hash of the row's unique id — so every core combines
+    map-side; phase 2 then merges the {32} bounded partials per type.
+
+    Everything merged is algebraic: counts and DECIMAL(18,6) sums are
+    associative and exact, so the two-phase result is bit-identical to the
+    one-phase result in any partitioning. The salt is a hash of USER_ID,
+    not the row id, on purpose: every user's events land in exactly one
+    (type, salt) bucket, so the distinct-user count decomposes exactly —
+    phase 1 collapses to (type, salt, user), phase 2 counts users per salt
+    bucket, phase 3 sums those disjoint counts. The avg divides once at
+    the end. AQE alone can split skewed SHUFFLE partitions, but only
+    salting parallelizes a skewed AGGREGATION key's final combine.
+    """
+    e = load_table(spark, sf_dir, "events")
+    salt = F.pmod(F.xxhash64(F.col("user_id")), F.lit(_SALT_BUCKETS))
+    # phase 1: exact per-(type, salt, user) pre-agg — the salt is a pure
+    # function of user_id, so users never straddle salt buckets and the
+    # distinct count stays salt-decomposable.
+    p1 = (
+        e.select(
+            "event_type",
+            salt.alias("salt"),
+            "user_id",
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .groupBy("event_type", "salt", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    )
+    # phase 2: collapse users within each salt bucket (32 partials/type).
+    p2 = p1.groupBy("event_type", "salt").agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.count(F.lit(1)).alias("u"),
+    )
+    # phase 3: |types| x |salts| rows — trivial exact final merge.
+    merged = p2.groupBy("event_type").agg(
+        F.sum("n").alias("n_events"),
+        F.sum("s").alias("s"),
+        F.sum("u").alias("n_users"),
+    )
+    return merged.select(
+        "event_type",
+        "n_events",
+        "n_users",
+        F.col("s").cast("double").alias("sum_value"),
+        F.round(F.col("s").cast("double") / F.col("n_events"), 9).alias(
+            "avg_value"
+        ),
+    )

@@ -1475,3 +1475,92 @@ def cardinality_sketch_report(spark, sf_dir):
             / F.col("exact")
         ).alias("rel_error"),
     )
+
+
+_Z_BITS = 12  # 12+12-bit Morton code; 4096 cells per axis
+
+
+def _zorder_oracle() -> str:
+    from ..functions.zorder import scale_to_bits_sql, zorder_key_sql
+
+    xs = scale_to_bits_sql("x", "xmax", _Z_BITS)
+    ys = scale_to_bits_sql("y", "ymax", _Z_BITS)
+    z = zorder_key_sql("xs", "ys", _Z_BITS)
+    return f"""
+    WITH dims AS (
+      SELECT o_custkey AS x,
+             date_diff('day', DATE '1992-01-01', o_orderdate) AS y
+      FROM orders
+    ), dom AS (
+      SELECT MAX(x) AS xmax, MAX(y) AS ymax FROM dims
+    ), cells AS (
+      SELECT x, y, {xs} AS xs, {ys} AS ys FROM dims CROSS JOIN dom
+    ), coded AS (
+      SELECT x, y, {z} AS z FROM cells
+    )
+    SELECT z // 16384 AS zbucket,
+           COUNT(*) AS n_orders,
+           MAX(x) - MIN(x) AS custkey_span,
+           MAX(y) - MIN(y) AS day_span,
+           MIN(z) AS z_min,
+           MAX(z) AS z_max
+    FROM coded
+    GROUP BY z // 16384
+    """
+
+
+@REL.register("zorder_locality_orders", oracle=_zorder_oracle())
+def zorder_locality_orders(spark, sf_dir):
+    """Z-order (Morton) clustering metric over orders: scale the customer
+    key and the order-date day index to matching 12-bit widths, interleave
+    into one 24-bit code, then report each top-level z-bucket's row count
+    and the SPAN of both source dimensions inside it — the quantitative
+    form of "every file covers a small rectangle", which is what makes
+    two-dimensional zone-map pruning work (see
+    ``sinks.parquet.to_zordered_parquet`` for the write path and
+    tests/test_zorder_layout.py for footer-verified skipping).
+
+    The equal-width scaling is the load-bearing step: without it, the
+    wider dimension owns every high z-bit and a range split degenerates
+    into a single-column sort (the tests pin this as a negative control).
+    Domain maxima come from a 1-row aggregate broadcast back — the
+    integer-exact stand-in for the range-id sampling Delta's OPTIMIZE
+    ZORDER performs — so the recipe is scale-factor-independent.
+
+    Bucketing by ``z >> 14`` yields at most 1024 buckets, each confining
+    BOTH scaled dimensions to ~2^7 of 4096 cells by the Morton property
+    (a contiguous z-range decomposes into O(1) aligned quad-tree cells
+    per level). Determinism: scaling and interleave are pure integer
+    arithmetic, identical term-for-term in the DuckDB oracle
+    (``functions.zorder``); spans/counts are exact ints. Scale: one
+    projection (codegen'd term sum) + one map-side-combined aggregate
+    with bounded output; the scan reads two columns.
+    """
+    from ..functions.zorder import scale_to_bits, zorder_key
+
+    o = load_table(spark, sf_dir, "orders")
+    dims = o.select(
+        F.col("o_custkey").alias("x"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+        ).alias("y"),
+    )
+    dom = dims.agg(F.max("x").alias("xmax"), F.max("y").alias("ymax"))
+    cells = dims.join(F.broadcast(dom)).select(
+        "x",
+        "y",
+        scale_to_bits(F.col("x"), F.col("xmax"), _Z_BITS).alias("xs"),
+        scale_to_bits(F.col("y"), F.col("ymax"), _Z_BITS).alias("ys"),
+    )
+    coded = cells.select(
+        "x", "y", zorder_key(F.col("xs"), F.col("ys"), _Z_BITS).alias("z")
+    )
+    return coded.groupBy(
+        F.shiftright(F.col("z"), 14).alias("zbucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.max("x") - F.min("x")).alias("custkey_span"),
+        (F.max("y") - F.min("y")).alias("day_span"),
+        F.min("z").alias("z_min"),
+        F.max("z").alias("z_max"),
+    )

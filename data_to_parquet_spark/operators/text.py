@@ -1073,3 +1073,217 @@ def unicode_normalize_names(spark, sf_dir):
         F.length("raw_name").alias("n_chars_raw"),
         F.length("folded").alias("n_chars_folded"),
     )
+
+
+# -- BM25 ranked retrieval --------------------------------------------------
+# Fixed benchmark query set (query_id, term); literal in both engines. The
+# corpus vocabulary is synthetic-but-realistic (TESTDATA.md); 'dup' is the
+# one rare term, so q4 exercises the high-idf path.
+_BM25_QUERIES = [
+    (1, "spark"), (1, "join"),
+    (2, "hash"), (2, "merge"), (2, "batch"),
+    (3, "vector"), (3, "stream"),
+    (4, "dup"), (4, "scan"),
+]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+_BM25_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+
+
+@TXT.register(
+    "bm25_rank_queries",
+    oracle=f"""
+    WITH q(query_id, term) AS (VALUES {_BM25_VALUES}),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, len(t) AS dl FROM tok
+    ), n AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT query_id, term, doc_id, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM tok)
+      JOIN q USING (term)
+      GROUP BY query_id, term, doc_id
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(CAST(
+               ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * ({_BM25_K1} + 1.0)
+               / (tf.tf + {_BM25_K1}
+                  * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / n.avgdl))
+             AS DECIMAL(18,9))) AS DOUBLE) AS score
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN n
+      GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rank, score FROM (
+      SELECT query_id, doc_id, score,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+             ) AS INT) AS rank
+      FROM scored)
+    WHERE rank <= {_BM25_TOPK}
+    """,
+)
+def bm25_rank_queries(spark, sf_dir):
+    """BM25 ranked retrieval (k1=1.2, b=0.75): top-10 documents for each of
+    four fixed benchmark queries — the scoring core of corpus search,
+    benchmark decontamination by retrieval, and retrieval-based quality
+    filtering; complements ``tfidf_top_terms`` (per-doc term profile) with
+    an actual per-query ranking.
+
+    Determinism (the driver hashes exact values): tf, df, dl, N are exact
+    integers in any partitioning; avgdl and each per-term partial score are
+    single double expressions over those integers, identical in both
+    engines; the per-document sum over query terms uses the repo's decimal
+    recipe (cast each term's double partial to DECIMAL(18,9), sum exactly,
+    cast back) so term order never matters; rank ties break on doc_id.
+
+    Scale: the query-term table is literal and broadcast, so the token
+    explode is filtered to query terms BEFORE any shuffle — the whole
+    corpus contributes only |q_terms| × matching rows downstream. One
+    aggregation to (query_id, term, doc_id), a broadcast of the tiny df
+    and 1-row N aggregates back, one shuffle join with per-doc lengths on
+    doc_id (AQE-sized), one agg to (query_id, doc_id), and a per-query
+    window whose partitions are bounded by the candidate sets. Nothing is
+    collected; k and |queries| bound the output.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    tok = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    dl = tok.select("doc_id", F.size("t").alias("dl"))
+    n = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        exploded_rows(tok, ["doc_id"], F.col("t"), "term")
+        .join(F.broadcast(q), "term")
+        .groupBy("query_id", "term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    partial = (
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            + 1.0
+        )
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(n))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(partial.cast("decimal(18,9)"))
+            .cast("double")
+            .alias("score")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select("query_id", "doc_id", "rank", "score")
+    )
+
+
+# -- sharded inverted index -------------------------------------------------
+# Posting lists are sharded by a doc-id bucket so no single aggregation state
+# is ever proportional to a term's full document frequency — the property
+# that keeps the build viable when a stopword's postings are billions long.
+_INVIDX_BUCKET = 100
+
+
+@TXT.register(
+    "inverted_index_postings",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> ''))) AS term
+      FROM documents
+    ), shard AS (
+      SELECT term,
+             doc_id // {_INVIDX_BUCKET} AS bucket,
+             COUNT(*) AS df_bucket,
+             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS postings
+      FROM ex GROUP BY term, doc_id // {_INVIDX_BUCKET}
+    )
+    SELECT term, bucket, df_bucket,
+           CAST(SUM(df_bucket) OVER (PARTITION BY term) AS BIGINT) AS df,
+           postings
+    FROM shard
+    """,
+)
+def inverted_index_postings(spark, sf_dir):
+    """Sharded inverted-index build: for every (term, doc-id bucket), the
+    sorted posting list of documents containing the term, the bucket-local
+    document frequency, and the term's global df — the index structure
+    behind corpus search and fast decontamination lookups.
+
+    The output row is (term, bucket), NOT (term): a term's aggregation
+    state is bounded by the bucket width ({_INVIDX_BUCKET} docs), so a
+    stopword with billions of postings at 100 TB shards across buckets
+    instead of materializing one unbounded collect_list — the same
+    reason production indexes store postings in fixed-size segments. The
+    global df comes from a window over the term's buckets (bounded by
+    n_docs/bucket_width rows per term), not a second corpus scan.
+
+    Determinism: postings are numerically sorted then comma-joined (the
+    flat-schema rule for oracled queries); counts are exact integers.
+    Scale: one distinct-token explode, one aggregation keyed (term,
+    bucket) — skew-free by construction because hot terms split across
+    buckets — and a window over the small shard table.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ex = exploded_rows(
+        d.select("doc_id", distinct_tokens(F.col("text")).alias("t")),
+        ["doc_id"],
+        F.col("t"),
+        "term",
+    )
+    shard = ex.groupBy(
+        "term",
+        (F.col("doc_id") / _INVIDX_BUCKET).cast("bigint").alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("df_bucket"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    return shard.select(
+        "term",
+        "bucket",
+        "df_bucket",
+        F.sum("df_bucket").over(W.partitionBy("term")).alias("df"),
+        "postings",
+    )

@@ -143,3 +143,33 @@ def compact_parquet(
         .parquet(out_path)
     )
     return len(glob.glob(os.path.join(out_path, "part-*.parquet")))
+
+
+def to_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    zcol,
+    *,
+    n_files: int | None = None,
+    compression: str = "zstd",
+) -> None:
+    """Two-dimensional layout-optimized write: range-partition + sort on a
+    Morton code (``functions.zorder.zorder_key_16``) so every output file
+    covers a small RECTANGLE of the two interleaved dimensions.
+
+    ``to_sorted_parquet`` makes one dimension's zone maps tight at the
+    price of the other's (a file sorted by date spans all customers);
+    z-ordering splits the budget: after k doubling levels both dimensions'
+    per-file spans shrink ~2^(k/2)×. The z column itself is written too
+    (it is the layout's index key; droppable by readers). Verified against
+    parquet footer min/max in tests/test_zorder_layout.py.
+    """
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    tagged = df.withColumn("_z", zcol)
+    (
+        tagged.repartitionByRange(n, "_z")
+        .sortWithinPartitions("_z")
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(path)
+    )

@@ -35,6 +35,8 @@ ALLOW_BNLJ = {
     "similarity_recall_report",  # wraps the allowlisted brute-force top-k
     "basket_brand_pairs",  # 1-row grand-total order count joined back
     "graph_triangle_count",  # three 1-row scalar counts cross-joined
+    "bm25_rank_queries",  # 1-row (N, avgdl) corpus aggregate joined back
+    "zorder_locality_orders",  # 1-row (xmax, ymax) domain agg joined back
 }
 
 # Streaming queries execute a real streaming run when built (availableNow to
