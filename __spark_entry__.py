@@ -57,6 +57,7 @@ _PRIORITY = [
     "inverted_index_postings",
     "skew_salted_agg_events",
     "zorder_locality_orders",
+    "embedding_pca_components",
     # --- round-5 code-touched (fixes + rewrites + new; verify first) ---
     "pii_extract_spans",
     "event_transition_matrix",

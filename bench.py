@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "inverted_index_postings",
     "skew_salted_agg_events",
     "zorder_locality_orders",
+    "embedding_pca_components",
 ]
 
 

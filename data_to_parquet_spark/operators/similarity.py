@@ -599,3 +599,98 @@ def similarity_recall_report(spark, sf_dir):
     for r in reports[1:]:
         out = out.unionByName(r)
     return out.select("query_id", "method", "k", "matched", "recall_at_10")
+
+
+_PCA_DIM = 64  # embeddings table dimension (TESTDATA.md)
+_PCA_COMPONENTS = 4
+
+
+@SIM.register("embedding_pca_components", oracle=None)
+def embedding_pca_components(spark, sf_dir):
+    """Distributed PCA over the embedding corpus: top principal components
+    via exact-shape two-phase covariance accumulation + driver-side power
+    iteration — the dimensionality-reduction stage in front of semantic
+    dedup / clustering at scale (project 64-d → 4-d, then bucket), and the
+    standard corpus-drift diagnostic (eigenvalue spectrum).
+
+    The scale design is the point. Phase 1 (``mapInPandas``): each Arrow
+    batch contributes ONE row — its count, d-element column sum, and
+    flattened d×d Gram partial (numpy matmul, vectorized) — so executor→
+    shuffle volume is O(#batches × d²), independent of corpus size. Phase
+    2: posexplode those partial arrays to (idx, v) and sum per idx with
+    map-side combine — a 4096-group aggregation, never a driver-side
+    merge of batches. Only the final d×d matrix (one bounded collect of
+    d² sums) reaches the driver, where power iteration + deflation on a
+    64×64 matrix is microseconds. Output: (component, dim, loading,
+    eigenvalue, explained_frac) — d×k rows.
+
+    No oracle: the Gram accumulation order depends on partitioning, so
+    trailing-ulp float totals (and thus sign/rotation of near-degenerate
+    eigenvectors) are not bit-stable across engines; the driver records
+    rows-only. tests/test_pca.py pins loadings against numpy's exact
+    eigendecomposition (|cos| alignment per component, eigenvalue rtol)
+    and fixes the sign convention (largest-|loading| entry positive).
+    """
+    d = load_table(spark, sf_dir, "embeddings")
+
+    def gram_batches(it):
+        for pdf in it:
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            if len(x) == 0:
+                continue
+            # one combined partial per batch: [count, colsum, gram] — a
+            # single array so the whole reduction is ONE explode + ONE
+            # map-side-combined aggregation (three separate columns would
+            # mean three actions, each re-running this pass).
+            part = np.concatenate(
+                ([float(len(x))], x.sum(axis=0), (x.T @ x).ravel())
+            )
+            yield pd.DataFrame({"part": [part.tolist()]})
+
+    partials = d.select("embedding").mapInPandas(
+        gram_batches, "part array<double>"
+    )
+    sums = (
+        exploded_rows_pos(partials, [], F.col("part"), "idx", "v")
+        .groupBy("idx")
+        .agg(F.sum("v").alias("s"))
+    )
+    flat = np.zeros(1 + _PCA_DIM + _PCA_DIM * _PCA_DIM)
+    for r in sums.collect():  # bounded: 1 + d + d² rows
+        flat[r["idx"]] = r["s"]
+    n_total = flat[0]
+    mu = flat[1 : 1 + _PCA_DIM] / n_total
+    g = flat[1 + _PCA_DIM :]
+    cov = g.reshape(_PCA_DIM, _PCA_DIM) / n_total - np.outer(mu, mu)
+    total_var = float(np.trace(cov))
+
+    # power iteration with deflation — deterministic start (ones/sqrt(d))
+    comps, eigs = [], []
+    a = cov.copy()
+    for _ in range(_PCA_COMPONENTS):
+        v = np.ones(_PCA_DIM) / np.sqrt(_PCA_DIM)
+        for _ in range(200):
+            w = a @ v
+            nrm = np.linalg.norm(w)
+            if nrm == 0:
+                break
+            v = w / nrm
+        lam = float(v @ a @ v)
+        # sign convention: largest-|loading| entry positive
+        j = int(np.argmax(np.abs(v)))
+        if v[j] < 0:
+            v = -v
+        comps.append(v)
+        eigs.append(lam)
+        a = a - lam * np.outer(v, v)
+
+    rows = [
+        (c, dim, float(comps[c][dim]), eigs[c], eigs[c] / total_var)
+        for c in range(_PCA_COMPONENTS)
+        for dim in range(_PCA_DIM)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "component int, dim int, loading double, eigenvalue double,"
+        " explained_frac double",
+    )
