@@ -58,6 +58,8 @@ _PRIORITY = [
     "skew_salted_agg_events",
     "zorder_locality_orders",
     "embedding_pca_components",
+    "exp_smoothing_weekly_orders",
+    "quality_decile_schedule",
     # --- round-5 code-touched (fixes + rewrites + new; verify first) ---
     "pii_extract_spans",
     "event_transition_matrix",

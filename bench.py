@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "skew_salted_agg_events",
     "zorder_locality_orders",
     "embedding_pca_components",
+    "exp_smoothing_weekly_orders",
+    "quality_decile_schedule",
 ]
 
 

@@ -761,3 +761,96 @@ def weighted_sample_topk(spark, sf_dir):
             F.round("__k", 9).alias("sample_key"),
         )
     )
+
+
+_CURR_DECILES = 9  # threshold count -> 10 bins
+_CURR_SHARDS = 16
+
+
+@PIPE.register(
+    "quality_decile_schedule",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ), thresholds AS (
+      SELECT quantile_cont(n_tokens,
+               [x * 0.1 FOR x IN range(1, {_CURR_DECILES + 1})]) AS ts
+      FROM scored
+    ), binned AS (
+      SELECT doc_id, n_tokens,
+             (SELECT CAST(SUM(CAST(n_tokens > t AS INT)) AS BIGINT)
+              FROM unnest(ts) AS u(t)) AS decile,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % {_CURR_SHARDS} AS shard
+      FROM scored CROSS JOIN thresholds
+    )
+    SELECT decile, shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           MIN(n_tokens) AS min_tokens,
+           MAX(n_tokens) AS max_tokens
+    FROM binned
+    GROUP BY decile, shard
+    """,
+)
+def quality_decile_schedule(spark, sf_dir):
+    """Curriculum schedule materialization: bin every document into a
+    token-count decile (the curriculum axis — train easy/short first or
+    hard/long first) and a deterministic within-decile shard (the
+    data-loader unit), reporting each (decile, shard) cell's size and
+    token budget.
+
+    The scale story is HOW the deciles are computed: NOT ``ntile(10)``,
+    whose global-order window funnels the entire table through one
+    partition, but exact interpolated quantile thresholds (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, bit-identical on doubles —
+    the `percentile_prices_by_flag` precedent) broadcast back as ONE row;
+    each row's decile is then ``sum(score > t_i)`` — an embarrassingly
+    parallel projection. Shards are md5-derived from doc_id (stable across
+    runs and engines), so a trainer can fetch cell (d, s) as a
+    deterministic unit. Exact integers everywhere except the threshold
+    comparison, which both engines compute on the same doubles.
+
+    Scale: one scan to score, one exact-percentile aggregate (sort-based
+    within the aggregate, distributed partials), one broadcast join, one
+    map-side-combined group by (10 x {_CURR_SHARDS} cells).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    qs = [i / 10.0 for i in range(1, _CURR_DECILES + 1)]
+    thresholds = scored.agg(
+        F.percentile("n_tokens", F.lit(qs)).alias("ts")
+    )
+    over = F.aggregate(
+        F.transform(
+            F.col("ts"),
+            lambda t: (F.col("n_tokens") > t).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    shard = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(_CURR_SHARDS),
+    )
+    binned = scored.join(F.broadcast(thresholds)).select(
+        "doc_id",
+        "n_tokens",
+        over.alias("decile"),
+        shard.alias("shard"),
+    )
+    return binned.groupBy("decile", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )

@@ -1073,3 +1073,119 @@ def cusum_changepoint_daily(spark, sf_dir):
             F.max("s_t").cast(_D) / F.col("n_days") > _CUSUM_H
         ).alias("drift_alarm"),
     )
+
+
+_SES_ALPHA = 0.3  # smoothing weight; literal in both engines
+
+
+@TPCH_X.register(
+    "exp_smoothing_weekly_orders",
+    oracle=f"""
+    WITH weekly AS (
+      SELECT o_orderpriority,
+             date_diff('day', DATE '1992-01-06',
+                       CAST(date_trunc('week', o_orderdate) AS DATE)) // 7
+               AS wk,
+             COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY o_orderpriority, date_trunc('week', o_orderdate)
+    ), dom AS (
+      SELECT MIN(wk) AS wk0, MAX(wk) AS wk1 FROM weekly
+    ), grid AS (
+      SELECT p.o_orderpriority, g.wk
+      FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+      CROSS JOIN (SELECT unnest(generate_series(wk0, wk1)) AS wk
+                  FROM dom) g
+    ), dense AS (
+      SELECT grid.o_orderpriority, grid.wk,
+             CAST(COALESCE(weekly.n_orders, 0) AS DOUBLE) AS y
+      FROM grid LEFT JOIN weekly USING (o_orderpriority, wk)
+    ), series AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n_weeks,
+             list(y ORDER BY wk) AS ys
+      FROM dense GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n_weeks,
+           round(list_reduce(ys,
+             (acc, y) -> CAST({_SES_ALPHA} AS DOUBLE) * y
+                       + CAST({1 - _SES_ALPHA} AS DOUBLE) * acc), 9)
+             AS level
+    FROM series
+    """,
+)
+def exp_smoothing_weekly_orders(spark, sf_dir):
+    """Per-group simple-exponential-smoothing forecast: for each order
+    priority, the SES level after folding the DENSE weekly order-count
+    series (missing weeks filled with 0 — skipping gaps would silently
+    change every subsequent smoothed value), with s_1 = y_1 and
+    s_i = alpha*y_i + (1-alpha)*s_{i-1}, alpha=0.3. The flat SES forecast
+    for next week IS the final level — the classic demand-smoothing
+    baseline next to ``order_trend_by_priority``'s OLS slope.
+
+    Determinism: a recurrence is order-dependent by nature, so instead of
+    hiding it in an aggregate, both engines fold the SAME ordered array
+    with the SAME IEEE operation chain — Spark ``F.aggregate`` with
+    init=ys[1] over ys[2:], DuckDB ``list_reduce`` (which seeds with the
+    first element) — producing bit-identical doubles (verified: the fold
+    chain 0.3*y + 0.7*acc matches Python float-for-float). Counts and the
+    zero-filled grid are exact integers.
+
+    Scale: the per-group array is bounded by the CALENDAR (weeks in the
+    data's time range), not by row count — 100 TB of orders over 7 years
+    is still a ~370-element fold per priority. One map-side-combined agg
+    to (priority, week), a bounded grid fill (1-row domain broadcast ×
+    |priorities|), and a per-priority fold; the fact table is scanned
+    once.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    weekly = (
+        o.select(
+            "o_orderpriority",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("o_orderdate")).cast("date"),
+                    F.lit("1992-01-06").cast("date"),
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("wk"),
+        )
+        .groupBy("o_orderpriority", "wk")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    dom = weekly.agg(
+        F.min("wk").alias("wk0"), F.max("wk").alias("wk1")
+    )
+    prios = o.select("o_orderpriority").distinct()
+    grid = (
+        prios.join(F.broadcast(dom))
+        .select(
+            "o_orderpriority",
+            F.explode(
+                F.sequence(F.col("wk0"), F.col("wk1"))
+            ).alias("wk"),
+        )
+    )
+    dense = grid.join(weekly, ["o_orderpriority", "wk"], "left").select(
+        "o_orderpriority",
+        "wk",
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("double").alias("y"),
+    )
+    series = dense.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("wk", "y"))),
+            lambda s: s["y"],
+        ).alias("ys"),
+    )
+    a, b = F.lit(float(_SES_ALPHA)), F.lit(float(1 - _SES_ALPHA))
+    level = F.aggregate(
+        F.slice(F.col("ys"), 2, F.size("ys") - 1),
+        F.element_at(F.col("ys"), 1),
+        lambda acc, y: a * y + b * acc,
+    )
+    return series.select(
+        "o_orderpriority", "n_weeks", F.round(level, 9).alias("level")
+    )

@@ -37,6 +37,8 @@ ALLOW_BNLJ = {
     "graph_triangle_count",  # three 1-row scalar counts cross-joined
     "bm25_rank_queries",  # 1-row (N, avgdl) corpus aggregate joined back
     "zorder_locality_orders",  # 1-row (xmax, ymax) domain agg joined back
+    "exp_smoothing_weekly_orders",  # 1-row (wk0, wk1) domain agg x priorities
+    "quality_decile_schedule",  # 1-row exact-quantile thresholds joined back
 }
 
 # Streaming queries execute a real streaming run when built (availableNow to
