@@ -60,6 +60,8 @@ _PRIORITY = [
     "embedding_pca_components",
     "exp_smoothing_weekly_orders",
     "quality_decile_schedule",
+    "partitioned_write_pruning",
+    "parquet_schema_merge_roundtrip",
     # --- round-5 code-touched (fixes + rewrites + new; verify first) ---
     "pii_extract_spans",
     "event_transition_matrix",

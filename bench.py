@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "embedding_pca_components",
     "exp_smoothing_weekly_orders",
     "quality_decile_schedule",
+    "partitioned_write_pruning",
+    "parquet_schema_merge_roundtrip",
 ]
 
 

@@ -366,3 +366,134 @@ def text_source_roundtrip(spark, sf_dir):
             F.concat_ws(",", F.array_sort(F.collect_list(F.md5("value"))))
         ).alias("corpus_digest"),
     )
+
+
+@MISC.register(
+    "partitioned_write_pruning",
+    oracle="""
+    SELECT event_type,
+           user_id % 100 AS user_bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           md5(string_agg(CAST(event_id AS VARCHAR), ','
+                          ORDER BY event_id)) AS id_digest
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type, user_id % 100
+    """,
+)
+def partitioned_write_pruning(spark, sf_dir):
+    """Hive-partitioned lakehouse round trip: write events partitioned by
+    ``event_type`` (directory-per-value layout), read back ONLY two
+    partitions via a partition-column filter, and aggregate — the oracle
+    runs the same aggregate on the ORIGINAL table, so a hash match proves
+    both that the partitioned write lost nothing and that the pruned read
+    returned exactly the selected partitions (id_digest pins membership).
+
+    This is THE layout decision for a 100 TB event table: a predicate on
+    the partition column never touches the other partitions' files — the
+    directory listing is the index. tests/test_partitioned_layout.py
+    asserts the physical plan carries PartitionFilters (pruning happens at
+    planning, not post-scan) and that the on-disk layout is one
+    directory per type. Scale: the write shuffles nothing (partitionBy
+    splits at the task level); low-cardinality partition keys only —
+    partitioning by a high-cardinality key would produce a
+    directory-per-value small-file explosion, which is what bucketing
+    (plans/bucketing.py) is for instead.
+    """
+    e = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"d2p_part_events_{abs(hash(sf_dir)) % 10**8}",
+    )
+    e.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return back.groupBy(
+        "event_type", F.pmod(F.col("user_id"), F.lit(100)).alias("user_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("event_id")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("id_digest"),
+    )
+
+
+_SEVO_ROWS_V1 = 900
+_SEVO_ROWS_V2 = 600
+
+
+@MISC.register(
+    "parquet_schema_merge_roundtrip",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT i AS id, (i * 7) % 101 AS a, CAST(NULL AS BIGINT) AS b,
+             'v1' AS batch
+      FROM (SELECT unnest(range(0, {_SEVO_ROWS_V1})) AS i)
+    ), v2 AS (
+      SELECT i + {_SEVO_ROWS_V1} AS id, (i * 11) % 101 AS a,
+             (i * 13) % 97 AS b, 'v2' AS batch
+      FROM (SELECT unnest(range(0, {_SEVO_ROWS_V2})) AS i)
+    ), unioned AS (
+      SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    )
+    SELECT batch,
+           COUNT(*) AS n_rows,
+           CAST(SUM(a) AS BIGINT) AS sum_a,
+           CAST(COALESCE(SUM(b), 0) AS BIGINT) AS sum_b,
+           COUNT(b) AS n_b_present
+    FROM unioned GROUP BY batch
+    """,
+)
+def parquet_schema_merge_roundtrip(spark, sf_dir):
+    """Schema-evolution round trip: two parquet batches written under one
+    dataset root with DIFFERENT schemas (batch v2 adds column ``b``), read
+    back with ``mergeSchema`` so old files surface the new column as NULL
+    — the additive-evolution contract every long-lived ingestion dataset
+    depends on (day-1 files must stay readable after day-400 adds a
+    column). The oracle recomputes the expected aggregates arithmetically
+    from the fixture formulas, so the hash match proves values, NULL
+    back-fill, and per-batch attribution all survived.
+
+    Scale: mergeSchema reconciles footers at planning time (cost scales
+    with file count, not data); production datasets pin the merged schema
+    in a catalog instead of re-inferring per read — mirrored here by the
+    explicit read schema being the only inference input. Writes shuffle
+    nothing.
+    """
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"d2p_schema_evo_{abs(hash(sf_dir)) % 10**8}",
+    )
+    v1 = spark.range(_SEVO_ROWS_V1).select(
+        F.col("id"),
+        ((F.col("id") * 7) % 101).alias("a"),
+        F.lit("v1").alias("batch"),
+    )
+    v2 = spark.range(_SEVO_ROWS_V2).select(
+        (F.col("id") + _SEVO_ROWS_V1).alias("id"),
+        ((F.col("id") * 11) % 101).alias("a"),
+        ((F.col("id") * 13) % 97).alias("b"),
+        F.lit("v2").alias("batch"),
+    )
+    v1.write.mode("overwrite").parquet(f"{out}/b=1")
+    v2.write.mode("overwrite").parquet(f"{out}/b=2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/b=1", f"{out}/b=2"
+    )
+    return back.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("a").alias("sum_a"),
+        F.coalesce(F.sum("b"), F.lit(0)).alias("sum_b"),
+        F.count("b").alias("n_b_present"),
+    )
