@@ -62,6 +62,7 @@ _PRIORITY = [
     "quality_decile_schedule",
     "partitioned_write_pruning",
     "parquet_schema_merge_roundtrip",
+    "neardup_graph_pagerank",
     # --- round-5 code-touched (fixes + rewrites + new; verify first) ---
     "pii_extract_spans",
     "event_transition_matrix",

@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "quality_decile_schedule",
     "partitioned_write_pruning",
     "parquet_schema_merge_roundtrip",
+    "neardup_graph_pagerank",
 ]
 
 
