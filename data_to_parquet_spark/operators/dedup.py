@@ -1289,12 +1289,14 @@ def neardup_graph_pagerank(spark, sf_dir):
             )
             .localCheckpoint()
         )
+    # Order by the ROUNDED rank (9 decimals), not the raw double: nodes in
+    # symmetric graph positions (e.g. both ends of an isolated near-dup
+    # pair) have mathematically equal ranks whose float sums differ only
+    # in trailing ulps that depend on partition reduce order — rounding
+    # collapses those into true ties broken deterministically by doc_id.
+    scaled = F.round(F.col("rank") * n_docs, 9).alias("rank_x_n")
     return (
-        ranks.orderBy(F.col("rank").desc(), F.col("doc_id"))
+        ranks.select("doc_id", "deg", scaled)
+        .orderBy(F.col("rank_x_n").desc(), F.col("doc_id"))
         .limit(_PR_TOPK)
-        .select(
-            "doc_id", "deg", F.round(F.col("rank") * n_docs, 9).alias(
-                "rank_x_n"
-            )
-        )
     )
