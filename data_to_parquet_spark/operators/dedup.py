@@ -1222,8 +1222,9 @@ def neardup_graph_pagerank(spark, sf_dir):
     Distributed shape per iteration (the classic): contributions =
     edges ⋈ ranks on src, summed per dst (one shuffle, map-side
     combined); dangling mass (isolated docs — roughly half this corpus)
-    is a 1-row aggregate folded back uniformly, so total rank mass stays
-    1.0. Lineage is truncated with a localCheckpoint per round (the CC
+    follows a driver-side closed-form recurrence (undirected graph ⇒ all
+    degree-0 ranks are equal), folded back uniformly so total rank mass
+    stays 1.0 with zero extra jobs. Lineage is truncated with a localCheckpoint per round (the CC
     precedent at `dedup_connected_components` — without it the 10th
     iteration's plan contains all nine predecessors). Fixed 10
     iterations, damping 0.85.
@@ -1238,6 +1239,19 @@ def neardup_graph_pagerank(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()
     pairs = neardup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # Size the iteration shuffles from the graph, not the session default:
+    # ten iterations each pay (tasks × fixed overhead), so a near-dup
+    # graph of ~10⁵ edges wants a handful of partitions (measured 7.3 s →
+    # 3.8 s at sf0.1 going 32 → 4) while a 100 TB corpus' billions of
+    # edges scale the same formula into the thousands. Edges are hash-
+    # partitioned on src ONCE; ranks/contrib inherit doc_id partitioning
+    # from their producing join/agg, so each iteration shuffles only the
+    # groupBy(dst) output, at this width.
+    n_edges = 2 * pairs.count()
+    nparts = max(
+        4,
+        min(spark.sparkContext.defaultParallelism, n_edges // 500_000 + 1),
+    )
     # undirected -> both directions, one row per (src, dst)
     edges = (
         pairs.select(
@@ -1248,24 +1262,33 @@ def neardup_graph_pagerank(spark, sf_dir):
                 F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
             )
         )
+        .repartition(nparts, "src")
         .localCheckpoint(eager=False)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    verts = d.select("doc_id").join(
-        deg.withColumnRenamed("src", "doc_id"), "doc_id", "left"
-    ).select("doc_id", F.coalesce("deg", F.lit(0)).alias("deg"))
+    verts = (
+        d.select("doc_id")
+        .join(deg.withColumnRenamed("src", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("deg", F.lit(0)).alias("deg"))
+        .repartition(nparts, "doc_id")
+        .localCheckpoint(eager=False)
+    )
 
     ranks = verts.select(
         "doc_id", "deg", F.lit(1.0 / n_docs).alias("rank")
     ).localCheckpoint()
     base = (1.0 - _PR_DAMPING) / n_docs
+    # Dangling-mass closed form: the graph is UNDIRECTED, so a degree-0
+    # node never receives contributions and every dangling node carries the
+    # identical rank r_k (a literal in the plan). The per-iteration
+    # aggregate sum(rank WHERE deg=0) therefore collapses to the scalar
+    # recurrence r_{k+1} = base + d·(n0·r_k)/n — one count() up front
+    # instead of a driver collect job per iteration (halved the job count;
+    # 7.7 s → see bench).
+    n_dangling = verts.filter(F.col("deg") == 0).count()
+    rank_dangling = 1.0 / n_docs
     for _ in range(_PR_ITERS):
-        dangling = (
-            ranks.filter(F.col("deg") == 0)
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
-        )
+        dangling = n_dangling * rank_dangling
         contrib = (
             edges.join(
                 ranks.withColumnRenamed("doc_id", "src"), "src"
@@ -1289,6 +1312,7 @@ def neardup_graph_pagerank(spark, sf_dir):
             )
             .localCheckpoint()
         )
+        rank_dangling = base + _PR_DAMPING * dangling / n_docs
     # Order by the ROUNDED rank (9 decimals), not the raw double: nodes in
     # symmetric graph positions (e.g. both ends of an isolated near-dup
     # pair) have mathematically equal ranks whose float sums differ only
