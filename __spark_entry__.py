@@ -52,6 +52,8 @@ _REGISTRY = REL.merge(
 # 4) the round-2 window. Names listed here run first, in this order; the
 #    rest keep merge order.
 _PRIORITY = [
+    # --- round-5 session-4 new queries (first driver contact) ---
+    "containment_neardup_pairs",
     # --- round-5 session-3 new queries (first driver contact) ---
     "bm25_rank_queries",
     "inverted_index_postings",

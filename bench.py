@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "partitioned_write_pruning",
     "parquet_schema_merge_roundtrip",
     "neardup_graph_pagerank",
+    # added round 5 (session 4): asymmetric containment dedup
+    "containment_neardup_pairs",
 ]
 
 

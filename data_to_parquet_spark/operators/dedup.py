@@ -530,6 +530,69 @@ def neardup_ngram_jaccard(spark, sf_dir):
     )
 
 
+_CONT_T = 0.95  # containment threshold
+_CONT_MIN_TOKENS = 20  # ignore trivially-contained tiny docs
+_CONT_MAX_J = 0.9  # exclude pairs the symmetric Jaccard query reports
+
+
+@DEDUP.register(
+    "containment_neardup_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_sort(list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> ''))) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS id_inner, b.doc_id AS id_outer,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(a.toks) AS containment,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (len(a.toks) + len(b.toks)
+                - len(list_intersect(a.toks, b.toks))) AS jaccard
+    FROM tok a JOIN tok b
+      ON a.lang = b.lang AND a.doc_id <> b.doc_id
+         AND (len(a.toks) < len(b.toks)
+              OR (len(a.toks) = len(b.toks) AND a.doc_id < b.doc_id))
+    WHERE len(a.toks) >= {_CONT_MIN_TOKENS}
+      AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(a.toks) >= {_CONT_T}
+      AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / (len(a.toks) + len(b.toks)
+               - len(list_intersect(a.toks, b.toks))) < {_CONT_MAX_J}
+    """,
+)
+def containment_neardup_pairs(spark, sf_dir):
+    """Asymmetric containment near-dup: document pairs where the smaller
+    doc's token set is ≥ {95}% covered by a larger doc's, but whose
+    symmetric Jaccard is below the 0.9 dedup threshold — the quotes,
+    excerpts, and boilerplate-subset pairs `neardup_jaccard_pairs`
+    structurally cannot see (a paragraph pasted into a much longer page
+    has small Jaccard, containment ≈ 1). Standard third axis of a
+    training-data dedup stack after exact and symmetric-near dedup.
+
+    Scale: asymmetric prefix-filter index join (probe indexes its rarest
+    ``(1-t)·|A|+1`` tokens, the containing side posts all tokens) with the
+    PPJoin positional bound; candidates are Σ df(rare probe tokens), never
+    block². See :func:`..ops.neardup_containment_prefix` (the parametrized
+    library form) for the full shape analysis. Exact — oracle is the
+    naive all-pairs containment join, same result set.
+    """
+    from ..ops import neardup_containment_prefix
+
+    d = load_table(spark, sf_dir, "documents")
+    return neardup_containment_prefix(
+        d,
+        "doc_id",
+        "text",
+        block_col="lang",
+        threshold=_CONT_T,
+        min_tokens=_CONT_MIN_TOKENS,
+        max_jaccard=_CONT_MAX_J,
+    )
+
+
 _PASSAGE_W = 32  # tokens per passage chunk
 
 

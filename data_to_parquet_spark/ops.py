@@ -22,6 +22,7 @@ __all__ = [
     "neardup_jaccard",
     "neardup_jaccard_prefix",
     "neardup_jaccard_count",
+    "neardup_containment_prefix",
     "connected_components",
     "cosine_topk",
     "sessionize",
@@ -290,6 +291,136 @@ def neardup_jaccard_count(
         inter.select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= t)
     )
+
+
+def neardup_containment_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str | None = None,
+    block_col: str | None = None,
+    threshold: float = 0.9,
+    min_tokens: int = 1,
+    max_jaccard: float | None = None,
+    elements: Column | None = None,
+) -> DataFrame:
+    """Asymmetric containment near-dup join: pairs where the SMALLER row's
+    element set is covered ``>= threshold`` by the larger row's —
+    ``|A ∩ B| / |A| >= t`` with ``|A| <= |B|`` (ties broken by id). This is
+    the quote/subset detector symmetric Jaccard structurally misses: a
+    paragraph pasted into a much longer page has tiny Jaccard but
+    containment ≈ 1.
+
+    Returns ``(id_inner, id_outer, containment, jaccard)``. ``min_tokens``
+    drops trivially-contained tiny sets; ``max_jaccard`` (exclusive upper
+    bound) excludes pairs the symmetric join already reports, leaving only
+    the containment-specific findings.
+
+    Physical shape (the asymmetric prefix-filter join, Xiao et al.): the
+    probe (inner-candidate) side indexes only its ``|A| - ceil(t·|A|) + 1``
+    globally-rarest elements — any pair with overlap ≥ ceil(t·|A|) must
+    share one of them (pigeonhole) — while the index side posts ALL its
+    elements, because the containing document is not required to share the
+    probe's rare prefix within its own prefix. Candidate cost is
+    Σ_{probe prefix tokens} df(token): prefix tokens are each probe's
+    RAREST (global df-ascending order), so the big posting lists of common
+    tokens are touched only by probes whose entire vocabulary is common.
+    The PPJoin positional bound (overlap ≤ 1 + min(remaining_a,
+    remaining_b) at the pair's first matching row, both sides sharing the
+    global element order) prunes candidates before the distinct/verify
+    shuffle, exactly as in :func:`neardup_jaccard_prefix`. Verification
+    joins the two full (deduplicated, hashed) element arrays and computes
+    exact containment/Jaccard. No cross join anywhere; at 100 TB the only
+    wide shuffle keys on element hashes, whose probe-side frequency is
+    bounded by the prefix-filter rarity ordering.
+    """
+    t = float(threshold)
+    blk = F.col(block_col) if block_col else F.lit(0)
+    elems = elements if elements is not None else tokens(F.col(text_col))
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        blk.alias("__block"),
+        F.array_distinct(
+            F.transform(elems, lambda x: F.xxhash64(x))
+        ).alias("__toks"),
+    )
+    flat = exploded_rows(tok, ["__id", "__block"], F.col("__toks"), "__tk")
+    dfc = flat.groupBy("__tk").agg(F.count(F.lit(1)).alias("__df"))
+    ordered = (
+        flat.join(dfc, "__tk")
+        .groupBy("__id", "__block")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__df", "__tk"))),
+                lambda s: s["__tk"],
+            ).alias("__toks")
+        )
+        .localCheckpoint(eager=False)  # shared by probe, index, and verify
+    )
+    n = F.size("__toks")
+    plen = (n - F.ceil(n * t) + 1).cast("int")
+    probe = ordered.filter(n >= int(min_tokens)).select(
+        F.col("__id").alias("id_inner"),
+        F.col("__block").alias("__block_a"),
+        n.alias("__sz_a"),
+        F.posexplode(F.slice("__toks", F.lit(1), plen)).alias(
+            "__pos_a", "__ptok_a"
+        ),
+    )
+    index = ordered.select(
+        F.col("__id").alias("id_outer"),
+        F.col("__block").alias("__block_b"),
+        n.alias("__sz_b"),
+        F.posexplode("__toks").alias("__pos_b", "__ptok_b"),
+    )
+    # inner strictly needs overlap >= ceil(t·|A|) shared elements
+    alpha = F.ceil(F.lit(t) * F.col("__sz_a"))
+    ubound = F.lit(1) + F.least(
+        F.col("__sz_a") - F.col("__pos_a") - F.lit(1),
+        F.col("__sz_b") - F.col("__pos_b") - F.lit(1),
+    )
+    cand = (
+        probe.join(
+            index,
+            (F.col("__ptok_a") == F.col("__ptok_b"))
+            & (F.col("__block_a") == F.col("__block_b"))
+            & (
+                (F.col("__sz_a") < F.col("__sz_b"))
+                | (
+                    (F.col("__sz_a") == F.col("__sz_b"))
+                    & (F.col("id_inner") < F.col("id_outer"))
+                )
+            )
+            & (F.col("__sz_b") >= alpha)
+            & (ubound >= alpha),
+        )
+        .select("id_inner", "id_outer")
+        .distinct()
+    )
+    ta = ordered.select(
+        F.col("__id").alias("id_inner"), F.col("__toks").alias("__toks_a")
+    )
+    tb = ordered.select(
+        F.col("__id").alias("id_outer"), F.col("__toks").alias("__toks_b")
+    )
+    inter = F.size(F.array_intersect("__toks_a", "__toks_b"))
+    cont = inter.cast("double") / F.size("__toks_a")
+    jac = inter.cast("double") / (
+        F.size("__toks_a") + F.size("__toks_b") - inter
+    )
+    out = (
+        cand.join(ta, "id_inner")
+        .join(tb, "id_outer")
+        .select(
+            "id_inner",
+            "id_outer",
+            cont.alias("containment"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("containment") >= t)
+    )
+    if max_jaccard is not None:
+        out = out.filter(F.col("jaccard") < float(max_jaccard))
+    return out
 
 
 def connected_components(
