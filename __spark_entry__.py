@@ -54,6 +54,8 @@ _REGISTRY = REL.merge(
 _PRIORITY = [
     # --- round-5 session-4 new queries (first driver contact) ---
     "containment_neardup_pairs",
+    "l_diversity_audit",
+    "dp_noisy_counts",
     # --- round-5 session-3 new queries (first driver contact) ---
     "bm25_rank_queries",
     "inverted_index_postings",

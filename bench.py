@@ -120,8 +120,10 @@ BENCH_QUERIES = [
     "partitioned_write_pruning",
     "parquet_schema_merge_roundtrip",
     "neardup_graph_pagerank",
-    # added round 5 (session 4): asymmetric containment dedup
+    # added round 5 (session 4): asymmetric containment dedup, privacy
     "containment_neardup_pairs",
+    "l_diversity_audit",
+    "dp_noisy_counts",
 ]
 
 

@@ -322,3 +322,148 @@ def k_anonymity_audit(spark, sf_dir):
             F.sum(small).cast("double") / F.sum("grp_n"), 9
         ).alias("exposed_fraction"),
     )
+
+
+@PRIV.register(
+    "l_diversity_audit",
+    oracle="""
+    WITH cls AS (
+      SELECT n_name,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             COUNT(*) AS grp_n,
+             COUNT(DISTINCT c_mktsegment) AS l_distinct
+      FROM customer JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(l_distinct AS BIGINT) AS l_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(grp_n) AS BIGINT) AS n_rows,
+           CAST(MIN(grp_n) AS BIGINT) AS min_class_size,
+           CAST(MAX(grp_n) AS BIGINT) AS max_class_size
+    FROM cls GROUP BY l_distinct
+    """,
+)
+def l_diversity_audit(spark, sf_dir):
+    """l-diversity audit — the homogeneity-attack companion to
+    `k_anonymity_audit`: k-anonymity only bounds equivalence-class SIZE,
+    but a class where every member shares the same sensitive value leaks
+    that value for all of them regardless of k. Group customers by the
+    quasi-identifier (nation, balance band), measure how many DISTINCT
+    sensitive values (market segment) each class contains, and report the
+    class-count/row-count distribution per achieved l — classes at l=1
+    are fully exposed, l<3 fail the usual 3-diversity bar.
+
+    Determinism: every output is an integer (distinct counts, class
+    sizes) — no float ever enters the comparison. Scale: one shuffle on
+    the QI tuple with map-side partial aggregation (COUNT DISTINCT over a
+    5-value sensitive domain expands to a tiny grouping-set style
+    partial), then a second tiny aggregate over |classes| rows, bounded
+    by the QI domain product, not the row count; nation stays a broadcast
+    dim.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cls = (
+        c.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(
+            "n_name",
+            F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("grp_n"),
+            F.countDistinct("c_mktsegment").alias("l_distinct"),
+        )
+    )
+    return cls.groupBy("l_distinct").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("grp_n").alias("n_rows"),
+        F.min("grp_n").alias("min_class_size"),
+        F.max("grp_n").alias("max_class_size"),
+    )
+
+
+_DP_EPS = 1.0  # epsilon for the count release (scale = 1/eps)
+_DP_M = 1 << 52  # uniform-draw modulus (52 bits -> exact double)
+
+
+@PRIV.register(
+    "dp_noisy_counts",
+    oracle=f"""
+    WITH agg AS (
+      SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             COUNT(*) AS n_true
+      FROM events GROUP BY 1, 2
+    ), noise AS (
+      SELECT event_type, day, n_true,
+             (CAST('0x' || substring(
+                 md5('dp:' || event_type || ':' || day),
+                 1, 15) AS BIGINT) % {_DP_M} + 0.5) / {_DP_M}.0 AS u
+      FROM agg
+    )
+    SELECT event_type, day, CAST(n_true AS BIGINT) AS n_true,
+           CAST(greatest(0.0, round(
+               n_true - (1.0 / {_DP_EPS}) * sign(u - 0.5)
+                        * ln(1.0 - 2.0 * abs(u - 0.5))
+           )) AS BIGINT) AS n_noisy
+    FROM noise
+    """,
+)
+def dp_noisy_counts(spark, sf_dir):
+    """Differentially-private count release (Laplace mechanism) over the
+    per-(event_type, day) histogram — the shape of every DP telemetry/
+    analytics release: true counts plus Laplace(1/ε) noise, clamped and
+    integerized by post-processing (both DP-safe). Noise is DETERMINISTIC
+    for testability: the Laplace draw comes from inverse-CDF over a
+    uniform derived from md5 of the cell key — the keyed-PRF construction
+    real pipelines use for reproducible releases — which both engines
+    compute bit-identically (60-bit md5 prefix, 52-bit mantissa-exact
+    modulus, +0.5 offset keeping u strictly inside (0,1) so ln never sees
+    0). n_true is emitted alongside for the audit/test pairing; a real
+    release drops it.
+
+    Scale: one map-side-combined aggregate on (type, day) — cells, not
+    rows, flow into the noise projection, which is per-row JVM math in
+    codegen. The only cross-engine float risk is one libm ``ln`` call per
+    cell feeding an integer round; a final-ulp divergence would need the
+    pre-round value within 1e-15 of a half-integer.
+    """
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy(
+        "event_type",
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n_true"))
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("dp:"),
+                            F.col("event_type"),
+                            F.lit(":"),
+                            F.col("day"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(_DP_M)
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(_DP_M))
+    noise = (
+        -F.lit(1.0 / _DP_EPS)
+        * F.signum(u - 0.5)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - 0.5))
+    )
+    return agg.select(
+        "event_type",
+        "day",
+        "n_true",
+        F.greatest(F.lit(0.0), F.round(F.col("n_true") + noise))
+        .cast("long")
+        .alias("n_noisy"),
+    )
