@@ -56,6 +56,7 @@ _PRIORITY = [
     "containment_neardup_pairs",
     "l_diversity_audit",
     "dp_noisy_counts",
+    "kmeans_embedding_clusters",
     # --- round-5 session-3 new queries (first driver contact) ---
     "bm25_rank_queries",
     "inverted_index_postings",

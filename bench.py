@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "containment_neardup_pairs",
     "l_diversity_audit",
     "dp_noisy_counts",
+    "kmeans_embedding_clusters",
 ]
 
 

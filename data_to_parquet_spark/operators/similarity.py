@@ -694,3 +694,130 @@ def embedding_pca_components(spark, sf_dir):
         "component int, dim int, loading double, eigenvalue double,"
         " explained_frac double",
     )
+
+
+_KM_K = 8  # cluster count
+_KM_ITERS = 5  # Lloyd iterations over the FULL corpus
+
+
+@SIM.register("kmeans_embedding_clusters", oracle=None)
+def kmeans_embedding_clusters(spark, sf_dir):
+    """Fully-DISTRIBUTED Lloyd's k-means over every embedding — the
+    complement of `similarity_ann_ivf`'s bounded-sample trainer: when the
+    clustering IS the product (corpus bucketing for semantic dedup shards,
+    curriculum tiers, mixture domains), you train on all vectors, not a
+    sample. k=8, 5 iterations, deterministic init (the k lowest vec_ids).
+
+    Distributed shape per iteration — the canonical scalable k-means (what
+    MLlib's implementation reduces to): centroids are a broadcast k×d
+    constant inside a vectorized Pandas UDF (one matmul per Arrow batch)
+    that emits each row's nearest cluster; the update is one
+    explode-to-(cluster, dim, val) + groupBy(cluster, dim) sum/count with
+    map-side combine, so the shuffle carries k·d·partitions partial rows —
+    independent of corpus size — and only the k×d centroid table ever
+    reaches the driver. Per-vector state never accumulates anywhere.
+
+    Output: one row per cluster with member count, within-cluster sum of
+    squared distance (inertia), and centroid norm. Rows-only for the
+    driver (iterative float reduction is not SQL-expressible);
+    tests/test_kmeans.py pins counts and inertia against a dense numpy
+    Lloyd run with identical init and iteration count.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()["embedding"])
+    init = (
+        e.orderBy("vec_id")
+        .limit(_KM_K)
+        .select("embedding")
+        .collect()
+    )
+    centroids = np.vstack([r["embedding"] for r in init]).astype("float64")
+
+    def make_nearest(cts):
+        @F.pandas_udf("int")
+        def nearest(emb: pd.Series) -> pd.Series:
+            m = np.vstack(emb.to_numpy()).astype("float64")
+            d2 = (
+                (m**2).sum(axis=1, keepdims=True)
+                - 2 * m @ cts.T
+                + (cts**2).sum(axis=1)[None, :]
+            )
+            return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+        return nearest
+
+    # Size the iteration parallelism from the corpus (same reasoning as
+    # the PageRank loop): 5 iterations each pay tasks × fixed overhead,
+    # and ~2k vectors want a handful of partitions while a 100 TB corpus
+    # (~10⁹ vectors) scales the same formula to the cluster width. Each
+    # partition holds ~250k vectors × d doubles ≈ 128 MB at d=64.
+    n_vecs = e.count()
+    nparts = max(
+        4, min(spark.sparkContext.defaultParallelism, n_vecs // 250_000 + 1)
+    )
+    vecs = (
+        e.select("vec_id", "embedding")
+        .repartition(nparts)
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(_KM_ITERS):
+        assigned = vecs.select(
+            "embedding", make_nearest(centroids)("embedding").alias("cluster")
+        )
+        parts = (
+            exploded_rows_pos(
+                assigned,
+                ["cluster"],
+                F.transform(
+                    F.col("embedding"), lambda x: x.cast("double")
+                ),
+                "dim",
+                "val",
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        sums = np.zeros((_KM_K, dim))
+        counts = np.zeros(_KM_K, dtype="int64")
+        for r in parts:
+            sums[r["cluster"], r["dim"]] = r["s"]
+            counts[r["cluster"]] = r["n"]
+        nonzero = counts > 0
+        centroids = centroids.copy()
+        centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
+
+    cts = centroids
+
+    @F.pandas_udf("struct<cluster:int, d2:double>")
+    def final_assign(emb: pd.Series) -> pd.DataFrame:
+        m = np.vstack(emb.to_numpy()).astype("float64")
+        d2 = (
+            (m**2).sum(axis=1, keepdims=True)
+            - 2 * m @ cts.T
+            + (cts**2).sum(axis=1)[None, :]
+        )
+        a = d2.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": a.astype("int32"),
+                "d2": np.maximum(d2[np.arange(len(a)), a], 0.0),
+            }
+        )
+
+    norms = {c: float(np.sqrt((centroids[c] ** 2).sum())) for c in range(_KM_K)}
+    norm_expr = F.element_at(
+        F.array(*[F.lit(round(norms[c], 6)) for c in range(_KM_K)]),
+        F.col("cluster") + 1,
+    )
+    return (
+        vecs.select(final_assign("embedding").alias("r"))
+        .select(F.col("r.cluster").alias("cluster"), F.col("r.d2").alias("d2"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.sum("d2"), 4).alias("inertia"),
+        )
+        .withColumn("centroid_norm", norm_expr)
+        .orderBy("cluster")
+    )
