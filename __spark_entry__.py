@@ -57,6 +57,9 @@ _PRIORITY = [
     "l_diversity_audit",
     "dp_noisy_counts",
     "kmeans_embedding_clusters",
+    "duplicated_span_coverage",
+    "benford_digit_check",
+    "correlation_matrix_lineitem",
     # --- round-5 session-3 new queries (first driver contact) ---
     "bm25_rank_queries",
     "inverted_index_postings",

@@ -125,6 +125,9 @@ BENCH_QUERIES = [
     "l_diversity_audit",
     "dp_noisy_counts",
     "kmeans_embedding_clusters",
+    "duplicated_span_coverage",
+    "benford_digit_check",
+    "correlation_matrix_lineitem",
 ]
 
 

@@ -647,6 +647,62 @@ def passage_dedup_fraction(spark, sf_dir):
     return passage_dup_stats(d, "doc_id", "text", passage_tokens=_PASSAGE_W)
 
 
+_SPAN_W = 16  # sliding-span window width (tokens)
+
+
+@DEDUP.register(
+    "duplicated_span_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), spans AS (
+      SELECT doc_id,
+             array_to_string(t[i:i+{_SPAN_W - 1}], ' ') AS span
+      FROM tok, unnest(generate_series(1, len(t) - {_SPAN_W - 1}, 1)) AS g(i)
+      WHERE len(t) >= {_SPAN_W}
+    ), per_doc AS (
+      SELECT doc_id, span, COUNT(*) AS m
+      FROM spans GROUP BY doc_id, span
+    ), sdf AS (
+      SELECT span, COUNT(*) AS n_docs_with
+      FROM per_doc GROUP BY span
+    )
+    SELECT per_doc.doc_id,
+           CAST(SUM(m) AS BIGINT) AS n_passages,
+           CAST(SUM(CASE WHEN n_docs_with >= 2 THEN m ELSE 0 END)
+                AS BIGINT) AS n_dup_passages,
+           CAST(SUM(CASE WHEN n_docs_with >= 2 THEN m ELSE 0 END) AS DOUBLE)
+             / SUM(m) AS dup_frac
+    FROM per_doc JOIN sdf USING (span)
+    GROUP BY per_doc.doc_id
+    """,
+)
+def duplicated_span_coverage(spark, sf_dir):
+    """SLIDING-window duplicated-span signal (Lee et al., "Deduplicating
+    Training Data"): every {16}-token window at stride 1, flagged when the
+    identical span occurs in at least one other document. The fixed-chunk
+    form (`passage_dedup_fraction`) misses a copied span that straddles a
+    chunk boundary; the sliding form cannot — it is the distributed
+    equivalent of the suffix-array substring-dedup pass LLM corpora get
+    before training.
+
+    Scale: same two-aggregation + equi-join shape as the chunked form,
+    ×(window/stride) row amplification — the explode emits one row per
+    window position, keyed on high-cardinality span text (at 100 TB:
+    xxhash64(span) keys and stride >1 to trade recall granularity for
+    shuffle width). Exact, fully SQL-expressible, full value oracle.
+    """
+    from ..ops import passage_dup_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return passage_dup_stats(
+        d, "doc_id", "text", passage_tokens=_SPAN_W, stride=1
+    )
+
+
 @DEDUP.register(
     "passage_dedup_rewrite",
     # chunk-key packing: doc_id*100000 + chunk_idx is a portable

@@ -1564,3 +1564,157 @@ def zorder_locality_orders(spark, sf_dir):
         F.min("z").alias("z_min"),
         F.max("z").alias("z_max"),
     )
+
+
+# Benford first-digit expected fractions, log10(1 + 1/d) pre-rounded to 9
+# decimals and embedded as LITERALS in both engines — no cross-engine libm
+# log call ever enters the comparison.
+_BENFORD = {
+    1: 0.301029996, 2: 0.176091259, 3: 0.124938737,
+    4: 0.096910013, 5: 0.079181246, 6: 0.06694679,
+    7: 0.057991947, 8: 0.051152522, 9: 0.045757491,
+}
+
+
+@REL.register(
+    "benford_digit_check",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substring(regexp_extract(
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+               '[1-9]'), 1, 1) AS BIGINT) AS digit
+      FROM lineitem WHERE l_extendedprice > 0
+    ), obs AS (
+      SELECT digit, COUNT(*) AS n_obs FROM digits GROUP BY digit
+    ), tot AS (SELECT SUM(n_obs) AS n FROM obs)
+    SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+           round(CAST(n_obs AS DOUBLE) / n, 9) AS obs_frac,
+           CAST(CASE digit {' '.join(f"WHEN {d} THEN {p}" for d, p in _BENFORD.items())} END
+             AS DOUBLE) AS benford_frac,
+           round(abs(CAST(n_obs AS DOUBLE) / n
+                 - CAST(CASE digit {' '.join(f"WHEN {d} THEN {p}" for d, p in _BENFORD.items())} END AS DOUBLE)), 9)
+             AS abs_dev
+    FROM obs, tot
+    """,
+)
+def benford_digit_check(spark, sf_dir):
+    """Benford's-law first-digit audit over extended prices — the classic
+    fraud/synthetic-data screen: natural multiplicative quantities follow
+    P(d) = log10(1+1/d); a generated or tampered column shows up as a flat
+    or spiked digit histogram. Emits per digit the observed count,
+    observed fraction, the Benford expectation, and the absolute
+    deviation.
+
+    Determinism: the first significant digit is taken TEXTUALLY from the
+    DECIMAL(18,2) rendering (identical in both engines — no float
+    formatting, no log10 on data); the nine Benford expectations are
+    pre-rounded literals baked into both queries, so the only runtime
+    float is one division per digit. Scale: one map-side-combined 9-group
+    aggregate plus a broadcast of the 1-row total — nothing keyed wider
+    than the digit domain.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    digits = li.filter(F.col("l_extendedprice") > 0).select(
+        F.regexp_extract(
+            F.col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+            "[1-9]",
+            0,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    bf = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(d) for d in _BENFORD]),
+            F.array(*[F.lit(p) for p in _BENFORD.values()]),
+        ),
+        F.col("digit").cast("int"),
+    )
+    return (
+        obs.join(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs").cast("double") / F.col("n"), 9).alias(
+                "obs_frac"
+            ),
+            bf.alias("benford_frac"),
+            F.round(
+                F.abs(F.col("n_obs").cast("double") / F.col("n") - bf), 9
+            ).alias("abs_dev"),
+        )
+    )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@REL.register(
+    "correlation_matrix_lineitem",
+    oracle=f"""
+    WITH agg AS (
+      SELECT COUNT(*) AS n,
+             {', '.join(f'''CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS s_{c},
+             CAST(SUM(CAST({c} AS DECIMAL(18,2)) * CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS ss_{c}''' for c in _CORR_COLS)},
+             {', '.join(f"CAST(SUM(CAST({a} AS DECIMAL(18,2)) * CAST({b} AS DECIMAL(18,2))) AS DOUBLE) AS sp_{a}_{b}" for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1:])}
+      FROM lineitem
+    )
+    {' UNION ALL '.join(f'''
+    SELECT '{a}' AS col_x, '{b}' AS col_y, CAST(n AS BIGINT) AS n,
+           round((n * sp_{a}_{b} - s_{a} * s_{b})
+                 / (sqrt(n * ss_{a} - s_{a} * s_{a})
+                    * sqrt(n * ss_{b} - s_{b} * s_{b})), 9) AS pearson_r
+    FROM agg''' for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1:])}
+    """,
+)
+def correlation_matrix_lineitem(spark, sf_dir):
+    """Pairwise Pearson correlation matrix over the lineitem measures —
+    the numeric-profiling step (feature redundancy, data-drift checks)
+    over every column pair in one pass.
+
+    Why not F.corr/DuckDB corr(): both implement streaming covariance
+    whose float accumulation is partitioning-order-dependent — the
+    cross-engine hash would flap. Here every moment (Σx, Σx², Σxy) is
+    summed EXACTLY as DECIMAL (2-decimal inputs ⇒ 4-decimal products,
+    order-independent), converted to double once, and r is a single
+    closed-form double expression rounded to 9 — bit-stable across
+    engines and partitionings. Scale: ONE map-side-combined aggregate
+    computes all 4+4+6 moments in a single scan/shuffle of 14 decimal
+    cells; the 6 output rows are projections of that 1-row aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = {c: F.col(c).cast("decimal(18,2)") for c in _CORR_COLS}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(dec[c]).cast("double").alias(f"s_{c}"))
+        aggs.append(F.sum(dec[c] * dec[c]).cast("double").alias(f"ss_{c}"))
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(dec[a] * dec[b]).cast("double").alias(f"sp_{a}_{b}"))
+    agg = li.agg(*aggs)
+    outs = []
+    for a, b in pairs:
+        r = (
+            F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        ) / (
+            F.sqrt(F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+            * F.sqrt(F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        )
+        outs.append(
+            agg.select(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col("n").alias("n"),
+                F.round(r, 9).alias("pearson_r"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

@@ -722,25 +722,46 @@ def passage_dup_stats(
     id_col: str,
     text_col: str,
     passage_tokens: int = 32,
+    stride: int | None = None,
 ) -> DataFrame:
     """Per-document passage-duplication stats: chunk each text into fixed
     ``passage_tokens``-token passages and report how much of the document
     consists of passages that also occur in at least one OTHER document.
 
+    ``stride`` defaults to ``passage_tokens`` (non-overlapping chunks,
+    partial tail chunk included — the RefinedWeb shape). ``stride=1`` turns
+    it into the SLIDING window form (full windows only, docs shorter than
+    the window drop out): "does ANY ``passage_tokens``-token span of this
+    doc appear elsewhere" — the suffix-array-style substring-dedup signal
+    (Lee et al., Deduplicating Training Data) that chunk alignment cannot
+    miss by straddling a boundary.
+
     Returns (id, n_passages, n_dup_passages, dup_frac). Shuffle shape: two
     aggregations and one equi-join, all keyed on the passage text —
     high-cardinality, skew-free. At 100 TB substitute ``xxhash64(passage)``
-    for the passage key to shrink shuffle width.
+    for the passage key to shrink shuffle width; sliding windows multiply
+    rows by ~window/stride, so wide scans prefer stride > 1.
     """
     w = int(passage_tokens)
-    passages = F.expr(
-        f"transform(sequence(1, size(__t), {w}),"
-        f" i -> array_join(slice(__t, i, {w}), ' '))"
-    )
-    pas = exploded_rows(
-        df.select(
+    st = w if stride is None else int(stride)
+    if st == w:
+        passages = F.expr(
+            f"transform(sequence(1, size(__t), {w}),"
+            f" i -> array_join(slice(__t, i, {w}), ' '))"
+        )
+        base = df.select(
             F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t")
-        ).filter(F.size("__t") > 0),
+        ).filter(F.size("__t") > 0)
+    else:
+        passages = F.expr(
+            f"transform(sequence(1, size(__t) - {w - 1}, {st}),"
+            f" i -> array_join(slice(__t, i, {w}), ' '))"
+        )
+        base = df.select(
+            F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__t")
+        ).filter(F.size("__t") >= w)
+    pas = exploded_rows(
+        base,
         ["__id"],
         passages,
         "__passage",
