@@ -60,6 +60,8 @@ _PRIORITY = [
     "duplicated_span_coverage",
     "benford_digit_check",
     "correlation_matrix_lineitem",
+    "embedding_dim_profile",
+    "chisq_independence_orders",
     # --- round-5 session-3 new queries (first driver contact) ---
     "bm25_rank_queries",
     "inverted_index_postings",

@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "duplicated_span_coverage",
     "benford_digit_check",
     "correlation_matrix_lineitem",
+    "embedding_dim_profile",
+    "chisq_independence_orders",
 ]
 
 

@@ -1718,3 +1718,70 @@ def correlation_matrix_lineitem(spark, sf_dir):
     for o in outs[1:]:
         result = result.unionByName(o)
     return result
+
+
+@REL.register(
+    "chisq_independence_orders",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderpriority AS pri, o_orderstatus AS status,
+             COUNT(*) AS n_obs
+      FROM orders GROUP BY 1, 2
+    ), margins AS (
+      SELECT pri, status, n_obs,
+             SUM(n_obs) OVER (PARTITION BY pri) AS row_n,
+             SUM(n_obs) OVER (PARTITION BY status) AS col_n,
+             SUM(n_obs) OVER () AS n
+      FROM obs
+    )
+    SELECT pri, status, CAST(n_obs AS BIGINT) AS n_obs,
+           round(CAST(row_n AS DOUBLE) * col_n / n, 6) AS expected,
+           round((n_obs - CAST(row_n AS DOUBLE) * col_n / n)
+                 * (n_obs - CAST(row_n AS DOUBLE) * col_n / n)
+                 / (CAST(row_n AS DOUBLE) * col_n / n), 6) AS chi_term
+    FROM margins
+    """,
+)
+def chisq_independence_orders(spark, sf_dir):
+    """Chi-square independence audit between order priority and order
+    status: the contingency table with each cell's expected count under
+    independence and its χ² contribution — the categorical-association
+    companion to `correlation_matrix_lineitem` (numeric) in the
+    data-profiling family; large chi_term cells are exactly where the
+    two dimensions are entangled (e.g. a status reached only by urgent
+    orders), which matters when either is a sampling stratum.
+
+    Determinism: every margin is an exact integer (window sums of
+    counts); expected/chi_term are single closed-form double expressions
+    over those integers, rounded to 6 — no order-dependent float
+    accumulation, no cross-cell total. Scale: one map-side-combined
+    aggregate to the |domain₁ × domain₂| cell table, then window sums
+    OVER a table of ~15 rows — nothing downstream of the first shuffle
+    depends on the row count.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window as _W
+
+    obs = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    m = (
+        obs.withColumn(
+            "row_n", F.sum("n_obs").over(_W.partitionBy("pri"))
+        )
+        .withColumn("col_n", F.sum("n_obs").over(_W.partitionBy("status")))
+        .withColumn(
+            "n", F.sum("n_obs").over(_W.partitionBy(F.lit(1)))
+        )
+    )
+    exp = F.col("row_n").cast("double") * F.col("col_n") / F.col("n")
+    return m.select(
+        "pri",
+        "status",
+        "n_obs",
+        F.round(exp, 6).alias("expected"),
+        F.round((F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp, 6).alias(
+            "chi_term"
+        ),
+    )

@@ -821,3 +821,64 @@ def kmeans_embedding_clusters(spark, sf_dir):
         .withColumn("centroid_norm", norm_expr)
         .orderBy("cluster")
     )
+
+
+@SIM.register(
+    "embedding_dim_profile",
+    oracle="""
+    WITH flat AS (
+      SELECT i - 1 AS dim,
+             CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+    )
+    SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(x AS DECIMAL(18,12))) AS DOUBLE)
+                 / COUNT(*), 9) AS mean,
+           round(sqrt((COUNT(*) * CAST(SUM(CAST(x AS DECIMAL(18,12))
+                                           * CAST(x AS DECIMAL(18,12)))
+                                       AS DOUBLE)
+                       - CAST(SUM(CAST(x AS DECIMAL(18,12))) AS DOUBLE)
+                         * CAST(SUM(CAST(x AS DECIMAL(18,12))) AS DOUBLE))
+                      / (CAST(COUNT(*) AS DOUBLE) * COUNT(*))), 9) AS std,
+           MIN(x) AS vmin, MAX(x) AS vmax
+    FROM flat GROUP BY dim
+    """,
+)
+def embedding_dim_profile(spark, sf_dir):
+    """Per-DIMENSION corpus profile of the embedding space: mean, std,
+    min, max for each of the d dimensions — the feature-drift /
+    dead-dimension monitor run before similarity infra is trusted (a
+    near-zero-variance dimension wastes index bits; a shifted mean breaks
+    cosine assumptions between corpus snapshots). Complements
+    `embedding_array_stats`, which profiles per VECTOR.
+
+    Determinism: each float32 is widened to double (exact) and cast once
+    to DECIMAL(18,12) — a decimal tie would need a trailing 5×10⁻¹³
+    fraction, which no binary float can represent, so both engines round
+    identically and the Σx / Σx² moments are EXACT order-independent
+    decimals; mean/std are single closed-form double expressions over
+    them, rounded to 9. Scale: explode to (dim, x) then ONE
+    map-side-combined groupBy(dim) — the shuffle carries d×partitions
+    partial rows, independent of corpus size.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = exploded_rows_pos(
+        e,
+        [],
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        "dim",
+        "x",
+    )
+    dx = F.col("x").cast("decimal(18,12)")
+    n = F.count(F.lit(1))
+    sx = F.sum(dx).cast("double")
+    sxx = F.sum(dx * dx).cast("double")
+    return flat.groupBy("dim").agg(
+        n.alias("n"),
+        F.round(sx / n, 9).alias("mean"),
+        F.round(
+            F.sqrt((n * sxx - sx * sx) / (n.cast("double") * n)), 9
+        ).alias("std"),
+        F.min("x").alias("vmin"),
+        F.max("x").alias("vmax"),
+    )
