@@ -62,6 +62,7 @@ _PRIORITY = [
     "correlation_matrix_lineitem",
     "embedding_dim_profile",
     "chisq_independence_orders",
+    "dsir_importance_select",
     # --- round-5 session-3 new queries (first driver contact) ---
     "bm25_rank_queries",
     "inverted_index_postings",

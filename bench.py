@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "correlation_matrix_lineitem",
     "embedding_dim_profile",
     "chisq_independence_orders",
+    "dsir_importance_select",
 ]
 
 

@@ -12,6 +12,8 @@ DataFrame pipeline with a DuckDB oracle.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -853,4 +855,117 @@ def quality_decile_schedule(spark, sf_dir):
         F.sum("n_tokens").alias("sum_tokens"),
         F.min("n_tokens").alias("min_tokens"),
         F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+_DSIR_TARGET_LANG = "en"  # target-distribution slice
+_DSIR_FRAC = 0.2  # fraction of the corpus selected
+
+
+@PIPE.register(
+    "dsir_importance_select",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), flat AS (
+      SELECT doc_id, lang, unnest(toks) AS tk FROM tok
+    ), raw AS (
+      SELECT tk, COUNT(*) AS c_raw FROM flat GROUP BY tk
+    ), tgt AS (
+      SELECT tk, COUNT(*) AS c_tgt FROM flat
+      WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY tk
+    ), consts AS (
+      SELECT (SELECT COUNT(*) FROM flat) AS total_raw,
+             (SELECT COUNT(*) FROM flat
+              WHERE lang = '{_DSIR_TARGET_LANG}') AS total_tgt,
+             (SELECT COUNT(*) FROM raw) AS v,
+             (SELECT COUNT(*) FROM tok WHERE len(toks) > 0) AS n_docs
+    ), ratio AS (
+      SELECT raw.tk,
+             ln((CAST(COALESCE(tgt.c_tgt, 0) + 1 AS DOUBLE)
+                 / (total_tgt + v))
+                / (CAST(c_raw + 1 AS DOUBLE) / (total_raw + v))) AS lr
+      FROM raw LEFT JOIN tgt ON raw.tk = tgt.tk, consts
+    ), scored AS (
+      SELECT f.doc_id,
+             COUNT(*) AS n_tokens,
+             round(SUM(r.lr) / COUNT(*), 9) AS dsir_score
+      FROM flat f JOIN ratio r ON f.tk = r.tk
+      GROUP BY f.doc_id
+    )
+    SELECT doc_id, n_tokens, dsir_score,
+           CAST(rnk <= CAST(ceil({_DSIR_FRAC} * n_docs) AS BIGINT)
+                AS BOOLEAN) AS selected
+    FROM (
+      SELECT scored.*, consts.n_docs,
+             ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id) AS rnk
+      FROM scored, consts
+    ) t
+    """,
+)
+def dsir_importance_select(spark, sf_dir):
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023) —
+    the importance-weighted corpus selection step of modern pretraining
+    pipelines: score every document by the average unigram
+    log-likelihood-ratio between a TARGET distribution (here the
+    '{en}'-language slice, standing in for "high-quality domain") and the
+    raw corpus, then keep the top {20}% — documents that look most like
+    the target get selected, spam-shaped mass drops out.
+
+    Determinism: both LMs are add-1-smoothed integer count ratios; the
+    per-token log-ratio is one ln() per DISTINCT token; per-doc scores
+    divide once and round to 9 (the `unigram_lm_quality` precedent — the
+    per-doc double sum is short enough that both engines agree at that
+    precision); the selection rank orders by the ROUNDED score with
+    doc_id tiebreak, so the cut line is cross-engine stable.
+
+    Scale: two token-keyed aggregations (raw and target counts — the
+    second over the target slice only), one token-keyed join of the
+    exploded corpus against the ratio table (high-cardinality, skew-free,
+    AQE-handled), one per-doc aggregation. The final global rank is a
+    sort of |docs| score rows — at 100 TB you'd replace the exact
+    row_number with a sampled score-threshold quantile (same selection up
+    to boundary ties); everything upstream is unchanged.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", tokens(F.col("text")).alias("toks")
+    )
+    flat = exploded_rows(tok, ["doc_id", "lang"], F.col("toks"), "tk")
+    flat = flat.localCheckpoint(eager=False)  # three consumers
+    raw = flat.groupBy("tk").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt = (
+        flat.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    total_raw = flat.count()
+    total_tgt = flat.filter(F.col("lang") == _DSIR_TARGET_LANG).count()
+    v = raw.count()
+    n_docs = tok.filter(F.size("toks") > 0).count()
+    ratio = raw.join(tgt, "tk", "left").select(
+        "tk",
+        F.log(
+            ((F.coalesce(F.col("c_tgt"), F.lit(0)) + 1).cast(_D) / (total_tgt + v))
+            / ((F.col("c_raw") + 1).cast(_D) / (total_raw + v))
+        ).alias("lr"),
+    )
+    scored = (
+        flat.join(ratio, "tk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lr") / F.count(F.lit(1)), 9).alias("dsir_score"),
+        )
+    )
+    k = math.ceil(_DSIR_FRAC * n_docs)
+    w = W.orderBy(F.desc("dsir_score"), "doc_id")
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "dsir_score",
+        (F.row_number().over(w) <= k).alias("selected"),
     )
