@@ -38,6 +38,7 @@ ALLOW_BNLJ = {
     "bm25_rank_queries",  # 1-row (N, avgdl) corpus aggregate joined back
     "zorder_locality_orders",  # 1-row (xmax, ymax) domain agg joined back
     "exp_smoothing_weekly_orders",  # 1-row (wk0, wk1) domain agg x priorities
+    "benford_digit_check",  # 1-row grand-total joined back to 9 digit rows
     "quality_decile_schedule",  # 1-row exact-quantile thresholds joined back
 }
 
