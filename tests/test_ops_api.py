@@ -349,3 +349,83 @@ def test_priority_window_names_are_registered():
     registered = set(entry_mod.queries())
     missing = [n for n in entry_mod._PRIORITY if n not in registered]
     assert not missing, f"_PRIORITY names not in queries(): {missing}"
+
+
+def test_containment_prefix_finds_subset_pairs(spark):
+    # doc 1 is a strict token subset of doc 2 (small Jaccard, containment
+    # 1.0) — the pair symmetric Jaccard at 0.9 misses by construction
+    rows = [
+        (1, "the quick brown fox jumps"),
+        (2, "the quick brown fox jumps over every lazy dog sleeping near"
+            " the old wooden fence tonight"),
+        (3, "completely unrelated words appear in this document only"),
+    ]
+    df = spark.createDataFrame(rows, "pk long, body string")
+    out = ops.neardup_containment_prefix(
+        df, "pk", "body", threshold=0.9, min_tokens=3
+    ).collect()
+    assert [(r["id_inner"], r["id_outer"]) for r in out] == [(1, 2)]
+    assert out[0]["containment"] == 1.0
+    assert out[0]["jaccard"] < 0.9
+    # the same pair must NOT be reported by the symmetric join at 0.9
+    sym = ops.neardup_jaccard_prefix(df, "pk", "body", threshold=0.9)
+    assert sym.count() == 0
+
+
+def test_containment_prefix_matches_naive(spark):
+    # exactness: identical result set to the brute-force containment join
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g h i j k l m n o p"),
+        (3, "a b c d e f g x"),
+        (4, "x y z w v u t s"),
+        (5, "x y z w v u t s a b c d e f g h"),
+    ]
+    df = spark.createDataFrame(rows, "pk long, body string")
+    t = 0.8
+    got = sorted(
+        (r["id_inner"], r["id_outer"], round(r["containment"], 9))
+        for r in ops.neardup_containment_prefix(
+            df, "pk", "body", threshold=t
+        ).collect()
+    )
+    toks = {
+        r["pk"]: set(r["body"].split()) for r in df.collect()
+    }
+    naive = sorted(
+        (a, b, round(len(toks[a] & toks[b]) / len(toks[a]), 9))
+        for a in toks
+        for b in toks
+        if a != b
+        and (len(toks[a]) < len(toks[b])
+             or (len(toks[a]) == len(toks[b]) and a < b))
+        and len(toks[a] & toks[b]) / len(toks[a]) >= t
+    )
+    assert got == naive
+
+
+def test_passage_dup_stats_sliding_stride(spark):
+    # stride=1 catches a copied span that straddles the fixed-chunk
+    # boundary; the chunked form misses it on the same input
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, "one two three " + shared + " four five six"),
+        (2, "seven eight nine ten " + shared + " eleven twelve"),
+    ]
+    df = spark.createDataFrame(rows, "pk long, body string")
+    sliding = {
+        r["pk"]: r["n_dup_passages"]
+        for r in ops.passage_dup_stats(
+            df, "pk", "body", passage_tokens=6, stride=1
+        ).collect()
+    }
+    assert sliding[1] >= 1 and sliding[2] >= 1
+    chunked = {
+        r["pk"]: r["n_dup_passages"]
+        for r in ops.passage_dup_stats(
+            df, "pk", "body", passage_tokens=6
+        ).collect()
+    }
+    # the 6-token shared span is offset 3 in doc 1 and offset 4 in doc 2,
+    # so no aligned 6-token chunk is shared
+    assert chunked[1] == 0 and chunked[2] == 0

@@ -38,6 +38,12 @@ PROBED = [
     "mad_outlier_events",          # multi-pass exact medians
     "dedup_connected_components",  # iterative contraction
     "rfm_customer_segments",       # partitioned ntile windows
+    # round-5 session-4 additions with quadratic-prone or iterative shapes
+    "containment_neardup_pairs",   # asymmetric prefix-vs-full-index join
+    "duplicated_span_coverage",    # stride-1 window explode + self-join
+    "kmeans_embedding_clusters",   # iterative broadcast-assign + k*d agg
+    "neardup_graph_pagerank",      # iterative edge-join propagation
+    "dsir_importance_select",      # token-keyed LM join + global rank
 ]
 
 
