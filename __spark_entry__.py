@@ -63,6 +63,7 @@ _PRIORITY = [
     "embedding_dim_profile",
     "chisq_independence_orders",
     "dsir_importance_select",
+    "streaming_incremental_neardup",
     # --- round-5 session-3 new queries (first driver contact) ---
     "bm25_rank_queries",
     "inverted_index_postings",

@@ -778,3 +778,120 @@ def streaming_chained_windows(spark, sf_dir):
         "event_type",
         "n_events",
     )
+
+
+@STREAMING.register(
+    "streaming_incremental_neardup",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_sort(list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+    FROM tok a JOIN tok b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9
+    """,
+)
+def streaming_incremental_neardup(spark, sf_dir):
+    """CONTINUOUS corpus curation, end-to-end: the documents table arrives
+    as a stream of JSONL files; each ``foreachBatch`` epoch runs the
+    within-batch prefix-filter Jaccard join PLUS the batch-vs-corpus
+    incremental join (`ops.incremental_neardup` — broadcast the bounded
+    ingest batch, stream the corpus past it), appends the verified pairs
+    to an epoch-keyed parquet accumulator (idempotent under foreachBatch's
+    at-least-once replay — same mechanics as ``streaming/ingest.py``), and
+    folds the batch into the corpus. The returned table is the accumulated
+    pair set across every epoch.
+
+    The correctness property IS the oracle: any split of the corpus into
+    arrival batches yields exactly the full batch pair join — each
+    unordered pair is found precisely once, in the epoch its later member
+    arrives (same-epoch members: the within-batch join). The driver
+    value-hashes the streaming composition against the same naive
+    all-pairs SQL that checks `neardup_jaccard_pairs`.
+
+    Scale: the per-epoch cost is |batch|² within-batch (prefix-filtered)
+    plus one corpus scan with a broadcast batch — the steady-state
+    production shape where the corpus is only ever read, never re-paired
+    against itself; state lives in the parquet accumulator, not executor
+    memory.
+    """
+    import os
+    import tempfile
+
+    from ..functions.exprs import tokens
+    from ..ops import incremental_neardup, neardup_jaccard_prefix
+
+    root = tempfile.mkdtemp(prefix="inc_neardup_stream_")
+    in_dir = os.path.join(root, "in")
+    pairs_dir = os.path.join(root, "pairs")
+    corpus_dir = os.path.join(root, "corpus")
+    ckpt = os.path.join(root, "ckpt")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    # the "arriving stream": 5 range-partitioned JSONL files. The final
+    # result provably does not depend on how docs are batched, so no
+    # driver-side ordering/collect is needed to make this deterministic.
+    docs.repartitionByRange(5, "doc_id").write.json(in_dir)
+    schema = "doc_id long, lang string, text string"
+
+    def process(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.localCheckpoint()
+        within = neardup_jaccard_prefix(
+            batch, "doc_id", "text", block_col="lang", threshold=0.9
+        ).select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            "jaccard",
+        )
+        out = within
+        if os.path.isdir(corpus_dir) and any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(corpus_dir)
+            for f in fs
+        ):
+            corpus = spark.read.parquet(corpus_dir).select(
+                "doc_id", "lang", tokens(F.col("text")).alias("toks")
+            )
+            cross = incremental_neardup(
+                batch.select(
+                    "doc_id", "lang", tokens(F.col("text")).alias("toks")
+                ),
+                corpus,
+                "doc_id",
+                "toks",
+                block_col="lang",
+                threshold=0.9,
+            ).select(
+                F.least("new_id", "corpus_id").alias("doc_a"),
+                F.greatest("new_id", "corpus_id").alias("doc_b"),
+                "jaccard",
+            )
+            out = out.unionByName(cross)
+        # epoch-keyed overwrite: replays re-materialize identical content
+        out.write.mode("overwrite").parquet(f"{pairs_dir}/epoch={epoch_id}")
+        batch.write.mode("overwrite").parquet(
+            f"{corpus_dir}/epoch={epoch_id}"
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force multi-epoch incremental
+        .json(in_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(pairs_dir).select("doc_a", "doc_b", "jaccard")
