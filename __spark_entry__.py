@@ -64,6 +64,7 @@ _PRIORITY = [
     "chisq_independence_orders",
     "dsir_importance_select",
     "streaming_incremental_neardup",
+    "hybrid_retrieval_rrf",
     # --- round-5 session-3 new queries (first driver contact) ---
     "bm25_rank_queries",
     "inverted_index_postings",

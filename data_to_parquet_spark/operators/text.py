@@ -1287,3 +1287,163 @@ def inverted_index_postings(spark, sf_dir):
         F.sum("df_bucket").over(W.partitionBy("term")).alias("df"),
         "postings",
     )
+
+
+_RRF_K = 60  # standard reciprocal-rank-fusion constant
+_RRF_CAND = 10  # per-ranker candidate depth (the bm25 query's own top-k)
+
+
+@TXT.register(
+    "hybrid_retrieval_rrf",
+    oracle=f"""
+    WITH q(query_id, term) AS (VALUES {_BM25_VALUES}),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, len(t) AS dl FROM tok
+    ), n AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT query_id, term, doc_id, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM tok)
+      JOIN q USING (term)
+      GROUP BY query_id, term, doc_id
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), bm25 AS (
+      SELECT query_id, doc_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+             ) AS INT) AS r_bm25
+      FROM (
+        SELECT query_id, doc_id,
+               CAST(SUM(CAST(
+                 ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * tf.tf * ({_BM25_K1} + 1.0)
+                 / (tf.tf + {_BM25_K1}
+                    * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / n.avgdl))
+               AS DECIMAL(18,9))) AS DOUBLE) AS score
+        FROM tf
+        JOIN df USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN n
+        GROUP BY query_id, doc_id
+      )
+    ), cov AS (
+      SELECT query_id, doc_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY n_terms DESC, dl ASC, doc_id
+             ) AS INT) AS r_cov
+      FROM (
+        SELECT tf.query_id, tf.doc_id,
+               COUNT(DISTINCT tf.term) AS n_terms, MAX(dl.dl) AS dl
+        FROM tf JOIN dl USING (doc_id)
+        GROUP BY tf.query_id, tf.doc_id
+      )
+    ), fused AS (
+      SELECT COALESCE(b.query_id, c.query_id) AS query_id,
+             COALESCE(b.doc_id, c.doc_id) AS doc_id,
+             b.r_bm25, c.r_cov,
+             COALESCE(1.0 / ({_RRF_K} + b.r_bm25), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + c.r_cov), 0.0) AS rrf_score
+      FROM (SELECT * FROM bm25 WHERE r_bm25 <= {_RRF_CAND}) b
+      FULL OUTER JOIN (SELECT * FROM cov WHERE r_cov <= {_RRF_CAND}) c
+        ON b.query_id = c.query_id AND b.doc_id = c.doc_id
+    )
+    SELECT query_id, doc_id, rrf_score,
+           CAST(COALESCE(r_bm25, 0) AS INT) AS r_bm25,
+           CAST(COALESCE(r_cov, 0) AS INT) AS r_cov,
+           rank
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+      ) AS INT) AS rank
+      FROM fused)
+    WHERE rank <= {_BM25_TOPK}
+    """,
+)
+def hybrid_retrieval_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (RRF, k=60): fuse the
+    BM25 ranking with an independent term-coverage ranking (distinct query
+    terms matched, shorter doc first) — the standard way production search
+    merges lexical scorers (or lexical + vector) without calibrating score
+    scales, because RRF consumes only RANKS. A document missing from one
+    ranker's top-{10} simply contributes nothing from that ranker.
+
+    Determinism: both input rankings are integer row_numbers over already
+    cross-engine-stable orderings (BM25's decimal-summed scores; integer
+    coverage counts with dl/doc_id tiebreaks); the fused score is a fixed
+    two-term sum of exact reciprocals — no accumulation, no libm.
+
+    Scale: candidate generation is bounded per ranker per query (top-k
+    windows over candidate sets already filtered to query-term matches);
+    the fusion is a full outer join of two ≤k-row-per-query tables and a
+    window over ≤2k rows per query. Everything upstream shares the BM25
+    pipeline's shape (literal broadcast query table filters the corpus
+    explode before any shuffle).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    tok = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    dl = tok.select("doc_id", F.size("t").alias("dl"))
+    tf = (
+        exploded_rows(tok, ["doc_id"], F.col("t"), "term")
+        .join(F.broadcast(q), "term")
+        .groupBy("query_id", "term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    bm25 = bm25_rank_queries(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("r_bm25")
+    )
+    wcov = W.partitionBy("query_id").orderBy(
+        F.desc("n_terms"), F.asc("dl"), "doc_id"
+    )
+    cov = (
+        tf.join(dl, "doc_id")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count_distinct("term").alias("n_terms"),
+            F.max("dl").alias("dl"),
+        )
+        .withColumn("r_cov", F.row_number().over(wcov))
+        .filter(F.col("r_cov") <= _RRF_CAND)
+        .select("query_id", "doc_id", "r_cov")
+    )
+    fused = (
+        bm25.join(cov, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            "r_bm25",
+            "r_cov",
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_bm25")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_cov")),
+                    F.lit(0.0),
+                )
+            ).alias("rrf_score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("rrf_score"), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            "rrf_score",
+            F.coalesce("r_bm25", F.lit(0)).alias("r_bm25"),
+            F.coalesce("r_cov", F.lit(0)).alias("r_cov"),
+            "rank",
+        )
+    )

@@ -39,6 +39,7 @@ ALLOW_BNLJ = {
     "zorder_locality_orders",  # 1-row (xmax, ymax) domain agg joined back
     "exp_smoothing_weekly_orders",  # 1-row (wk0, wk1) domain agg x priorities
     "benford_digit_check",  # 1-row grand-total joined back to 9 digit rows
+    "hybrid_retrieval_rrf",  # rides bm25's allowlisted 1-row (N, avgdl) join
     "quality_decile_schedule",  # 1-row exact-quantile thresholds joined back
 }
 
