@@ -79,6 +79,27 @@ _SALT = 16  # parallelism multiplier for low-cardinality block keys
 #: materialization, not the join.
 _JACCARD_PAIRS_CACHE: dict = {}
 
+#: (applicationId, sf_dir) -> the df-ordered signature table
+#: (ops.df_ordered_signatures over documents, lang-blocked). The symmetric
+#: Jaccard join and the asymmetric containment join consume the IDENTICAL
+#: signature build (two shuffles: token df count + per-doc ordered
+#: collect); sharing the lazily-checkpointed table pays it once per
+#: application — the "tokenize and index once, run every set-join off it"
+#: stage of a production dedup pipeline.
+_SIG_CACHE: dict = {}
+
+
+def _doc_signatures(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    sig = _SIG_CACHE.get(key)
+    if sig is None:
+        from ..ops import df_ordered_signatures
+
+        d = load_table(spark, sf_dir, "documents")
+        sig = df_ordered_signatures(d, "doc_id", "text", block_col="lang")
+        _SIG_CACHE[key] = sig
+    return sig
+
 
 @DEDUP.register(
     "neardup_jaccard_pairs",
@@ -126,7 +147,12 @@ def neardup_jaccard_pairs(spark, sf_dir):
     from ..ops import neardup_jaccard_prefix
 
     out = neardup_jaccard_prefix(
-        d, "doc_id", "text", block_col="lang", threshold=0.9
+        d,
+        "doc_id",
+        "text",
+        block_col="lang",
+        threshold=0.9,
+        signatures=_doc_signatures(spark, sf_dir),
     ).select(
         F.col("id_a").alias("doc_a"),
         F.col("id_b").alias("doc_b"),
@@ -590,6 +616,7 @@ def containment_neardup_pairs(spark, sf_dir):
         threshold=_CONT_T,
         min_tokens=_CONT_MIN_TOKENS,
         max_jaccard=_CONT_MAX_J,
+        signatures=_doc_signatures(spark, sf_dir),
     )
 
 

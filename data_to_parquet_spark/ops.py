@@ -23,6 +23,7 @@ __all__ = [
     "neardup_jaccard_prefix",
     "neardup_jaccard_count",
     "neardup_containment_prefix",
+    "df_ordered_signatures",
     "connected_components",
     "cosine_topk",
     "sessionize",
@@ -114,29 +115,21 @@ def neardup_jaccard(
     )
 
 
-def neardup_jaccard_prefix(
+def df_ordered_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str | None = None,
     block_col: str | None = None,
-    threshold: float = 0.9,
     elements: Column | None = None,
 ) -> DataFrame:
-    """Pairs of near-duplicate rows by set Jaccard — exact prefix-filter
-    (AllPairs/PPJoin) index join, the scale path.
-
-    The compared sets default to the distinct word tokens of ``text_col``;
-    pass ``elements`` (any expression yielding ``array<string>``, e.g. 3-word
-    shingles) to run the same index join over a different set family.
-
-    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold;
-    identical result set to :func:`neardup_jaccard` (the blocked all-pairs
-    form), but candidates come from an inverted index over each row's
-    ``|d| - ceil(t·|d|) + 1`` rarest elements (global df-ascending order), so
-    cost scales with candidate pairs, not block². Use this when blocks are
-    large or absent; ``block_col=None`` runs corpus-wide.
+    """(__id, __block, __toks) signature table shared by the prefix-filter
+    set joins: per row, the distinct 64-bit element hashes sorted by GLOBAL
+    ascending document frequency (the canonical AllPairs ordering — every
+    row's prefix is its rarest elements). Lazily localCheckpoint'ed, so
+    callers that share one instance (the symmetric Jaccard join AND the
+    asymmetric containment join run it over the identical corpus) pay the
+    two building shuffles once.
     """
-    t = float(threshold)
     blk = F.col(block_col) if block_col else F.lit(0)
     elems = elements if elements is not None else tokens(F.col(text_col))
     tok = df.select(
@@ -148,7 +141,7 @@ def neardup_jaccard_prefix(
     )
     flat = exploded_rows(tok, ["__id", "__block"], F.col("__toks"), "__tk")
     dfc = flat.groupBy("__tk").agg(F.count(F.lit(1)).alias("__df"))
-    ordered = (
+    return (
         flat.join(dfc, "__tk")
         .groupBy("__id", "__block")
         .agg(
@@ -157,7 +150,40 @@ def neardup_jaccard_prefix(
                 lambda s: s["__tk"],
             ).alias("__toks")
         )
-        .localCheckpoint(eager=False)  # one materialization, four consumers
+        .localCheckpoint(eager=False)  # one materialization, many consumers
+    )
+
+
+def neardup_jaccard_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str | None = None,
+    block_col: str | None = None,
+    threshold: float = 0.9,
+    elements: Column | None = None,
+    signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Pairs of near-duplicate rows by set Jaccard — exact prefix-filter
+    (AllPairs/PPJoin) index join, the scale path.
+
+    The compared sets default to the distinct word tokens of ``text_col``;
+    pass ``elements`` (any expression yielding ``array<string>``, e.g. 3-word
+    shingles) to run the same index join over a different set family, or
+    ``signatures`` (a prebuilt :func:`df_ordered_signatures` table) to share
+    the signature build with other set joins over the same corpus.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold;
+    identical result set to :func:`neardup_jaccard` (the blocked all-pairs
+    form), but candidates come from an inverted index over each row's
+    ``|d| - ceil(t·|d|) + 1`` rarest elements (global df-ascending order), so
+    cost scales with candidate pairs, not block². Use this when blocks are
+    large or absent; ``block_col=None`` runs corpus-wide.
+    """
+    t = float(threshold)
+    ordered = (
+        signatures
+        if signatures is not None
+        else df_ordered_signatures(df, id_col, text_col, block_col, elements)
     )
     n = F.size("__toks")
     plen = (n - F.ceil(n * t) + 1).cast("int")
@@ -302,6 +328,7 @@ def neardup_containment_prefix(
     min_tokens: int = 1,
     max_jaccard: float | None = None,
     elements: Column | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric containment near-dup join: pairs where the SMALLER row's
     element set is covered ``>= threshold`` by the larger row's —
@@ -334,27 +361,10 @@ def neardup_containment_prefix(
     bounded by the prefix-filter rarity ordering.
     """
     t = float(threshold)
-    blk = F.col(block_col) if block_col else F.lit(0)
-    elems = elements if elements is not None else tokens(F.col(text_col))
-    tok = df.select(
-        F.col(id_col).alias("__id"),
-        blk.alias("__block"),
-        F.array_distinct(
-            F.transform(elems, lambda x: F.xxhash64(x))
-        ).alias("__toks"),
-    )
-    flat = exploded_rows(tok, ["__id", "__block"], F.col("__toks"), "__tk")
-    dfc = flat.groupBy("__tk").agg(F.count(F.lit(1)).alias("__df"))
     ordered = (
-        flat.join(dfc, "__tk")
-        .groupBy("__id", "__block")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__df", "__tk"))),
-                lambda s: s["__tk"],
-            ).alias("__toks")
-        )
-        .localCheckpoint(eager=False)  # shared by probe, index, and verify
+        signatures
+        if signatures is not None
+        else df_ordered_signatures(df, id_col, text_col, block_col, elements)
     )
     n = F.size("__toks")
     plen = (n - F.ceil(n * t) + 1).cast("int")
