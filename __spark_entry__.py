@@ -65,6 +65,8 @@ _PRIORITY = [
     "dsir_importance_select",
     "streaming_incremental_neardup",
     "hybrid_retrieval_rrf",
+    "fk_orphan_audit",
+    "quantile_normalize_lengths",
     # --- round-5 session-3 new queries (first driver contact) ---
     "bm25_rank_queries",
     "inverted_index_postings",

@@ -969,3 +969,91 @@ def dsir_importance_select(spark, sf_dir):
         "dsir_score",
         (F.row_number().over(w) <= k).alias("selected"),
     )
+
+
+@PIPE.register(
+    "quantile_normalize_lengths",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, n_chars FROM documents
+    ), pr AS (
+      SELECT doc_id, source, n_chars,
+             PERCENT_RANK() OVER (
+               PARTITION BY source ORDER BY n_chars
+             ) AS pr
+      FROM d
+    ), g AS (
+      SELECT n_chars AS v,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS idx
+      FROM d
+    ), n AS (SELECT COUNT(*) AS n FROM d)
+    SELECT pr.doc_id, pr.source, pr.n_chars,
+           round(pr.pr, 9) AS src_pctile,
+           round(glo.v + (pr.pr * (n.n - 1) - floor(pr.pr * (n.n - 1)))
+                         * (ghi.v - glo.v), 6) AS normalized
+    FROM pr
+    CROSS JOIN n
+    JOIN g glo ON glo.idx = CAST(floor(pr.pr * (n.n - 1)) AS BIGINT) + 1
+    JOIN g ghi ON ghi.idx = least(
+        CAST(floor(pr.pr * (n.n - 1)) AS BIGINT) + 2, n.n)
+    """,
+)
+def quantile_normalize_lengths(spark, sf_dir):
+    """Quantile normalization of a per-document score across sources: map
+    each doc's within-SOURCE percentile of ``n_chars`` onto the GLOBAL
+    length distribution (linear interpolation between adjacent global
+    order statistics). This is how mixed-corpus pipelines calibrate
+    per-source quality/length scores before a single global threshold is
+    applied — a crawl source whose lengths run long no longer dominates a
+    books source purely by scale shift.
+
+    Determinism: percent_rank is the identical rational ((rank-1)/(n-1))
+    in both engines; the interpolation index and fraction are the same
+    IEEE double expression over it, so floor() agrees; values are
+    integers; one final round(6). Ties in the global order carry equal
+    values, so tie order cannot change the mapping.
+
+    Scale: one window per source partition, one global order statistic
+    table (a full sort of scores — at 100 TB you'd swap in a sampled
+    quantile-sketch lookup table, leaving everything else unchanged), and
+    two integer-keyed joins Spark resolves as shuffle joins on the
+    bounded index key. Output is one row per document.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    pr = d.withColumn(
+        "pr",
+        F.percent_rank().over(
+            W.partitionBy("source").orderBy("n_chars")
+        ),
+    )
+    g = d.select(
+        F.col("n_chars").alias("v"),
+        F.row_number()
+        .over(W.orderBy("n_chars", "doc_id"))
+        .alias("idx"),
+    )
+    n = d.count()
+    p = F.col("pr") * (n - 1)
+    lo = F.floor(p).cast("long") + 1
+    hi = F.least(lo + 1, F.lit(n))
+    frac = p - F.floor(p)
+    glo = g.select(F.col("idx").alias("__lo_idx"), F.col("v").alias("__lo_v"))
+    ghi = g.select(F.col("idx").alias("__hi_idx"), F.col("v").alias("__hi_v"))
+    return (
+        pr.withColumn("__lo_idx", lo)
+        .withColumn("__hi_idx", hi)
+        .join(glo, "__lo_idx")
+        .join(ghi, "__hi_idx")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round("pr", 9).alias("src_pctile"),
+            F.round(
+                F.col("__lo_v") + frac * (F.col("__hi_v") - F.col("__lo_v")),
+                6,
+            ).alias("normalized"),
+        )
+    )

@@ -1785,3 +1785,64 @@ def chisq_independence_orders(spark, sf_dir):
             "chi_term"
         ),
     )
+
+
+_FK_RELS = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+@REL.register(
+    "fk_orphan_audit",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{name}' AS relationship,
+           CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS n_child_rows,
+           CAST((SELECT COUNT(*) FROM {child}
+                 WHERE {fk} IS NOT NULL
+                   AND {fk} NOT IN (SELECT {pk} FROM {parent})) AS BIGINT)
+             AS n_orphans,
+           CAST((SELECT COUNT(*) FROM {child} WHERE {fk} IS NULL) AS BIGINT)
+             AS n_null_fk"""
+        for name, child, fk, parent, pk in _FK_RELS
+    ),
+)
+def fk_orphan_audit(spark, sf_dir):
+    """Referential-integrity audit across every foreign key in the star
+    schema: per relationship, the child row count, the orphan count (FK
+    value present but matching no parent key), and the null-FK count —
+    the first profiling pass run on any newly-landed extract, and the
+    complement of `dq_check_lineitem`'s value-domain rules.
+
+    Scale: each relationship is ONE left-anti-shaped join aggregated to a
+    single row — Spark plans the dim-side parents (nation, customer,
+    supplier, part) as broadcasts and the big-big check (lineitem→orders)
+    as a shuffle join on the key; counts are map-side-combined. All
+    outputs are integers.
+    """
+    out = None
+    for name, child, fk, parent, pk in _FK_RELS:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pk).alias("__pk")
+        ).distinct()
+        joined = c.select(F.col(fk).alias("__fk")).join(
+            p, F.col("__fk") == F.col("__pk"), "left"
+        )
+        row = joined.agg(
+            F.lit(name).alias("relationship"),
+            F.count(F.lit(1)).alias("n_child_rows"),
+            F.sum(
+                (
+                    F.col("__fk").isNotNull() & F.col("__pk").isNull()
+                ).cast("long")
+            ).alias("n_orphans"),
+            F.sum(F.col("__fk").isNull().cast("long")).alias("n_null_fk"),
+        ).select("relationship", "n_child_rows", "n_orphans", "n_null_fk")
+        out = row if out is None else out.unionByName(row)
+    return out
