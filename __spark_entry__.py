@@ -67,6 +67,7 @@ _PRIORITY = [
     "hybrid_retrieval_rrf",
     "fk_orphan_audit",
     "quantile_normalize_lengths",
+    "seasonal_decompose_weekly",
     # --- round-5 session-3 new queries (first driver contact) ---
     "bm25_rank_queries",
     "inverted_index_postings",

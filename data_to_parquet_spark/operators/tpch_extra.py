@@ -1189,3 +1189,87 @@ def exp_smoothing_weekly_orders(spark, sf_dir):
     return series.select(
         "o_orderpriority", "n_weeks", F.round(level, 9).alias("level")
     )
+
+
+@TPCH_X.register(
+    "seasonal_decompose_weekly",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS day, COUNT(*) AS n
+      FROM orders GROUP BY 1
+    ), tr AS (
+      SELECT day, n,
+             CASE WHEN COUNT(*) OVER w = 7
+                  THEN CAST(SUM(n) OVER w AS DOUBLE) / 7 END AS trend,
+             CAST(((date_diff('day', DATE '1992-01-06', day) % 7) + 7) % 7
+                  AS BIGINT) AS dow
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), seas AS (
+      SELECT dow,
+             CAST(SUM(CAST(n - trend AS DECIMAL(18,9))) AS DOUBLE)
+               / COUNT(n - trend) AS seasonal
+      FROM tr WHERE trend IS NOT NULL GROUP BY dow
+    )
+    SELECT strftime(tr.day, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n,
+           tr.dow,
+           round(trend, 6) AS trend,
+           round(seas.seasonal, 6) AS seasonal,
+           round(n - trend - seas.seasonal, 6) AS residual
+    FROM tr JOIN seas USING (dow)
+    WHERE trend IS NOT NULL
+    """,
+)
+def seasonal_decompose_weekly(spark, sf_dir):
+    """Classical seasonal decomposition (additive, weekly period) of the
+    daily order-count series: trend = centered 7-day moving average (only
+    full windows), seasonal = per-day-of-week mean of the detrended
+    series, residual = the rest — the decomposition behind capacity
+    planning and anomaly baselines (`hourly_anomaly_zscores` is the
+    z-score cousin; this separates WHERE the variation lives).
+
+    Determinism: counts are integers; the trend is one exact integer sum
+    / 7; day-of-week is pure integer date arithmetic (days since a fixed
+    Monday, mod 7 — no engine-specific DOW numbering); the per-dow
+    seasonal mean uses the repo's decimal-sum recipe so summation order
+    never matters; one final round(6) per float column. Scale: one
+    map-side-combined daily aggregate (|days| rows), a single ordered
+    window over that tiny series, and a 7-row broadcast join back.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "n",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.sum("n").over(w).cast("double") / 7,
+        ).alias("trend"),
+        F.pmod(
+            F.datediff(F.col("day"), F.lit("1992-01-06").cast("date")),
+            F.lit(7),
+        )
+        .cast("long")
+        .alias("dow"),
+    ).filter(F.col("trend").isNotNull())
+    seas = tr.groupBy("dow").agg(
+        (
+            F.sum((F.col("n") - F.col("trend")).cast("decimal(18,9)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("seasonal")
+    )
+    return tr.join(F.broadcast(seas), "dow").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        "dow",
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(
+            F.col("n") - F.col("trend") - F.col("seasonal"), 6
+        ).alias("residual"),
+    )
