@@ -68,6 +68,7 @@ _PRIORITY = [
     "fk_orphan_audit",
     "quantile_normalize_lengths",
     "seasonal_decompose_weekly",
+    "kaplan_meier_view_to_purchase",
     # --- round-5 session-3 new queries (first driver contact) ---
     "bm25_rank_queries",
     "inverted_index_postings",

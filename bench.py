@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "fk_orphan_audit",
     "quantile_normalize_lengths",
     "seasonal_decompose_weekly",
+    "kaplan_meier_view_to_purchase",
     # streaming_incremental_neardup is registry/driver-checked but NOT
     # benched: a 5-epoch foreachBatch composition is ~20 s of fixed
     # per-epoch stage overhead at sf0.1 — it would be 15% of the bench

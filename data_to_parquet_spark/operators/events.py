@@ -1226,3 +1226,114 @@ def skew_salted_agg_events(spark, sf_dir):
             "avg_value"
         ),
     )
+
+
+@EVT.register(
+    "kaplan_meier_view_to_purchase",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+             MAX(ts) AS tlast
+      FROM events GROUP BY user_id
+    ), subjects AS (
+      SELECT user_id,
+             CASE WHEN tp IS NOT NULL AND tp >= t0 THEN 1 ELSE 0 END
+               AS event_flag,
+             CASE WHEN tp IS NOT NULL AND tp >= t0
+                  THEN (epoch_us(tp) - epoch_us(t0)) // 86400000000
+                  ELSE (epoch_us(tlast) - epoch_us(t0)) // 86400000000
+             END AS dur
+      FROM per_user WHERE t0 IS NOT NULL
+    ), counts AS (
+      SELECT dur,
+             SUM(event_flag) AS d,
+             SUM(1 - event_flag) AS c
+      FROM subjects GROUP BY dur
+    ), risk AS (
+      SELECT dur, d, c,
+             (SELECT COUNT(*) FROM subjects)
+               - COALESCE(SUM(d + c) OVER (
+                   ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS n_at_risk
+      FROM counts
+    )
+    SELECT CAST(dur AS BIGINT) AS duration_days,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS d_events,
+           CAST(c AS BIGINT) AS c_censored,
+           round(exp(SUM(ln(1.0 - CAST(d AS DOUBLE) / n_at_risk)) OVER (
+             ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )), 6) AS survival
+    FROM risk
+    """,
+)
+def kaplan_meier_view_to_purchase(spark, sf_dir):
+    """Kaplan-Meier survival curve for time-to-conversion: per user, the
+    days from first `view` to first subsequent `purchase`; users who never
+    purchase are right-CENSORED at their last observed event — the
+    estimator product-limit handles them correctly where a naive average
+    of converted users only would be biased. The standard funnel-latency /
+    churn analysis over event streams.
+
+    Determinism: durations are exact integer day floors (micros
+    arithmetic, the round-5 precision convention); at-risk counts are
+    window sums of integers; each hazard factor ln(1 − d/n) is one
+    closed-form double over integers, and the cumulative product runs as
+    a RUNNING ln-sum over the duration-ordered series — both engines
+    accumulate a running window frame sequentially in frame order, so
+    the float sum is order-identical, then one exp and round(6).
+
+    Scale: one shuffle keyed on user_id (the conditional-min aggregate),
+    one map-side-combined aggregate to |distinct durations| rows, and
+    windows over that tiny series; the 1-row total-subject count is a
+    broadcast scalar.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+        F.max("ts").alias("tlast"),
+    )
+    has_event = F.col("tp").isNotNull() & (F.col("tp") >= F.col("t0"))
+    subjects = per_user.filter(F.col("t0").isNotNull()).select(
+        has_event.cast("long").alias("event_flag"),
+        F.when(
+            has_event,
+            F.floor(
+                (F.unix_micros("tp") - F.unix_micros("t0")) / 86_400_000_000
+            ),
+        )
+        .otherwise(
+            F.floor(
+                (F.unix_micros("tlast") - F.unix_micros("t0"))
+                / 86_400_000_000
+            )
+        )
+        .alias("dur"),
+    )
+    counts = subjects.groupBy("dur").agg(
+        F.sum("event_flag").alias("d"),
+        F.sum(F.lit(1) - F.col("event_flag")).alias("c"),
+    )
+    total = subjects.count()
+    wprev = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+    wrun = W.orderBy("dur").rowsBetween(W.unboundedPreceding, 0)
+    risk = counts.withColumn(
+        "n_at_risk",
+        F.lit(total)
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0)),
+    )
+    lnf = F.log(
+        F.lit(1.0) - F.col("d").cast("double") / F.col("n_at_risk")
+    )
+    return risk.select(
+        F.col("dur").alias("duration_days"),
+        "n_at_risk",
+        F.col("d").alias("d_events"),
+        F.col("c").alias("c_censored"),
+        F.round(F.exp(F.sum(lnf).over(wrun)), 6).alias("survival"),
+    )
