@@ -69,6 +69,8 @@ _PRIORITY = [
     "quantile_normalize_lengths",
     "seasonal_decompose_weekly",
     "kaplan_meier_view_to_purchase",
+    "ab_conversion_ztest",
+    "theilsen_trend_by_priority",
     # --- round-5 session-3 new queries (first driver contact) ---
     "bm25_rank_queries",
     "inverted_index_postings",

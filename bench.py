@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "quantile_normalize_lengths",
     "seasonal_decompose_weekly",
     "kaplan_meier_view_to_purchase",
+    "ab_conversion_ztest",
+    "theilsen_trend_by_priority",
     # streaming_incremental_neardup is registry/driver-checked but NOT
     # benched: a 5-epoch foreachBatch composition is ~20 s of fixed
     # per-epoch stage overhead at sf0.1 — it would be 15% of the bench

@@ -1337,3 +1337,77 @@ def kaplan_meier_view_to_purchase(spark, sf_dir):
         F.col("c").alias("c_censored"),
         F.round(F.exp(F.sum(lnf).over(wrun)), 6).alias("survival"),
     )
+
+
+@EVT.register(
+    "ab_conversion_ztest",
+    oracle="""
+    WITH arms AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ), agg AS (
+      SELECT
+        SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+        SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS x_a,
+        SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+        SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS x_b
+      FROM arms
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+           round(CAST(x_a AS DOUBLE) / n_a, 9) AS p_a,
+           round(CAST(x_b AS DOUBLE) / n_b, 9) AS p_b,
+           round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+    FROM agg
+    """,
+)
+def ab_conversion_ztest(spark, sf_dir):
+    """Two-proportion z-test for an A/B experiment readout: users split
+    into arms by a deterministic hash rule (user_id parity standing in
+    for the assignment hash), conversion = ever purchased; reports both
+    rates and the pooled-variance z statistic — the standard
+    experimentation-platform significance readout.
+
+    Determinism: every input to the statistic is an exact integer
+    (per-arm user and converter counts commute across partitions); the
+    z-score is one closed-form double expression over four integers,
+    rounded to 6. Scale: one user-keyed aggregate then a single 4-cell
+    map-side-combined rollup — the statistic never sees row-level data.
+    """
+    e = load_table(spark, sf_dir, "events")
+    arms = e.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("long")) >= 14
+        )
+        .cast("long")
+        .alias("converted")
+    ).select((F.col("user_id") % 2).alias("arm"), "converted")
+    agg = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0)).alias("x_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0)).alias("x_b"),
+    )
+    pa = F.col("x_a").cast("double") / F.col("n_a")
+    pb = F.col("x_b").cast("double") / F.col("n_b")
+    pp = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (pa - pb) / F.sqrt(
+        pp * (1.0 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return agg.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.round(pa, 9).alias("p_a"),
+        F.round(pb, 9).alias("p_b"),
+        F.round(z, 6).alias("z_score"),
+    )

@@ -1273,3 +1273,108 @@ def seasonal_decompose_weekly(spark, sf_dir):
             F.col("n") - F.col("trend") - F.col("seasonal"), 6
         ).alias("residual"),
     )
+
+
+@TPCH_X.register(
+    "theilsen_trend_by_priority",
+    oracle="""
+    WITH weekly AS (
+      SELECT o_orderpriority,
+             date_diff('day', DATE '1992-01-06',
+                       CAST(date_trunc('week', o_orderdate) AS DATE)) // 7
+               AS wk,
+             COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY o_orderpriority, date_trunc('week', o_orderdate)
+    ), slopes AS (
+      SELECT a.o_orderpriority,
+             CAST(b.n_orders - a.n_orders AS DOUBLE)
+               / (b.wk - a.wk) AS slope
+      FROM weekly a JOIN weekly b
+        ON a.o_orderpriority = b.o_orderpriority AND a.wk < b.wk
+    ), med AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n_pairs,
+             quantile_cont(slope, 0.5) AS slope_med
+      FROM slopes GROUP BY o_orderpriority
+    )
+    SELECT med.o_orderpriority,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           round(slope_med, 9) AS slope_per_week,
+           round(quantile_cont(w.n_orders - slope_med * w.wk, 0.5), 9)
+             AS intercept
+    FROM med JOIN weekly w ON med.o_orderpriority = w.o_orderpriority
+    GROUP BY med.o_orderpriority, n_pairs, slope_med
+    """,
+)
+def theilsen_trend_by_priority(spark, sf_dir):
+    """Theil-Sen robust trend per order priority: the MEDIAN of all
+    pairwise slopes of the weekly volume series (intercept = median of
+    y − slope·x) — the outlier-resistant companion to the OLS
+    `order_trend_by_priority`: one anomalous holiday week moves OLS but
+    not the pairwise-slope median. Standard robust-statistics tooling for
+    noisy operational series.
+
+    Determinism: every pairwise slope is one int/int double division;
+    exact interpolated medians are bit-identical cross-engine (Spark
+    `percentile` ≡ DuckDB `quantile_cont`, the
+    `percentile_prices_by_flag` precedent); round(9) on output only.
+
+    Scale: the pairwise join is |weeks|² PER GROUP over the
+    already-aggregated weekly table (~350 weeks → ~61k pairs per
+    priority), never over raw orders — the classic "quadratic on the
+    small aggregate, linear on the data" shape. At much longer series
+    you'd switch to the repeated-median or sampled-pairs variant; the
+    group key bounds the shuffle either way.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    weekly = (
+        o.select(
+            "o_orderpriority",
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", F.col("o_orderdate")).cast("date"),
+                    F.lit("1992-01-06").cast("date"),
+                )
+                / 7
+            ).alias("wk"),
+        )
+        .groupBy("o_orderpriority", "wk")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    a = weekly.select(
+        F.col("o_orderpriority").alias("__p"),
+        F.col("wk").alias("__wa"),
+        F.col("n_orders").alias("__ya"),
+    )
+    b = weekly.select(
+        F.col("o_orderpriority").alias("__p"),
+        F.col("wk").alias("__wb"),
+        F.col("n_orders").alias("__yb"),
+    )
+    slopes = a.join(b, ["__p"]).filter(F.col("__wa") < F.col("__wb")).select(
+        "__p",
+        (
+            (F.col("__yb") - F.col("__ya")).cast("double")
+            / (F.col("__wb") - F.col("__wa"))
+        ).alias("slope"),
+    )
+    med = slopes.groupBy("__p").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.percentile("slope", 0.5).alias("slope_med"),
+    )
+    return (
+        med.join(weekly, med["__p"] == weekly["o_orderpriority"])
+        .groupBy("o_orderpriority", "n_pairs", "slope_med")
+        .agg(
+            F.percentile(
+                F.col("n_orders") - F.col("slope_med") * F.col("wk"), 0.5
+            ).alias("__imed")
+        )
+        .select(
+            "o_orderpriority",
+            "n_pairs",
+            F.round("slope_med", 9).alias("slope_per_week"),
+            F.round("__imed", 9).alias("intercept"),
+        )
+    )
