@@ -71,6 +71,7 @@ _PRIORITY = [
     "kaplan_meier_view_to_purchase",
     "ab_conversion_ztest",
     "theilsen_trend_by_priority",
+    "item_cooccurrence_recs",
     # --- round-5 session-3 new queries (first driver contact) ---
     "bm25_rank_queries",
     "inverted_index_postings",

@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "kaplan_meier_view_to_purchase",
     "ab_conversion_ztest",
     "theilsen_trend_by_priority",
+    "item_cooccurrence_recs",
     # streaming_incremental_neardup is registry/driver-checked but NOT
     # benched: a 5-epoch foreachBatch composition is ~20 s of fixed
     # per-epoch stage overhead at sf0.1 — it would be 15% of the bench

@@ -1378,3 +1378,112 @@ def theilsen_trend_by_priority(spark, sf_dir):
             F.round("__imed", 9).alias("intercept"),
         )
     )
+
+
+_REC_TOPN = 3  # recommendations per brand
+
+
+@TPCH_X.register(
+    "item_cooccurrence_recs",
+    oracle=f"""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+    ), tot AS (
+      SELECT p_brand, COUNT(*) AS n FROM ob GROUP BY p_brand
+    ), cooc AS (
+      SELECT x.p_brand AS brand_a, y.p_brand AS brand_b,
+             COUNT(*) AS n_both
+      FROM ob x JOIN ob y
+        ON x.l_orderkey = y.l_orderkey AND x.p_brand <> y.p_brand
+      GROUP BY x.p_brand, y.p_brand
+    ), scored AS (
+      SELECT brand_a, brand_b, n_both,
+             round(CAST(n_both AS DOUBLE)
+                   / (sqrt(CAST(ta.n AS DOUBLE)) * sqrt(CAST(tb.n AS DOUBLE))),
+                   9) AS cosine
+      FROM cooc
+      JOIN tot ta ON ta.p_brand = brand_a
+      JOIN tot tb ON tb.p_brand = brand_b
+    )
+    SELECT brand_a, brand_b, CAST(n_both AS BIGINT) AS n_both, cosine,
+           rec_rank
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY brand_a ORDER BY cosine DESC, brand_b
+      ) AS INT) AS rec_rank
+      FROM scored)
+    WHERE rec_rank <= {_REC_TOPN}
+    """,
+)
+def item_cooccurrence_recs(spark, sf_dir):
+    """Item-item collaborative recommendations ("customers who bought X
+    also bought Y"): cosine similarity between brands over the
+    order-basket incidence matrix — cos(a,b) = |orders with both| /
+    √|a|·√|b| — ranked top-{3} per brand. The classic co-occurrence
+    recommender (Amazon-style item-item CF), built on the same
+    one-fact-shuffle basket machinery as `basket_brand_pairs` but
+    producing a per-item ranked recommendation list rather than global
+    rule stats.
+
+    Determinism: co-occurrence and marginal counts are exact integers;
+    cosine is one closed-form double over them, rounded to 9; ranks
+    tiebreak on brand_b. Scale: one DISTINCT on (order, brand) — the
+    only shuffle proportional to the fact table — then per-order pair
+    fan-out bounded by basket-size² on the deduplicated baskets and a
+    |brands|²-bounded aggregate; the rec window partitions are ≤|brands|
+    rows each.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    tot = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    # one shuffle: per-order brand sets, pairs generated map-side
+    baskets = ob.groupBy("l_orderkey").agg(
+        F.collect_set("p_brand").alias("brands")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(brands, a ->"
+                " transform(filter(brands, b -> b != a),"
+                "           b -> struct(a AS brand_a, b AS brand_b))))"
+            )
+        ).alias("pr")
+    ).select("pr.brand_a", "pr.brand_b")
+    cooc = pairs.groupBy("brand_a", "brand_b").agg(
+        F.count(F.lit(1)).alias("n_both")
+    )
+    ta = tot.select(
+        F.col("p_brand").alias("brand_a"), F.col("n").alias("__na")
+    )
+    tb = tot.select(
+        F.col("p_brand").alias("brand_b"), F.col("n").alias("__nb")
+    )
+    scored = (
+        cooc.join(F.broadcast(ta), "brand_a")
+        .join(F.broadcast(tb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (
+                    F.sqrt(F.col("__na").cast("double"))
+                    * F.sqrt(F.col("__nb").cast("double"))
+                ),
+                9,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("brand_a").orderBy(F.desc("cosine"), "brand_b")
+    return (
+        scored.withColumn("rec_rank", F.row_number().over(w))
+        .filter(F.col("rec_rank") <= _REC_TOPN)
+        .select("brand_a", "brand_b", "n_both", "cosine", "rec_rank")
+    )
