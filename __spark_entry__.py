@@ -72,6 +72,7 @@ _PRIORITY = [
     "ab_conversion_ztest",
     "theilsen_trend_by_priority",
     "item_cooccurrence_recs",
+    "als_one_sweep_factors",
     # --- round-5 session-3 new queries (first driver contact) ---
     "bm25_rank_queries",
     "inverted_index_postings",

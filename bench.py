@@ -139,7 +139,9 @@ BENCH_QUERIES = [
     "ab_conversion_ztest",
     "theilsen_trend_by_priority",
     "item_cooccurrence_recs",
-    # streaming_incremental_neardup is registry/driver-checked but NOT
+    # als_one_sweep_factors and streaming_incremental_neardup are
+    # registry/driver-checked but NOT benched: the ALS sweep is ~6 s of
+    # multi-stage driver-coordinated linear algebra and the foreachBatch is registry/driver-checked but NOT
     # benched: a 5-epoch foreachBatch composition is ~20 s of fixed
     # per-epoch stage overhead at sf0.1 — it would be 15% of the bench
     # line while measuring scheduler latency, not operator throughput.

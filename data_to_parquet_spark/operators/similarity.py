@@ -882,3 +882,191 @@ def embedding_dim_profile(spark, sf_dir):
         F.min("x").alias("vmin"),
         F.max("x").alias("vmax"),
     )
+
+
+_ALS_RANK = 4  # latent factor dimension
+_ALS_REG = 0.1  # ridge regularization lambda
+
+
+def _als_item_init(n_items: int) -> np.ndarray:
+    """Deterministic item-factor init: md5-derived uniforms in [0, 1) —
+    no RNG state, reproducible across engines/runs/partitionings."""
+    import hashlib
+
+    vals = []
+    for i in range(n_items):
+        for d in range(_ALS_RANK):
+            h = hashlib.md5(f"als:{i}:{d}".encode()).hexdigest()
+            vals.append(int(h[:15], 16) / float(1 << 60))
+    return np.array(vals).reshape(n_items, _ALS_RANK)
+
+
+@SIM.register("als_one_sweep_factors", oracle=None)
+def als_one_sweep_factors(spark, sf_dir):
+    """One full ALS sweep (the MLlib marquee algorithm re-expressed on the
+    DataFrame API): explicit-feedback alternating least squares over the
+    customer × brand purchase-count matrix — solve every user factor
+    against fixed item factors, then re-solve every item factor against
+    the new user factors. Output: per-brand factor norms, rater counts,
+    and the observed-entry RMSE of the resulting model.
+
+    Distributed shape (what makes ALS scale on Spark):
+    * USER step: item factors are a tiny broadcast k×d constant inside a
+      `mapInPandas` batch solver — each Arrow batch assembles its users'
+      d×d normal equations and solves them with ONE batched
+      `np.linalg.solve`; per-user rating lists arrive via a single
+      user-keyed shuffle (collect_list sorted by item for deterministic
+      accumulation order).
+    * ITEM step: the reduction Σᵤ xᵤxᵤᵀ per item must aggregate over
+      millions of users, so state cannot live per-task: each rating row
+      emits its d²+d Gram/rhs contributions, and ONE map-side-combined
+      groupBy((item, coeff_idx)) sums them — the shuffle carries
+      |items|·(d²+d)·partitions rows, independent of user count (the
+      same batch-Gram trick as `embedding_pca_components`). Only the
+      |items|×(d²+d) solved table ever reaches the driver.
+    * RMSE: one join of ratings against both factor tables, one scalar
+      aggregate.
+
+    Rows-only (iterative float linear algebra is not SQL-expressible);
+    tests/test_als.py pins factors and RMSE against a dense numpy
+    replication with identical init, ordering, and regularization.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    ratings = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            F.col("o_custkey").alias("user"), F.col("p_brand").alias("brand")
+        )
+        .agg(F.count_distinct("o_orderkey").alias("r"))
+    )
+    brands = sorted(
+        r["brand"] for r in ratings.select("brand").distinct().collect()
+    )
+    b_idx = {b: i for i, b in enumerate(brands)}
+    n_items = len(brands)
+    y = _als_item_init(n_items)
+
+    idx_expr = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(b) for b in brands]),
+            F.array(*[F.lit(i) for i in range(n_items)]),
+        ),
+        F.col("brand"),
+    )
+    rated = ratings.select(
+        "user", idx_expr.alias("item"), F.col("r").cast("double").alias("r")
+    ).localCheckpoint(eager=False)
+
+    # ---- user step: batched per-user ridge solve against broadcast y ----
+    per_user = rated.groupBy("user").agg(
+        F.array_sort(
+            F.collect_list(F.struct("item", "r"))
+        ).alias("obs")
+    )
+
+    def solve_users(it):
+        lam = _ALS_REG
+        eye = np.eye(_ALS_RANK)
+        for pdf in it:
+            out_u, out_x = [], []
+            for user, obs in zip(pdf["user"], pdf["obs"]):
+                items = np.array([int(t["item"]) for t in obs])
+                rs = np.array([float(t["r"]) for t in obs])
+                yi = y[items]  # (m, d)
+                a = yi.T @ yi + lam * len(items) * eye
+                b = yi.T @ rs
+                out_u.append(user)
+                out_x.append(np.linalg.solve(a, b))
+            yield pd.DataFrame(
+                {"user": out_u, "x": [v.tolist() for v in out_x]}
+            )
+
+    x_df = per_user.mapInPandas(
+        solve_users, "user long, x array<double>"
+    ).localCheckpoint(eager=False)
+
+    # ---- item step: per-rating Gram/rhs contributions, one groupBy ----
+    d = _ALS_RANK
+    joined = rated.join(x_df, "user")
+    contrib_expr = F.expr(
+        f"""flatten(transform(sequence(0, {d - 1}, 1), i ->
+             transform(sequence(0, {d - 1}, 1), j ->
+               element_at(x, i + 1) * element_at(x, j + 1))))"""
+    )
+    rhs_expr = F.expr(
+        f"transform(sequence(0, {d - 1}, 1), i -> element_at(x, i + 1) * r)"
+    )
+    flat = exploded_rows_pos(
+        joined.select(
+            "item", F.concat(contrib_expr, rhs_expr).alias("__c")
+        ),
+        ["item"],
+        F.col("__c"),
+        "cidx",
+        "val",
+    )
+    sums = (
+        flat.groupBy("item", "cidx")
+        .agg(F.sum("val").alias("s"))
+        .collect()
+    )
+    n_raters = {
+        r["item"]: r["n"]
+        for r in rated.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    grams = np.zeros((n_items, d, d))
+    rhs = np.zeros((n_items, d))
+    for r in sums:
+        i, c = r["item"], r["cidx"]
+        if c < d * d:
+            grams[i, c // d, c % d] = r["s"]
+        else:
+            rhs[i, c - d * d] = r["s"]
+    y_new = np.zeros_like(y)
+    for i in range(n_items):
+        a = grams[i] + _ALS_REG * n_raters.get(i, 0) * np.eye(d)
+        y_new[i] = np.linalg.solve(a, rhs[i]) if n_raters.get(i) else y[i]
+
+    # ---- RMSE of the swept model over observed entries ----
+    y_flat = [float(v) for row in y_new for v in row]
+    y_col = F.array(*[F.lit(v) for v in y_flat])
+    pred = F.expr(
+        f"""aggregate(transform(sequence(0, {d - 1}, 1), i ->
+              element_at(x, i + 1)
+              * element_at(__y, item * {d} + i + 1)),
+            cast(0.0 as double), (acc, v) -> acc + v)"""
+    )
+    err = joined.withColumn("__y", y_col).select(
+        "item", ((F.col("r") - pred) * (F.col("r") - pred)).alias("se")
+    )
+    per_item = {
+        r["item"]: (r["sse"], r["n"])
+        for r in err.groupBy("item")
+        .agg(F.sum("se").alias("sse"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total_sse = sum(v[0] for v in per_item.values())
+    total_n = sum(v[1] for v in per_item.values())
+    rmse = float(np.sqrt(total_sse / total_n))
+    rows = [
+        (
+            brands[i],
+            int(n_raters.get(i, 0)),
+            round(float(np.sqrt((y_new[i] ** 2).sum())), 6),
+            round(float(np.sqrt(per_item[i][0] / per_item[i][1])), 6)
+            if i in per_item
+            else None,
+            round(rmse, 6),
+        )
+        for i in range(n_items)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "brand string, n_raters long, factor_norm double,"
+        " item_rmse double, global_rmse double",
+    )
