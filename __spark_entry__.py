@@ -73,6 +73,7 @@ _PRIORITY = [
     "theilsen_trend_by_priority",
     "item_cooccurrence_recs",
     "als_one_sweep_factors",
+    "dbscan_embedding_clusters",
     # --- round-5 session-3 new queries (first driver contact) ---
     "bm25_rank_queries",
     "inverted_index_postings",

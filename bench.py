@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "ab_conversion_ztest",
     "theilsen_trend_by_priority",
     "item_cooccurrence_recs",
+    "dbscan_embedding_clusters",
     # als_one_sweep_factors and streaming_incremental_neardup are
     # registry/driver-checked but NOT benched: the ALS sweep is ~6 s of
     # multi-stage driver-coordinated linear algebra and the foreachBatch is registry/driver-checked but NOT

@@ -1070,3 +1070,123 @@ def als_one_sweep_factors(spark, sf_dir):
         "brand string, n_raters long, factor_norm double,"
         " item_rmse double, global_rmse double",
     )
+
+
+_DBSCAN_MIN_NBRS = 3  # core point: >= this many eps-neighbors (self excluded)
+
+
+@SIM.register(
+    "dbscan_embedding_clusters",
+    oracle=f"""
+    WITH RECURSIVE bands AS ({_ND_BANDS_CTE}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS u, b.vec_id AS v
+      FROM bands a JOIN bands b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ), pairs AS (
+      SELECT c.u, c.v
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.u
+      JOIN embeddings b ON b.vec_id = c.v
+      WHERE {_dd_cosine('a.embedding', 'b.embedding')} >= {_ND_THRESHOLD}
+    ), edges AS (
+      SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+    ), deg AS (
+      SELECT u AS vec_id, COUNT(*) AS deg FROM edges GROUP BY u
+    ), core AS (
+      SELECT vec_id FROM deg WHERE deg >= {_DBSCAN_MIN_NBRS}
+    ), core_edges AS (
+      SELECT e.u, e.v FROM edges e
+      JOIN core cu ON cu.vec_id = e.u
+      JOIN core cv ON cv.vec_id = e.v
+    ), reach(u, v) AS (
+      SELECT vec_id, vec_id FROM core
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN core_edges e ON r.v = e.u
+    ), labels AS (
+      SELECT u AS vec_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+    ), border AS (
+      SELECT e.u AS vec_id, MIN(l.cluster_id) AS cluster_id
+      FROM edges e JOIN labels l ON l.vec_id = e.v
+      WHERE e.u NOT IN (SELECT vec_id FROM core)
+      GROUP BY e.u
+    )
+    SELECT em.vec_id,
+           CASE WHEN l.cluster_id IS NOT NULL THEN 'core'
+                WHEN b.cluster_id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(COALESCE(l.cluster_id, b.cluster_id, -1) AS BIGINT)
+             AS cluster_id
+    FROM embeddings em
+    LEFT JOIN labels l ON l.vec_id = em.vec_id
+    LEFT JOIN border b ON b.vec_id = em.vec_id
+    """,
+)
+def dbscan_embedding_clusters(spark, sf_dir):
+    """Density-based clustering (DBSCAN) over the embedding space: core
+    points have ≥ {3} eps-neighbors (cosine ≥ {0.25} over the sign-LSH
+    candidate graph — the same bucketed eps-graph `embedding_neardup_pairs`
+    builds, which IS the scale path: exact eps-neighborhoods at 100 TB are
+    a cross join), clusters are connected components of the core-core
+    subgraph, non-core points bordering a cluster attach to it (min
+    cluster id when several), everything else is noise. Unlike k-means
+    (`kmeans_embedding_clusters`), no k is chosen and irregular/elongated
+    density regions emerge naturally; noise is first-class.
+
+    Scale: candidate edges from the banded LSH self-join (n²/2^K per
+    band, never a cross join), degree/core as one aggregation, the CC
+    fixpoint from `ops.connected_components` (edge contraction +
+    localCheckpoint per round), and two bounded joins for borders. The
+    whole dataflow — including the LSH bucketing — is replayed by the
+    DuckDB oracle with a recursive CTE, so the driver value-hashes every
+    role and cluster assignment.
+    """
+    from ..ops import connected_components
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("u"), F.col("vec_b").alias("v")
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    core = deg.filter(F.col("deg") >= _DBSCAN_MIN_NBRS).select(
+        F.col("u").alias("vec_id")
+    )
+    ca = core.select(F.col("vec_id").alias("u"))
+    cb = core.select(F.col("vec_id").alias("v"))
+    core_edges = edges.join(ca, "u").join(cb, "v")
+    labels = connected_components(core_edges, "u", "v").select(
+        F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")
+    )
+    # isolated cores (no core-core edge) never enter the edge set; they are
+    # their own single-point clusters, as in the oracle's reach base case
+    lone = core.join(labels, "vec_id", "left_anti").select(
+        "vec_id", F.col("vec_id").alias("cluster_id")
+    )
+    labels = labels.unionByName(lone).localCheckpoint(eager=False)
+    border = (
+        edges.join(
+            labels.withColumnRenamed("vec_id", "v"), "v"
+        )
+        .join(core.withColumnRenamed("vec_id", "u"), "u", "left_anti")
+        .groupBy("u")
+        .agg(F.min("cluster_id").alias("b_cluster"))
+        .withColumnRenamed("u", "vec_id")
+    )
+    return (
+        e.select("vec_id")
+        .join(labels.withColumnRenamed("cluster_id", "l_cluster"), "vec_id", "left")
+        .join(border, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("l_cluster").isNotNull(), F.lit("core"))
+            .when(F.col("b_cluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce("l_cluster", "b_cluster", F.lit(-1)).alias(
+                "cluster_id"
+            ),
+        )
+    )
