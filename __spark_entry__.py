@@ -74,6 +74,8 @@ _PRIORITY = [
     "item_cooccurrence_recs",
     "als_one_sweep_factors",
     "dbscan_embedding_clusters",
+    "readability_flesch",
+    "logrank_test_by_arm",
     # --- round-5 session-3 new queries (first driver contact) ---
     "bm25_rank_queries",
     "inverted_index_postings",

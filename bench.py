@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     "theilsen_trend_by_priority",
     "item_cooccurrence_recs",
     "dbscan_embedding_clusters",
+    "readability_flesch",
+    "logrank_test_by_arm",
     # als_one_sweep_factors and streaming_incremental_neardup are
     # registry/driver-checked but NOT benched: the ALS sweep is ~6 s of
     # multi-stage driver-coordinated linear algebra and the foreachBatch is registry/driver-checked but NOT

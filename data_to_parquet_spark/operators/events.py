@@ -1411,3 +1411,155 @@ def ab_conversion_ztest(spark, sf_dir):
         F.round(pb, 9).alias("p_b"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+@EVT.register(
+    "logrank_test_by_arm",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+             MAX(ts) AS tlast
+      FROM events GROUP BY user_id
+    ), subjects AS (
+      SELECT arm,
+             CASE WHEN tp IS NOT NULL AND tp >= t0 THEN 1 ELSE 0 END
+               AS event_flag,
+             CASE WHEN tp IS NOT NULL AND tp >= t0
+                  THEN (epoch_us(tp) - epoch_us(t0)) // 86400000000
+                  ELSE (epoch_us(tlast) - epoch_us(t0)) // 86400000000
+             END AS dur
+      FROM per_user WHERE t0 IS NOT NULL
+    ), counts AS (
+      SELECT dur,
+             SUM(CASE WHEN arm = 0 THEN event_flag ELSE 0 END) AS d1,
+             SUM(CASE WHEN arm = 0 THEN 1 - event_flag ELSE 0 END) AS c1,
+             SUM(CASE WHEN arm = 1 THEN event_flag ELSE 0 END) AS d2,
+             SUM(CASE WHEN arm = 1 THEN 1 - event_flag ELSE 0 END) AS c2
+      FROM subjects GROUP BY dur
+    ), risk AS (
+      SELECT dur, d1, d2,
+             (SELECT COUNT(*) FROM subjects WHERE arm = 0)
+               - COALESCE(SUM(d1 + c1) OVER (
+                   ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS n1,
+             (SELECT COUNT(*) FROM subjects WHERE arm = 1)
+               - COALESCE(SUM(d2 + c2) OVER (
+                   ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS n2
+      FROM counts
+    ), terms AS (
+      SELECT d1,
+             CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2) AS e1,
+             CAST(d1 AS DOUBLE)
+               - CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2) AS o_minus_e,
+             CASE WHEN n1 + n2 > 1 THEN
+               CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2)
+                 * (1.0 - CAST(n1 AS DOUBLE) / (n1 + n2))
+                 * (n1 + n2 - d1 - d2) / (n1 + n2 - 1)
+             ELSE 0.0 END AS var_t
+      FROM risk WHERE d1 + d2 > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_event_days,
+           CAST(SUM(d1) AS BIGINT) AS observed_arm0,
+           round(CAST(SUM(CAST(e1 AS DECIMAL(18,9))) AS DOUBLE), 6)
+             AS expected_arm0,
+           round(CAST(SUM(CAST(var_t AS DECIMAL(18,9))) AS DOUBLE), 6)
+             AS variance,
+           round(CAST(SUM(CAST(o_minus_e AS DECIMAL(18,9))) AS DOUBLE)
+                 / sqrt(CAST(SUM(CAST(var_t AS DECIMAL(18,9)))
+                             AS DOUBLE)), 6) AS z_score
+    FROM terms
+    """,
+)
+def logrank_test_by_arm(spark, sf_dir):
+    """Log-rank test between experiment arms for the view→purchase
+    survival curves of `kaplan_meier_view_to_purchase`: at every event
+    day, compare arm 0's observed conversions with the count expected
+    under a shared hazard, accumulate the hypergeometric variance, and
+    report the z statistic — the censoring-correct way to A/B-test a
+    latency/retention effect (the naive mean-latency comparison is
+    biased by censored users; `ab_conversion_ztest` compares only rates).
+
+    Determinism: at-risk and event counts are exact integers (ordered
+    window sums); each per-day term is a closed-form double over
+    integers; the cross-day sums use the repo's decimal recipe (cast
+    every term to DECIMAL(18,9), sum exactly, divide once). Scale: one
+    user-keyed shuffle, one aggregate to |distinct durations| rows,
+    windows over that tiny series, a 5-value final rollup.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+        F.max("ts").alias("tlast"),
+    )
+    has_event = F.col("tp").isNotNull() & (F.col("tp") >= F.col("t0"))
+    subjects = per_user.filter(F.col("t0").isNotNull()).select(
+        (F.col("user_id") % 2).alias("arm"),
+        has_event.cast("long").alias("event_flag"),
+        F.when(
+            has_event,
+            F.floor(
+                (F.unix_micros("tp") - F.unix_micros("t0")) / 86_400_000_000
+            ),
+        )
+        .otherwise(
+            F.floor(
+                (F.unix_micros("tlast") - F.unix_micros("t0"))
+                / 86_400_000_000
+            )
+        )
+        .alias("dur"),
+    ).localCheckpoint(eager=False)
+    counts = subjects.groupBy("dur").agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("event_flag")).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("arm") == 0, 1 - F.col("event_flag")).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("event_flag")).otherwise(0)).alias("d2"),
+        F.sum(F.when(F.col("arm") == 1, 1 - F.col("event_flag")).otherwise(0)).alias("c2"),
+    )
+    tot1 = subjects.filter(F.col("arm") == 0).count()
+    tot2 = subjects.filter(F.col("arm") == 1).count()
+    wprev = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+    risk = counts.select(
+        "dur",
+        "d1",
+        "d2",
+        (
+            F.lit(tot1)
+            - F.coalesce(F.sum(F.col("d1") + F.col("c1")).over(wprev), F.lit(0))
+        ).alias("n1"),
+        (
+            F.lit(tot2)
+            - F.coalesce(F.sum(F.col("d2") + F.col("c2")).over(wprev), F.lit(0))
+        ).alias("n2"),
+    ).filter(F.col("d1") + F.col("d2") > 0)
+    d = F.col("d1") + F.col("d2")
+    n = F.col("n1") + F.col("n2")
+    e1 = d.cast("double") * F.col("n1") / n
+    var_t = F.when(
+        n > 1,
+        d.cast("double")
+        * F.col("n1")
+        / n
+        * (F.lit(1.0) - F.col("n1").cast("double") / n)
+        * (n - d)
+        / (n - 1),
+    ).otherwise(F.lit(0.0))
+    terms = risk.select(
+        "d1",
+        e1.alias("e1"),
+        (F.col("d1").cast("double") - e1).alias("o_minus_e"),
+        var_t.alias("var_t"),
+    )
+    dec = lambda c: F.sum(F.col(c).cast("decimal(18,9)")).cast("double")  # noqa: E731
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_event_days"),
+        F.sum("d1").alias("observed_arm0"),
+        F.round(dec("e1"), 6).alias("expected_arm0"),
+        F.round(dec("var_t"), 6).alias("variance"),
+        F.round(dec("o_minus_e") / F.sqrt(dec("var_t")), 6).alias("z_score"),
+    )

@@ -1447,3 +1447,75 @@ def hybrid_retrieval_rrf(spark, sf_dir):
             "rank",
         )
     )
+
+
+@TXT.register(
+    "readability_flesch",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '')) AS n_words,
+             greatest(len(list_filter(
+               string_split_regex(text, '[.!?]+'),
+               x -> trim(x) <> '')), 1) AS n_sents,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syl
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sents AS BIGINT) AS n_sents,
+           CAST(n_syl AS BIGINT) AS n_syllables,
+           round(206.835
+                 - 1.015 * CAST(n_words AS DOUBLE) / n_sents
+                 - 84.6 * CAST(n_syl AS DOUBLE) / n_words, 6)
+             AS flesch_score
+    FROM t WHERE n_words > 0
+    """,
+)
+def readability_flesch(spark, sf_dir):
+    """Flesch reading-ease score per document — the classic readability
+    quality signal (low scores flag dense/garbled text; curation
+    pipelines gate or stratify on it). Sentences are split on
+    terminal-punctuation runs, syllables approximated as vowel-group
+    runs — the standard hyphenation-free heuristic, and crucially one
+    both engines compute identically (a single regexp count).
+
+    Determinism: word/sentence/syllable counts are exact integers from
+    shared-regex tokenization; the score is one closed-form double over
+    three integers, rounded to 6. Scale: pure per-row projection in the
+    scan stage — zero shuffles, codegen end to end.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(tokens(F.col("text")))
+    n_sents = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.col("text"), "[.!?]+"),
+                lambda x: F.trim(x) != "",
+            )
+        ),
+        F.lit(1),
+    )
+    n_syl = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    )
+    t = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syl.alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    return t.select(
+        "doc_id",
+        "n_words",
+        "n_sents",
+        "n_syllables",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * F.col("n_words").cast("double") / F.col("n_sents")
+            - F.lit(84.6)
+            * F.col("n_syllables").cast("double")
+            / F.col("n_words"),
+            6,
+        ).alias("flesch_score"),
+    )
