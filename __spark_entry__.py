@@ -38,7 +38,9 @@ _REGISTRY = REL.merge(
 # TPCH-extra/pipeline window, round 3 the never-verified + new queries,
 # round 4 the streaming/NTZ fixes + all round-4 additions (50 checked:
 # 43 green, 6 rows-only clean, 1 red). Round 5 order (the NTZ incident
-# proved stale greens rot when testdata regenerates, so recency matters):
+# proved stale greens rot when testdata regenerates, so recency matters;
+# session 4 prepends its 24 new queries — every one parity-green in the
+# local harness — so the 50-slot window covers all first-contact names):
 # 1) every round-5 fix, rewrite-dependent, or NEW query (session 2's 20
 #    new operators lead, then session 1's fixes/riders/new codecs and the
 #    two rows-only→oracle upgrades) — first driver contact or re-contact
