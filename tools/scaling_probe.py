@@ -44,6 +44,8 @@ PROBED = [
     "kmeans_embedding_clusters",   # iterative broadcast-assign + k*d agg
     "neardup_graph_pagerank",      # iterative edge-join propagation
     "dsir_importance_select",      # token-keyed LM join + global rank
+    "dbscan_embedding_clusters",   # LSH band join + CC fixpoint
+    "item_cooccurrence_recs",      # basket-size^2 pair fan-out
 ]
 
 
