@@ -723,102 +723,19 @@ def kmeans_embedding_clusters(spark, sf_dir):
     tests/test_kmeans.py pins counts and inertia against a dense numpy
     Lloyd run with identical init and iteration count.
     """
+    from ..ops import lloyd_kmeans
+
     e = load_table(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()["embedding"])
-    init = (
-        e.orderBy("vec_id")
-        .limit(_KM_K)
-        .select("embedding")
-        .collect()
-    )
-    centroids = np.vstack([r["embedding"] for r in init]).astype("float64")
-
-    def make_nearest(cts):
-        @F.pandas_udf("int")
-        def nearest(emb: pd.Series) -> pd.Series:
-            m = np.vstack(emb.to_numpy()).astype("float64")
-            d2 = (
-                (m**2).sum(axis=1, keepdims=True)
-                - 2 * m @ cts.T
-                + (cts**2).sum(axis=1)[None, :]
-            )
-            return pd.Series(d2.argmin(axis=1).astype("int32"))
-
-        return nearest
-
-    # Size the iteration parallelism from the corpus (same reasoning as
-    # the PageRank loop): 5 iterations each pay tasks × fixed overhead,
-    # and ~2k vectors want a handful of partitions while a 100 TB corpus
-    # (~10⁹ vectors) scales the same formula to the cluster width. Each
-    # partition holds ~250k vectors × d doubles ≈ 128 MB at d=64.
-    n_vecs = e.count()
-    nparts = max(
-        4, min(spark.sparkContext.defaultParallelism, n_vecs // 250_000 + 1)
-    )
-    vecs = (
-        e.select("vec_id", "embedding")
-        .repartition(nparts)
-        .localCheckpoint(eager=False)
-    )
-    for _ in range(_KM_ITERS):
-        assigned = vecs.select(
-            "embedding", make_nearest(centroids)("embedding").alias("cluster")
-        )
-        parts = (
-            exploded_rows_pos(
-                assigned,
-                ["cluster"],
-                F.transform(
-                    F.col("embedding"), lambda x: x.cast("double")
-                ),
-                "dim",
-                "val",
-            )
-            .groupBy("cluster", "dim")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        sums = np.zeros((_KM_K, dim))
-        counts = np.zeros(_KM_K, dtype="int64")
-        for r in parts:
-            sums[r["cluster"], r["dim"]] = r["s"]
-            counts[r["cluster"]] = r["n"]
-        nonzero = counts > 0
-        centroids = centroids.copy()
-        centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
-
-    cts = centroids
-
-    @F.pandas_udf("struct<cluster:int, d2:double>")
-    def final_assign(emb: pd.Series) -> pd.DataFrame:
-        m = np.vstack(emb.to_numpy()).astype("float64")
-        d2 = (
-            (m**2).sum(axis=1, keepdims=True)
-            - 2 * m @ cts.T
-            + (cts**2).sum(axis=1)[None, :]
-        )
-        a = d2.argmin(axis=1)
-        return pd.DataFrame(
-            {
-                "cluster": a.astype("int32"),
-                "d2": np.maximum(d2[np.arange(len(a)), a], 0.0),
-            }
-        )
-
-    norms = {c: float(np.sqrt((centroids[c] ** 2).sum())) for c in range(_KM_K)}
-    norm_expr = F.element_at(
-        F.array(*[F.lit(round(norms[c], 6)) for c in range(_KM_K)]),
-        F.col("cluster") + 1,
+    assigned = lloyd_kmeans(
+        e, "vec_id", "embedding", k=_KM_K, iterations=_KM_ITERS
     )
     return (
-        vecs.select(final_assign("embedding").alias("r"))
-        .select(F.col("r.cluster").alias("cluster"), F.col("r.d2").alias("d2"))
-        .groupBy("cluster")
+        assigned.groupBy("cluster", "centroid_norm")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
             F.round(F.sum("d2"), 4).alias("inertia"),
         )
-        .withColumn("centroid_norm", norm_expr)
+        .select("cluster", "n_members", "inertia", "centroid_norm")
         .orderBy("cluster")
     )
 
@@ -1141,52 +1058,11 @@ def dbscan_embedding_clusters(spark, sf_dir):
     DuckDB oracle with a recursive CTE, so the driver value-hashes every
     role and cluster assignment.
     """
-    from ..ops import connected_components
+    from ..ops import dbscan_labels
 
     e = load_table(spark, sf_dir, "embeddings")
-    pairs = embedding_neardup_pairs(spark, sf_dir).select(
-        F.col("vec_a").alias("u"), F.col("vec_b").alias("v")
-    )
-    edges = pairs.unionByName(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=False)
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    core = deg.filter(F.col("deg") >= _DBSCAN_MIN_NBRS).select(
-        F.col("u").alias("vec_id")
-    )
-    ca = core.select(F.col("vec_id").alias("u"))
-    cb = core.select(F.col("vec_id").alias("v"))
-    core_edges = edges.join(ca, "u").join(cb, "v")
-    labels = connected_components(core_edges, "u", "v").select(
-        F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")
-    )
-    # isolated cores (no core-core edge) never enter the edge set; they are
-    # their own single-point clusters, as in the oracle's reach base case
-    lone = core.join(labels, "vec_id", "left_anti").select(
-        "vec_id", F.col("vec_id").alias("cluster_id")
-    )
-    labels = labels.unionByName(lone).localCheckpoint(eager=False)
-    border = (
-        edges.join(
-            labels.withColumnRenamed("vec_id", "v"), "v"
-        )
-        .join(core.withColumnRenamed("vec_id", "u"), "u", "left_anti")
-        .groupBy("u")
-        .agg(F.min("cluster_id").alias("b_cluster"))
-        .withColumnRenamed("u", "vec_id")
-    )
-    return (
-        e.select("vec_id")
-        .join(labels.withColumnRenamed("cluster_id", "l_cluster"), "vec_id", "left")
-        .join(border, "vec_id", "left")
-        .select(
-            "vec_id",
-            F.when(F.col("l_cluster").isNotNull(), F.lit("core"))
-            .when(F.col("b_cluster").isNotNull(), F.lit("border"))
-            .otherwise(F.lit("noise"))
-            .alias("role"),
-            F.coalesce("l_cluster", "b_cluster", F.lit(-1)).alias(
-                "cluster_id"
-            ),
-        )
+    pairs = embedding_neardup_pairs(spark, sf_dir)
+    return dbscan_labels(
+        e, "vec_id", pairs, "vec_a", "vec_b",
+        min_neighbors=_DBSCAN_MIN_NBRS,
     )

@@ -39,6 +39,8 @@ __all__ = [
     "mad_outliers",
     "snapshot_diff",
     "clamped_fold",
+    "lloyd_kmeans",
+    "dbscan_labels",
 ]
 
 
@@ -1164,4 +1166,201 @@ def clamped_fold(
     key_type = dict(df.dtypes)[key]
     return df.groupBy(key).applyInPandas(
         fold, f"{key} {key_type}, n_rows long, final_value long"
+    )
+
+
+def lloyd_kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iterations: int = 5,
+) -> DataFrame:
+    """Fully-distributed Lloyd's k-means over an arbitrary vector column.
+
+    Returns one row per input row: ``(id_col, cluster, d2, centroid_norm)``
+    — the nearest final centroid, the squared distance to it, and that
+    centroid's norm. Deterministic: initial centroids are the vectors of
+    the ``k`` lowest ids; ties in assignment break toward the lowest
+    cluster index (np.argmin).
+
+    Distributed shape per iteration (what MLlib's k-means reduces to):
+    centroids are a broadcast k×d constant inside a vectorized Pandas UDF
+    (one matmul per Arrow batch); the update is one explode-to-(cluster,
+    dim, val) + groupBy(cluster, dim) sum/count with map-side combine, so
+    the shuffle carries k·d·partitions partial rows — independent of
+    corpus size — and only the k×d centroid table ever reaches the
+    driver. Iteration parallelism is sized from the row count (≈250k
+    vectors per partition) so tiny inputs don't pay 32-task overhead five
+    times while a billion-vector corpus still spreads cluster-wide.
+    """
+    spark = df.sparkSession
+    first = df.select(vec_col).first()
+    if first is None:
+        return df.select(
+            F.col(id_col),
+            F.lit(None).cast("int").alias("cluster"),
+            F.lit(None).cast("double").alias("d2"),
+            F.lit(None).cast("double").alias("centroid_norm"),
+        )
+    dim = len(first[0])
+    init = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = np.vstack([r[0] for r in init]).astype("float64")
+    k = centroids.shape[0]  # fewer rows than k -> shrink
+
+    def make_nearest(cts):
+        @F.pandas_udf("int")
+        def nearest(emb: pd.Series) -> pd.Series:
+            m = np.vstack(emb.to_numpy()).astype("float64")
+            d2 = (
+                (m**2).sum(axis=1, keepdims=True)
+                - 2 * m @ cts.T
+                + (cts**2).sum(axis=1)[None, :]
+            )
+            return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+        return nearest
+
+    n_vecs = df.count()
+    nparts = max(
+        4, min(spark.sparkContext.defaultParallelism, n_vecs // 250_000 + 1)
+    )
+    vecs = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .repartition(nparts)
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(int(iterations)):
+        assigned = vecs.select(
+            "__v", make_nearest(centroids)("__v").alias("cluster")
+        )
+        parts = (
+            exploded_rows(
+                assigned.select(
+                    "cluster",
+                    F.expr(
+                        "zip_with(__v, sequence(0, size(__v) - 1),"
+                        " (x, i) -> struct(i AS d, CAST(x AS DOUBLE) AS x))"
+                    ).alias("__z"),
+                ),
+                ["cluster"],
+                F.col("__z"),
+                "__e",
+            )
+            .select("cluster", F.col("__e.d").alias("dim"), F.col("__e.x").alias("val"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k, dtype="int64")
+        for r in parts:
+            sums[r["cluster"], r["dim"]] = r["s"]
+            counts[r["cluster"]] = r["n"]
+        nonzero = counts > 0
+        centroids = centroids.copy()
+        centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
+
+    cts = centroids
+
+    @F.pandas_udf("struct<cluster:int, d2:double>")
+    def final_assign(emb: pd.Series) -> pd.DataFrame:
+        m = np.vstack(emb.to_numpy()).astype("float64")
+        d2 = (
+            (m**2).sum(axis=1, keepdims=True)
+            - 2 * m @ cts.T
+            + (cts**2).sum(axis=1)[None, :]
+        )
+        a = d2.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": a.astype("int32"),
+                "d2": np.maximum(d2[np.arange(len(a)), a], 0.0),
+            }
+        )
+
+    norms = [
+        round(float(np.sqrt((centroids[c] ** 2).sum())), 6) for c in range(k)
+    ]
+    norm_expr = F.element_at(
+        F.array(*[F.lit(v) for v in norms]), F.col("cluster") + 1
+    )
+    return (
+        vecs.select("__id", final_assign("__v").alias("__r"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__r.cluster").alias("cluster"),
+            F.col("__r.d2").alias("d2"),
+        )
+        .withColumn("centroid_norm", norm_expr)
+    )
+
+
+def dbscan_labels(
+    nodes: DataFrame,
+    id_col: str,
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    min_neighbors: int = 3,
+) -> DataFrame:
+    """DBSCAN roles and cluster labels from a precomputed eps-neighborhood
+    edge list (undirected, one row per unordered pair): core points have
+    ``>= min_neighbors`` neighbors, clusters are connected components of
+    the core-core subgraph (label = min member id), non-core points
+    adjacent to a cluster become borders (min cluster id when several),
+    everything else is noise.
+
+    Returns ``(id_col, role, cluster_id)`` with role ∈ {core, border,
+    noise} and cluster_id = -1 for noise. How the eps-graph is built is
+    the caller's choice — exact threshold join, LSH candidates
+    (`neardup_jaccard_prefix`, the sign-LSH bucketing), whatever the
+    modality needs; at scale the graph build is the only part that
+    touches all pairs, and this labeling adds one degree aggregation, the
+    `connected_components` fixpoint on the core subgraph, and two bounded
+    joins.
+    """
+    pairs = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    core = deg.filter(F.col("deg") >= int(min_neighbors)).select(
+        F.col("u").alias("__nid")
+    )
+    ca = core.select(F.col("__nid").alias("u"))
+    cb = core.select(F.col("__nid").alias("v"))
+    core_edges = und.join(ca, "u").join(cb, "v")
+    labels = connected_components(core_edges, "u", "v").select(
+        F.col("node").alias("__nid"), F.col("component").alias("cluster_id")
+    )
+    lone = core.join(labels, "__nid", "left_anti").select(
+        "__nid", F.col("__nid").alias("cluster_id")
+    )
+    labels = labels.unionByName(lone).localCheckpoint(eager=False)
+    border = (
+        und.join(labels.withColumnRenamed("__nid", "v"), "v")
+        .join(core.withColumnRenamed("__nid", "u"), "u", "left_anti")
+        .groupBy("u")
+        .agg(F.min("cluster_id").alias("b_cluster"))
+        .withColumnRenamed("u", "__nid")
+    )
+    return (
+        nodes.select(F.col(id_col).alias("__nid"))
+        .join(
+            labels.withColumnRenamed("cluster_id", "l_cluster"),
+            "__nid",
+            "left",
+        )
+        .join(border, "__nid", "left")
+        .select(
+            F.col("__nid").alias(id_col),
+            F.when(F.col("l_cluster").isNotNull(), F.lit("core"))
+            .when(F.col("b_cluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce("l_cluster", "b_cluster", F.lit(-1)).alias(
+                "cluster_id"
+            ),
+        )
     )

@@ -429,3 +429,45 @@ def test_passage_dup_stats_sliding_stride(spark):
     # the 6-token shared span is offset 3 in doc 1 and offset 4 in doc 2,
     # so no aligned 6-token chunk is shared
     assert chunked[1] == 0 and chunked[2] == 0
+
+
+def test_lloyd_kmeans_generic_separates_obvious_clusters(spark):
+    import numpy as np
+
+    rows = []
+    for i in range(20):
+        base = [0.0, 0.0] if i % 2 == 0 else [10.0, 10.0]
+        rows.append(
+            (i, [base[0] + (i % 5) * 0.01, base[1] - (i % 3) * 0.01])
+        )
+    df = spark.createDataFrame(rows, "rid long, feat array<double>")
+    out = ops.lloyd_kmeans(df, "rid", "feat", k=2, iterations=3).collect()
+    assert len(out) == 20
+    by_parity = {0: set(), 1: set()}
+    for r in out:
+        by_parity[r["rid"] % 2].add(r["cluster"])
+    # the two point clouds are far apart: each parity class lands in ONE
+    # cluster and the two classes in different ones
+    assert len(by_parity[0]) == 1 and len(by_parity[1]) == 1
+    assert by_parity[0] != by_parity[1]
+    assert all(r["d2"] < 1.0 for r in out)
+
+
+def test_dbscan_labels_generic_roles(spark):
+    # triangle 1-2-3 (all core at min_neighbors=2), pendant 4 attached to
+    # 3 (border), isolated 5 (noise)
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "nid long")
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "a long, b long"
+    )
+    out = {
+        r["nid"]: (r["role"], r["cluster_id"])
+        for r in ops.dbscan_labels(
+            nodes, "nid", edges, "a", "b", min_neighbors=2
+        ).collect()
+    }
+    assert out[1] == ("core", 1)
+    assert out[2] == ("core", 1)
+    assert out[3] == ("core", 1)
+    assert out[4] == ("border", 1)
+    assert out[5] == ("noise", -1)
