@@ -78,6 +78,7 @@ _PRIORITY = [
     "dbscan_embedding_clusters",
     "readability_flesch",
     "logrank_test_by_arm",
+    "revenue_gini_concentration",
     # --- round-5 session-3 new queries (first driver contact) ---
     "bm25_rank_queries",
     "inverted_index_postings",

@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "dbscan_embedding_clusters",
     "readability_flesch",
     "logrank_test_by_arm",
+    "revenue_gini_concentration",
     # als_one_sweep_factors and streaming_incremental_neardup are
     # registry/driver-checked but NOT benched: the ALS sweep is ~6 s of
     # multi-stage driver-coordinated linear algebra and the foreachBatch is registry/driver-checked but NOT

@@ -1846,3 +1846,80 @@ def fk_orphan_audit(spark, sf_dir):
         ).select("relationship", "n_child_rows", "n_orphans", "n_null_fk")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@REL.register(
+    "revenue_gini_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i
+      FROM rev
+    ), agg AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS total,
+             CAST(SUM(CAST(i AS DECIMAL(18,0)) * x) AS DOUBLE) AS weighted
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           round(total, 2) AS total_revenue,
+           round(2.0 * weighted / (n * total)
+                 - (CAST(n AS DOUBLE) + 1) / n, 9) AS gini,
+           round((SELECT CAST(SUM(x) AS DOUBLE) FROM ranked
+                  WHERE i > n - CAST(ceil(0.1 * n) AS BIGINT)) / total, 9)
+             AS top10pct_share
+    FROM agg
+    """,
+)
+def revenue_gini_concentration(spark, sf_dir):
+    """Gini coefficient + top-decile share of per-customer revenue — the
+    concentration audit (the same computation a data pipeline runs on
+    per-SOURCE token mass to answer "is this corpus dominated by a few
+    crawls?"): G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over the ascending-sorted
+    totals, plus the revenue share of the top 10% of customers.
+
+    Determinism: per-customer totals are exact decimals, ranks are
+    integers with an id tiebreak, Σi·x is an exact decimal sum
+    (order-independent), and both statistics are single closed-form
+    double expressions rounded to 9. Scale: one aggregation keyed on
+    customer, one global sort of the |customers| aggregate for ranks (at
+    100 TB: the sort runs on the aggregate, not the fact table — and a
+    sampled-quantile Lorenz approximation replaces the exact rank if even
+    that is too wide), one scalar rollup.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window as _W
+
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+    )
+    ranked = rev.select(
+        "x",
+        F.row_number().over(_W.orderBy("x", "o_custkey")).alias("i"),
+    )
+    n = ranked.count()
+    import math
+
+    k = math.ceil(0.1 * n)
+    agg = ranked.agg(
+        F.sum("x").cast("double").alias("total"),
+        F.sum(F.col("i").cast("decimal(18,0)") * F.col("x"))
+        .cast("double")
+        .alias("weighted"),
+        F.sum(F.when(F.col("i") > n - k, F.col("x")))
+        .cast("double")
+        .alias("topk"),
+    )
+    return agg.select(
+        F.lit(n).alias("n_customers"),
+        F.round("total", 2).alias("total_revenue"),
+        F.round(
+            F.lit(2.0) * F.col("weighted") / (F.lit(float(n)) * F.col("total"))
+            - F.lit((n + 1.0) / n),
+            9,
+        ).alias("gini"),
+        F.round(F.col("topk") / F.col("total"), 9).alias("top10pct_share"),
+    )
