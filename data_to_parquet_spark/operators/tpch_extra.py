@@ -1487,3 +1487,141 @@ def item_cooccurrence_recs(spark, sf_dir):
         .filter(F.col("rec_rank") <= _REC_TOPN)
         .select("brand_a", "brand_b", "n_both", "cosine", "rec_rank")
     )
+
+
+_HOLT_ALPHA = 0.3
+_HOLT_BETA = 0.1
+
+
+@TPCH_X.register(
+    "holt_linear_weekly_orders",
+    oracle=f"""
+    WITH weekly AS (
+      SELECT o_orderpriority,
+             date_diff('day', DATE '1992-01-06',
+                       CAST(date_trunc('week', o_orderdate) AS DATE)) // 7
+               AS wk,
+             COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY o_orderpriority, date_trunc('week', o_orderdate)
+    ), dom AS (
+      SELECT MIN(wk) AS wk0, MAX(wk) AS wk1 FROM weekly
+    ), grid AS (
+      SELECT p.o_orderpriority, g.wk
+      FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+      CROSS JOIN (SELECT unnest(generate_series(wk0, wk1)) AS wk
+                  FROM dom) g
+    ), dense AS (
+      SELECT grid.o_orderpriority, grid.wk,
+             CAST(COALESCE(weekly.n_orders, 0) AS DOUBLE) AS y
+      FROM grid LEFT JOIN weekly USING (o_orderpriority, wk)
+    ), series AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n_weeks,
+             -- list (not struct) accumulator: DuckDB 1.0 evaluates
+             -- struct_pack fields against an inconsistently-updated acc
+             -- inside list_reduce (verified divergence); list literals
+             -- evaluate all elements against the step's input acc
+             list_reduce(
+               list_transform(list(y ORDER BY wk),
+                 y -> [CAST(y AS DOUBLE), CAST(0.0 AS DOUBLE)]),
+               (acc, e) -> [
+                 CAST(0.3 AS DOUBLE) * e[1]
+                   + CAST(0.7 AS DOUBLE) * (acc[1] + acc[2]),
+                 CAST(0.1 AS DOUBLE)
+                   * (CAST(0.3 AS DOUBLE) * e[1]
+                      + CAST(0.7 AS DOUBLE) * (acc[1] + acc[2]) - acc[1])
+                   + CAST(0.9 AS DOUBLE) * acc[2]]) AS st
+      FROM dense GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, CAST(n_weeks AS BIGINT) AS n_weeks,
+           round(st[1], 9) AS level,
+           round(st[2], 9) AS trend,
+           round(st[1] + st[2], 9) AS forecast_next_week
+    FROM series
+    """,
+)
+def holt_linear_weekly_orders(spark, sf_dir):
+    """Holt's double exponential smoothing (linear trend) per order
+    priority: fold the dense weekly series with coupled level/trend state
+    (α=0.3, β=0.1; init l₁=y₁, b₁=0) and emit the final level, trend, and
+    the one-step forecast level+trend — the trend-aware upgrade of
+    `exp_smoothing_weekly_orders`' flat SES forecast (SES lags a trending
+    series by construction; Holt tracks it).
+
+    Determinism: the coupled recurrence folds the SAME ordered array in
+    both engines — Spark's F.aggregate and DuckDB's list_reduce evaluate
+    the identical struct-state update chain sequentially (the SES
+    precedent, extended to struct accumulators; DuckDB's fold has no
+    initial-value form, so the state rides wrapped elements with the
+    first element as init on both sides). Scale: identical to SES — one
+    aggregate to \\|priorities\\|×\\|weeks\\| cells, a per-group
+    collect_list of a bounded series, one fold per group.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    weekly = (
+        o.select(
+            "o_orderpriority",
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", F.col("o_orderdate")).cast("date"),
+                    F.lit("1992-01-06").cast("date"),
+                )
+                / 7
+            ).alias("wk"),
+        )
+        .groupBy("o_orderpriority", "wk")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    dom = weekly.agg(
+        F.min("wk").alias("wk0"), F.max("wk").alias("wk1")
+    )
+    grid = (
+        o.select("o_orderpriority")
+        .distinct()
+        .join(F.broadcast(dom))
+        .select(
+            "o_orderpriority",
+            F.explode(F.sequence("wk0", "wk1")).alias("wk"),
+        )
+    )
+    dense = grid.join(weekly, ["o_orderpriority", "wk"], "left").select(
+        "o_orderpriority",
+        "wk",
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("double").alias("y"),
+    )
+    series = dense.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("wk", "y"))),
+            lambda s: s["y"],
+        ).alias("ys"),
+    )
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    st = F.aggregate(
+        F.slice(F.col("ys"), 2, F.size("ys") - 1),
+        F.struct(
+            F.element_at("ys", 1).alias("l"), F.lit(0.0).alias("b")
+        ),
+        lambda acc, y: F.struct(
+            (
+                F.lit(a) * y + F.lit(1 - a) * (acc["l"] + acc["b"])
+            ).alias("l"),
+            (
+                F.lit(b)
+                * (
+                    F.lit(a) * y
+                    + F.lit(1 - a) * (acc["l"] + acc["b"])
+                    - acc["l"]
+                )
+                + F.lit(1 - b) * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    return series.select(
+        "o_orderpriority",
+        "n_weeks",
+        F.round(st["l"], 9).alias("level"),
+        F.round(st["b"], 9).alias("trend"),
+        F.round(st["l"] + st["b"], 9).alias("forecast_next_week"),
+    )
