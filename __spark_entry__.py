@@ -80,6 +80,7 @@ _PRIORITY = [
     "logrank_test_by_arm",
     "revenue_gini_concentration",
     "holt_linear_weekly_orders",
+    "psi_drift_orders",
     # --- round-5 session-3 new queries (first driver contact) ---
     "bm25_rank_queries",
     "inverted_index_postings",

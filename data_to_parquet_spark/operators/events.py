@@ -1563,3 +1563,86 @@ def logrank_test_by_arm(spark, sf_dir):
         F.round(dec("var_t"), 6).alias("variance"),
         F.round(dec("o_minus_e") / F.sqrt(dec("var_t")), 6).alias("z_score"),
     )
+
+
+_PSI_BINS = 10
+_PSI_LO, _PSI_HI = 0.0, 600_000.0  # o_totalprice domain bins (fixed width)
+_PSI_SPLIT = "1995-01-01"  # reference period < split <= current period
+
+
+@EVT.register(
+    "psi_drift_orders",
+    oracle=f"""
+    WITH binned AS (
+      SELECT CASE WHEN o_orderdate < DATE '{_PSI_SPLIT}' THEN 0 ELSE 1 END
+               AS period,
+             least(CAST(floor((o_totalprice - {_PSI_LO})
+                              / (({_PSI_HI} - {_PSI_LO}) / {_PSI_BINS}))
+                        AS BIGINT), {_PSI_BINS - 1}) AS bin
+      FROM orders
+    ), cells AS (
+      SELECT bin,
+             SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS n_ref,
+             SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS n_cur
+      FROM binned GROUP BY bin
+    ), tot AS (
+      SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM cells
+    )
+    SELECT bin, CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           round((CAST(n_cur + 1 AS DOUBLE) / (t_cur + {_PSI_BINS})
+                  - CAST(n_ref + 1 AS DOUBLE) / (t_ref + {_PSI_BINS}))
+                 * ln((CAST(n_cur + 1 AS DOUBLE) / (t_cur + {_PSI_BINS}))
+                      / (CAST(n_ref + 1 AS DOUBLE)
+                         / (t_ref + {_PSI_BINS}))), 9) AS psi_term
+    FROM cells, tot
+    """,
+)
+def psi_drift_orders(spark, sf_dir):
+    """Population stability index (PSI) between the pre-{1995} reference
+    period and the current period, over fixed-width order-value bins —
+    the standard model-monitoring drift metric (PSI > 0.2 is the
+    conventional retrain trigger); per-bin terms localize WHERE the
+    distribution moved. Counts are add-1 smoothed (the usual guard
+    against empty bins exploding the log).
+
+    Determinism: bin ids and counts are exact integers; each PSI term is
+    one closed-form double over four integers, rounded to 9 — no
+    cross-bin float accumulation (consumers decimal-sum the rounded
+    terms, or read them per-bin as emitted here). Scale: one map-side-
+    combined aggregate to ≤{10} cells, one 1-row total broadcast back.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    width = (_PSI_HI - _PSI_LO) / _PSI_BINS
+    binned = o.select(
+        F.when(
+            F.col("o_orderdate") < F.lit(_PSI_SPLIT).cast("date"), 0
+        )
+        .otherwise(1)
+        .alias("period"),
+        F.least(
+            F.floor((F.col("o_totalprice") - _PSI_LO) / width).cast("long"),
+            F.lit(_PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = cells.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_cur = (F.col("n_cur") + 1).cast("double") / (
+        F.col("t_cur") + _PSI_BINS
+    )
+    p_ref = (F.col("n_ref") + 1).cast("double") / (
+        F.col("t_ref") + _PSI_BINS
+    )
+    return cells.join(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 9).alias(
+            "psi_term"
+        ),
+    )
