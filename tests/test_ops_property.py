@@ -209,3 +209,77 @@ def test_clamped_fold_nonzero_floor(spark, seed, floor):
     for k, t, _, d in sorted(rows, key=lambda r: (r[0], r[1])):
         ref[k] = max(ref.get(k, 0) + d, floor)
     assert out == ref
+
+
+def _brute_containment(docs, threshold, min_tokens, max_jaccard):
+    toks = {
+        i: set(re.split(r"[^a-z0-9]+", t.lower())) - {""} for i, t in docs
+    }
+    out = {}
+    for a in toks:
+        for b in toks:
+            if a == b or len(toks[a]) < min_tokens or not toks[a]:
+                continue
+            if len(toks[a]) > len(toks[b]) or (
+                len(toks[a]) == len(toks[b]) and a >= b
+            ):
+                continue
+            inter = len(toks[a] & toks[b])
+            cont = inter / len(toks[a])
+            jac = inter / (len(toks[a]) + len(toks[b]) - inter)
+            if cont >= threshold and (
+                max_jaccard is None or jac < max_jaccard
+            ):
+                out[(a, b)] = round(cont, 9)
+    return out
+
+
+@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("max_jaccard", [None, 0.9])
+def test_containment_prefix_matches_bruteforce(spark, seed, max_jaccard):
+    docs = _random_docs(seed, n=35, max_len=10)
+    df = spark.createDataFrame(docs, "pk long, body string")
+    got = {
+        (r["id_inner"], r["id_outer"]): round(r["containment"], 9)
+        for r in ops.neardup_containment_prefix(
+            df,
+            "pk",
+            "body",
+            threshold=0.7,
+            min_tokens=2,
+            max_jaccard=max_jaccard,
+        ).collect()
+    }
+    assert got == _brute_containment(docs, 0.7, 2, max_jaccard)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_passage_stride_covers_every_window(spark, seed):
+    # sliding form ground truth: a span is duplicated iff the identical
+    # w-token window text appears in >= 2 docs
+    docs = _random_docs(seed, n=25, max_len=14)
+    w = 4
+    df = spark.createDataFrame(docs, "pk long, body string")
+    got = {
+        r["pk"]: (r["n_passages"], r["n_dup_passages"])
+        for r in ops.passage_dup_stats(
+            df, "pk", "body", passage_tokens=w, stride=1
+        ).collect()
+    }
+    windows = {}
+    for i, t in docs:
+        toks = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+        ws = [
+            " ".join(toks[j : j + w]) for j in range(len(toks) - w + 1)
+        ]
+        windows[i] = ws
+    docs_with = {}
+    for i, ws in windows.items():
+        for x in set(ws):
+            docs_with.setdefault(x, set()).add(i)
+    for i, ws in windows.items():
+        if not ws:
+            assert i not in got
+            continue
+        dup = sum(1 for x in ws if len(docs_with[x]) >= 2)
+        assert got[i] == (len(ws), dup), (i, got.get(i), len(ws), dup)
