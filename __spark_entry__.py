@@ -81,6 +81,7 @@ _PRIORITY = [
     "revenue_gini_concentration",
     "holt_linear_weekly_orders",
     "psi_drift_orders",
+    "word_cooccurrence_pmi",
     # --- round-5 session-3 new queries (first driver contact) ---
     "bm25_rank_queries",
     "inverted_index_postings",

@@ -1519,3 +1519,105 @@ def readability_flesch(spark, sf_dir):
             6,
         ).alias("flesch_score"),
     )
+
+
+_PMI_MIN_COUNT = 5  # bigram support floor
+_PMI_TOPK = 30
+
+
+@TXT.register(
+    "word_cooccurrence_pmi",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), uni AS (
+      SELECT unnest(t) AS w FROM tok
+    ), ucnt AS (
+      SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+    ), tot AS (
+      SELECT SUM(c) AS n FROM ucnt
+    ), bi AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM tok, unnest(generate_series(1, len(t) - 1)) AS g(i)
+    ), bcnt AS (
+      SELECT w1, w2, COUNT(*) AS c_ab FROM bi GROUP BY w1, w2
+    ), scored AS (
+      SELECT w1, w2, c_ab,
+             round(ln(CAST(c_ab AS DOUBLE) * n / (a.c * b.c)), 6) AS pmi
+      FROM bcnt
+      JOIN ucnt a ON a.w = w1
+      JOIN ucnt b ON b.w = w2
+      CROSS JOIN tot
+      WHERE c_ab >= {_PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab, pmi, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        ORDER BY pmi DESC, w1, w2) AS INT) AS rank
+      FROM scored)
+    WHERE rank <= {_PMI_TOPK}
+    """,
+)
+def word_cooccurrence_pmi(spark, sf_dir):
+    """Pointwise mutual information over adjacent word pairs: the top-{30}
+    most-associated bigrams with support ≥ {5} — the classic collocation
+    detector (PMI finds "los angeles"-style units whose joint frequency
+    far exceeds chance; raw bigram counts just find frequent words next
+    to each other). Feeds tokenizer-merge candidates and phrase mining.
+
+    Determinism: unigram/bigram counts and the corpus total are exact
+    integers; PMI is one ln over an integer ratio, rounded to 6 BEFORE
+    ranking (so the rank ordering is cross-engine stable), ties broken
+    on the pair text. Scale: two token-keyed map-side-combined
+    aggregates, two broadcast-sized joins of the bigram table against
+    the unigram dictionary (AQE decides; the dictionary is corpus-
+    vocabulary-sized), one global top-k window over support-filtered
+    survivors (TakeOrderedAndProject shape).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    uni = exploded_rows(tok, [], F.col("t"), "w")
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n = uni.count()
+    bi = exploded_rows(
+        tok.filter(F.size("t") >= 2),
+        [],
+        F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> struct(element_at(t, i) AS w1,"
+            "             element_at(t, i + 1) AS w2))"
+        ),
+        "pr",
+    ).select("pr.w1", "pr.w2")
+    bcnt = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+    )
+    a = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("__ca"))
+    b = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("__cb"))
+    scored = (
+        bcnt.join(a, "w1")
+        .join(b, "w2")
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log(
+                    F.col("c_ab").cast("double")
+                    * n
+                    / (F.col("__ca") * F.col("__cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = W.orderBy(F.desc("pmi"), "w1", "w2")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PMI_TOPK)
+        .select("w1", "w2", "c_ab", "pmi", "rank")
+    )
