@@ -82,6 +82,8 @@ _PRIORITY = [
     "holt_linear_weekly_orders",
     "psi_drift_orders",
     "word_cooccurrence_pmi",
+    "session_entropy_users",
+    "neardup_graph_assortativity",
     # --- round-5 session-3 new queries (first driver contact) ---
     "bm25_rank_queries",
     "inverted_index_postings",

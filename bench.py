@@ -146,6 +146,8 @@ BENCH_QUERIES = [
     "holt_linear_weekly_orders",
     "psi_drift_orders",
     "word_cooccurrence_pmi",
+    "session_entropy_users",
+    "neardup_graph_assortativity",
     # als_one_sweep_factors and streaming_incremental_neardup are
     # registry/driver-checked but NOT benched: the ALS sweep is ~6 s of
     # multi-stage driver-coordinated linear algebra and the foreachBatch is registry/driver-checked but NOT

@@ -1470,3 +1470,89 @@ def neardup_graph_pagerank(spark, sf_dir):
         .orderBy(F.col("rank_x_n").desc(), F.col("doc_id"))
         .limit(_PR_TOPK)
     )
+
+
+@DEDUP.register(
+    "neardup_graph_assortativity",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_sort(list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS toks
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM tok a JOIN tok b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / (len(a.toks) + len(b.toks)
+                 - len(list_intersect(a.toks, b.toks))) >= 0.9
+    ), edges AS (
+      SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+    ), deg AS (
+      SELECT u AS node, COUNT(*) AS d FROM edges GROUP BY u
+    ), ends AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    ), agg AS (
+      SELECT COUNT(*) AS m,
+             CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)))
+                  AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)))
+                  AS DOUBLE) AS syy
+      FROM ends
+    )
+    SELECT CAST(m AS BIGINT) AS n_directed_edges,
+           round((m * sxy - sx * sy)
+                 / (sqrt(m * sxx - sx * sx) * sqrt(m * syy - sy * sy)), 9)
+             AS assortativity
+    FROM agg
+    """,
+)
+def neardup_graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the near-duplicate graph — the Pearson
+    correlation of degrees across edge endpoints (Newman's r): strongly
+    positive means big template clusters link mostly to each other
+    (near-clique duplication, the cheap-to-dedup case); negative means
+    hub-and-spoke boilerplate (one canonical page quoted by many
+    singletons — the case where canonical selection matters). Reads the
+    memoized verified pair table, so after any dedup query the graph is
+    free.
+
+    Determinism: degrees are integers; all five moments are exact
+    decimal sums over the directed edge list (both orientations, the
+    standard symmetrization); r is one closed-form double, rounded 9.
+    Scale: one degree aggregation + two joins of the edge list against
+    the skinny degree table + a single scalar aggregate.
+    """
+    pairs = neardup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u"), F.col("d").alias("x"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("y"))
+    ends = edges.join(du, "u").join(dv, "v")
+    dx = F.col("x").cast("decimal(18,0)")
+    dy = F.col("y").cast("decimal(18,0)")
+    agg = ends.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dy * dy).cast("double").alias("syy"),
+    )
+    r = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        F.col("m").alias("n_directed_edges"),
+        F.round(r, 9).alias("assortativity"),
+    )

@@ -1646,3 +1646,56 @@ def psi_drift_orders(spark, sf_dir):
             "psi_term"
         ),
     )
+
+
+@EVT.register(
+    "session_entropy_users",
+    oracle="""
+    WITH cnt AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ), tot AS (
+      SELECT user_id, SUM(c) AS n FROM cnt GROUP BY user_id
+    ), terms AS (
+      SELECT cnt.user_id, tot.n,
+             CAST(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+                  AS DECIMAL(18,12)) AS term
+      FROM cnt JOIN tot USING (user_id)
+    )
+    SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           round(CAST(SUM(term) AS DOUBLE), 6) AS entropy
+    FROM terms GROUP BY user_id
+    """,
+)
+def session_entropy_users(spark, sf_dir):
+    """Behavioral diversity per user: Shannon entropy of each user's
+    event-type distribution — entropy ≈ 0 flags single-action accounts
+    (bots, scrapers hammering one endpoint), high entropy marks organic
+    mixed usage. The standard behavioral-segmentation feature next to
+    the volume-based RFM quartiles.
+
+    Determinism: counts are exact integers; each −p·ln p term is one
+    closed-form double cast to DECIMAL(18,12) (a decimal tie is not
+    binary-representable, so both engines round identically) and the
+    per-user sum is the exact decimal sum — summation order never
+    matters; round(6) on output. Scale: two map-side-combined aggregates
+    keyed on (user, type) then user; the entropy projection is bounded
+    by |types| terms per user.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cnt = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = cnt.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    terms = cnt.join(tot, "user_id").select(
+        "user_id",
+        "n",
+        (-p * F.log(p)).cast("decimal(18,12)").alias("term"),
+    )
+    return terms.groupBy("user_id").agg(
+        F.max("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.sum("term").cast("double"), 6).alias("entropy"),
+    )
