@@ -84,6 +84,8 @@ _PRIORITY = [
     "word_cooccurrence_pmi",
     "session_entropy_users",
     "neardup_graph_assortativity",
+    "ks_test_order_periods",
+    "interarrival_burstiness_users",
     # --- round-5 session-3 new queries (first driver contact) ---
     "bm25_rank_queries",
     "inverted_index_postings",

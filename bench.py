@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "word_cooccurrence_pmi",
     "session_entropy_users",
     "neardup_graph_assortativity",
+    "ks_test_order_periods",
+    "interarrival_burstiness_users",
     # als_one_sweep_factors and streaming_incremental_neardup are
     # registry/driver-checked but NOT benched: the ALS sweep is ~6 s of
     # multi-stage driver-coordinated linear algebra and the foreachBatch is registry/driver-checked but NOT

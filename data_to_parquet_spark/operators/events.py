@@ -1567,7 +1567,8 @@ def logrank_test_by_arm(spark, sf_dir):
 
 _PSI_BINS = 10
 _PSI_LO, _PSI_HI = 0.0, 600_000.0  # o_totalprice domain bins (fixed width)
-_PSI_SPLIT = "1995-01-01"  # reference period < split <= current period
+_PSI_SPLIT = "1998-07-01"  # reference period < split <= current period
+# (the synthetic orders span 1995-01..2001-08; the split bisects that range)
 
 
 @EVT.register(
@@ -1599,7 +1600,7 @@ _PSI_SPLIT = "1995-01-01"  # reference period < split <= current period
     """,
 )
 def psi_drift_orders(spark, sf_dir):
-    """Population stability index (PSI) between the pre-{1995} reference
+    """Population stability index (PSI) between the pre-{1998-07} reference
     period and the current period, over fixed-width order-value bins —
     the standard model-monitoring drift metric (PSI > 0.2 is the
     conventional retrain trigger); per-bin terms localize WHERE the
@@ -1698,4 +1699,158 @@ def session_entropy_users(spark, sf_dir):
         F.max("n").alias("n_events"),
         F.count(F.lit(1)).alias("n_types"),
         F.round(F.sum("term").cast("double"), 6).alias("entropy"),
+    )
+
+
+@EVT.register(
+    "ks_test_order_periods",
+    oracle="""
+    WITH tagged AS (
+      SELECT o_totalprice AS x,
+             CASE WHEN o_orderdate < DATE '1998-07-01' THEN 1 ELSE 0 END
+               AS is_ref,
+             CASE WHEN o_orderdate < DATE '1998-07-01' THEN 0 ELSE 1 END
+               AS is_cur
+      FROM orders
+    ), tot AS (
+      SELECT SUM(is_ref) AS n_ref, SUM(is_cur) AS n_cur FROM tagged
+    ), cum AS (
+      SELECT x,
+             SUM(is_ref) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_ref,
+             SUM(is_cur) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_cur
+      FROM tagged
+    ), steps AS (
+      -- evaluate both ECDFs at each distinct value: the max cumulative
+      -- count at that value (ties collapse to their last row)
+      SELECT x, MAX(c_ref) AS c_ref, MAX(c_cur) AS c_cur
+      FROM cum GROUP BY x
+    )
+    SELECT CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+           round(MAX(abs(CAST(c_ref AS DOUBLE) / n_ref
+                         - CAST(c_cur AS DOUBLE) / n_cur)), 9) AS ks_d
+    FROM steps, tot GROUP BY n_ref, n_cur
+    """,
+)
+def ks_test_order_periods(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic between the pre-1998-07 and
+    later order-value distributions (the split bisects the synthetic
+    1995-2001 date range): D = max over values of the
+    absolute ECDF gap — the binning-free companion to `psi_drift_orders`
+    (PSI answers "how much drift per region of the range", KS answers
+    "how far apart are the distributions at their worst point" with no
+    bin choices to defend).
+
+    Determinism: cumulative counts are integer window sums over a total
+    order on (value); ties collapse per distinct value via MAX, so tie
+    order inside the window cannot matter; each ECDF gap is one double
+    division pair over integers, rounded 9 after the max. Scale: one
+    global sort of the value column drives the cumulative window — the
+    classic sort-based ECDF; at 100 TB swap in a t-digest/KLL two-sketch
+    approximation, everything upstream unchanged.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window as _W
+
+    tagged = o.select(
+        F.col("o_totalprice").alias("x"),
+        (F.col("o_orderdate") < F.lit("1998-07-01").cast("date"))
+        .cast("long")
+        .alias("is_ref"),
+        (F.col("o_orderdate") >= F.lit("1998-07-01").cast("date"))
+        .cast("long")
+        .alias("is_cur"),
+    )
+    n_ref, n_cur = (
+        tagged.agg(F.sum("is_ref"), F.sum("is_cur")).first()
+    )
+    wcum = _W.orderBy("x").rowsBetween(_W.unboundedPreceding, 0)
+    cum = tagged.select(
+        "x",
+        F.sum("is_ref").over(wcum).alias("c_ref"),
+        F.sum("is_cur").over(wcum).alias("c_cur"),
+    )
+    steps = cum.groupBy("x").agg(
+        F.max("c_ref").alias("c_ref"), F.max("c_cur").alias("c_cur")
+    )
+    return steps.agg(
+        F.lit(n_ref).alias("n_ref"),
+        F.lit(n_cur).alias("n_cur"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("c_ref").cast("double") / n_ref
+                    - F.col("c_cur").cast("double") / n_cur
+                )
+            ),
+            9,
+        ).alias("ks_d"),
+    )
+
+
+@EVT.register(
+    "interarrival_burstiness_users",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events
+    ), g AS (
+      SELECT user_id, gap FROM gaps WHERE gap IS NOT NULL
+    ), agg AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(gap AS DECIMAL(38,0))
+                      * CAST(gap AS DECIMAL(38,0))) AS DOUBLE) AS ss
+      FROM g GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+           round(s / n / 1000000.0, 6) AS mean_gap_s,
+           round((sqrt((n * ss - s * s) / (CAST(n AS DOUBLE) * n)) - s / n)
+                 / (sqrt((n * ss - s * s) / (CAST(n AS DOUBLE) * n)) + s / n),
+                 9) AS burstiness
+    FROM agg WHERE n >= 2
+    """,
+)
+def interarrival_burstiness_users(spark, sf_dir):
+    """Inter-arrival burstiness per user: B = (σ−μ)/(σ+μ) over the gaps
+    between a user's consecutive events (Goh-Barabási) — B→−1 is a
+    metronome (scheduled bot), B≈0 is Poisson (organic), B→+1 is extreme
+    burst-and-silence. The timing-based bot signal complementing
+    `session_entropy_users`' action-mix signal.
+
+    Determinism: gaps are exact integer micros (lag over a total order
+    with event_id tiebreak); Σgap and Σgap² are exact decimal sums; σ, μ,
+    and B are closed-form doubles over them, rounded. Scale: one user-
+    keyed window for the lag, one map-side-combined aggregate — nothing
+    downstream of the first shuffle scales with event count.
+    """
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    dg = F.col("gap").cast("decimal(38,0)")
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dg).cast("double").alias("s"),
+        F.sum(dg * dg).cast("double").alias("ss"),
+    ).filter(F.col("n") >= 2)
+    mu = F.col("s") / F.col("n")
+    sigma = F.sqrt(
+        (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+        / (F.col("n").cast("double") * F.col("n"))
+    )
+    return agg.select(
+        "user_id",
+        F.col("n").alias("n_gaps"),
+        F.round(mu / 1_000_000.0, 6).alias("mean_gap_s"),
+        F.round((sigma - mu) / (sigma + mu), 9).alias("burstiness"),
     )
