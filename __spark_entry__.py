@@ -86,6 +86,7 @@ _PRIORITY = [
     "neardup_graph_assortativity",
     "ks_test_order_periods",
     "interarrival_burstiness_users",
+    "neardup_cluster_modularity",
     # --- round-5 session-3 new queries (first driver contact) ---
     "bm25_rank_queries",
     "inverted_index_postings",

@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "neardup_graph_assortativity",
     "ks_test_order_periods",
     "interarrival_burstiness_users",
+    "neardup_cluster_modularity",
     # als_one_sweep_factors and streaming_incremental_neardup are
     # registry/driver-checked but NOT benched: the ALS sweep is ~6 s of
     # multi-stage driver-coordinated linear algebra and the foreachBatch is registry/driver-checked but NOT

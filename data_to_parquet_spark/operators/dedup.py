@@ -1556,3 +1556,111 @@ def neardup_graph_assortativity(spark, sf_dir):
         F.col("m").alias("n_directed_edges"),
         F.round(r, 9).alias("assortativity"),
     )
+
+
+@DEDUP.register(
+    "neardup_cluster_modularity",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, lang,
+             list_sort(list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS toks
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM tok a JOIN tok b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / (len(a.toks) + len(b.toks)
+                 - len(list_intersect(a.toks, b.toks))) >= 0.9
+    ), edges AS (
+      SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+    ), reach(u, v) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ), labels AS (
+      SELECT u AS node, MIN(v) AS cluster FROM reach GROUP BY u
+    ), m AS (
+      SELECT COUNT(*) AS m FROM pairs
+    ), intra AS (
+      SELECT COUNT(*) AS a_intra
+      FROM pairs
+      JOIN labels lu ON lu.node = pairs.u
+      JOIN labels lv ON lv.node = pairs.v
+      WHERE lu.cluster = lv.cluster
+    ), degs AS (
+      SELECT labels.cluster, COUNT(*) AS d
+      FROM edges JOIN labels ON labels.node = edges.u
+      GROUP BY labels.cluster
+    ), b AS (
+      SELECT SUM(CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0)))
+               AS b_sum,
+             COUNT(*) AS n_clusters_with_edges
+      FROM degs
+    )
+    SELECT CAST(m.m AS BIGINT) AS n_edges,
+           CAST(b.n_clusters_with_edges AS BIGINT) AS n_clusters_with_edges,
+           CAST(intra.a_intra AS BIGINT) AS n_intra_edges,
+           round(CAST(intra.a_intra AS DOUBLE) / m.m
+                 - CAST(b.b_sum AS DOUBLE) / (4.0 * m.m * m.m), 9)
+             AS modularity
+    FROM m, intra, b
+    """,
+)
+def neardup_cluster_modularity(spark, sf_dir):
+    """Newman modularity Q of the connected-component dedup clustering
+    over the near-dup graph: Q = L_intra/m − Σ_c d_c²/(4m²) — the quality
+    score OF the clustering itself (Q near its maximum says the CC
+    partition matches the graph's community structure; for CC on its own
+    graph every edge is intra, so Q = 1 − Σd_c²/4m² measures how evenly
+    duplication mass spreads across clusters — one giant template cluster
+    drives Q toward 0). Complements `neardup_graph_assortativity`'s
+    edge-level view with a partition-level one.
+
+    Determinism: every input to Q is an exact integer (edge count,
+    intra-edge count, exact-decimal Σd²); Q is one closed-form double,
+    rounded 9. Scale: reads the memoized pair table and CC label memo —
+    after any dedup query both are free — then two label joins and a
+    cluster-keyed aggregate bounded by |clusters|.
+    """
+    pairs = neardup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _cc_label_table(spark, sf_dir)
+    m = pairs.count()
+    lu = labels.select(
+        F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("__cu")
+    )
+    lv = labels.select(
+        F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("__cv")
+    )
+    intra = (
+        pairs.join(lu, "doc_a")
+        .join(lv, "doc_b")
+        .filter(F.col("__cu") == F.col("__cv"))
+        .count()
+    )
+    edges = pairs.select(F.col("doc_a").alias("u")).unionByName(
+        pairs.select(F.col("doc_b").alias("u"))
+    )
+    degs = (
+        edges.join(
+            labels.withColumnRenamed("doc_id", "u"), "u"
+        )
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    b = degs.agg(
+        F.sum(
+            F.col("d").cast("decimal(38,0)") * F.col("d").cast("decimal(38,0)")
+        ).alias("b_sum"),
+        F.count(F.lit(1)).alias("n_clusters_with_edges"),
+    )
+    return b.select(
+        F.lit(m).alias("n_edges"),
+        F.col("n_clusters_with_edges"),
+        F.lit(intra).alias("n_intra_edges"),
+        F.round(
+            F.lit(float(intra) / m)
+            - F.col("b_sum").cast("double") / (4.0 * m * m),
+            9,
+        ).alias("modularity"),
+    )
