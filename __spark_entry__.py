@@ -87,6 +87,7 @@ _PRIORITY = [
     "ks_test_order_periods",
     "interarrival_burstiness_users",
     "neardup_cluster_modularity",
+    "event_top_paths",
     # --- round-5 session-3 new queries (first driver contact) ---
     "bm25_rank_queries",
     "inverted_index_postings",

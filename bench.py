@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "ks_test_order_periods",
     "interarrival_burstiness_users",
     "neardup_cluster_modularity",
+    "event_top_paths",
     # als_one_sweep_factors and streaming_incremental_neardup are
     # registry/driver-checked but NOT benched: the ALS sweep is ~6 s of
     # multi-stage driver-coordinated linear algebra and the foreachBatch is registry/driver-checked but NOT

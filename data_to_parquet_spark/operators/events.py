@@ -1854,3 +1854,60 @@ def interarrival_burstiness_users(spark, sf_dir):
         F.round(mu / 1_000_000.0, 6).alias("mean_gap_s"),
         F.round((sigma - mu) / (sigma + mu), 9).alias("burstiness"),
     )
+
+
+_PATH_TOPK = 20
+
+
+@EVT.register(
+    "event_top_paths",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), paths AS (
+      SELECT e1, e2, e3, COUNT(*) AS n
+      FROM seq WHERE e3 IS NOT NULL
+      GROUP BY e1, e2, e3
+    )
+    SELECT e1, e2, e3, CAST(n AS BIGINT) AS n, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        ORDER BY n DESC, e1, e2, e3) AS INT) AS rank
+      FROM paths)
+    WHERE rank <= {_PATH_TOPK}
+    """,
+)
+def event_top_paths(spark, sf_dir):
+    """Top-{20} most frequent 3-step behavioral paths (consecutive
+    event-type triples per user) — the path-mining extension of
+    `event_transition_matrix`'s first-order pairs: paths expose
+    multi-step flows (view→click→purchase vs view→error→view) that no
+    pairwise matrix can, and rank the dominant journeys for funnel
+    design.
+
+    Determinism: triples come from lead() over a total per-user order
+    (ts, event_id tiebreak); counts are integers; ranking breaks ties on
+    the path text. Scale: ONE user-keyed exchange feeds both window
+    leads, then a map-side-combined aggregate bounded by |types|³ and a
+    top-k over that tiny table.
+    """
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    paths = seq.groupBy("e1", "e2", "e3").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wr = _W.orderBy(F.desc("n"), "e1", "e2", "e3")
+    return (
+        paths.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _PATH_TOPK)
+    )
