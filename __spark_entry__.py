@@ -33,80 +33,20 @@ _REGISTRY = REL.merge(
     EVT, TXT, DEDUP, SIM, MM, MISC, STREAMING, CDC, TPCH_X, PIPE, PRIV
 )
 
-# The driver verifies the first 50 registry entries per round. Round 1
-# checked the relational window, round 2 the dedup/similarity/streaming/
-# TPCH-extra/pipeline window, round 3 the never-verified + new queries,
-# round 4 the streaming/NTZ fixes + all round-4 additions (50 checked:
-# 43 green, 6 rows-only clean, 1 red). Round 5 order (the NTZ incident
-# proved stale greens rot when testdata regenerates, so recency matters;
-# session 4 prepends its 24 new queries — every one parity-green in the
-# local harness — so the 50-slot window covers all first-contact names):
-# 1) every round-5 fix, rewrite-dependent, or NEW query (session 2's 20
-#    new operators lead, then session 1's fixes/riders/new codecs and the
-#    two rows-only→oracle upgrades) — first driver contact or re-contact
-#    after code changes;
-# 2) the queries whose last driver contact was round 1 (oldest greens) —
-#    with 20 session-2 additions the 50-slot window now reaches only the
-#    first few of these; the rest roll to round 6;
-# 3) oracled queries whose PLAN was rewritten by the explode-via-indices
-#    conversion (already re-verified by the stricter local parity harness,
-#    so they take the window tail);
-# 4) the round-2 window. Names listed here run first, in this order; the
-#    rest keep merge order.
+# The driver verifies the first 50 registry entries per round. Rounds 1-5
+# covered 170 of the 209 registered queries; round 5 spent its window on
+# first-contact of new queries, leaving 39 never-driver-checked and 19
+# round-1-era stale greens. Round 6 is the verification-debt round
+# (VERDICT.md r5 item 1): the entire 50-slot window goes to
+# 1) the 39 never-driver-checked round-5 queries (all local-parity green
+#    at sf0.001 AND sf0.01);
+# 2) neardup_graph_pagerank — re-contact: upgraded rows-only -> full
+#    value oracle this round (VERDICT item 6);
+# 3) the 10 oldest round-1 greens (NTZ precedent: stale greens rot when
+#    testdata regenerates). The remaining 9 round-1 + 29 round-2 greens
+#    follow immediately after the window and roll to round 7.
 _PRIORITY = [
-    # --- round-5 session-4 new queries (first driver contact) ---
-    "containment_neardup_pairs",
-    "l_diversity_audit",
-    "dp_noisy_counts",
-    "kmeans_embedding_clusters",
-    "duplicated_span_coverage",
-    "benford_digit_check",
-    "correlation_matrix_lineitem",
-    "embedding_dim_profile",
-    "chisq_independence_orders",
-    "dsir_importance_select",
-    "streaming_incremental_neardup",
-    "hybrid_retrieval_rrf",
-    "fk_orphan_audit",
-    "quantile_normalize_lengths",
-    "seasonal_decompose_weekly",
-    "kaplan_meier_view_to_purchase",
-    "ab_conversion_ztest",
-    "theilsen_trend_by_priority",
-    "item_cooccurrence_recs",
-    "als_one_sweep_factors",
-    "dbscan_embedding_clusters",
-    "readability_flesch",
-    "logrank_test_by_arm",
-    "revenue_gini_concentration",
-    "holt_linear_weekly_orders",
-    "psi_drift_orders",
-    "word_cooccurrence_pmi",
-    "session_entropy_users",
-    "neardup_graph_assortativity",
-    "ks_test_order_periods",
-    "interarrival_burstiness_users",
-    "neardup_cluster_modularity",
-    "event_top_paths",
-    # --- round-5 session-3 new queries (first driver contact) ---
-    "bm25_rank_queries",
-    "inverted_index_postings",
-    "skew_salted_agg_events",
-    "zorder_locality_orders",
-    "embedding_pca_components",
-    "exp_smoothing_weekly_orders",
-    "quality_decile_schedule",
-    "partitioned_write_pruning",
-    "parquet_schema_merge_roundtrip",
-    "neardup_graph_pagerank",
-    # --- round-5 code-touched (fixes + rewrites + new; verify first) ---
-    "pii_extract_spans",
-    "event_transition_matrix",
-    "rfm_customer_segments",
-    "bigram_coverage_quality",
-    "basket_brand_pairs",
-    "order_trend_by_priority",
-    "image_dhash_neardup",
+    # --- 39 never-driver-checked (round-5 additions; first contact) ---
     "jsonl_ingest",
     "csv_ingest",
     "gdpr_erasure_audit",
@@ -128,20 +68,9 @@ _PRIORITY = [
     "text_source_roundtrip",
     "dedup_minhash_md5_pairs",
     "dedup_simhash_md5_pairs",
-    "streaming_stream_stream_left_outer",
-    "dedup_connected_components",
-    # rides the round-5 prefix-join rewrite (positional filter + memo):
-    "neardup_jaccard_pairs",
-    "cross_source_overlap",
-    "dedup_keep_canonical",
-    "dedup_incremental_new_batch",
-    # rides the round-5 multi-file read path change:
-    "excel_roundtrip",
-    # new or newly-oracled in round 5:
     "multimodal_mixed_manifest",
     "multimodal_wav_manifest",
     "multimodal_pixel_stats",
-    "multimodal_frame_sample",
     "passage_dedup_rewrite",
     "set_intersect_all_nations",
     "set_except_all_nations",
@@ -157,9 +86,9 @@ _PRIORITY = [
     "incremental_agg_merge",
     "hourly_anomaly_zscores",
     "cardinality_sketch_report",
-    "lang_id_ngram",
-    "doc_winnow_fingerprints",
-    # --- last driver-checked in round 1 (19 — oldest greens) ---
+    # --- re-contact: rows-only -> full oracle upgrade this round ---
+    "neardup_graph_pagerank",
+    # --- oldest greens, last driver-checked round 1 (10 fit the window) ---
     "unpivot_part_measures",
     "q17_small_quantity_revenue",
     "percentile_prices_by_flag",
@@ -170,6 +99,12 @@ _PRIORITY = [
     "scalar_null_handling",
     "q15_top_supplier",
     "q19_disjunctive_predicates",
+    # ---- 50-slot window ends here ----
+    # round-6 guarded-code re-contacts (KM ln(0) guard, modularity m==0
+    # guard — behavior-preserving on current data, parity-green locally):
+    "kaplan_meier_view_to_purchase",
+    "neardup_cluster_modularity",
+    # remaining round-1 greens (roll to round 7):
     "q22_global_sales_opportunity",
     "window_range_7day_avg",
     "window_rank_family",
@@ -179,19 +114,7 @@ _PRIORITY = [
     "window_value_functions",
     "lang_id_stopword",
     "doc_fingerprint_md5",
-    # --- plan rewritten by round-5 explode-via-indices (oracled; already
-    # re-verified by the stricter local parity harness — lower risk than
-    # the stale groups above, so they take the window's tail slots) ---
-    "contamination_ngram_overlap",
-    "corpus_top_ngrams",
-    "tfidf_top_terms",
-    "unigram_lm_quality",
-    "corpus_zipf_stats",
-    "doc_repetition_stats",
-    "passage_dedup_fraction",
-    "neardup_ngram_jaccard",
-    "embedding_neardup_pairs",
-    # --- last driver-checked in round 2 (29) ---
+    # round-2 greens (roll to round 7):
     "approx_aggregates",
     "agg_collect_arrays",
     "regexp_parse_customer_names",

@@ -152,13 +152,31 @@ BENCH_QUERIES = [
     "interarrival_burstiness_users",
     "neardup_cluster_modularity",
     "event_top_paths",
-    # als_one_sweep_factors and streaming_incremental_neardup are
-    # registry/driver-checked but NOT benched: the ALS sweep is ~6 s of
-    # multi-stage driver-coordinated linear algebra and the foreachBatch is registry/driver-checked but NOT
-    # benched: a 5-epoch foreachBatch composition is ~20 s of fixed
-    # per-epoch stage overhead at sf0.1 — it would be 15% of the bench
-    # line while measuring scheduler latency, not operator throughput.
+    # Two registry/driver-checked queries are deliberately NOT benched.
+    # als_one_sweep_factors: the one-sweep ALS is ~6 s of multi-stage
+    # driver-coordinated linear algebra, dominated by stage scheduling at
+    # sf0.1. streaming_incremental_neardup: a 5-epoch foreachBatch
+    # composition is ~20 s of fixed per-epoch stage overhead at sf0.1 — it
+    # would be 15% of the bench line while measuring scheduler latency,
+    # not operator throughput.
 ]
+
+# Queries that populate or read the cross-query dedup memos
+# (_SIG_CACHE / _JACCARD_PAIRS_CACHE / _CC_LABEL_CACHE in
+# operators/dedup.py). A same-session re-measure of these hits a warm
+# lazily-checkpointed table and times a cache read, not the workload, so
+# the drift guard must not "clear" their regressions from a deflated
+# second run — their first (cold) time is the comparable number.
+_MEMO_BACKED = {
+    "neardup_jaccard_pairs",
+    "containment_neardup_pairs",
+    "dedup_connected_components",
+    "dedup_keep_canonical",
+    "cross_source_overlap",
+    "neardup_graph_pagerank",
+    "neardup_graph_assortativity",
+    "neardup_cluster_modularity",
+}
 
 
 _EXCEL_ROWS = 100_000  # conversion-throughput workload size
@@ -353,6 +371,11 @@ def main() -> None:
     for name in list(regressions):
         if name not in BENCH_QUERIES:
             continue
+        if name in _MEMO_BACKED:
+            # re-running would hit the warm dedup memo and measure a cache
+            # read; keep the cold first-run time and let the flag stand.
+            regressions[name] += " (memo-backed: re-measure skipped)"
+            continue
         t0 = time.perf_counter()
         try:
             queries[name](spark, sf_dir).count()
@@ -373,6 +396,37 @@ def main() -> None:
     if errors:
         line["errors"] = errors
     print(json.dumps(line))
+    # The driver captures only the TAIL of stdout; once the per-query map
+    # outgrew that window (123 entries in round 5) the line above was
+    # truncated mid-JSON and the round's official bench artifact parsed as
+    # null. Emit a short, fixed-size summary as the FINAL stdout line so a
+    # tail capture of any reasonable size always ends in one complete,
+    # parseable JSON object (the full per-query line stays above for
+    # humans and for untruncated captures).
+    summary = {
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(times),
+        "sf": line["sf"],
+        "loadavg_at_start": load_at_start,
+        "loadavg_at_end": line["loadavg_at_end"],
+        "n_regressions": len(regressions),
+        "n_errors": len(errors),
+    }
+    print(json.dumps(summary))
+    # Persist the complete per-query record next to the script: the
+    # driver's 2000-char tail can no longer hold the >120-entry map, so
+    # this committed file is what the next round's drift guard (and a
+    # human comparing rounds) reads for per-query priors.
+    try:
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        )
+        with open(full_path, "w") as f:
+            json.dump(line, f, indent=1)
+    except OSError:
+        pass
 
 
 def _vs_previous_round(
@@ -402,13 +456,24 @@ def _vs_previous_round(
         prev = doc.get("queries")
         if prev is None:
             # driver wrapper format: raw bench stdout lives in "tail" —
-            # recover the JSON result line from it
+            # recover the JSON result line from it. A candidate line may be
+            # truncated mid-JSON (2000-char tail); skip it rather than
+            # aborting recovery.
             prev = {}
             for line in reversed(doc.get("tail", "").splitlines()):
                 line = line.strip().split("\r")[-1]
                 if line.startswith("{") and '"queries"' in line:
-                    prev = json.loads(line).get("queries", {})
+                    try:
+                        prev = json.loads(line).get("queries", {})
+                    except ValueError:
+                        continue
                     break
+        if not prev:
+            # the driver tail cannot hold the full per-query map once the
+            # registry outgrew ~50 benched queries — fall back to the
+            # committed full record main() writes after every complete run
+            with open(os.path.join(here, "BENCH_FULL.json")) as f:
+                prev = json.load(f).get("queries", {})
     except (OSError, ValueError):
         return {}
     out: dict[str, str] = {}

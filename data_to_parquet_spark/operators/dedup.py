@@ -1601,9 +1601,10 @@ def neardup_graph_assortativity(spark, sf_dir):
     SELECT CAST(m.m AS BIGINT) AS n_edges,
            CAST(b.n_clusters_with_edges AS BIGINT) AS n_clusters_with_edges,
            CAST(intra.a_intra AS BIGINT) AS n_intra_edges,
-           round(CAST(intra.a_intra AS DOUBLE) / m.m
-                 - CAST(b.b_sum AS DOUBLE) / (4.0 * m.m * m.m), 9)
-             AS modularity
+           CASE WHEN m.m = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE round(CAST(intra.a_intra AS DOUBLE) / m.m
+                     - CAST(b.b_sum AS DOUBLE) / (4.0 * m.m * m.m), 9)
+           END AS modularity
     FROM m, intra, b
     """,
 )
@@ -1654,6 +1655,17 @@ def neardup_cluster_modularity(spark, sf_dir):
         ).alias("b_sum"),
         F.count(F.lit(1)).alias("n_clusters_with_edges"),
     )
+    if m == 0:
+        # Empty near-dup graph (plausible on a small or regenerated
+        # corpus): modularity is undefined — emit an explicit zero-edge
+        # row with NULL Q instead of dividing by zero on the driver.
+        # The oracle's CASE WHEN m = 0 branch mirrors this exactly.
+        return b.select(
+            F.lit(0).alias("n_edges"),
+            F.col("n_clusters_with_edges"),
+            F.lit(0).alias("n_intra_edges"),
+            F.lit(None).cast("double").alias("modularity"),
+        )
     return b.select(
         F.lit(m).alias("n_edges"),
         F.col("n_clusters_with_edges"),

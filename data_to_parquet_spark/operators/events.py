@@ -1263,9 +1263,15 @@ def skew_salted_agg_events(spark, sf_dir):
            CAST(n_at_risk AS BIGINT) AS n_at_risk,
            CAST(d AS BIGINT) AS d_events,
            CAST(c AS BIGINT) AS c_censored,
-           round(exp(SUM(ln(1.0 - CAST(d AS DOUBLE) / n_at_risk)) OVER (
-             ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           )), 6) AS survival
+           CASE WHEN MAX(CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END) OVER (
+                  ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) = 1
+                THEN 0.0
+                ELSE round(exp(SUM(CASE WHEN d >= n_at_risk THEN 0.0
+                       ELSE ln(1.0 - CAST(d AS DOUBLE) / n_at_risk) END) OVER (
+                  ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW)), 6)
+           END AS survival
     FROM risk
     """,
 )
@@ -1327,15 +1333,27 @@ def kaplan_meier_view_to_purchase(spark, sf_dir):
         F.lit(total)
         - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0)),
     )
-    lnf = F.log(
-        F.lit(1.0) - F.col("d").cast("double") / F.col("n_at_risk")
+    # d == n_at_risk (every remaining subject converts in this bucket)
+    # makes the hazard factor ln(0): DuckDB raises, Spark returns NULL
+    # which a window SUM silently skips — a data-dependent crash on one
+    # engine and a wrong plateau on the other. Handle it explicitly on
+    # both sides: once any bucket exhausts the risk set, survival IS 0.
+    lnf = F.when(
+        F.col("d") >= F.col("n_at_risk"), F.lit(0.0)
+    ).otherwise(
+        F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_at_risk"))
+    )
+    hit_zero = (
+        F.max((F.col("d") >= F.col("n_at_risk")).cast("int")).over(wrun) == 1
     )
     return risk.select(
         F.col("dur").alias("duration_days"),
         "n_at_risk",
         F.col("d").alias("d_events"),
         F.col("c").alias("c_censored"),
-        F.round(F.exp(F.sum(lnf).over(wrun)), 6).alias("survival"),
+        F.when(hit_zero, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum(lnf).over(wrun)), 6))
+        .alias("survival"),
     )
 
 

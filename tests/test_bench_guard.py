@@ -50,6 +50,25 @@ def test_driver_wrapper_format_and_newest_round_wins(tmp_path):
     assert "BENCH_r02.json" in out["q"]
 
 
+def test_truncated_tail_falls_back_to_full_record(tmp_path):
+    # Round-5 failure mode: the driver captures only 2000 chars of stdout,
+    # so the >120-entry per-query line arrives truncated mid-JSON. The
+    # guard must skip the unparseable fragment and read the committed
+    # BENCH_FULL.json that bench.py writes after every complete run.
+    truncated = '{"metric": "total_query_wall_time", "queries": {"q": 0.5, "oth'
+    _write(
+        tmp_path,
+        "BENCH_r05.json",
+        {"n": 5, "rc": 0, "tail": f'{truncated}\n{{"value": 1.0, "n_queries": 2}}\n'},
+    )
+    _write(tmp_path, "BENCH_FULL.json", {"queries": {"q": 0.5}})
+    out = _vs_previous_round({"q": 2.0}, root=str(tmp_path))
+    assert set(out) == {"q"}
+    # without the full record the guard degrades to "no prior", not a crash
+    (tmp_path / "BENCH_FULL.json").unlink()
+    assert _vs_previous_round({"q": 2.0}, root=str(tmp_path)) == {}
+
+
 def test_stray_non_numeric_artifact_is_ignored(tmp_path):
     # BENCH_rerun.json matches the BENCH_r*.json glob but has no round
     # number — must degrade to "no prior"/newest-numeric, not crash.
