@@ -1355,7 +1355,69 @@ _PR_ITERS = 10
 _PR_TOPK = 25
 
 
-@DEDUP.register("neardup_graph_pagerank", oracle=None)
+@DEDUP.register(
+    "neardup_graph_pagerank",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, lang,
+             list_sort(list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS toks
+      FROM documents
+    ), prs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM tok a JOIN tok b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / (len(a.toks) + len(b.toks)
+                 - len(list_intersect(a.toks, b.toks))) >= 0.9
+    ), edges AS (
+      SELECT u, v FROM prs UNION ALL SELECT v, u FROM prs
+    ), verts AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS idx
+      FROM documents
+    ), degs AS (
+      SELECT u AS doc_id, COUNT(*) AS d FROM edges GROUP BY u
+    ), adj AS (
+      SELECT vd.idx AS dst_idx, list(vs.idx ORDER BY vs.idx) AS nbrs
+      FROM edges e
+      JOIN verts vs ON vs.doc_id = e.u
+      JOIN verts vd ON vd.doc_id = e.v
+      GROUP BY vd.idx
+    ), pernode AS (
+      SELECT v.doc_id, v.idx,
+             COALESCE(dg.d, 0) AS deg,
+             COALESCE(a.nbrs, []) AS nbrs
+      FROM verts v
+      LEFT JOIN degs dg ON dg.doc_id = v.doc_id
+      LEFT JOIN adj a ON a.dst_idx = v.idx
+    ), packed AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN deg = 0 THEN 1 ELSE 0 END) AS n0,
+             list(doc_id ORDER BY idx) AS ids,
+             list(CAST(deg AS BIGINT) ORDER BY idx) AS degl,
+             list(nbrs ORDER BY idx) AS adjl
+      FROM pernode
+    ), pr(k, ranks, rdang) AS (
+      SELECT 0, list_transform(ids, x -> 1.0 / n), 1.0 / n FROM packed
+      UNION ALL
+      SELECT k + 1,
+             list_transform(adjl, nb ->
+               (1.0 - 0.85) / n + 0.85 * (n0 * rdang) / n
+               + 0.85 * COALESCE(
+                   list_sum(list_transform(nb, j -> ranks[j] / degl[j])),
+                   0.0)),
+             (1.0 - 0.85) / n + 0.85 * (n0 * rdang) / n
+      FROM pr, packed WHERE k < 10
+    ), final AS (
+      SELECT unnest(ids) AS doc_id,
+             unnest(degl) AS deg,
+             unnest(list_transform(ranks, r -> round(r * n, 9)))
+               AS rank_x_n
+      FROM pr, packed WHERE k = 10
+    )
+    SELECT doc_id, deg, rank_x_n
+    FROM final ORDER BY rank_x_n DESC, doc_id LIMIT 25
+    """,
+)
 def neardup_graph_pagerank(spark, sf_dir):
     """PageRank over the near-duplicate graph: rank every document by its
     centrality in the verified Jaccard pair graph — the "most-duplicated
@@ -1375,12 +1437,19 @@ def neardup_graph_pagerank(spark, sf_dir):
     iteration's plan contains all nine predecessors). Fixed 10
     iterations, damping 0.85.
 
-    No oracle: iterative float sums are partitioning-order-dependent in
-    their trailing ulps and SQL has no natural fixed-iteration PageRank;
-    the driver records rows-only. tests/test_pagerank.py pins ranks
-    against a dense numpy power iteration of the SAME Google matrix
-    (atol 1e-9 after 10 identical iterations) plus the mass-conservation
-    invariant.
+    Oracle (round-6 upgrade, rows-only -> full value check): the whole
+    power iteration re-runs inside DuckDB as a recursive-CTE fold over
+    ALIGNED LISTS — ranks, degrees, and in-neighbor index lists packed
+    into one row, each iteration a `list_transform` whose arithmetic
+    mirrors the Spark expression term-for-term (same `(1.0 - 0.85) / n`
+    literal construction, same `n0 * rdang` dangling closed form, same
+    round(rank*n, 9) quantization) — the Holt list-accumulator precedent
+    (operators/misc.py) applied to a graph recurrence. Contribution sums
+    may differ from Spark's partition reduce order in trailing ulps; the
+    9-decimal quantization collapses that ~1e-14 noise two orders below
+    the comparison granularity. tests/test_pagerank.py additionally pins
+    ranks against a dense numpy power iteration of the SAME Google
+    matrix (atol 1e-9) plus the mass-conservation invariant.
     """
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()
