@@ -450,6 +450,7 @@ def _vs_previous_round(
     prior = [p for _, p in sorted(numbered)]
     if not prior:
         return {}
+    label = os.path.basename(prior[-1])
     try:
         with open(prior[-1]) as f:
             doc = json.load(f)
@@ -474,6 +475,7 @@ def _vs_previous_round(
             # committed full record main() writes after every complete run
             with open(os.path.join(here, "BENCH_FULL.json")) as f:
                 prev = json.load(f).get("queries", {})
+            label = "BENCH_FULL.json"
     except (OSError, ValueError):
         return {}
     out: dict[str, str] = {}
@@ -481,8 +483,7 @@ def _vs_previous_round(
         then = prev.get(name)
         if then and then >= 0.2 and now >= 0.5 and now > then * 1.5:
             out[name] = (
-                f"{then}s -> {now}s ({now / then:.1f}x vs "
-                f"{os.path.basename(prior[-1])})"
+                f"{then}s -> {now}s ({now / then:.1f}x vs {label})"
             )
     return out
 
