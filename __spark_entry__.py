@@ -40,10 +40,11 @@ _REGISTRY = REL.merge(
 # (VERDICT.md r5 item 1): the entire 50-slot window goes to
 # 1) the 39 never-driver-checked round-5 queries (all local-parity green
 #    at sf0.001 AND sf0.01);
-# 2) neardup_graph_pagerank — re-contact: upgraded rows-only -> full
-#    value oracle this round (VERDICT item 6);
-# 3) the 10 oldest round-1 greens (NTZ precedent: stale greens rot when
-#    testdata regenerates). The remaining 9 round-1 + 29 round-2 greens
+# 2) neardup_graph_pagerank and kmeans_embedding_clusters — re-contacts:
+#    both upgraded rows-only -> full value oracle this round (VERDICT
+#    item 6);
+# 3) the 9 oldest round-1 greens (NTZ precedent: stale greens rot when
+#    testdata regenerates). The remaining 10 round-1 + 29 round-2 greens
 #    follow immediately after the window and roll to round 7.
 _PRIORITY = [
     # --- 39 never-driver-checked (round-5 additions; first contact) ---
@@ -86,8 +87,9 @@ _PRIORITY = [
     "incremental_agg_merge",
     "hourly_anomaly_zscores",
     "cardinality_sketch_report",
-    # --- re-contact: rows-only -> full oracle upgrade this round ---
+    # --- re-contacts: rows-only -> full oracle upgrades this round ---
     "neardup_graph_pagerank",
+    "kmeans_embedding_clusters",
     # --- oldest greens, last driver-checked round 1 (10 fit the window) ---
     "unpivot_part_measures",
     "q17_small_quantity_revenue",
@@ -98,8 +100,8 @@ _PRIORITY = [
     "q18_large_orders",
     "scalar_null_handling",
     "q15_top_supplier",
-    "q19_disjunctive_predicates",
     # ---- 50-slot window ends here ----
+    "q19_disjunctive_predicates",
     # round-6 guarded-code re-contacts (KM ln(0) guard, modularity m==0
     # guard — behavior-preserving on current data, parity-green locally):
     "kaplan_meier_view_to_purchase",

@@ -700,7 +700,70 @@ _KM_K = 8  # cluster count
 _KM_ITERS = 5  # Lloyd iterations over the FULL corpus
 
 
-@SIM.register("kmeans_embedding_clusters", oracle=None)
+@SIM.register(
+    "kmeans_embedding_clusters",
+    oracle=f"""
+    WITH RECURSIVE packed AS (
+      SELECT list(embedding ORDER BY vec_id) AS embs,
+             COUNT(*) AS n
+      FROM embeddings
+    ), init AS (
+      SELECT list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS cents
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT {_KM_K})
+    ), km(it, cents) AS (
+      SELECT 0, cents FROM init
+      UNION ALL
+      SELECT it + 1,
+             list_transform(range(1, {_KM_K + 1}), cl ->
+               CASE WHEN NOT list_contains(assign, cl) THEN cents[cl]
+                    ELSE list_transform(range(1, len(cents[cl]) + 1), i ->
+                           list_sum(list_transform(
+                             list_filter(range(1, CAST(n AS INTEGER) + 1),
+                                         p -> assign[p] = cl),
+                             p -> CAST(embs[p][i] AS DOUBLE)))
+                           / len(list_filter(
+                               range(1, CAST(n AS INTEGER) + 1),
+                               p -> assign[p] = cl)))
+               END)
+      FROM (
+        SELECT it, cents, embs, n,
+               list_transform(embs, e ->
+                 list_position(
+                   list_transform(cents, c ->
+                     list_sum(list_transform(range(1, len(c) + 1),
+                       i -> (CAST(e[i] AS DOUBLE) - c[i])
+                            * (CAST(e[i] AS DOUBLE) - c[i])))),
+                   list_min(
+                     list_transform(cents, c ->
+                       list_sum(list_transform(range(1, len(c) + 1),
+                         i -> (CAST(e[i] AS DOUBLE) - c[i])
+                              * (CAST(e[i] AS DOUBLE) - c[i]))))))) AS assign
+        FROM km, packed WHERE it < {_KM_ITERS}
+      )
+    ), fin AS (
+      SELECT cents FROM km WHERE it = {_KM_ITERS}
+    ), assigned AS (
+      SELECT list_position(ds, list_min(ds)) AS cl,
+             list_min(ds) AS d2
+      FROM (
+        SELECT list_transform(cents, c ->
+                 list_sum(list_transform(range(1, len(c) + 1),
+                   i -> (CAST(e.embedding[i] AS DOUBLE) - c[i])
+                        * (CAST(e.embedding[i] AS DOUBLE) - c[i])))) AS ds
+        FROM embeddings e, fin
+      )
+    )
+    SELECT CAST(cl - 1 AS INTEGER) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           round(SUM(d2), 4) AS inertia,
+           round(sqrt(list_sum(list_transform(
+             (SELECT cents FROM fin)[cl], x -> x * x))), 6) AS centroid_norm
+    FROM assigned
+    GROUP BY cl
+    ORDER BY cluster
+    """,
+)
 def kmeans_embedding_clusters(spark, sf_dir):
     """Fully-DISTRIBUTED Lloyd's k-means over every embedding — the
     complement of `similarity_ann_ivf`'s bounded-sample trainer: when the
@@ -718,10 +781,23 @@ def kmeans_embedding_clusters(spark, sf_dir):
     reaches the driver. Per-vector state never accumulates anywhere.
 
     Output: one row per cluster with member count, within-cluster sum of
-    squared distance (inertia), and centroid norm. Rows-only for the
-    driver (iterative float reduction is not SQL-expressible);
-    tests/test_kmeans.py pins counts and inertia against a dense numpy
-    Lloyd run with identical init and iteration count.
+    squared distance (inertia), and centroid norm.
+
+    Oracle (round-6 upgrade, rows-only -> full value check): the whole
+    Lloyd run re-runs inside DuckDB as a recursive-CTE fold over packed
+    lists — the corpus as one list-of-vectors row, centroids as a
+    k-element list of lists, each iteration one `list_transform` that
+    assigns every point to its argmin cluster (`list_position` of
+    `list_min` = numpy argmin's lowest-index tie rule) and re-averages
+    per dim, empty clusters keeping their previous centroid — the
+    pagerank recursive-fold precedent applied to Lloyd's recurrence.
+    Cross-engine float risk is gated by genuine near-ties, not rounding:
+    an assignment can only flip if two centroids are within reduce-order
+    noise (~1e-13) of EQUIDISTANT from a point, and the emitted inertia
+    (round 4) / centroid_norm (round 6) absorb trailing-ulp sum
+    differences outright. Value-exact at sf0.001/0.01/0.1.
+    tests/test_kmeans.py additionally pins counts and inertia against a
+    dense numpy Lloyd run with identical init and iteration count.
     """
     from ..ops import lloyd_kmeans
 
