@@ -624,10 +624,19 @@ def embedding_pca_components(spark, sf_dir):
     64×64 matrix is microseconds. Output: (component, dim, loading,
     eigenvalue, explained_frac) — d×k rows.
 
-    No oracle: the Gram accumulation order depends on partitioning, so
-    trailing-ulp float totals (and thus sign/rotation of near-degenerate
-    eigenvectors) are not bit-stable across engines; the driver records
-    rows-only. tests/test_pca.py pins loadings against numpy's exact
+    No oracle — and measurably cannot have one (round-6 study): the
+    embedding covariance spectrum is nearly flat (λ2/λ1 ≈ 0.987 at
+    sf0.01, 0.983 at sf0.1; top-4 gaps 2-10e-4), so 200 power iterations
+    sit far from convergence ((0.99)^200 ≈ 0.13) and the ~1e-13
+    reduce-order noise in the Gram totals amplifies through the
+    iteration path and deflation to ~1e-10 on the UNROUNDED loadings —
+    a hash-exact cross-engine compare would flip at the few-percent
+    level per run, and rounding coarsely enough to absorb it (5
+    decimals) would destroy the loading fidelity the query exists to
+    report. Contrast `kmeans_embedding_clusters`/`neardup_graph_pagerank`
+    (upgraded round 6), whose outputs are tie-gated or quantized with
+    orders-of-magnitude margin. The driver records rows-only;
+    tests/test_pca.py pins loadings against numpy's exact
     eigendecomposition (|cos| alignment per component, eigenvalue rtol)
     and fixes the sign convention (largest-|loading| entry positive).
     """
@@ -920,9 +929,16 @@ def als_one_sweep_factors(spark, sf_dir):
     * RMSE: one join of ratings against both factor tables, one scalar
       aggregate.
 
-    Rows-only (iterative float linear algebra is not SQL-expressible);
-    tests/test_als.py pins factors and RMSE against a dense numpy
-    replication with identical init, ordering, and regularization.
+    Rows-only, for the same measured reason as `embedding_pca_components`
+    (round-6 study): each user/item factor is the solution of a d×d
+    linear system, and `np.linalg.solve`'s pivoted-LU arithmetic has no
+    DuckDB-replicable counterpart — a recursive-CTE Gaussian elimination
+    would make different pivot/summation choices, and the solve
+    amplifies those ulp differences by the normal-matrix condition
+    number, putting cross-engine drift above any rounding fine enough to
+    keep the factor norms meaningful. tests/test_als.py pins factors and
+    RMSE against a dense numpy replication with identical init,
+    ordering, and regularization.
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
