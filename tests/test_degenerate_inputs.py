@@ -111,3 +111,74 @@ def test_km_exhausted_risk_set_survival_zero(spark, exhausting_events_dir):
     con.close()
     assert oracle[5][4] == 0.0
     assert oracle[1][4] == pytest.approx(got[1]["survival"], abs=1e-9)
+
+
+@pytest.fixture(scope="module")
+def duplicate_init_embeddings_dir(tmp_path_factory):
+    """vec 0 and vec 1 are IDENTICAL, so the k=8 lowest-id init creates two
+    equal centroids. Iteration 1 assigns both duplicates (tie -> lowest
+    index) AND point 8 to cluster 0, leaving cluster 1 EMPTY — the
+    keep-previous-centroid branch runs on BOTH engines. Because cluster 1
+    kept [0,0,0,1] exactly, iteration 2 pulls the two duplicates back (d2
+    0 beats the dragged cluster-0 mean); had either engine zeroed or
+    dropped the empty centroid, the final partition would differ."""
+    root = tmp_path_factory.mktemp("kmempty")
+    base = [
+        [0.0, 0.0, 0.0, 1.0],
+        [0.0, 0.0, 0.0, 1.0],  # identical to vec 0
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [1.0, 1.0, 0.0, 0.0],
+        [1.0, 0.0, 1.0, 0.0],
+        [0.0, 1.0, 1.0, 0.0],
+        [0.25, 0.0, 0.0, 0.75],
+        [0.8, 0.1, 0.0, 0.0],
+    ]
+    emb = pd.DataFrame(
+        {
+            "vec_id": range(len(base)),
+            "embedding": base,
+            "label": [0] * len(base),
+        }
+    )
+    emb.to_parquet(root / "embeddings.parquet")
+    return str(root)
+
+
+def test_kmeans_empty_cluster_keeps_centroid_and_oracle_agrees(
+    spark, duplicate_init_embeddings_dir
+):
+    from data_to_parquet_spark.operators.similarity import (
+        kmeans_embedding_clusters,
+    )
+    import __spark_entry__ as entry_mod
+
+    got = {
+        r["cluster"]: r
+        for r in kmeans_embedding_clusters(
+            spark, duplicate_init_embeddings_dir
+        ).collect()
+    }
+    # cluster 1 emptied in iteration 1 and kept its exact init centroid,
+    # so it recaptured both duplicate points; the kept [0,0,0,1] is also
+    # their mean, hence inertia 0 and norm 1
+    assert got[1]["n_members"] == 2
+    assert got[1]["inertia"] == 0.0
+    assert got[1]["centroid_norm"] == pytest.approx(1.0, abs=1e-9)
+    assert sum(r["n_members"] for r in got.values()) == 10
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{duplicate_init_embeddings_dir}/embeddings.parquet'"
+    )
+    sql = entry_mod.oracle_sql()["kmeans_embedding_clusters"]
+    oracle = {row[0]: row for row in con.execute(sql).fetchall()}
+    con.close()
+    assert sorted(oracle) == sorted(got)
+    for c, r in got.items():
+        o = oracle[c]
+        assert o[1] == r["n_members"], (c, o, tuple(r))
+        assert o[2] == pytest.approx(r["inertia"], abs=1e-9)
+        assert o[3] == pytest.approx(r["centroid_norm"], abs=1e-9)
