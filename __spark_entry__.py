@@ -33,80 +33,31 @@ _REGISTRY = REL.merge(
     EVT, TXT, DEDUP, SIM, MM, MISC, STREAMING, CDC, TPCH_X, PIPE, PRIV
 )
 
-# The driver verifies the first 50 registry entries per round. Rounds 1-5
-# covered 170 of the 209 registered queries; round 5 spent its window on
-# first-contact of new queries, leaving 39 never-driver-checked and 19
-# round-1-era stale greens. Round 6 is the verification-debt round
-# (VERDICT.md r5 item 1): the entire 50-slot window goes to
-# 1) the 39 never-driver-checked round-5 queries (all local-parity green
-#    at sf0.001 AND sf0.01);
-# 2) neardup_graph_pagerank and kmeans_embedding_clusters — re-contacts:
-#    both upgraded rows-only -> full value oracle this round (VERDICT
-#    item 6);
-# 3) the 9 oldest round-1 greens (NTZ precedent: stale greens rot when
-#    testdata regenerates). The remaining 10 round-1 + 29 round-2 greens
-#    follow immediately after the window and roll to round 7.
+# The driver verifies the first 50 registry entries per round. After round
+# 6, every registered query has driver contact (0 never-checked), so the
+# debt is now STALENESS: 39 queries were last checked in round 1/2 (NTZ
+# precedent: stale greens rot when testdata regenerates), and 5 queries
+# gained full value oracles in round 5 that the driver has never confirmed
+# (their latest entry predates the oracle, recorded as no_oracle).
+# Round 7 window (VERDICT.md r6 item 1), in order:
+# 1) the 5 unconfirmed round-5 oracle upgrades (first hash contact);
+# 2) the 10 round-1-era greens;
+# 3) the 26 remaining round-2-era greens (3 of the 29 are already in
+#    group 1);
+# 4) 2 guarded-code re-contacts (KM ln(0) guard, modularity m==0 guard —
+#    behavior-preserving on current data, parity-green locally);
+# 5) 7 oldest round-3-era greens (alphabetical; the remaining 16 round-3
+#    greens follow after the window and roll to round 8).
+# After this round no query's latest driver entry predates round 3.
 _PRIORITY = [
-    # --- 39 never-driver-checked (round-5 additions; first contact) ---
-    "jsonl_ingest",
-    "csv_ingest",
-    "gdpr_erasure_audit",
-    "k_anonymity_audit",
-    "compression_ratio_signal",
-    "part_hierarchy_rollup",
-    "snapshot_diff_customers",
-    "mad_outlier_events",
-    "streaming_chained_windows",
-    "clamped_running_balance",
-    "orc_roundtrip",
-    "scd2_point_in_time_join",
-    "weighted_sample_topk",
-    "unicode_normalize_names",
-    "graph_triangle_count",
-    "session_dwell_bounce",
-    "cusum_changepoint_daily",
-    "xml_ingest",
-    "text_source_roundtrip",
-    "dedup_minhash_md5_pairs",
-    "dedup_simhash_md5_pairs",
-    "multimodal_mixed_manifest",
-    "multimodal_wav_manifest",
-    "multimodal_pixel_stats",
-    "passage_dedup_rewrite",
-    "set_intersect_all_nations",
-    "set_except_all_nations",
-    "full_outer_nation_activity",
-    "contamination_bloom_flags",
-    "similarity_recall_report",
-    "multimodal_resize_pixel_sums",
-    "streaming_global_topk_users",
-    "bpe_first_merges",
-    "funnel_view_click_purchase",
-    "cohort_retention_weekly",
-    "dq_check_lineitem",
-    "incremental_agg_merge",
-    "hourly_anomaly_zscores",
-    "cardinality_sketch_report",
-    # --- re-contacts: rows-only -> full oracle upgrades this round ---
-    "neardup_graph_pagerank",
-    "kmeans_embedding_clusters",
-    # --- oldest greens, last driver-checked round 1 (10 fit the window) ---
-    "unpivot_part_measures",
-    "q17_small_quantity_revenue",
-    "percentile_prices_by_flag",
-    "q4_late_shipment_priority",
-    "q7_nation_volume",
-    "q14_promo_revenue_ratio",
-    "q18_large_orders",
-    "scalar_null_handling",
-    "q15_top_supplier",
-    # ---- 50-slot window ends here ----
+    # --- 1) round-5 oracle upgrades the driver has never confirmed ---
+    "excel_roundtrip",
+    "lang_id_ngram",
+    "doc_winnow_fingerprints",
+    "multimodal_frame_sample",
+    "streaming_stream_stream_left_outer",
+    # --- 2) greens last driver-checked round 1 (10) ---
     "q19_disjunctive_predicates",
-    # round-6 guarded-code re-contacts (KM ln(0) guard, modularity m==0
-    # guard — behavior-preserving on current data, parity-green locally):
-    "kaplan_meier_view_to_purchase",
-    "neardup_cluster_modularity",
-    # remaining round-1 greens (roll to round 7):
     "q22_global_sales_opportunity",
     "window_range_7day_avg",
     "window_rank_family",
@@ -116,7 +67,7 @@ _PRIORITY = [
     "window_value_functions",
     "lang_id_stopword",
     "doc_fingerprint_md5",
-    # round-2 greens (roll to round 7):
+    # --- 3) greens last driver-checked round 2 (26 of 29; other 3 above) ---
     "approx_aggregates",
     "agg_collect_arrays",
     "regexp_parse_customer_names",
@@ -143,6 +94,35 @@ _PRIORITY = [
     "sequence_packing",
     "source_mix_weights",
     "udtf_pack_bins",
+    # --- 4) guarded-code re-contacts (round-6 degenerate-input guards) ---
+    "kaplan_meier_view_to_purchase",
+    "neardup_cluster_modularity",
+    # --- 5) oldest round-3 greens (7 fit the window) ---
+    "agg_distinct_counts",
+    "anti_customers_without_orders",
+    "contamination_ngram_overlap",
+    "corpus_top_ngrams",
+    "corpus_zipf_stats",
+    "cube_part_brand_size",
+    "date_functions_orders",
+    # ---- 50-slot window ends here ----
+    # remaining round-3 greens (roll to round 8):
+    "grouping_sets_nation_segment",
+    "map_json_props",
+    "pii_mask_profiles",
+    "q21_waiting_supplier",
+    "q5_local_supplier_volume",
+    "q9_product_profit",
+    "rollup_order_priority",
+    "semi_customers_with_open_orders",
+    "set_except_nations",
+    "set_intersect_nations",
+    "text_quality_stats",
+    "token_count_bpe",
+    "udaf_geometric_mean",
+    "unigram_lm_quality",
+    "window_lag_order_gap",
+    "window_running_customer_revenue",
 ]
 
 

@@ -33,6 +33,21 @@ def _ever_checked() -> set[str]:
     return names
 
 
+def _latest_entries() -> tuple[int, dict[str, tuple[int, dict]]]:
+    """(max_round, {query: (latest_round_checked, record)})."""
+    latest: dict[str, tuple[int, dict]] = {}
+    max_round = 0
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        stem = os.path.basename(path)
+        rnd = int(stem[len("CORRECTNESS_r") : -len(".json")])
+        max_round = max(max_round, rnd)
+        with open(path) as f:
+            for name, rec in json.load(f).items():
+                if name not in latest or rnd > latest[name][0]:
+                    latest[name] = (rnd, rec)
+    return max_round, latest
+
+
 def test_never_checked_queries_fit_next_driver_window():
     order = _registry_order()
     checked = _ever_checked()
@@ -44,6 +59,60 @@ def test_never_checked_queries_fit_next_driver_window():
         f"AND are outside the next 50-slot verification window — they can "
         f"never be verified. Reorder _PRIORITY in __spark_entry__.py (or "
         f"stop adding queries) so the debt fits the window: {overflow}"
+    )
+
+
+STALE_AFTER = 4  # a green older than this many rounds must be re-rotated
+
+
+def test_stale_greens_are_scheduled_for_rotation():
+    """Staleness guard (VERDICT r6 item 2a): the NTZ incident proved driver
+    greens rot when testdata regenerates, so a query whose latest driver
+    entry is >= STALE_AFTER rounds behind the newest CORRECTNESS artifact
+    must sit inside the next 50-slot window, or it can drift stale forever.
+    """
+    max_round, latest = _latest_entries()
+    order = _registry_order()
+    window = set(order[:WINDOW])
+    stale = [
+        q
+        for q in order
+        if q in latest and latest[q][0] <= max_round - STALE_AFTER
+    ]
+    overflow = [q for q in stale if q not in window]
+    assert not overflow, (
+        f"{len(overflow)} queries were last driver-checked in round "
+        f"<= {max_round - STALE_AFTER} (newest artifact: round {max_round}) "
+        f"but are outside the next 50-slot window. Rotate _PRIORITY in "
+        f"__spark_entry__.py so stale greens get re-contact: {overflow}"
+    )
+
+
+def test_upgraded_oracles_get_driver_contact():
+    """Unconfirmed-oracle guard (VERDICT r6 item 2b): a query that now has
+    an oracle_sql() entry but whose latest driver record says ``no_oracle``
+    gained its value oracle AFTER its last driver contact — the upgrade has
+    never been hash-verified. It must be in the next window.
+    """
+    import __spark_entry__ as e
+
+    _, latest = _latest_entries()
+    order = _registry_order()
+    window = set(order[:WINDOW])
+    oracled = set(e.oracle_sql().keys())
+    unconfirmed = [
+        q
+        for q in order
+        if q in oracled
+        and q in latest
+        and latest[q][1].get("err") == "no_oracle"
+        and q not in window
+    ]
+    assert not unconfirmed, (
+        f"{len(unconfirmed)} queries have oracle_sql() entries that were "
+        f"added after their last driver contact (latest record is "
+        f"no_oracle) and are outside the next 50-slot window — the oracle "
+        f"upgrade would never be hash-verified: {unconfirmed}"
     )
 
 
