@@ -1357,7 +1357,10 @@ _PR_TOPK = 25
 
 @DEDUP.register(
     "neardup_graph_pagerank",
-    oracle="""
+    # f-string so damping/iterations/top-k stay synchronized with the Spark
+    # implementation's _PR_* constants (advisor r6: hard-coded literals would
+    # silently desynchronize oracle and implementation on a constant change).
+    oracle=f"""
     WITH RECURSIVE tok AS (
       SELECT doc_id, lang,
              list_sort(list_distinct(list_filter(
@@ -1401,21 +1404,21 @@ _PR_TOPK = 25
       UNION ALL
       SELECT k + 1,
              list_transform(adjl, nb ->
-               (1.0 - 0.85) / n + 0.85 * (n0 * rdang) / n
-               + 0.85 * COALESCE(
+               (1.0 - {_PR_DAMPING}) / n + {_PR_DAMPING} * (n0 * rdang) / n
+               + {_PR_DAMPING} * COALESCE(
                    list_sum(list_transform(nb, j -> ranks[j] / degl[j])),
                    0.0)),
-             (1.0 - 0.85) / n + 0.85 * (n0 * rdang) / n
-      FROM pr, packed WHERE k < 10
+             (1.0 - {_PR_DAMPING}) / n + {_PR_DAMPING} * (n0 * rdang) / n
+      FROM pr, packed WHERE k < {_PR_ITERS}
     ), final AS (
       SELECT unnest(ids) AS doc_id,
              unnest(degl) AS deg,
              unnest(list_transform(ranks, r -> round(r * n, 9)))
                AS rank_x_n
-      FROM pr, packed WHERE k = 10
+      FROM pr, packed WHERE k = {_PR_ITERS}
     )
     SELECT doc_id, deg, rank_x_n
-    FROM final ORDER BY rank_x_n DESC, doc_id LIMIT 25
+    FROM final ORDER BY rank_x_n DESC, doc_id LIMIT {_PR_TOPK}
     """,
 )
 def neardup_graph_pagerank(spark, sf_dir):

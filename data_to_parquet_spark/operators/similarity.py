@@ -724,7 +724,10 @@ _KM_ITERS = 5  # Lloyd iterations over the FULL corpus
       SELECT 0, cents FROM init
       UNION ALL
       SELECT it + 1,
-             list_transform(range(1, {_KM_K + 1}), cl ->
+             -- len(cents), not the literal k: mirrors lloyd_kmeans's
+             -- k-shrink when the corpus has fewer than k vectors (the
+             -- LIMIT in init already yields the shrunken centroid list)
+             list_transform(range(1, len(cents) + 1), cl ->
                CASE WHEN NOT list_contains(assign, cl) THEN cents[cl]
                     ELSE list_transform(range(1, len(cents[cl]) + 1), i ->
                            list_sum(list_transform(
