@@ -1,6 +1,6 @@
 """Similarity search over the ``embeddings`` table: brute-force cosine top-k
-(the exactness baseline) and a random-hyperplane-LSH bucketed ANN variant
-(the scale path), plus embedding-cosine near-dup pairs.
+(the exactness baseline) and sign-bit-LSH / IVF / PQ approximate indexes
+(the scale paths), plus embedding-cosine near-dup pairs.
 
 Float discipline for oracle parity: embeddings are ``array<float>``; every
 element is cast to DOUBLE before arithmetic (exact), and dot products are
@@ -69,6 +69,58 @@ def _dd_cosine(a: str, b: str) -> str:
     na = _DD_DOT.format(a=a, b=a)
     nb = _DD_DOT.format(a=b, b=b)
     return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+def _km_cte_sql(k: int, iters: int) -> str:
+    """Recursive-CTE Lloyd fold over the ``embeddings`` table (the proven
+    kmeans-oracle pattern, parameterized so the IVF coarse quantizer can
+    reuse it): defines CTEs ``packed``/``init``/``km`` and ``fin`` whose
+    single row holds the final centroid list. Caller prefixes with
+    ``WITH RECURSIVE`` and appends its own consuming CTEs."""
+    return f"""packed AS (
+      SELECT list(embedding ORDER BY vec_id) AS embs,
+             COUNT(*) AS n
+      FROM embeddings
+    ), init AS (
+      SELECT list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS cents
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT {k})
+    ), km(it, cents) AS (
+      SELECT 0, cents FROM init
+      UNION ALL
+      SELECT it + 1,
+             -- len(cents), not the literal k: mirrors lloyd_kmeans's
+             -- k-shrink when the corpus has fewer than k vectors (the
+             -- LIMIT in init already yields the shrunken centroid list)
+             list_transform(range(1, len(cents) + 1), cl ->
+               CASE WHEN NOT list_contains(assign, cl) THEN cents[cl]
+                    ELSE list_transform(range(1, len(cents[cl]) + 1), i ->
+                           list_sum(list_transform(
+                             list_filter(range(1, CAST(n AS INTEGER) + 1),
+                                         p -> assign[p] = cl),
+                             p -> CAST(embs[p][i] AS DOUBLE)))
+                           / len(list_filter(
+                               range(1, CAST(n AS INTEGER) + 1),
+                               p -> assign[p] = cl)))
+               END)
+      FROM (
+        SELECT it, cents, embs, n,
+               list_transform(embs, e ->
+                 list_position(
+                   list_transform(cents, c ->
+                     list_sum(list_transform(range(1, len(c) + 1),
+                       i -> (CAST(e[i] AS DOUBLE) - c[i])
+                            * (CAST(e[i] AS DOUBLE) - c[i])))),
+                   list_min(
+                     list_transform(cents, c ->
+                       list_sum(list_transform(range(1, len(c) + 1),
+                         i -> (CAST(e[i] AS DOUBLE) - c[i])
+                              * (CAST(e[i] AS DOUBLE) - c[i]))))))) AS assign
+        FROM km, packed WHERE it < {iters}
+      )
+    ), fin AS (
+      SELECT cents FROM km WHERE it = {iters}
+    )"""
 
 
 @SIM.register(
@@ -228,37 +280,85 @@ def embedding_neardup_pairs(spark, sf_dir):
     )
 
 
-@SIM.register("similarity_ann_lsh", oracle=None)
-def similarity_ann_lsh(spark, sf_dir):
-    """Approximate NN via multi-table random-hyperplane LSH.
+_ANN_TABLES, _ANN_BITS = 8, 4  # L tables x k sign bits per table
+_ANN_STRIDE = 8  # bit j of table t = sign of dim t*STRIDE + j
 
-    L=8 hash tables × k=4 hyperplanes each (seeded numpy): sign buckets are
-    computed by a vectorized Arrow-batched Pandas UDF — one (N,64)@(64,32)
-    matmul per batch instead of 32 interpreted fold expressions per row.
-    Candidates for a query are corpus vectors sharing any table's bucket;
-    exact cosine re-ranks the candidates (top-10 per query).
+
+def _ann_bucket_sql(t: int) -> str:
+    """DuckDB expression for ANN table *t*'s bucket id (1-based index)."""
+    return " + ".join(
+        f"CAST(embedding[{_ANN_STRIDE * t + j + 1}] > 0 AS INT) * {1 << j}"
+        for j in range(_ANN_BITS)
+    )
+
+
+def _ann_buckets_spark(emb):
+    """array<int> of per-table ANN bucket ids, same bit layout as the SQL."""
+    out = []
+    for t in range(_ANN_TABLES):
+        bucket = F.lit(0)
+        for j in range(_ANN_BITS):
+            bit = (F.element_at(emb, _ANN_STRIDE * t + j + 1) > 0).cast("int")
+            bucket = bucket + bit * (1 << j)
+        out.append(bucket)
+    return F.array(*out)
+
+
+_ANN_BANDS_CTE = " UNION ALL ".join(
+    f"SELECT vec_id, {t} AS tbl, {_ann_bucket_sql(t)} AS bucket"
+    f" FROM embeddings"
+    for t in range(_ANN_TABLES)
+)
+
+
+@SIM.register(
+    "similarity_ann_lsh",
+    oracle=f"""
+    WITH bands AS ({_ANN_BANDS_CTE}),
+    qb AS (SELECT vec_id AS query_id, tbl, bucket FROM bands
+           WHERE vec_id < {_N_QUERIES}),
+    cand AS (
+      SELECT DISTINCT qb.query_id, b.vec_id AS neighbor_id
+      FROM qb JOIN bands b
+        ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+       AND b.vec_id <> qb.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             {_dd_cosine('qv.embedding', 'e.embedding')} AS cos_sim
+      FROM cand c
+      JOIN embeddings qv ON qv.vec_id = c.query_id
+      JOIN embeddings e ON e.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) t WHERE rank <= {_TOP_K}
+    """,
+)
+def similarity_ann_lsh(spark, sf_dir):
+    """Approximate NN via multi-table sign-bit (hyperplane) LSH.
+
+    L=8 hash tables × k=4 axis-aligned sign bits each (bit j of table t is
+    the sign of dimension t*8+j, so the tables sample disjoint dims across
+    the whole vector). Candidates for a query are corpus vectors sharing
+    any table's bucket; exact cosine re-ranks the candidates (top-10 per
+    query). Axis-aligned hyperplanes keep the whole dataflow — bucketing,
+    candidate set, scoring, ranking — exactly replayable in the DuckDB
+    oracle (upgraded from rows-only in round 7, same precedent as
+    `embedding_neardup_pairs`), and bucket ids are computed by built-in
+    expressions entirely JVM-side: no Python worker in the plan at all,
+    unlike the previous seeded-numpy random-hyperplane variant.
 
     Scale: bucket ids are computed map-side (no shuffle); the all-pairs
-    scoring of brute force is replaced by one (table, bucket) equi-join whose
-    fan-in per bucket is ~|corpus|/2^k — tune k up as the corpus grows, L up
-    for recall. (Rows-only check: the hyperplane constants are engine-side.)
+    scoring of brute force is replaced by one (table, bucket) equi-join
+    whose fan-in per bucket is ~|corpus|/2^k — tune k up as the corpus
+    grows, L up for recall.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    dim, n_tables, k = 64, 8, 4
-    rng = np.random.default_rng(42)
-    planes = rng.standard_normal((n_tables * k, dim))  # row t*k+b = plane b of table t
-
-    @F.pandas_udf("array<int>")
-    def lsh_buckets(emb: pd.Series) -> pd.Series:
-        # vectorized over the Arrow batch: (N,64) @ (64, tables*k) -> signs
-        m = np.vstack(emb.to_numpy())  # (N, dim) float32
-        signs = (m @ planes.T) > 0  # (N, tables*k)
-        per_table = signs.reshape(len(m), n_tables, k) @ (1 << np.arange(k))
-        return pd.Series(list(per_table.astype("int32")))
-
-    tagged = e.select(
-        "vec_id",
-        F.posexplode(lsh_buckets("embedding")).alias("table", "bucket"),
+    tagged = exploded_rows_pos(
+        e, ["vec_id"], _ann_buckets_spark(F.col("embedding")), "table", "bucket"
     )
     q = tagged.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -304,36 +404,84 @@ def similarity_ann_lsh(spark, sf_dir):
     )
 
 
-@SIM.register("similarity_ann_ivf", oracle=None)
+_IVF_K, _IVF_NPROBE, _IVF_ITERS = 16, 4, 5
+
+
+@SIM.register(
+    "similarity_ann_ivf",
+    oracle=f"""
+    WITH RECURSIVE {_km_cte_sql(_IVF_K, _IVF_ITERS)},
+    dists AS (
+      SELECT e.vec_id,
+             list_transform((SELECT cents FROM fin), c ->
+               list_sum(list_transform(range(1, len(c) + 1),
+                 i -> (CAST(e.embedding[i] AS DOUBLE) - c[i])
+                      * (CAST(e.embedding[i] AS DOUBLE) - c[i])))) AS ds
+      FROM embeddings e
+    ),
+    cells AS (
+      SELECT vec_id,
+             CAST(list_position(ds, list_min(ds)) - 1 AS INTEGER) AS cell
+      FROM dists
+    ),
+    qprobe AS (
+      SELECT query_id, cell FROM (
+        SELECT query_id, i - 1 AS cell, d2,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY d2, i) AS rn
+        FROM (SELECT vec_id AS query_id,
+                     unnest(range(1, len(ds) + 1)) AS i,
+                     unnest(ds) AS d2
+              FROM dists WHERE vec_id < {_N_QUERIES})
+      ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id
+      FROM qprobe q JOIN cells c
+        ON c.cell = q.cell AND c.vec_id <> q.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             {_dd_cosine('qv.embedding', 'e.embedding')} AS cos_sim
+      FROM cand c
+      JOIN embeddings qv ON qv.vec_id = c.query_id
+      JOIN embeddings e ON e.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) t WHERE rank <= {_TOP_K}
+    """,
+)
 def similarity_ann_ivf(spark, sf_dir):
     """Approximate NN via IVF (inverted-file) coarse quantization.
 
-    Train: k-means centroids (k=16, 5 Lloyd iterations, seed 42) on a
-    driver-side sample — at 100 TB the sample is a bounded `limit()`, never
-    the corpus. Index: every vector is assigned to its nearest centroid by a
-    vectorized Pandas UDF (one matmul per Arrow batch). Search: each query
-    probes its `nprobe=4` nearest cells; exact cosine re-ranks within the
-    probed cells.
+    Train: the coarse quantizer is `ops.lloyd_centroids` — the same
+    fully-distributed, deterministic Lloyd loop behind
+    `kmeans_embedding_clusters` (k=16, 5 iterations, init = k lowest
+    vec_ids), so training touches the whole corpus with O(k·d) shuffle and
+    driver transfer instead of a driver-side sample, and the entire
+    dataflow — training fold, cell assignment, query probing, cosine
+    re-rank — replays in the DuckDB oracle via the shared recursive-CTE
+    Lloyd fold (upgraded from rows-only in round 7). Index: every vector
+    is assigned to its nearest centroid by a vectorized Pandas UDF (one
+    matmul per Arrow batch; lowest-index argmin = the oracle's
+    `list_position(list_min)`). Search: each query probes its `nprobe=4`
+    nearest cells (stable argsort = the oracle's `ORDER BY d2, i` tie
+    rule); exact cosine re-ranks within the probed cells.
 
-    Scale: assignment is map-side; the search join touches |corpus|·nprobe/k
-    of the data instead of all of it; centroids are broadcast constants.
-    (Rows-only check: centroid training is engine-side, not SQL.)
+    Scale: assignment is map-side; the search join touches
+    |corpus|·nprobe/k of the data instead of all of it; centroids are
+    broadcast constants.
     """
-    e = load_table(spark, sf_dir, "embeddings")
-    k, nprobe, sample_n = 16, 4, 2048
+    from ..ops import lloyd_centroids
 
-    sample = np.vstack(
-        [r["embedding"] for r in e.select("embedding").limit(sample_n).collect()]
-    ).astype("float64")
-    rng = np.random.default_rng(42)
-    centroids = sample[rng.choice(len(sample), size=k, replace=False)]
-    for _ in range(5):  # Lloyd iterations on the sample
-        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c in range(k):
-            members = sample[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids, vecs = lloyd_centroids(
+        e, "vec_id", "embedding", k=_IVF_K, iterations=_IVF_ITERS
+    )
+    nprobe = _IVF_NPROBE
 
     @F.pandas_udf("int")
     def nearest_cell(emb: pd.Series) -> pd.Series:
@@ -353,11 +501,15 @@ def similarity_ann_ivf(spark, sf_dir):
             - 2 * m @ centroids.T
             + (centroids ** 2).sum(axis=1)[None, :]
         )
-        order = np.argsort(d2, axis=1)[:, :nprobe].astype("int32")
-        return pd.Series(list(order))
+        # stable sort: distance ties break toward the lower cell index,
+        # matching the oracle's ORDER BY d2, i
+        order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype("int32")))
 
-    indexed = e.select(
-        "vec_id", "embedding", nearest_cell("embedding").alias("cell")
+    indexed = vecs.select(
+        F.col("__id").alias("vec_id"),
+        F.col("__v").alias("embedding"),
+        nearest_cell("__v").alias("cell"),
     )
     q = (
         e.filter(F.col("vec_id") < _N_QUERIES)
@@ -557,9 +709,9 @@ def similarity_recall_report(spark, sf_dir):
 
     Computed as a left join of the exact neighbor set onto each method's
     result set on (query_id, neighbor_id); recall = matched/10. Rows-only:
-    the ANN methods' hyperplane/centroid constants are engine-side (same
-    reason the underlying index queries are rows-only); the recall FLOORS
-    are pinned in tests/test_ann.py.
+    PQ's trained codebooks are engine-side (LSH and IVF are themselves
+    fully value-oracled since round 7, but the report aggregates all three
+    methods); the recall FLOORS are pinned in tests/test_ann.py.
 
     Scale: every input is already a top-10-per-query table (≤ 10·|queries|
     rows), so the joins here are on bounded frames — the report costs
@@ -712,50 +864,7 @@ _KM_ITERS = 5  # Lloyd iterations over the FULL corpus
 @SIM.register(
     "kmeans_embedding_clusters",
     oracle=f"""
-    WITH RECURSIVE packed AS (
-      SELECT list(embedding ORDER BY vec_id) AS embs,
-             COUNT(*) AS n
-      FROM embeddings
-    ), init AS (
-      SELECT list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS cents
-      FROM (SELECT vec_id, embedding FROM embeddings
-            ORDER BY vec_id LIMIT {_KM_K})
-    ), km(it, cents) AS (
-      SELECT 0, cents FROM init
-      UNION ALL
-      SELECT it + 1,
-             -- len(cents), not the literal k: mirrors lloyd_kmeans's
-             -- k-shrink when the corpus has fewer than k vectors (the
-             -- LIMIT in init already yields the shrunken centroid list)
-             list_transform(range(1, len(cents) + 1), cl ->
-               CASE WHEN NOT list_contains(assign, cl) THEN cents[cl]
-                    ELSE list_transform(range(1, len(cents[cl]) + 1), i ->
-                           list_sum(list_transform(
-                             list_filter(range(1, CAST(n AS INTEGER) + 1),
-                                         p -> assign[p] = cl),
-                             p -> CAST(embs[p][i] AS DOUBLE)))
-                           / len(list_filter(
-                               range(1, CAST(n AS INTEGER) + 1),
-                               p -> assign[p] = cl)))
-               END)
-      FROM (
-        SELECT it, cents, embs, n,
-               list_transform(embs, e ->
-                 list_position(
-                   list_transform(cents, c ->
-                     list_sum(list_transform(range(1, len(c) + 1),
-                       i -> (CAST(e[i] AS DOUBLE) - c[i])
-                            * (CAST(e[i] AS DOUBLE) - c[i])))),
-                   list_min(
-                     list_transform(cents, c ->
-                       list_sum(list_transform(range(1, len(c) + 1),
-                         i -> (CAST(e[i] AS DOUBLE) - c[i])
-                              * (CAST(e[i] AS DOUBLE) - c[i]))))))) AS assign
-        FROM km, packed WHERE it < {_KM_ITERS}
-      )
-    ), fin AS (
-      SELECT cents FROM km WHERE it = {_KM_ITERS}
-    ), assigned AS (
+    WITH RECURSIVE {_km_cte_sql(_KM_K, _KM_ITERS)}, assigned AS (
       SELECT list_position(ds, list_min(ds)) AS cl,
              list_min(ds) AS d2
       FROM (

@@ -1186,41 +1186,28 @@ def clamped_fold(
     )
 
 
-def lloyd_kmeans(
+def lloyd_centroids(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 8,
     iterations: int = 5,
-) -> DataFrame:
-    """Fully-distributed Lloyd's k-means over an arbitrary vector column.
+) -> tuple[np.ndarray, DataFrame]:
+    """Distributed Lloyd training loop shared by ``lloyd_kmeans`` and the
+    IVF coarse quantizer: returns the final (k', d) float64 centroid array
+    (k' < k when the corpus has fewer than k vectors — initial centroids
+    are the vectors of the k lowest ids) plus the repartitioned,
+    lazily-checkpointed ``(__id, __v)`` corpus frame so callers can assign
+    against the exact training input without re-reading the source.
 
-    Returns one row per input row: ``(id_col, cluster, d2, centroid_norm)``
-    — the nearest final centroid, the squared distance to it, and that
-    centroid's norm. Deterministic: initial centroids are the vectors of
-    the ``k`` lowest ids; ties in assignment break toward the lowest
-    cluster index (np.argmin).
-
-    Distributed shape per iteration (what MLlib's k-means reduces to):
-    centroids are a broadcast k×d constant inside a vectorized Pandas UDF
-    (one matmul per Arrow batch); the update is one explode-to-(cluster,
-    dim, val) + groupBy(cluster, dim) sum/count with map-side combine, so
-    the shuffle carries k·d·partitions partial rows — independent of
-    corpus size — and only the k×d centroid table ever reaches the
-    driver. Iteration parallelism is sized from the row count (≈250k
-    vectors per partition) so tiny inputs don't pay 32-task overhead five
-    times while a billion-vector corpus still spreads cluster-wide.
+    Shape per iteration (see lloyd_kmeans's docstring for the full scale
+    analysis): broadcast k×d constant in a vectorized Pandas UDF for
+    assignment, explode-to-(cluster, dim) + map-side-combined groupBy sum
+    for the update — the shuffle and the driver transfer carry O(k·d)
+    data, never the corpus. Caller must guarantee ``df`` is non-empty.
     """
     spark = df.sparkSession
-    first = df.select(vec_col).first()
-    if first is None:
-        return df.select(
-            F.col(id_col),
-            F.lit(None).cast("int").alias("cluster"),
-            F.lit(None).cast("double").alias("d2"),
-            F.lit(None).cast("double").alias("centroid_norm"),
-        )
-    dim = len(first[0])
+    dim = len(df.select(vec_col).first()[0])
     init = df.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = np.vstack([r[0] for r in init]).astype("float64")
     k = centroids.shape[0]  # fewer rows than k -> shrink
@@ -1277,7 +1264,45 @@ def lloyd_kmeans(
         nonzero = counts > 0
         centroids = centroids.copy()
         centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
+    return centroids, vecs
 
+
+def lloyd_kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iterations: int = 5,
+) -> DataFrame:
+    """Fully-distributed Lloyd's k-means over an arbitrary vector column.
+
+    Returns one row per input row: ``(id_col, cluster, d2, centroid_norm)``
+    — the nearest final centroid, the squared distance to it, and that
+    centroid's norm. Deterministic: initial centroids are the vectors of
+    the ``k`` lowest ids; ties in assignment break toward the lowest
+    cluster index (np.argmin).
+
+    Distributed shape per iteration (what MLlib's k-means reduces to):
+    centroids are a broadcast k×d constant inside a vectorized Pandas UDF
+    (one matmul per Arrow batch); the update is one explode-to-(cluster,
+    dim, val) + groupBy(cluster, dim) sum/count with map-side combine, so
+    the shuffle carries k·d·partitions partial rows — independent of
+    corpus size — and only the k×d centroid table ever reaches the
+    driver. Iteration parallelism is sized from the row count (≈250k
+    vectors per partition) so tiny inputs don't pay 32-task overhead five
+    times while a billion-vector corpus still spreads cluster-wide.
+    """
+    spark = df.sparkSession
+    first = df.select(vec_col).first()
+    if first is None:
+        return df.select(
+            F.col(id_col),
+            F.lit(None).cast("int").alias("cluster"),
+            F.lit(None).cast("double").alias("d2"),
+            F.lit(None).cast("double").alias("centroid_norm"),
+        )
+    centroids, vecs = lloyd_centroids(df, id_col, vec_col, k, iterations)
+    k = centroids.shape[0]
     cts = centroids
 
     @F.pandas_udf("struct<cluster:int, d2:double>")

@@ -1,6 +1,8 @@
-"""Quality checks for the approximate-similarity operators (rows-only in the
-driver contract): determinism, output shape, and recall against the exact
-brute-force baseline.
+"""Quality checks for the approximate-similarity operators: determinism,
+output shape, and recall against the exact brute-force baseline. (LSH and
+IVF are value-oracled in the driver contract since round 7; PQ and the
+recall report remain rows-only — their trained codebooks are engine-side —
+so these floors are their primary value pin.)
 
 Recall bounds are intentionally loose — the synthetic embeddings are close
 to isotropic random vectors, the hardest case for any ANN index — they pin
