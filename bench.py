@@ -451,6 +451,14 @@ def main() -> None:
                 "cold_start_sensitive set and are not comparable"
             ),
             "cold_start_sensitive": sorted(_MEMO_BACKED),
+            "drift_notes": (
+                "revenue_gini_concentration and events_sliding_10min were "
+                "flagged as reproduced regressions in round 6 (0.374 -> "
+                "~0.84 s, driver loadavg 4.8); idle re-measure 2026-08-14 "
+                "(loadavg 1.5): first in-session run 0.72/0.58 s, "
+                "steady-state 0.39/0.32 s = round-5 level. Closed as "
+                "first-run codegen + host-load noise, not code drift."
+            ),
         }
         with open(full_path, "w") as f:
             json.dump(line, f, indent=1)
