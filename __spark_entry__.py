@@ -46,7 +46,9 @@ _REGISTRY = REL.merge(
 #    group 1);
 # 4) 2 guarded-code re-contacts (KM ln(0) guard, modularity m==0 guard —
 #    behavior-preserving on current data, parity-green locally);
-# 5) 7 oldest round-3-era greens (alphabetical; the remaining 16 round-3
+# 5) semdedup_prune — round-7 oracle upgrade (rows-only -> full value
+#    oracle) needing first hash contact;
+# 6) 6 oldest round-3-era greens (alphabetical; the remaining 17 round-3
 #    greens follow after the window and roll to round 8).
 # After this round no query's latest driver entry predates round 3.
 _PRIORITY = [
@@ -97,16 +99,19 @@ _PRIORITY = [
     # --- 4) guarded-code re-contacts (round-6 degenerate-input guards) ---
     "kaplan_meier_view_to_purchase",
     "neardup_cluster_modularity",
-    # --- 5) oldest round-3 greens (7 fit the window) ---
+    # --- 5) round-7 oracle upgrade needing first hash contact (the
+    #     staleness guard forces this scheduling mechanically) ---
+    "semdedup_prune",
+    # --- 6) oldest round-3 greens (6 fit the window) ---
     "agg_distinct_counts",
     "anti_customers_without_orders",
     "contamination_ngram_overlap",
     "corpus_top_ngrams",
     "corpus_zipf_stats",
     "cube_part_brand_size",
-    "date_functions_orders",
     # ---- 50-slot window ends here ----
     # remaining round-3 greens (roll to round 8):
+    "date_functions_orders",
     "grouping_sets_nation_segment",
     "map_json_props",
     "pii_mask_profiles",

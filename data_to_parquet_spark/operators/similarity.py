@@ -667,17 +667,48 @@ def similarity_ann_pq(spark, sf_dir):
 
 
 _SD_K = 16  # k-means cells
+_SD_ITERS = 5  # Lloyd iterations (full corpus, shared with the oracle CTE)
 _SD_TAU = 0.35  # within-cell cosine above which the later vector is pruned
 
 
-@SIM.register("semdedup_prune", oracle=None)
+@SIM.register(
+    "semdedup_prune",
+    oracle=f"""
+    WITH RECURSIVE {_km_cte_sql(_SD_K, _SD_ITERS)},
+    dists AS (
+      SELECT e.vec_id,
+             list_transform((SELECT cents FROM fin), c ->
+               list_sum(list_transform(range(1, len(c) + 1),
+                 i -> (CAST(e.embedding[i] AS DOUBLE) - c[i])
+                      * (CAST(e.embedding[i] AS DOUBLE) - c[i])))) AS ds
+      FROM embeddings e
+    ),
+    cells AS (
+      SELECT vec_id,
+             CAST(list_position(ds, list_min(ds)) - 1 AS INTEGER) AS cell
+      FROM dists
+    ),
+    dropped AS (
+      SELECT DISTINCT cb.vec_id
+      FROM cells ca
+      JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+      JOIN embeddings ea ON ea.vec_id = ca.vec_id
+      JOIN embeddings eb ON eb.vec_id = cb.vec_id
+      WHERE {_dd_cosine('ea.embedding', 'eb.embedding')} >= {_SD_TAU}
+    )
+    SELECT c.vec_id, c.cell,
+           (d.vec_id IS NULL) AS keep
+    FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id
+    """,
+)
 def semdedup_prune(spark, sf_dir):
     """SemDedup-style semantic deduplication: cluster the embedding space
-    with k-means (k={16}, same bounded-sample Lloyd trainer as
-    `similarity_ann_ivf`), then within each cell drop every vector that has
-    a lower-id neighbor at cosine >= {0.35} — the keep-first greedy rule
-    (drop b iff exists a < b in b's cell with cos(a, b) >= tau). Emits
-    (vec_id, cell, keep); downstream curation filters on `keep`.
+    with k-means (k={16}, trained by the distributed deterministic Lloyd
+    loop `ops.lloyd_centroids`, same as `similarity_ann_ivf`), then within
+    each cell drop every vector that has a lower-id neighbor at cosine >=
+    {0.35} — the keep-first greedy rule (drop b iff exists a < b in b's
+    cell with cos(a, b) >= tau). Emits (vec_id, cell, keep); downstream
+    curation filters on `keep`.
 
     This is the embedding-space sibling of `dedup_keep_canonical`: instead
     of an exact near-dup graph it uses cluster-local similarity, which is
@@ -690,14 +721,20 @@ def semdedup_prune(spark, sf_dir):
     Scale: assignment is one map-side Pandas-UDF pass (centroids are
     broadcast constants); the candidate join shuffles on the cell id. At
     100 TB you'd raise k so cells stay bounded and feed the pair step the
-    same way. (Rows-only check: k-means is engine-side; the prune rule
-    itself is verified against a numpy replay in tests/test_ann.py.)
-    Library form: :func:`..ops.semdedup`.
+    same way. Fully value-oracled since round 7: training replays via the
+    shared recursive-CTE Lloyd fold, the prune rule as an anti-join; the
+    prune rule is additionally verified against a numpy replay in
+    tests/test_ann.py. Library form: :func:`..ops.semdedup`.
     """
-    from ..ops import semdedup
+    from ..ops import lloyd_centroids, semdedup
 
     e = load_table(spark, sf_dir, "embeddings")
-    return semdedup(e, "vec_id", "embedding", k=_SD_K, tau=_SD_TAU)
+    centroids, _ = lloyd_centroids(
+        e, "vec_id", "embedding", k=_SD_K, iterations=_SD_ITERS
+    )
+    return semdedup(
+        e, "vec_id", "embedding", k=_SD_K, tau=_SD_TAU, centroids=centroids
+    )
 
 
 @SIM.register("similarity_recall_report", oracle=None)

@@ -859,9 +859,12 @@ def semdedup(
     seed: int = 42,
     cell_target: int = 256,
     num_salts: int = 8,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """SemDedup-style semantic dedup over an embedding column: k-means cells
-    (Lloyd on a bounded driver-side sample) + within-cell greedy keep-first
+    (Lloyd on a bounded driver-side sample, or caller-supplied
+    ``centroids`` — e.g. from :func:`lloyd_centroids` when the cells must
+    be deterministic/oracle-replayable) + within-cell greedy keep-first
     prune — drop a row iff a lower-id row in the same cell has cosine >=
     ``tau``. Returns (id, cell, keep).
 
@@ -882,24 +885,27 @@ def semdedup(
     Note: sampling (and ``k=None`` sizing) runs eager Spark jobs at
     query-construction time — this operator plans with data, like AQE.
     """
-    if k is None:
-        n = df.count()
-        k = max(16, min(-(-n // cell_target), max(16, sample_n // 4)))
-    sample = np.vstack(
-        [r[vec_col] for r in df.select(vec_col).limit(sample_n).collect()]
-    ).astype("float64")
-    if len(sample) == 0:
-        raise ValueError("semdedup: input has no rows to sample centroids from")
-    k = min(k, len(sample))
-    rng = np.random.default_rng(seed)
-    centroids = sample[rng.choice(len(sample), size=k, replace=False)]
-    for _ in range(5):  # Lloyd iterations on the sample
-        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c in range(k):
-            members = sample[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
+    if centroids is None:
+        if k is None:
+            n = df.count()
+            k = max(16, min(-(-n // cell_target), max(16, sample_n // 4)))
+        sample = np.vstack(
+            [r[vec_col] for r in df.select(vec_col).limit(sample_n).collect()]
+        ).astype("float64")
+        if len(sample) == 0:
+            raise ValueError(
+                "semdedup: input has no rows to sample centroids from"
+            )
+        k = min(k, len(sample))
+        rng = np.random.default_rng(seed)
+        centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+        for _ in range(5):  # Lloyd iterations on the sample
+            d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = sample[assign == c]
+                if len(members):
+                    centroids[c] = members.mean(axis=0)
 
     @F.pandas_udf("int")
     def nearest_cell(emb: pd.Series) -> pd.Series:
