@@ -176,6 +176,12 @@ _MEMO_BACKED = {
     "neardup_graph_pagerank",
     "neardup_graph_assortativity",
     "neardup_cluster_modularity",
+    # Lloyd-centroid memo (similarity._LLOYD_CENTROID_CACHE): a re-run
+    # reuses the session's trained quantizer, so re-measures would time a
+    # cache hit, not the workload.
+    "similarity_ann_ivf",
+    "semdedup_prune",
+    "similarity_recall_report",
 }
 
 

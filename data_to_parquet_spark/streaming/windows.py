@@ -844,21 +844,14 @@ def streaming_incremental_neardup(spark, sf_dir):
     # the same path (advisor r6; NTZ-incident precedent). The temp root
     # is removed at interpreter exit (the returned DataFrame reads the
     # parquet accumulator lazily, so it must outlive the call).
-    def _fingerprint(path: str) -> tuple:
-        try:
-            st = os.stat(path)
-            if os.path.isdir(path):
-                parts = []
-                for name in sorted(os.listdir(path)):
-                    s = os.stat(os.path.join(path, name))
-                    parts.append((name, s.st_mtime_ns, s.st_size))
-                return tuple(parts)
-            return (st.st_mtime_ns, st.st_size)
-        except OSError:
-            return ()
+    from ..operators.base import path_fingerprint
 
     doc_path = os.path.join(sf_dir, "documents.parquet")
-    key = (spark.sparkContext.applicationId, sf_dir, _fingerprint(doc_path))
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        path_fingerprint(doc_path),
+    )
     cached = _INC_NEARDUP_CACHE.get(key)
     if cached is not None:
         return cached
