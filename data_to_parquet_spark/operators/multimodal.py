@@ -23,8 +23,8 @@ parquet binary columns; this operator keeps that exact interface.
 
 from __future__ import annotations
 
+import hashlib
 import struct
-import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -94,11 +94,16 @@ def image_header_dims(payload: bytes) -> tuple[str, int, int] | None:
 
 
 def _decode(payload: bytes) -> tuple[str, int, int, int]:
-    """(format, width, height, crc32) — real header parse when the payload
-    is PNG/JPEG/GIF, deterministic STUB dimensions otherwise (full pixel
-    decode needs PIL/cv2, absent in this container; the fallback keeps
-    tests/oracles stable and the Spark plumbing identical)."""
-    checksum = zlib.crc32(payload)
+    """(format, width, height, checksum) — real header parse when the
+    payload is PNG/JPEG/GIF, deterministic STUB dimensions otherwise (full
+    pixel decode needs PIL/cv2, absent in this container; the fallback
+    keeps tests/oracles stable and the Spark plumbing identical). The
+    checksum is the first 15 hex digits of the payload's md5 as an int64
+    (the S3-ETag-style content fingerprint; md5 is computable by both
+    engines, so the whole manifest is value-oracled — crc32, the previous
+    choice, exists in neither DuckDB nor Spark SQL's DuckDB-replayable
+    subset)."""
+    checksum = int(hashlib.md5(payload).hexdigest()[:15], 16)
     parsed = image_header_dims(payload)
     if parsed is not None:
         fmt, w, h = parsed
@@ -126,13 +131,32 @@ def decode_binary_batches(
         )
 
 
-@MM.register("multimodal_decode_manifest", oracle=None)
+@MM.register(
+    "multimodal_decode_manifest",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
+             AS modality,
+           'unknown' AS format,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           CAST(64 + octet_length(encode(text)) % 577 AS INT) AS width,
+           CAST(64 + (octet_length(encode(text)) * 7) % 577 AS INT)
+             AS height,
+           CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS checksum
+    FROM documents
+    """,
+)
 def multimodal_decode_manifest(spark, sf_dir):
     """Binary-column pipeline: attach payloads (UTF-8 bytes of the text stand
     in for image bytes), decode via mapInPandas, emit a typed manifest.
 
     Scale: narrow map over payload partitions; Arrow moves the binary
-    batches; no shuffle. (Rows-only check: the decode stub is engine-side.)
+    batches; no shuffle. Value-oracled since round 7: text payloads take
+    the deterministic-stub branch (never a valid image header), whose
+    dimension arithmetic, byte length, and md5-prefix checksum all replay
+    in DuckDB — so the driver hash-checks the binary plumbing end to end.
+    The real-image branch of the same kernel is covered by
+    tests/test_multimodal.py with actual PNG/JPEG/GIF payloads.
     """
     d = load_table(spark, sf_dir, "documents")
     with_payload = d.select(

@@ -5,6 +5,7 @@ plus the deterministic stub fallback, end-to-end through mapInPandas."""
 from __future__ import annotations
 
 import struct
+import hashlib
 import zlib
 
 from data_to_parquet_spark.operators.multimodal import (
@@ -78,7 +79,8 @@ def test_decode_manifest_end_to_end_real_images(spark):
     assert (out[3]["format"], out[3]["width"], out[3]["height"]) == ("gif", 320, 200)
     assert out[4]["format"] == "unknown"  # stub fallback path
     for doc_id, _, payload in [(r[0], r[1], r[2]) for r in rows]:
-        assert out[doc_id]["checksum"] == zlib.crc32(payload)
+        expected = int(hashlib.md5(payload).hexdigest()[:15], 16)
+        assert out[doc_id]["checksum"] == expected
         assert out[doc_id]["n_bytes"] == len(payload)
 
 
