@@ -605,8 +605,17 @@ def similarity_ann_pq(spark, sf_dir):
     per Arrow batch — no decompression), with norms approximated from the
     codebook entries. Exact re-ranking of the PQ top-k is the usual final
     step at scale; omitted here so the measured operator is the ADC scan
-    itself. (Rows-only check: training is engine-side; recall-vs-bruteforce
-    is pinned in tests/test_ann.py.)
+    itself.
+
+    Rows-only check — and measurably so, same class as PCA/ALS: unlike
+    LSH (bucketing from raw sign bits) and IVF (output cosines computed
+    from RAW embeddings; centroids only pick the DISCRETE probe/cell
+    sets), PQ's output scores are built FROM the trained centroid values
+    (LUT entries are query·centroid dot products), so shuffle-order ulps
+    in any distributed centroid update leak directly into every output
+    float and no rounding threshold is safe across testdata
+    regenerations. Training is therefore kept engine-side on a bounded
+    sample; recall-vs-bruteforce floors are pinned in tests/test_ann.py.
     """
     e = load_table(spark, sf_dir, "embeddings")
     m_sub, ksub, sample_n = 8, 16, 2048
