@@ -1,0 +1,69 @@
+"""The session-scoped Lloyd-centroid memo (similarity._corpus_centroids)
+must invalidate when the embeddings table's content changes under the same
+path — the stale-green class the repo's NTZ incident documents (a memo
+keyed on path alone would silently serve centroids from the previous
+testdata generation).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import numpy as np
+
+from data_to_parquet_spark.operators import similarity as sim
+
+
+def _write_embeddings(spark, root: str, scale: float) -> None:
+    rows = [
+        (i, "a", [float(scale * (i + j + 1)) for j in range(4)])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+    tmp = os.path.join(root, "_tmp_write")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    dst = os.path.join(root, "embeddings.parquet")
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    os.rename(tmp, dst)
+
+
+def test_memo_reuses_within_one_generation(spark, tmp_path):
+    root = str(tmp_path)
+    _write_embeddings(spark, root, scale=1.0)
+    sim._LLOYD_CENTROID_CACHE.clear()
+    c1 = sim._corpus_centroids(spark, root, k=3, iterations=2)
+    c2 = sim._corpus_centroids(spark, root, k=3, iterations=2)
+    assert c1 is c2  # same object: served from the memo
+    assert len(sim._LLOYD_CENTROID_CACHE) == 1
+
+
+def test_memo_invalidates_when_table_regenerates(spark, tmp_path):
+    root = str(tmp_path)
+    _write_embeddings(spark, root, scale=1.0)
+    sim._LLOYD_CENTROID_CACHE.clear()
+    c1 = sim._corpus_centroids(spark, root, k=3, iterations=2)
+    # regenerate the table in place with different content; ensure the
+    # directory mtime moves even on coarse-grained filesystems
+    time.sleep(0.05)
+    _write_embeddings(spark, root, scale=2.0)
+    c2 = sim._corpus_centroids(spark, root, k=3, iterations=2)
+    assert not np.array_equal(c1, c2), (
+        "memo served centroids trained on the previous generation of "
+        "the embeddings table"
+    )
+    assert len(sim._LLOYD_CENTROID_CACHE) == 2  # two distinct fingerprints
+
+
+def test_distinct_hyperparameters_train_separately(spark, tmp_path):
+    root = str(tmp_path)
+    _write_embeddings(spark, root, scale=1.0)
+    sim._LLOYD_CENTROID_CACHE.clear()
+    c_k3 = sim._corpus_centroids(spark, root, k=3, iterations=2)
+    c_k4 = sim._corpus_centroids(spark, root, k=4, iterations=2)
+    assert c_k3.shape[0] == 3 and c_k4.shape[0] == 4
+    assert len(sim._LLOYD_CENTROID_CACHE) == 2
