@@ -33,102 +33,85 @@ _REGISTRY = REL.merge(
     EVT, TXT, DEDUP, SIM, MM, MISC, STREAMING, CDC, TPCH_X, PIPE, PRIV
 )
 
-# The driver verifies the first 50 registry entries per round. After round
-# 6, every registered query has driver contact (0 never-checked), so the
-# debt is now STALENESS: 39 queries were last checked in round 1/2 (NTZ
-# precedent: stale greens rot when testdata regenerates), and 5 queries
-# gained full value oracles in round 5 that the driver has never confirmed
-# (their latest entry predates the oracle, recorded as no_oracle).
-# Round 7 window (VERDICT.md r6 item 1), in order:
-# 1) the 5 unconfirmed round-5 oracle upgrades (first hash contact);
-# 2) the 10 round-1-era greens;
-# 3) the 26 remaining round-2-era greens (3 of the 29 are already in
-#    group 1);
-# 4) 2 guarded-code re-contacts (KM ln(0) guard, modularity m==0 guard —
-#    behavior-preserving on current data, parity-green locally);
-# 5) semdedup_prune — round-7 oracle upgrade (rows-only -> full value
-#    oracle) needing first hash contact;
-# 6) 6 oldest round-3-era greens (alphabetical; the remaining 17 round-3
-#    greens follow after the window and roll to round 8).
-# After this round no query's latest driver entry predates round 3.
-_PRIORITY = [
-    # --- 1) round-5 oracle upgrades the driver has never confirmed ---
-    "excel_roundtrip",
-    "lang_id_ngram",
-    "doc_winnow_fingerprints",
-    "multimodal_frame_sample",
-    "streaming_stream_stream_left_outer",
-    # --- 2) greens last driver-checked round 1 (10) ---
-    "q19_disjunctive_predicates",
-    "q22_global_sales_opportunity",
-    "window_range_7day_avg",
-    "window_rank_family",
-    "events_tumbling_5min",
-    "time_grid_fill",
-    "variant_json_events",
-    "window_value_functions",
-    "lang_id_stopword",
-    "doc_fingerprint_md5",
-    # --- 3) greens last driver-checked round 2 (26 of 29; other 3 above) ---
-    "approx_aggregates",
-    "agg_collect_arrays",
-    "regexp_parse_customer_names",
-    "fuzzy_match_part_names",
-    "pipeline_curate_documents",
-    "split_train_val_test",
-    "stratified_sample_documents",
-    "dedup_exact_hash",
-    "neardup_ngram_jaccard",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "embedding_array_stats",
-    "similarity_ann_pq",
-    "multimodal_decode_manifest",
-    "multimodal_resize_stub",
-    "q2_min_price_supplier",
-    "q8_market_share",
-    "q11_important_parts",
-    "q12_shipping_delay",
-    "q13_customer_distribution",
-    "q16_supplier_part_cnt",
-    "q20_part_promotion",
-    "doc_repetition_stats",
-    "sequence_packing",
-    "source_mix_weights",
-    "udtf_pack_bins",
-    # --- 4) guarded-code re-contacts (round-6 degenerate-input guards) ---
+# The driver value-checks the first 50 registry entries per round, so the
+# registry order IS the verification schedule. Rounds 1-6 maintained a
+# hand-written priority list; round 6's verdict showed why that rots (an
+# unedited list re-checks the previous round's window and stale greens
+# drift for 5+ rounds — the NTZ incident proved stale greens rot when
+# testdata regenerates). Since round 7 the rotation is MECHANICAL,
+# computed at import time from the committed CORRECTNESS_r*.json
+# artifacts, most-verification-hungry first:
+#   1) queries with no driver contact on record (never-checked);
+#   2) queries whose latest driver record is `no_oracle` but which now
+#      carry an oracle_sql() entry (an oracle upgrade the driver has
+#      never hash-confirmed);
+#   3) manual re-contact pins (_REVERIFY_PINS) — queries whose
+#      implementation changed in a behavior-preserving way that still
+#      deserves fresh driver evidence;
+#   4) everything else, stalest first (ascending latest-checked round,
+#      registry insertion order within a round).
+# tests/test_verification_debt.py asserts the guard invariants hold for
+# whatever order this produces; with this scheme they hold by
+# construction every round without editing this file.
+
+#: round-6 degenerate-input guards (KM ln(0), modularity m==0) —
+#: behavior-preserving on current data, parity-green locally; drop these
+#: once CORRECTNESS_r07 records them green.
+_REVERIFY_PINS = [
     "kaplan_meier_view_to_purchase",
     "neardup_cluster_modularity",
-    # --- 5) round-7 oracle upgrade needing first hash contact (the
-    #     staleness guard forces this scheduling mechanically) ---
-    "semdedup_prune",
-    # --- 6) oldest round-3 greens (6 fit the window) ---
-    "agg_distinct_counts",
-    "anti_customers_without_orders",
-    "contamination_ngram_overlap",
-    "corpus_top_ngrams",
-    "corpus_zipf_stats",
-    "cube_part_brand_size",
-    # ---- 50-slot window ends here ----
-    # remaining round-3 greens (roll to round 8):
-    "date_functions_orders",
-    "grouping_sets_nation_segment",
-    "map_json_props",
-    "pii_mask_profiles",
-    "q21_waiting_supplier",
-    "q5_local_supplier_volume",
-    "q9_product_profit",
-    "rollup_order_priority",
-    "semi_customers_with_open_orders",
-    "set_except_nations",
-    "set_intersect_nations",
-    "text_quality_stats",
-    "token_count_bpe",
-    "udaf_geometric_mean",
-    "unigram_lm_quality",
-    "window_lag_order_gap",
-    "window_running_customer_revenue",
 ]
+
+
+def _latest_driver_records() -> dict[str, tuple[int, str | None]]:
+    """{query: (latest_round, err_of_latest_record)} from the committed
+    driver artifacts next to this file."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, tuple[int, str | None]] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, rec in doc.items():
+            if name not in latest or rnd > latest[name][0]:
+                err = rec.get("err") if isinstance(rec, dict) else None
+                latest[name] = (rnd, err)
+    return latest
+
+
+def _rotation_order(reg) -> list[str]:
+    names = list(reg._queries.keys())
+    insertion = {n: i for i, n in enumerate(names)}
+    latest = _latest_driver_records()
+    oracled = {n for n in names if reg._queries[n].oracle is not None}
+
+    never = [n for n in names if n not in latest]
+    upgrades = [
+        n
+        for n in names
+        if n in latest and latest[n][1] == "no_oracle" and n in oracled
+    ]
+    pins = [
+        n
+        for n in _REVERIFY_PINS
+        if n in reg._queries and n not in never and n not in upgrades
+    ]
+    placed = set(never) | set(upgrades) | set(pins)
+    rest = sorted(
+        (n for n in names if n not in placed),
+        key=lambda n: (latest[n][0], insertion[n]),
+    )
+    return never + upgrades + pins + rest
 
 
 def _reorder(reg, priority):
@@ -143,6 +126,7 @@ def _reorder(reg, priority):
     return reg
 
 
+_PRIORITY = _rotation_order(_REGISTRY)
 _REGISTRY = _reorder(_REGISTRY, _PRIORITY)
 
 
