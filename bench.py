@@ -286,6 +286,13 @@ def main() -> None:
         if os.path.isdir(warm_sf):
             queries["neardup_jaccard_pairs"](spark, warm_sf).count()
             queries["dedup_minhash_pairs"](spark, warm_sf).count()
+            # warm the iterative-Lloyd plan shapes (assignment UDF +
+            # explode/groupBy update, recompiled per iteration): the first
+            # training in a session pays ~3 s of codegen that the warmup
+            # contract says should not be measured. sf0.001 data, and the
+            # sf0.1 centroid memo is untouched, so the measured queries
+            # still pay their real per-session training cost.
+            queries["kmeans_embedding_clusters"](spark, warm_sf).count()
     except Exception:  # noqa: BLE001 — a cold cache only skews timings
         pass
     # ...and the xlsx-parse mapInPandas path (Arrow serializers + the parse

@@ -1213,10 +1213,9 @@ def lloyd_centroids(
     data, never the corpus. Caller must guarantee ``df`` is non-empty.
     """
     spark = df.sparkSession
-    dim = len(df.select(vec_col).first()[0])
     init = df.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = np.vstack([r[0] for r in init]).astype("float64")
-    k = centroids.shape[0]  # fewer rows than k -> shrink
+    k, dim = centroids.shape  # fewer rows than k -> shrink
 
     def make_nearest(cts):
         @F.pandas_udf("int")
@@ -1231,9 +1230,19 @@ def lloyd_centroids(
 
         return nearest
 
-    n_vecs = df.count()
+    # Size iteration parallelism from the scan's partition count (free —
+    # no job) instead of a count() job: each input split is ≤
+    # maxPartitionBytes of vectors, so 2x input splits gives the Python
+    # stage headroom while tiny inputs stay at 4 tasks instead of paying
+    # defaultParallelism-task overhead every iteration. Same asymptotics
+    # as the old row-count sizing (cluster-wide cap at scale), one fewer
+    # driver job per training run.
     nparts = max(
-        4, min(spark.sparkContext.defaultParallelism, n_vecs // 250_000 + 1)
+        4,
+        min(
+            spark.sparkContext.defaultParallelism,
+            df.rdd.getNumPartitions() * 2,
+        ),
     )
     vecs = (
         df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
