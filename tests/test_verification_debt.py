@@ -123,3 +123,40 @@ def test_priority_list_is_exact_and_duplicate_free():
     assert len(e._PRIORITY) == len(set(e._PRIORITY))
     missing = [n for n in e._PRIORITY if n not in e._REGISTRY._queries]
     assert not missing
+
+
+def test_rotation_order_contract():
+    """The mechanical rotation (__spark_entry__._rotation_order) must be
+    deterministic and schedule verification-hungriest first: never-checked
+    queries, then unconfirmed oracle upgrades, then the re-verify pins,
+    then everything else ascending by latest-checked round.
+    """
+    import __spark_entry__ as e
+
+    order = e._PRIORITY
+    assert order == e._rotation_order(e._REGISTRY)  # deterministic
+
+    latest = e._latest_driver_records()
+    oracled = set(e.oracle_sql().keys())
+    pos = {n: i for i, n in enumerate(order)}
+
+    never = [n for n in order if n not in latest]
+    upgrades = [
+        n
+        for n in order
+        if n in latest and latest[n][1] == "no_oracle" and n in oracled
+    ]
+    pins = [
+        n
+        for n in e._REVERIFY_PINS
+        if n in pos and n not in never and n not in upgrades
+    ]
+    rest = [
+        n for n in order if n not in set(never) | set(upgrades) | set(pins)
+    ]
+    # bucket boundaries are respected
+    front = never + upgrades + pins
+    assert order[: len(front)] == front
+    # the tail is monotone in staleness
+    rounds = [latest[n][0] for n in rest]
+    assert rounds == sorted(rounds)
