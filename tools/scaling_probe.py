@@ -46,6 +46,10 @@ PROBED = [
     "dsir_importance_select",      # token-keyed LM join + global rank
     "dbscan_embedding_clusters",   # LSH band join + CC fixpoint
     "item_cooccurrence_recs",      # basket-size^2 pair fan-out
+    # round-7 rewrites (oracle-replayable indexing) — re-probe the shapes
+    "similarity_ann_lsh",          # sign-bit band join + bounded top-k
+    "similarity_ann_ivf",          # distributed Lloyd + probe join
+    "semdedup_prune",              # Lloyd cells + salted within-cell join
 ]
 
 
@@ -101,8 +105,20 @@ def main() -> None:
         "",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
+    # Preserve the dedicated study sections other tools append (the 2x
+    # weak-scaling probes write "## ..." sections after this table) —
+    # this probe owns only the header + exponent table.
+    tail = ""
+    try:
+        with open(out) as f:
+            old = f.read()
+        idx = old.find("\n## ")
+        if idx != -1:
+            tail = old[idx:]
+    except OSError:
+        pass
     with open(out, "w") as f:
-        f.write("\n".join(lines))
+        f.write("\n".join(lines) + tail)
     print("wrote", out)
     for e, n in worst:
         print(f"  {e:5.2f} {n}")
