@@ -1303,11 +1303,11 @@ def lloyd_kmeans(
     dim, val) + groupBy(cluster, dim) sum/count with map-side combine, so
     the shuffle carries k·d·partitions partial rows — independent of
     corpus size — and only the k×d centroid table ever reaches the
-    driver. Iteration parallelism is sized from the row count (≈250k
-    vectors per partition) so tiny inputs don't pay 32-task overhead five
-    times while a billion-vector corpus still spreads cluster-wide.
+    driver. Iteration parallelism is sized from the scan's partition
+    count (2x input splits, cluster-wide cap, 4-task floor) so tiny
+    inputs don't pay 32-task overhead five times while a billion-vector
+    corpus still spreads cluster-wide.
     """
-    spark = df.sparkSession
     first = df.select(vec_col).first()
     if first is None:
         return df.select(
