@@ -13,5 +13,10 @@ echo "== oracle parity @ sf0.01 (driver scale) =="
 SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 \
   python -m pytest tests/test_oracle_parity.py -q
 
+echo "== Lloyd/ANN-family parity @ sf0.1 (ulp-tolerance queries at bench scale) =="
+SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1 \
+  python -m pytest tests/test_oracle_parity.py -q \
+  -k "kmeans or ann_lsh or ann_ivf or semdedup or dbscan or pagerank or decode_manifest"
+
 echo "== bench @ sf0.1 =="
 python bench.py
