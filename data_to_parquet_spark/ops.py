@@ -1192,27 +1192,72 @@ def clamped_fold(
     )
 
 
+#: corpora at or below this row count train Lloyd centroids driver-side in
+#: one collect + numpy (identical arithmetic: k-lowest-id init, lowest-
+#: index argmin, empty clusters keep their centroid) instead of paying
+#: ~6 Spark jobs of iteration latency; larger corpora use the distributed
+#: loop. This is the standard adaptive pattern for coarse-quantizer
+#: training — faiss-style local training when the sample fits a driver
+#: budget, the O(k*d)-shuffle distributed loop when it doesn't.
+LLOYD_LOCAL_TRAIN_MAX = 65536
+
+
 def lloyd_centroids(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 8,
     iterations: int = 5,
+    local_max: int | None = None,
 ) -> tuple[np.ndarray, DataFrame]:
-    """Distributed Lloyd training loop shared by ``lloyd_kmeans`` and the
-    IVF coarse quantizer: returns the final (k', d) float64 centroid array
+    """Lloyd training loop shared by ``lloyd_kmeans`` and the IVF/semdedup
+    coarse quantizers: returns the final (k', d) float64 centroid array
     (k' < k when the corpus has fewer than k vectors — initial centroids
     are the vectors of the k lowest ids) plus the repartitioned,
     lazily-checkpointed ``(__id, __v)`` corpus frame so callers can assign
     against the exact training input without re-reading the source.
 
-    Shape per iteration (see lloyd_kmeans's docstring for the full scale
+    Corpora of at most ``local_max`` rows (default
+    :data:`LLOYD_LOCAL_TRAIN_MAX`) train driver-side: one CollectLimit job
+    fetches the vectors (early-exits after local_max+1 rows, so probing a
+    100 TB corpus costs ~one partition read before falling back) and numpy
+    runs the same deterministic iteration. Beyond that, the distributed
+    shape per iteration (see lloyd_kmeans's docstring for the full scale
     analysis): broadcast k×d constant in a vectorized Pandas UDF for
     assignment, explode-to-(cluster, dim) + map-side-combined groupBy sum
     for the update — the shuffle and the driver transfer carry O(k·d)
-    data, never the corpus. Caller must guarantee ``df`` is non-empty.
+    data, never the corpus. Both paths implement identical arithmetic
+    (k-lowest-id init, lowest-index argmin ties, empty clusters keep
+    their centroid); they differ only in summation order, the ulp class
+    the value oracles already tolerate (guarded by
+    tests/test_assignment_margins.py). Caller must guarantee ``df`` is
+    non-empty.
     """
     spark = df.sparkSession
+    budget = LLOYD_LOCAL_TRAIN_MAX if local_max is None else local_max
+    head = df.select(id_col, vec_col).limit(budget + 1).collect()
+    if len(head) <= budget:
+        head.sort(key=lambda r: r[0])
+        mat = np.vstack([r[1] for r in head]).astype("float64")
+        centroids = mat[:k].copy()  # k lowest ids; shrinks if fewer rows
+        k = centroids.shape[0]
+        for _ in range(int(iterations)):
+            d2 = (
+                (mat**2).sum(axis=1, keepdims=True)
+                - 2 * mat @ centroids.T
+                + (centroids**2).sum(axis=1)[None, :]
+            )
+            assign = d2.argmin(axis=1)
+            centroids = centroids.copy()
+            for c in range(k):
+                members = mat[assign == c]
+                if len(members):
+                    centroids[c] = members.mean(axis=0)
+        vecs = df.select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+        ).localCheckpoint(eager=False)
+        return centroids, vecs
+
     init = df.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = np.vstack([r[0] for r in init]).astype("float64")
     k, dim = centroids.shape  # fewer rows than k -> shrink

@@ -59,6 +59,37 @@ def test_memo_invalidates_when_table_regenerates(spark, tmp_path):
     assert len(sim._LLOYD_CENTROID_CACHE) == 2  # two distinct fingerprints
 
 
+def test_local_and_distributed_training_agree(spark):
+    """The adaptive local path and the distributed loop implement the same
+    arithmetic; on real testdata their centroids must agree to ulp scale
+    and induce identical assignments (the discrete quantity the oracles
+    depend on)."""
+    from data_to_parquet_spark.ops import lloyd_centroids
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    local, _ = lloyd_centroids(e, "vec_id", "embedding", k=16, iterations=5)
+    dist, _ = lloyd_centroids(
+        e, "vec_id", "embedding", k=16, iterations=5, local_max=0
+    )
+    assert local.shape == dist.shape
+    np.testing.assert_allclose(local, dist, rtol=1e-9, atol=1e-9)
+
+    rows = sorted(
+        e.collect(), key=lambda r: r["vec_id"]
+    )
+    mat = np.vstack([r["embedding"] for r in rows]).astype("float64")
+
+    def assigns(cents):
+        d2 = (
+            (mat**2).sum(axis=1, keepdims=True)
+            - 2 * mat @ cents.T
+            + (cents**2).sum(axis=1)[None, :]
+        )
+        return d2.argmin(axis=1)
+
+    assert (assigns(local) == assigns(dist)).all()
+
+
 def test_distinct_hyperparameters_train_separately(spark, tmp_path):
     root = str(tmp_path)
     _write_embeddings(spark, root, scale=1.0)
