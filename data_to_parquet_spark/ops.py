@@ -1209,6 +1209,7 @@ def lloyd_centroids(
     k: int = 8,
     iterations: int = 5,
     local_max: int | None = None,
+    sample_by_hash: bool = False,
 ) -> tuple[np.ndarray, DataFrame]:
     """Lloyd training loop shared by ``lloyd_kmeans`` and the IVF/semdedup
     coarse quantizers: returns the final (k', d) float64 centroid array
@@ -1230,12 +1231,34 @@ def lloyd_centroids(
     (k-lowest-id init, lowest-index argmin ties, empty clusters keep
     their centroid); they differ only in summation order, the ulp class
     the value oracles already tolerate (guarded by
-    tests/test_assignment_margins.py). Caller must guarantee ``df`` is
-    non-empty.
+    tests/test_assignment_margins.py).
+
+    ``sample_by_hash=True`` changes the ABOVE-budget semantics from
+    full-corpus training to bounded-sample training — the scale-right
+    choice for a COARSE QUANTIZER (IVF/semdedup cells), where centroids
+    from a representative sample are as good as full-corpus ones and a
+    100 TB corpus should not be scanned once per iteration: the sample is
+    the ``local_max`` rows with the lowest ``md5(id)`` (content-
+    independent pseudo-random, deterministic, and — because both engines
+    have md5 — exactly replayable by a SQL oracle if one is ever needed
+    above budget), fetched with a single per-partition top-N scan, then
+    trained driver-side. At or below budget the sample is the whole
+    corpus, so results are bit-identical to ``sample_by_hash=False``
+    there — which is why the full-corpus DuckDB oracles remain exact at
+    every driver-checked sf. Full-corpus clustering semantics
+    (lloyd_kmeans) keep the default and use the distributed loop above
+    budget. Caller must guarantee ``df`` is non-empty.
     """
     spark = df.sparkSession
     budget = LLOYD_LOCAL_TRAIN_MAX if local_max is None else local_max
     head = df.select(id_col, vec_col).limit(budget + 1).collect()
+    if len(head) > budget and sample_by_hash:
+        head = (
+            df.select(id_col, vec_col)
+            .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")))
+            .limit(budget)
+            .collect()
+        )
     if len(head) <= budget:
         head.sort(key=lambda r: r[0])
         mat = np.vstack([r[1] for r in head]).astype("float64")

@@ -90,6 +90,48 @@ def test_local_and_distributed_training_agree(spark):
     assert (assigns(local) == assigns(dist)).all()
 
 
+def test_hash_sampled_training_matches_replay(spark):
+    """Above budget with sample_by_hash, training runs on the rows with
+    the lowest md5(id) — replay the sample selection and the local Lloyd
+    in numpy+hashlib and require identical centroids."""
+    import hashlib
+
+    from data_to_parquet_spark.ops import lloyd_centroids
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    budget, k, iters = 64, 4, 3
+    got, _ = lloyd_centroids(
+        e,
+        "vec_id",
+        "embedding",
+        k=k,
+        iterations=iters,
+        local_max=budget,
+        sample_by_hash=True,
+    )
+
+    rows = [(r["vec_id"], r["embedding"]) for r in e.collect()]
+    sampled = sorted(
+        rows, key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest()
+    )[:budget]
+    sampled.sort(key=lambda r: r[0])
+    mat = np.vstack([v for _, v in sampled]).astype("float64")
+    cents = mat[:k].copy()
+    for _ in range(iters):
+        d2 = (
+            (mat**2).sum(axis=1, keepdims=True)
+            - 2 * mat @ cents.T
+            + (cents**2).sum(axis=1)[None, :]
+        )
+        assign = d2.argmin(axis=1)
+        cents = cents.copy()
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    np.testing.assert_array_equal(got, cents)
+
+
 def test_distinct_hyperparameters_train_separately(spark, tmp_path):
     root = str(tmp_path)
     _write_embeddings(spark, root, scale=1.0)
