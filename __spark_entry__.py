@@ -54,13 +54,16 @@ _REGISTRY = REL.merge(
 # whatever order this produces; with this scheme they hold by
 # construction every round without editing this file.
 
-#: round-6 degenerate-input guards (KM ln(0), modularity m==0) —
-#: behavior-preserving on current data, parity-green locally; drop these
-#: once CORRECTNESS_r07 records them green.
-_REVERIFY_PINS = [
-    "kaplan_meier_view_to_purchase",
-    "neardup_cluster_modularity",
-]
+#: {query: first round whose driver contact satisfies the pin}. A pin
+#: schedules a re-contact after a behavior-preserving implementation
+#: change and EXPIRES automatically once the query's latest driver entry
+#: reaches that round — no manual cleanup next round. Current pins:
+#: round-6 degenerate-input guards (KM ln(0), modularity m==0),
+#: parity-green locally, satisfied by any contact in round >= 7.
+_REVERIFY_PINS = {
+    "kaplan_meier_view_to_purchase": 7,
+    "neardup_cluster_modularity": 7,
+}
 
 
 def _latest_driver_records() -> dict[str, tuple[int, str | None]]:
@@ -103,8 +106,11 @@ def _rotation_order(reg) -> list[str]:
     ]
     pins = [
         n
-        for n in _REVERIFY_PINS
-        if n in reg._queries and n not in never and n not in upgrades
+        for n, satisfied_round in _REVERIFY_PINS.items()
+        if n in reg._queries
+        and n not in never
+        and n not in upgrades
+        and (n not in latest or latest[n][0] < satisfied_round)
     ]
     placed = set(never) | set(upgrades) | set(pins)
     rest = sorted(

@@ -148,8 +148,11 @@ def test_rotation_order_contract():
     ]
     pins = [
         n
-        for n in e._REVERIFY_PINS
-        if n in pos and n not in never and n not in upgrades
+        for n, satisfied_round in e._REVERIFY_PINS.items()
+        if n in pos
+        and n not in never
+        and n not in upgrades
+        and (n not in latest or latest[n][0] < satisfied_round)
     ]
     rest = [
         n for n in order if n not in set(never) | set(upgrades) | set(pins)
