@@ -628,8 +628,17 @@ def similarity_ann_pq(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     m_sub, ksub, sample_n = 8, 16, 2048
 
+    # deterministic training sample: md5(id)-lowest rows (content-
+    # independent pseudo-random and stable across partitionings, unlike a
+    # bare limit() whose row order is scan-order-dependent)
     sample = np.vstack(
-        [r["embedding"] for r in e.select("embedding").limit(sample_n).collect()]
+        [
+            r["embedding"]
+            for r in e.select("vec_id", "embedding")
+            .orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")))
+            .limit(sample_n)
+            .collect()
+        ]
     ).astype("float64")
     dim = sample.shape[1]
     dsub = dim // m_sub

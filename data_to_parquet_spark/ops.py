@@ -889,8 +889,16 @@ def semdedup(
         if k is None:
             n = df.count()
             k = max(16, min(-(-n // cell_target), max(16, sample_n // 4)))
+        # md5(id)-ordered sample: deterministic across partitionings,
+        # unlike a bare limit() whose row order is scan-order-dependent
         sample = np.vstack(
-            [r[vec_col] for r in df.select(vec_col).limit(sample_n).collect()]
+            [
+                r[vec_col]
+                for r in df.select(id_col, vec_col)
+                .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")))
+                .limit(sample_n)
+                .collect()
+            ]
         ).astype("float64")
         if len(sample) == 0:
             raise ValueError(
