@@ -286,9 +286,12 @@ def main() -> None:
         if os.path.isdir(warm_sf):
             queries["neardup_jaccard_pairs"](spark, warm_sf).count()
             queries["dedup_minhash_pairs"](spark, warm_sf).count()
-            # warm the iterative-Lloyd plan shapes (assignment UDF +
-            # explode/groupBy update, recompiled per iteration): the first
-            # training in a session pays ~3 s of codegen that the warmup
+            # warm the Lloyd-family plan shapes the measured queries use
+            # at bench scale (CollectLimit training fetch + the
+            # final_assign pandas UDF + centroid-norm projection; at
+            # local sfs the corpus fits LLOYD_LOCAL_TRAIN_MAX, so the
+            # driver-side training branch is the one that runs): the
+            # first in-session run otherwise pays codegen the warmup
             # contract says should not be measured. sf0.001 data, and the
             # sf0.1 centroid memo is untouched, so the measured queries
             # still pay their real per-session training cost.
@@ -456,6 +459,11 @@ def main() -> None:
         # r6: neardup_jaccard_pairs 11.9 s cold-fresh vs 4.07 s after
         # warmup). Cross-mode comparisons (warmup vs no-warmup) are not
         # comparable and must not be flagged as regressions.
+        # cold_start_sensitive is restricted to queries this run actually
+        # measured — _MEMO_BACKED may list non-benched queries for
+        # future-proofing, and the record should not describe timings
+        # that don't exist. (One-time drift investigations live in the
+        # committed README/VERDICT notes, not in this regenerated file.)
         line["methodology"] = {
             "warmup": (
                 "all timings taken after a sf0.001 warmup pass that pays "
@@ -463,15 +471,7 @@ def main() -> None:
                 "no-warmup timings read up to ~3x slower for the "
                 "cold_start_sensitive set and are not comparable"
             ),
-            "cold_start_sensitive": sorted(_MEMO_BACKED),
-            "drift_notes": (
-                "revenue_gini_concentration and events_sliding_10min were "
-                "flagged as reproduced regressions in round 6 (0.374 -> "
-                "~0.84 s, driver loadavg 4.8); idle re-measure 2026-08-14 "
-                "(loadavg 1.5): first in-session run 0.72/0.58 s, "
-                "steady-state 0.39/0.32 s = round-5 level. Closed as "
-                "first-run codegen + host-load noise, not code drift."
-            ),
+            "cold_start_sensitive": sorted(_MEMO_BACKED & set(times)),
         }
         with open(full_path, "w") as f:
             json.dump(line, f, indent=1)
@@ -517,9 +517,18 @@ def _vs_previous_round(
                 line = line.strip().split("\r")[-1]
                 if line.startswith("{") and '"queries"' in line:
                     try:
-                        prev = json.loads(line).get("queries", {})
+                        parsed = json.loads(line)
                     except ValueError:
                         continue
+                    # same sf-mismatch guard as the BENCH_FULL fallback:
+                    # a tail recorded at another sf is not a valid prior
+                    if (
+                        current_sf is not None
+                        and parsed.get("sf") is not None
+                        and parsed.get("sf") != current_sf
+                    ):
+                        return {}
+                    prev = parsed.get("queries", {})
                     break
         if not prev:
             # the driver tail cannot hold the full per-query map once the

@@ -23,23 +23,32 @@ __all__ = [
 
 
 def path_fingerprint(path: str) -> tuple:
-    """Cheap content fingerprint (mtime+size, one level deep for directory
-    layouts) for session-scoped memo keys — guards against the stale-green
-    class where testdata is regenerated mid-session under the same path
-    (NTZ-incident precedent; advisor r6)."""
+    """Cheap content fingerprint (mtime+size, recursive for directory
+    layouts incl. partitioned key=val subdirs) for session-scoped memo
+    keys — guards against the stale-green class where testdata is
+    regenerated mid-session under the same path (NTZ-incident precedent;
+    advisor r6). Fails SAFE: any OSError (e.g. racing a regeneration that
+    renames part-files mid-walk) yields a unique never-matching sentinel,
+    so an unreadable state can only cause an extra recompute, never a
+    stale cache hit."""
     import os
 
     try:
         st = os.stat(path)
         if os.path.isdir(path):
             parts = []
-            for name in sorted(os.listdir(path)):
-                s = os.stat(os.path.join(path, name))
-                parts.append((name, s.st_mtime_ns, s.st_size))
+            for root, dirs, files in os.walk(path):
+                dirs.sort()
+                rel = os.path.relpath(root, path)
+                for name in sorted(files):
+                    s = os.stat(os.path.join(root, name))
+                    parts.append(
+                        (os.path.join(rel, name), s.st_mtime_ns, s.st_size)
+                    )
             return tuple(parts)
         return (st.st_mtime_ns, st.st_size)
     except OSError:
-        return ()
+        return ("__unreadable__", os.urandom(16).hex())
 
 
 def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from data_to_parquet_spark.operators import similarity as sim
 
@@ -79,6 +80,45 @@ def test_ivf_probe_ranking_margins(spark):
     gaps = np.diff(s, axis=1)
     rel = gaps / np.maximum(s[:, :-1], 1e-30)
     assert float(rel.min()) > REL_MARGIN_FLOOR
+
+
+def test_driver_corpora_fit_the_local_training_budget(spark):
+    """The IVF/semdedup oracles train on the FULL corpus while the
+    implementation switches to a bounded md5 sample above
+    LLOYD_LOCAL_TRAIN_MAX (sample_by_hash=True in _corpus_centroids).
+    The two agree exactly only while every driver-checked corpus fits the
+    budget — this pins that precondition so a larger regenerated testdata
+    fails here with a diagnosis instead of as a driver hash mismatch."""
+    from data_to_parquet_spark.ops import LLOYD_LOCAL_TRAIN_MAX
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        n = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+        assert n <= LLOYD_LOCAL_TRAIN_MAX, (
+            f"{sf}: embeddings has {n} rows > LLOYD_LOCAL_TRAIN_MAX="
+            f"{LLOYD_LOCAL_TRAIN_MAX}; the quantizer would train on a "
+            f"sample while the full-corpus oracles (kmeans/ivf/semdedup) "
+            f"train on everything — update the oracles or raise the "
+            f"budget before the driver checks this sf."
+        )
+
+
+def test_no_document_text_collides_with_gif_magic(spark):
+    """multimodal_decode_manifest's oracle assumes every text payload
+    takes the 'unknown' stub branch; PNG/JPEG magics cannot occur in
+    valid UTF-8, but GIF's magic is pure ASCII, so a text beginning
+    'GIF87a'/'GIF89a' (>= 10 bytes) would real-parse in Spark while the
+    oracle emits stub values. Pin the corpus assumption explicitly."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        n = d.filter(
+            (d.text.startswith("GIF87a") | d.text.startswith("GIF89a"))
+            & (F.length(d.text) >= 10)
+        ).count()
+        assert n == 0, (
+            f"{sf}: {n} document(s) start with a GIF magic — the "
+            f"decode-manifest oracle's all-stub assumption breaks; "
+            f"extend the oracle with the GIF header branch."
+        )
 
 
 def test_lsh_bucket_bits_have_no_zero_dims(spark):

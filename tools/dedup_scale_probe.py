@@ -148,11 +148,15 @@ def main() -> None:
     md = os.path.join(here, "SCALING.md")
     with open(md) as f:
         doc = f.read()
+    # splice out only THIS probe's old section (marker .. next '## '),
+    # preserving sections other tools appended after it
     marker = "\n## neardup_jaccard_pairs / dbscan_embedding_clusters — 2x steps"
-    if marker in doc:
-        doc = doc[: doc.index(marker)]
+    start = doc.find(marker)
+    if start != -1:
+        nxt = doc.find("\n## ", start + 1)
+        doc = doc[:start] + (doc[nxt:] if nxt != -1 else "")
     with open(md, "w") as f:
-        f.write(doc + "\n".join(lines) + "\n")
+        f.write(doc.rstrip("\n") + "\n" + "\n".join(lines) + "\n")
     print("\n".join(lines))
     shutil.rmtree(ROOT, ignore_errors=True)
 
