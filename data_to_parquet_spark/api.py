@@ -51,7 +51,9 @@ def convert(
     # written file's parquet metadata — no cache materialization, no
     # separate count job, no one-task drain (2.31 s -> 1.38 s warm for the
     # 100k-row bench conversion vs the former cache+count+coalesce form).
-    to_single_parquet_file(df, output_path)
+    # row_group_rows=batch_size replicates the reference writer's
+    # ``max_row_group_size = batch_size`` (src/lib.rs:281-282) exactly.
+    to_single_parquet_file(df, output_path, row_group_rows=batch_size)
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(output_path).metadata.num_rows

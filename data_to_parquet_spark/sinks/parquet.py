@@ -49,7 +49,11 @@ def to_parquet(
 
 
 def to_single_parquet_file(
-    df: DataFrame, path: str, *, compression: str = "zstd"
+    df: DataFrame,
+    path: str,
+    *,
+    compression: str = "zstd",
+    row_group_rows: int | None = None,
 ) -> None:
     """Write exactly one Parquet file at ``path`` (reference single-file UX).
 
@@ -62,6 +66,13 @@ def to_single_parquet_file(
     index, and rows within a part keep task order, so global row order is
     exactly the coalesce(1) order (O11 ordered merge, pinned by
     test_single_file_order_preservation / test_split_path_order_*).
+
+    ``row_group_rows`` replicates the reference writer's
+    ``max_row_group_size = batch_size`` (``src/lib.rs:281-282``): every
+    row group in the merged file holds exactly that many rows (the final
+    one partial), regardless of how rows were split across part files.
+    ``None`` keeps whatever groups the part writers produced (merge
+    concatenates them unchanged).
     """
     tmp = tempfile.mkdtemp(prefix="d2p_", dir=os.path.dirname(path) or ".")
     try:
@@ -86,17 +97,37 @@ def to_single_parquet_file(
             raise DataToParquetError(f"no part files produced in {out_dir}")
         if os.path.exists(path):
             os.remove(path)
-        if len(parts) == 1:
+        if len(parts) == 1 and row_group_rows is None:
             shutil.move(parts[0], path)
         else:
+            import pyarrow as pa
             import pyarrow.parquet as pq
 
             schema = pq.ParquetFile(parts[0]).schema_arrow
             with pq.ParquetWriter(path, schema, compression=compression) as w:
-                for p in parts:
-                    t = pq.read_table(p)
-                    if t.num_rows:
-                        w.write_table(t)
+                if row_group_rows is None:
+                    for p in parts:
+                        t = pq.read_table(p)
+                        if t.num_rows:
+                            w.write_table(t)
+                else:
+                    # re-group across part boundaries: emit groups of
+                    # exactly ``row_group_rows`` rows (slices are
+                    # zero-copy; memory stays one part + one group)
+                    buf: pa.Table | None = None
+                    for p in parts:
+                        t = pq.read_table(p)
+                        if not t.num_rows:
+                            continue
+                        buf = t if buf is None else pa.concat_tables([buf, t])
+                        while buf.num_rows >= row_group_rows:
+                            w.write_table(
+                                buf.slice(0, row_group_rows),
+                                row_group_size=row_group_rows,
+                            )
+                            buf = buf.slice(row_group_rows)
+                    if buf is not None and buf.num_rows:
+                        w.write_table(buf, row_group_size=row_group_rows)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

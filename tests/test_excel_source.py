@@ -234,6 +234,43 @@ def test_single_file_order_preservation(spark, tmp_path):
     assert seqs == list(range(n))
 
 
+def test_row_group_size_matches_batch_size(spark, tmp_path):
+    """O12 parity: the reference writer sets ``max_row_group_size =
+    batch_size`` (src/lib.rs:281-282), so every row group holds exactly
+    ``batch_size`` rows with one partial trailer — regardless of how
+    Spark's tasks split the rows across part files pre-merge."""
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "grouped.xlsx")
+    out = str(tmp_path / "grouped.parquet")
+    n = 2345
+    write_xlsx(src, {"S": [["seq"]] + [[i] for i in range(n)]})
+    convert(src, out, batch_size=1000, spark=spark)
+    md = pq.ParquetFile(out).metadata
+    sizes = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+    assert sizes == [1000, 1000, 345]
+    seqs = [int(r["seq"]) for r in spark.read.parquet(out).collect()]
+    assert seqs == list(range(n))
+
+
+def test_row_group_regroup_single_part(spark, tmp_path):
+    """row_group_rows must re-group even when the write produced ONE part
+    file (the move fast-path may not skip the sizing contract)."""
+    import pyarrow.parquet as pq
+
+    from data_to_parquet_spark.sinks.parquet import to_single_parquet_file
+
+    out = str(tmp_path / "one_part.parquet")
+    df = spark.range(250).coalesce(1)
+    to_single_parquet_file(df, out, row_group_rows=100)
+    md = pq.ParquetFile(out).metadata
+    sizes = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+    assert sizes == [100, 100, 50]
+    assert [r["id"] for r in spark.read.parquet(out).collect()] == list(
+        range(250)
+    )
+
+
 def test_split_path_equivalence(spark, tmp_path, monkeypatch):
     """The large-file XML-split path must produce exactly the streaming
     path's output (incl. null-vs-empty and width truncation)."""
