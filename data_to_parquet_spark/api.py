@@ -12,6 +12,7 @@ executor — the process boundary the reference needed does not exist here).
 from __future__ import annotations
 
 import asyncio
+import os
 
 from pyspark.sql import SparkSession
 
@@ -86,13 +87,20 @@ def convert_many(
         skip_rows=skip_rows,
         batch_size=batch_size,
     )
-    df = df.cache()
-    try:
-        n = df.count()
-        to_parquet(df, output_dir, compression=compression)
-    finally:
-        df.unpersist()
-    return n
+    # ONE pass (same trick as convert()): write directly, then sum the row
+    # counts from the written part files' parquet footers driver-side — no
+    # cache materialization holding the whole fleet in memory, no separate
+    # count job re-parsing every workbook.
+    to_parquet(df, output_dir, compression=compression)
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(p).metadata.num_rows
+        for p in _glob.glob(os.path.join(output_dir, "**", "*.parquet"),
+                            recursive=True)
+    )
 
 
 async def convert_to_parquet(
