@@ -1539,8 +1539,16 @@ def logrank_test_by_arm(spark, sf_dir):
         F.sum(F.when(F.col("arm") == 1, F.col("event_flag")).otherwise(0)).alias("d2"),
         F.sum(F.when(F.col("arm") == 1, 1 - F.col("event_flag")).otherwise(0)).alias("c2"),
     )
-    tot1 = subjects.filter(F.col("arm") == 0).count()
-    tot2 = subjects.filter(F.col("arm") == 1).count()
+    # both arm totals in one aggregation job (was two passes over subjects)
+    tots = subjects.agg(
+        F.coalesce(
+            F.sum((F.col("arm") == 0).cast("long")), F.lit(0)
+        ).alias("t1"),
+        F.coalesce(
+            F.sum((F.col("arm") == 1).cast("long")), F.lit(0)
+        ).alias("t2"),
+    ).collect()[0]
+    tot1, tot2 = tots["t1"], tots["t2"]
     wprev = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
     risk = counts.select(
         "dur",

@@ -942,10 +942,22 @@ def dsir_importance_select(spark, sf_dir):
         .groupBy("tk")
         .agg(F.count(F.lit(1)).alias("c_tgt"))
     )
-    total_raw = flat.count()
-    total_tgt = flat.filter(F.col("lang") == _DSIR_TARGET_LANG).count()
-    v = raw.count()
-    n_docs = tok.filter(F.size("toks") > 0).count()
+    # all four LM/selection scalars in ONE aggregation job over flat (was
+    # four separate count jobs = four passes over the exploded corpus):
+    # distinct tokens == raw.count() and distinct doc_ids == docs with >=1
+    # token, because exploded_rows drops empty arrays exactly like explode
+    s = flat.agg(
+        F.count(F.lit(1)).alias("total_raw"),
+        F.coalesce(
+            F.sum((F.col("lang") == _DSIR_TARGET_LANG).cast("long")),
+            F.lit(0),
+        ).alias("total_tgt"),
+        F.countDistinct("tk").alias("v"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    ).collect()[0]
+    total_raw, total_tgt, v, n_docs = (
+        s["total_raw"], s["total_tgt"], s["v"], s["n_docs"],
+    )
     ratio = raw.join(tgt, "tk", "left").select(
         "tk",
         F.log(
