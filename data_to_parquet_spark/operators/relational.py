@@ -1896,10 +1896,13 @@ def revenue_gini_concentration(spark, sf_dir):
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
     )
+    # checkpoint the |customers|-sized ranked aggregate: n's count job and
+    # the final rollup otherwise each recompute the aggregation + global
+    # sort (two passes over orders where one suffices)
     ranked = rev.select(
         "x",
         F.row_number().over(_W.orderBy("x", "o_custkey")).alias("i"),
-    )
+    ).localCheckpoint(eager=False)
     n = ranked.count()
     import math
 

@@ -1579,8 +1579,16 @@ def word_cooccurrence_pmi(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", tokens(F.col("text")).alias("t"))
     uni = exploded_rows(tok, [], F.col("t"), "w")
-    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    n = uni.count()
+    # checkpoint the dictionary: the corpus total comes from summing its
+    # counts (one vocab-sized agg) instead of a second full pass over the
+    # exploded token stream, and the two scoring joins below reuse the
+    # same materialization instead of re-aggregating
+    ucnt = (
+        uni.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    n = ucnt.agg(F.coalesce(F.sum("c"), F.lit(0))).collect()[0][0]
     bi = exploded_rows(
         tok.filter(F.size("t") >= 2),
         [],
