@@ -1896,32 +1896,42 @@ def revenue_gini_concentration(spark, sf_dir):
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
     )
-    # checkpoint the |customers|-sized ranked aggregate: n's count job and
-    # the final rollup otherwise each recompute the aggregation + global
-    # sort (two passes over orders where one suffices)
+    # n comes from an unbounded-frame window over the SAME single-partition
+    # sort the rank already pays (no extra shuffle), so the whole statistic
+    # is one job with orders scanned exactly once — no driver-side count,
+    # no checkpoint. The k = ceil(0.1·n) cut uses the same IEEE double
+    # product the old math.ceil(0.1 * n) computed, so the cut line is
+    # bit-identical.
+    wsort = _W.orderBy("x", "o_custkey")
     ranked = rev.select(
         "x",
-        F.row_number().over(_W.orderBy("x", "o_custkey")).alias("i"),
-    ).localCheckpoint(eager=False)
-    n = ranked.count()
-    import math
-
-    k = math.ceil(0.1 * n)
+        F.row_number().over(wsort).alias("i"),
+        F.count(F.lit(1))
+        .over(wsort.rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing))
+        .alias("__n"),
+    )
     agg = ranked.agg(
+        F.max("i").alias("n"),
         F.sum("x").cast("double").alias("total"),
         F.sum(F.col("i").cast("decimal(18,0)") * F.col("x"))
         .cast("double")
         .alias("weighted"),
-        F.sum(F.when(F.col("i") > n - k, F.col("x")))
+        F.sum(
+            F.when(
+                F.col("i") > F.col("__n") - F.ceil(F.col("__n") * 0.1),
+                F.col("x"),
+            )
+        )
         .cast("double")
         .alias("topk"),
     )
+    nd = F.col("n").cast("double")
     return agg.select(
-        F.lit(n).alias("n_customers"),
+        F.col("n").alias("n_customers"),
         F.round("total", 2).alias("total_revenue"),
         F.round(
-            F.lit(2.0) * F.col("weighted") / (F.lit(float(n)) * F.col("total"))
-            - F.lit((n + 1.0) / n),
+            F.lit(2.0) * F.col("weighted") / (nd * F.col("total"))
+            - (nd + F.lit(1.0)) / nd,
             9,
         ).alias("gini"),
         F.round(F.col("topk") / F.col("total"), 9).alias("top10pct_share"),
