@@ -271,6 +271,35 @@ def test_row_group_regroup_single_part(spark, tmp_path):
     )
 
 
+@pytest.mark.parametrize(
+    ("n", "batch", "parts"),
+    [
+        (5, 10, 3),      # n < batch: one partial group, empty partitions
+        (10, 10, 2),     # n == batch exactly: one full group, no trailer
+        (30, 10, 4),     # n == k*batch: all-full groups, no trailer
+        (7, 1, 2),       # batch=1: one group per row
+        (23, 10, 1),     # single part still re-grouped
+    ],
+)
+def test_row_group_regroup_edge_shapes(spark, tmp_path, n, batch, parts):
+    """Exact row-group sizing must hold for every split of rows across
+    part files: groups of exactly ``batch`` rows, one partial trailer iff
+    batch does not divide n, order preserved."""
+    import pyarrow.parquet as pq
+
+    from data_to_parquet_spark.sinks.parquet import to_single_parquet_file
+
+    out = str(tmp_path / f"rg_{n}_{batch}_{parts}.parquet")
+    df = spark.range(n).repartition(parts)
+    to_single_parquet_file(df, out, row_group_rows=batch)
+    md = pq.ParquetFile(out).metadata
+    sizes = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+    expect = [batch] * (n // batch) + ([n % batch] if n % batch else [])
+    assert sizes == expect
+    got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(n))
+
+
 def test_split_path_equivalence(spark, tmp_path, monkeypatch):
     """The large-file XML-split path must produce exactly the streaming
     path's output (incl. null-vs-empty and width truncation)."""
