@@ -1441,10 +1441,19 @@ def item_cooccurrence_recs(spark, sf_dir):
         .select("l_orderkey", "p_brand")
         .distinct()
     )
-    tot = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
-    # one shuffle: per-order brand sets, pairs generated map-side
-    baskets = ob.groupBy("l_orderkey").agg(
-        F.collect_set("p_brand").alias("brands")
+    # one fact-table pass: the (order, brand) distinct shuffles once into
+    # checkpointed per-order brand sets; the marginals come from exploding
+    # those sets (identical rows to ob, no second scan+distinct), and the
+    # pair fan-out reads the same materialization
+    baskets = (
+        ob.groupBy("l_orderkey")
+        .agg(F.collect_set("p_brand").alias("brands"))
+        .localCheckpoint(eager=False)
+    )
+    tot = (
+        baskets.select(F.explode("brands").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     pairs = baskets.select(
         F.explode(
