@@ -1092,6 +1092,54 @@ _BM25_TOPK = 10
 _BM25_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
 
 
+#: (applicationId, sf_dir, content fingerprint) -> (dl, tf) lazily-
+#: checkpointed frames shared by bm25_rank_queries and
+#: hybrid_retrieval_rrf. Without the share the hybrid plan tokenized the
+#: corpus for its coverage ranker AND inside the BM25 subquery (6 parquet
+#: scans, no ReusedExchange); with it the corpus is tokenized once per
+#: session. The fingerprint (documents.parquet mtime/size) invalidates the
+#: memo if the testdata regenerates mid-session — same contract as the
+#: Lloyd-centroid memo.
+_BM25_FRAME_CACHE: dict = {}
+
+
+def _bm25_shared_frames(spark, sf_dir):
+    """(dl, tf): per-doc token lengths and per-(query, term, doc) term
+    frequencies for the literal benchmark query table, each checkpointed.
+
+    One tokenization pass feeds both: dl is |docs| rows, tf is bounded by
+    |query terms| x matching docs (the broadcast query join filters the
+    explode before any shuffle — the BM25 scale property, kept intact).
+    """
+    from .base import path_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        path_fingerprint(f"{sf_dir}/documents.parquet"),
+    )
+    cached = _BM25_FRAME_CACHE.get(key)
+    if cached is not None:
+        return cached
+    d = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    tok = d.select("doc_id", tokens(F.col("text")).alias("t")).localCheckpoint(
+        eager=False
+    )
+    dl = tok.select("doc_id", F.size("t").alias("dl")).localCheckpoint(
+        eager=False
+    )
+    tf = (
+        exploded_rows(tok, ["doc_id"], F.col("t"), "term")
+        .join(F.broadcast(q), "term")
+        .groupBy("query_id", "term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    _BM25_FRAME_CACHE[key] = (dl, tf)
+    return dl, tf
+
+
 @TXT.register(
     "bm25_rank_queries",
     oracle=f"""
@@ -1160,19 +1208,10 @@ def bm25_rank_queries(spark, sf_dir):
     window whose partitions are bounded by the candidate sets. Nothing is
     collected; k and |queries| bound the output.
     """
-    d = load_table(spark, sf_dir, "documents")
-    q = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
-    tok = d.select("doc_id", tokens(F.col("text")).alias("t"))
-    dl = tok.select("doc_id", F.size("t").alias("dl"))
+    dl, tf = _bm25_shared_frames(spark, sf_dir)
     n = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
-    tf = (
-        exploded_rows(tok, ["doc_id"], F.col("t"), "term")
-        .join(F.broadcast(q), "term")
-        .groupBy("query_id", "term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_t = tf.groupBy("term").agg(
         F.count_distinct("doc_id").alias("df")
@@ -1388,16 +1427,9 @@ def hybrid_retrieval_rrf(spark, sf_dir):
     pipeline's shape (literal broadcast query table filters the corpus
     explode before any shuffle).
     """
-    d = load_table(spark, sf_dir, "documents")
-    q = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
-    tok = d.select("doc_id", tokens(F.col("text")).alias("t"))
-    dl = tok.select("doc_id", F.size("t").alias("dl"))
-    tf = (
-        exploded_rows(tok, ["doc_id"], F.col("t"), "term")
-        .join(F.broadcast(q), "term")
-        .groupBy("query_id", "term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    # the coverage ranker reads the SAME checkpointed (dl, tf) frames the
+    # BM25 subquery uses — one corpus tokenization for the whole fusion
+    dl, tf = _bm25_shared_frames(spark, sf_dir)
     bm25 = bm25_rank_queries(spark, sf_dir).select(
         "query_id", "doc_id", F.col("rank").alias("r_bm25")
     )
