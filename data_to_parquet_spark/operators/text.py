@@ -617,10 +617,14 @@ def tfidf_top_terms(spark, sf_dir):
     technique as `udaf_geometric_mean`); ties break on the term text.
     """
     d = load_table(spark, sf_dir, "documents")
+    # checkpoint the (doc, term) frequency table: its three consumers (df,
+    # N, the scoring join) otherwise each re-scan and re-explode the corpus
+    # in the same plan (measured 3 parquet scans, no exchange reuse)
     tf = (
         exploded_rows(d, ["doc_id"], tokens(F.col("text")), "term")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -684,10 +688,13 @@ def unigram_lm_quality(spark, sf_dir):
     decimals on both engines only after the per-doc average.
     """
     d = load_table(spark, sf_dir, "documents")
+    # checkpointed for the same reason as tfidf_top_terms' tf: the corpus
+    # LM and the per-doc scoring join otherwise re-explode the corpus
     tf = (
         exploded_rows(d, ["doc_id"], tokens(F.col("text")), "term")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     corpus = tf.groupBy("term").agg(F.sum("tf").alias("c"))
     n = corpus.agg(F.sum("c").cast("double").alias("total"))
