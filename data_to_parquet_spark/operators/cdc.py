@@ -48,8 +48,19 @@ def scd2_customer_balance_merge(spark, sf_dir):
     format this becomes MERGE INTO; the shuffle shape is identical.
     """
     c = load_table(spark, sf_dir, "customer")
-    updates = c.filter(F.col("c_acctbal") > 9000).select(
-        "c_custkey", (F.col("c_acctbal") * 1.1).cast("decimal(18,2)").cast("double").alias("new_acctbal")
+    # the change batch is small by construction; checkpointed so the two
+    # merge legs below don't each re-scan customer to rebuild it (4 -> 2
+    # scans; the remaining two are the legs' distinct roles)
+    updates = (
+        c.filter(F.col("c_acctbal") > 9000)
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") * 1.1)
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("new_acctbal"),
+        )
+        .localCheckpoint(eager=False)
     )
     closed = (
         c.join(updates, "c_custkey", "left")
@@ -112,7 +123,9 @@ def snapshot_diff_customers(spark, sf_dir):
     the key (plans/bucketing.py) the exchanges disappear entirely.
     """
     c = load_table(spark, sf_dir, "customer")
-    base = c.select("c_custkey", "c_acctbal")
+    # narrow 2-column projection, checkpointed: v2's two derivation
+    # branches and the diff's left side otherwise scan the parquet thrice
+    base = c.select("c_custkey", "c_acctbal").localCheckpoint(eager=False)
     v2 = (
         base.filter(F.col("c_custkey") % 13 != 0)
         .select(

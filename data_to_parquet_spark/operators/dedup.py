@@ -798,7 +798,9 @@ def passage_dedup_rewrite(spark, sf_dir):
             f"             as passage))"
         ),
         "c",
-    ).select("doc_id", "c.chunk_idx", "c.passage")
+    ).select("doc_id", "c.chunk_idx", "c.passage").localCheckpoint(
+        eager=False
+    )  # three consumers (winners, keep-join, totals): tokenize+chunk once
     key = F.col("doc_id") * F.lit(100000) + F.col("chunk_idx")
     winners = chunks.groupBy("passage").agg(F.min(key).alias("wkey"))
     kept = chunks.join(winners, "passage").filter(key == F.col("wkey"))

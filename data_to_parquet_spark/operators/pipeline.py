@@ -1031,8 +1031,12 @@ def quantile_normalize_lengths(spark, sf_dir):
     two integer-keyed joins Spark resolves as shuffle joins on the
     bounded index key. Output is one row per document.
     """
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "n_chars"
+    # three narrow columns, checkpointed: the per-source window, the global
+    # order-statistic table, and the count otherwise each scan the parquet
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .localCheckpoint(eager=False)
     )
     pr = d.withColumn(
         "pr",

@@ -229,7 +229,13 @@ def gdpr_erasure_audit(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     ev = load_table(spark, sf_dir, "events")
-    erased = c.filter(F.col("c_custkey") % 10 == 7).select("c_custkey")
+    # |requests|-sized by construction; checkpointed so the three per-table
+    # audits don't each re-scan customer to rebuild the deletion set
+    erased = (
+        c.filter(F.col("c_custkey") % 10 == 7)
+        .select("c_custkey")
+        .localCheckpoint(eager=False)
+    )
 
     def audit(df, key, name):
         hit = (

@@ -1698,7 +1698,10 @@ def correlation_matrix_lineitem(spark, sf_dir):
     for a, b in pairs:
         aggs.append(F.sum(dec[a] * dec[b]).cast("double").alias(f"sp_{a}_{b}"))
     agg = li.agg(*aggs)
-    outs = []
+    # all 6 pair rows explode out of the ONE aggregate row — a union of
+    # per-pair selects re-executed the whole scan+aggregate per branch
+    # (measured 6 parquet scans in one plan)
+    structs = []
     for a, b in pairs:
         r = (
             F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
@@ -1706,18 +1709,17 @@ def correlation_matrix_lineitem(spark, sf_dir):
             F.sqrt(F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
             * F.sqrt(F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
         )
-        outs.append(
-            agg.select(
+        structs.append(
+            F.struct(
                 F.lit(a).alias("col_x"),
                 F.lit(b).alias("col_y"),
                 F.col("n").alias("n"),
                 F.round(r, 9).alias("pearson_r"),
             )
         )
-    result = outs[0]
-    for o in outs[1:]:
-        result = result.unionByName(o)
-    return result
+    return agg.select(F.explode(F.array(*structs)).alias("o")).select(
+        "o.col_x", "o.col_y", "o.n", "o.pearson_r"
+    )
 
 
 @REL.register(

@@ -267,9 +267,12 @@ def embedding_neardup_pairs(spark, sf_dir):
     synthetic corpus (which has no pairs above cos 0.8).
     """
     e = load_table(spark, sf_dir, "embeddings")
+    # checkpointed: the band self-join reads this twice (plus the corpus
+    # frame below twice) — without the shares one plan scanned embeddings
+    # four times
     bands = exploded_rows_pos(
         e, ["vec_id"], _nd_buckets_spark(F.col("embedding")), "tbl", "bucket"
-    )
+    ).localCheckpoint(eager=False)
     # skinny distinct on the id pair BEFORE touching vectors: multi-table
     # collisions collapse on 2 longs, not 2 x 64 floats
     cand = (
@@ -288,7 +291,7 @@ def embedding_neardup_pairs(spark, sf_dir):
     )
     corpus = e.select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
-    )
+    ).localCheckpoint(eager=False)
     return (
         cand.join(
             corpus.select(
@@ -395,9 +398,12 @@ def similarity_ann_lsh(spark, sf_dir):
     grows, L up for recall.
     """
     e = load_table(spark, sf_dir, "embeddings")
+    # checkpointed (with the corpus frame below): the query-side band table
+    # and the candidate join both read tagged, and the scoring join reads
+    # corpus twice — one embeddings scan total instead of four
     tagged = exploded_rows_pos(
         e, ["vec_id"], _ann_buckets_spark(F.col("embedding")), "table", "bucket"
-    )
+    ).localCheckpoint(eager=False)
     q = tagged.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("table").alias("qtable"),
@@ -415,7 +421,9 @@ def similarity_ann_lsh(spark, sf_dir):
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    corpus = e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    corpus = e.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    ).localCheckpoint(eager=False)
     qvec = corpus.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -802,8 +810,14 @@ def similarity_recall_report(spark, sf_dir):
     rows), so the joins here are on bounded frames — the report costs
     nothing next to the indexes it audits.
     """
-    exact = similarity_topk_bruteforce(spark, sf_dir).select(
-        "query_id", "neighbor_id"
+    # the exact set joins against every method — checkpointed so the
+    # brute-force subtree runs once, not three times; each method's top-k
+    # (<= 10*|queries| rows) is likewise checkpointed so its index build
+    # isn't replayed inside the fused plan (was 13 embeddings scans)
+    exact = (
+        similarity_topk_bruteforce(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
     )
     methods = (
         ("lsh", similarity_ann_lsh),
@@ -812,9 +826,13 @@ def similarity_recall_report(spark, sf_dir):
     )
     reports = []
     for name, fn in methods:
-        got = fn(spark, sf_dir).select(
-            F.col("query_id").alias("g_query"),
-            F.col("neighbor_id").alias("g_nb"),
+        got = (
+            fn(spark, sf_dir)
+            .select(
+                F.col("query_id").alias("g_query"),
+                F.col("neighbor_id").alias("g_nb"),
+            )
+            .localCheckpoint(eager=False)
         )
         matched = exact.join(
             got,

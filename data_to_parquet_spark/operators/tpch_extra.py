@@ -1154,11 +1154,15 @@ def exp_smoothing_weekly_orders(spark, sf_dir):
         )
         .groupBy("o_orderpriority", "wk")
         .agg(F.count(F.lit(1)).alias("n_orders"))
+        # calendar-bounded (|priorities| x |weeks| rows); checkpointed so
+        # its three consumers (domain agg, priority set, dense join) don't
+        # each re-scan and re-aggregate the fact table
+        .localCheckpoint(eager=False)
     )
     dom = weekly.agg(
         F.min("wk").alias("wk0"), F.max("wk").alias("wk1")
     )
-    prios = o.select("o_orderpriority").distinct()
+    prios = weekly.select("o_orderpriority").distinct()
     grid = (
         prios.join(F.broadcast(dom))
         .select(
@@ -1341,6 +1345,9 @@ def theilsen_trend_by_priority(spark, sf_dir):
         )
         .groupBy("o_orderpriority", "wk")
         .agg(F.count(F.lit(1)).alias("n_orders"))
+        # checkpointed: the pairwise self-join reads it twice and the
+        # intercept median a third time — one fact-table scan total
+        .localCheckpoint(eager=False)
     )
     a = weekly.select(
         F.col("o_orderpriority").alias("__p"),
@@ -1581,12 +1588,15 @@ def holt_linear_weekly_orders(spark, sf_dir):
         )
         .groupBy("o_orderpriority", "wk")
         .agg(F.count(F.lit(1)).alias("n_orders"))
+        # checkpointed for the same reason as SES: three consumers, one
+        # fact-table scan (the aggregate is calendar-bounded)
+        .localCheckpoint(eager=False)
     )
     dom = weekly.agg(
         F.min("wk").alias("wk0"), F.max("wk").alias("wk1")
     )
     grid = (
-        o.select("o_orderpriority")
+        weekly.select("o_orderpriority")
         .distinct()
         .join(F.broadcast(dom))
         .select(

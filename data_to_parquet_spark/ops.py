@@ -925,12 +925,15 @@ def semdedup(
         )
         return pd.Series(d2.argmin(axis=1).astype("int32"))
 
+    # checkpointed: three consumers (both self-join sides and the final
+    # keep-join) otherwise each re-scan the input AND re-run the Python
+    # cell-assignment UDF — the most expensive pass in the operator
     indexed = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__vec"),
         norm(F.col(vec_col)).alias("__nrm"),
         nearest_cell(vec_col).alias("cell"),
-    )
+    ).localCheckpoint(eager=False)
     s = int(max(1, num_salts))
     a = indexed.select(
         F.col("__id").alias("__ida"),

@@ -66,8 +66,30 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
+# Queries allowed to scan ONE source table more than twice in a single
+# plan. Currently empty: a triple scan of the same table has always meant
+# an unshared subtree recomputing per consumer (tfidf/unigram/hybrid all
+# had one before round 7's checkpoint fixes) — checkpoint the shared frame
+# instead of allowlisting, unless the query genuinely reads a table in 3+
+# distinct roles.
+ALLOW_TRIPLE_SCAN: set[str] = {
+    # exact two-level medians are sequentially dependent: median -> MAD ->
+    # flag count genuinely need three aggregation passes over the fact
+    # table (docstring documents the percentile_approx swap at 100 TB)
+    "mad_outlier_events",
+    # three relationships read lineitem, but each scan reads a DIFFERENT
+    # single FK column — per-relationship column-pruned scans ARE the
+    # columnar-optimal plan; one materialization of all three columns
+    # would cost more than it saves
+    "fk_orphan_audit",
+}
+
+
 @pytest.mark.parametrize("name", _QUERIES)
 def test_no_unbounded_pair_joins(name, spark, sf_dir):
+    import re
+    from collections import Counter
+
     df = entry_mod.queries()[name](spark, sf_dir)
     plan = _plan(df)
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
@@ -75,4 +97,17 @@ def test_no_unbounded_pair_joins(name, spark, sf_dir):
         assert name in ALLOW_BNLJ, (
             f"{name} plans a BroadcastNestedLoopJoin but is not on the "
             "bounded-side allowlist"
+        )
+    # duplicate-scan guard: >2 scans of one table in a single plan means a
+    # shared frame is recomputing per consumer (self-joins legitimately
+    # scan twice; three or more is the unshared-subtree smell)
+    tables = Counter(
+        loc.rstrip("/").rsplit("/", 1)[-1]
+        for loc in re.findall(r"Location: InMemoryFileIndex \[([^\],]+)", plan)
+    )
+    worst = {t: k for t, k in tables.items() if k > 2}
+    if worst and name not in ALLOW_TRIPLE_SCAN:
+        raise AssertionError(
+            f"{name} scans {worst} — checkpoint the shared frame "
+            "(see round-7 tfidf/unigram/hybrid fixes) or allowlist"
         )
