@@ -172,6 +172,39 @@ _SHINGLE_W = 3  # 3-word shingles
 _MH_PRIME = (1 << 31) - 1  # Mersenne prime for the derived-hash modulus
 
 
+def partial_shingles(tokens_col: str):
+    """w-word shingle positions with the PARTIAL-SHINGLE rule the production
+    minhash uses: docs with 1..w-1 tokens keep ONE shingle (their whole
+    token run), zero-token docs emit none. Expression text is shared with
+    `_minhash_signatures` verbatim; `tests/test_minhash_shingles.py` pins
+    the rule at the boundary sizes."""
+    t = tokens_col
+    return F.expr(
+        f"transform("
+        f" slice(sequence(1, greatest(size({t}) - {_SHINGLE_W - 1}, 1)),"
+        f"       1, if(size({t}) = 0, 0,"
+        f"             greatest(size({t}) - {_SHINGLE_W - 1}, 1))),"
+        f" i -> array_join(slice({t}, i, {_SHINGLE_W}), ' '))"
+    )
+
+
+def strict_shingles(tokens_col: str):
+    """Distinct w-word shingles with the STRICT rule the md5-oracled twin
+    uses: docs with fewer than w tokens emit NO shingles at all. This is a
+    DELIBERATE deviation from `partial_shingles` — `conv(substring(md5 ...))`
+    arithmetic stays simplest when every shingle is a full window, and the
+    deviation only affects 1..w-1-token documents, whose partial-shingle
+    behavior is pinned on the production variant by
+    `tests/test_minhash_shingles.py` instead of by the twin's oracle."""
+    t = tokens_col
+    return F.expr(
+        f"array_distinct(transform("
+        f" slice(sequence(1, greatest(size({t}) - {_SHINGLE_W - 1}, 1)),"
+        f"       1, greatest(size({t}) - {_SHINGLE_W - 1}, 0)),"
+        f" i -> array_join(slice({t}, i, {_SHINGLE_W}), ' ')))"
+    )
+
+
 def _minhash_signatures(docs, text_col="text"):
     """doc_id -> array<bigint> minhash signature, via explode + groupBy.
 
@@ -190,13 +223,7 @@ def _minhash_signatures(docs, text_col="text"):
     shingled = exploded_rows(
         docs,
         ["doc_id"],
-        F.expr(
-            f"transform("
-            f" slice(sequence(1, greatest(size(tokens) - {_SHINGLE_W - 1}, 1)),"
-            f"       1, if(size(tokens) = 0, 0,"
-            f"             greatest(size(tokens) - {_SHINGLE_W - 1}, 1))),"
-            f" i -> array_join(slice(tokens, i, {_SHINGLE_W}), ' '))"
-        ),
+        partial_shingles("tokens"),
         "shingle",
     ).select(
         "doc_id",
@@ -1001,8 +1028,16 @@ def dedup_minhash_md5_pairs(spark, sf_dir):
     cannot be mirrored. This query
     exists so the ALGORITHM — every minhash value, band signature,
     candidate pair, and similarity estimate — is hash-checked
-    cross-engine rather than pinned only by recall tests. Zero-shingle
-    documents drop out exactly as in the production variant.
+    cross-engine rather than pinned only by recall tests.
+
+    Shingle-rule deviation (deliberate): this twin uses
+    :func:`strict_shingles` — documents with fewer than {3} tokens emit
+    NO shingles and drop from the pair universe — while the production
+    variant's :func:`partial_shingles` keeps one partial shingle for
+    1–2-token docs. Both engines of THIS query apply the strict rule
+    (the oracle's generate_series mirrors it), so parity is exact; the
+    production partial-shingle boundary is pinned separately by
+    `tests/test_minhash_shingles.py`.
 
     Scale: identical shape — shingle explode (codegen'd), map-side
     combined min per (doc, perm), banded equi-self-join (output bounded
@@ -1010,13 +1045,7 @@ def dedup_minhash_md5_pairs(spark, sf_dir):
     """
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", tokens(F.col("text")).alias("t"))
-    shingle_arr = F.expr(
-        "array_distinct(transform("
-        " slice(sequence(1, greatest(size(t) - 2, 1)),"
-        "       1, greatest(size(t) - 2, 0)),"
-        " i -> array_join(slice(t, i, 3), ' ')))"
-    )
-    sh = exploded_rows(tok, ["doc_id"], shingle_arr, "shingle")
+    sh = exploded_rows(tok, ["doc_id"], strict_shingles("t"), "shingle")
 
     def _mdh(prefix):
         return (
