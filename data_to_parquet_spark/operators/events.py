@@ -255,11 +255,17 @@ def map_json_props(spark, sf_dir):
 
 @EVT.register(
     "udaf_geometric_mean",
+    # the positivity guard sits INSIDE ln as a CASE, not as an aggregate
+    # FILTER: DuckDB evaluates the aggregate's argument vector before
+    # applying the filter mask, so ln(0) on an excluded row still raises
+    # Out of Range (first seen at sf0.1, where events carries a zero
+    # value; sf<=0.01 has none). CASE short-circuits per row and yields
+    # NULL, which avg skips — exactly the Spark side's F.when(...) arm.
     oracle="""
     SELECT event_type,
-           round(exp(avg(ln(value)) FILTER (WHERE value > 0)), 6)
+           round(exp(avg(ln(CASE WHEN value > 0 THEN value END))), 6)
              AS geo_mean_udaf,
-           round(exp(avg(ln(value)) FILTER (WHERE value > 0)), 6)
+           round(exp(avg(ln(CASE WHEN value > 0 THEN value END))), 6)
              AS geo_mean_algebraic,
            COUNT(*) AS n_events
     FROM events GROUP BY event_type
@@ -1827,13 +1833,20 @@ def ks_test_order_periods(spark, sf_dir):
       SELECT user_id, gap FROM gaps WHERE gap IS NOT NULL
     ), agg AS (
       SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(gap) AS BIGINT) AS s_us,
              CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS DOUBLE) AS s,
              CAST(SUM(CAST(gap AS DECIMAL(38,0))
                       * CAST(gap AS DECIMAL(38,0))) AS DOUBLE) AS ss
       FROM g GROUP BY user_id
     )
+    -- mean gap rounded to 6 dp of seconds == HALF-UP integer micros:
+    -- (2s + n) // (2n) is exact int64 arithmetic on both engines, so the
+    -- representation-boundary tie that splits round(s/n/1e6, 6) between
+    -- Spark's BigDecimal HALF_UP and DuckDB's scaled-multiply round
+    -- (first seen at sf0.1, user 764: ...043 vs ...042) cannot occur
     SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
-           round(s / n / 1000000.0, 6) AS mean_gap_s,
+           CAST((2 * s_us + n) // (2 * n) AS DOUBLE) / 1000000.0
+             AS mean_gap_s,
            round((sqrt((n * ss - s * s) / (CAST(n AS DOUBLE) * n)) - s / n)
                  / (sqrt((n * ss - s * s) / (CAST(n AS DOUBLE) * n)) + s / n),
                  9) AS burstiness
@@ -1866,6 +1879,10 @@ def interarrival_burstiness_users(spark, sf_dir):
     dg = F.col("gap").cast("decimal(38,0)")
     agg = gaps.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
+        # exact int64 micros for the mean (gap sums overflow int64 only
+        # past ~292k years of cumulative per-user gap); decimal sums for
+        # the variance, whose squares genuinely need 38 digits
+        F.sum("gap").alias("s_us"),
         F.sum(dg).cast("double").alias("s"),
         F.sum(dg * dg).cast("double").alias("ss"),
     ).filter(F.col("n") >= 2)
@@ -1874,10 +1891,15 @@ def interarrival_burstiness_users(spark, sf_dir):
         (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
         / (F.col("n").cast("double") * F.col("n"))
     )
+    # mean gap at 6 dp of seconds == HALF-UP integer micros, computed as
+    # exact integer division so both engines resolve representation-
+    # boundary ties identically (round(s/n/1e6, 6) split Spark's
+    # BigDecimal HALF_UP from DuckDB's scaled-multiply round at sf0.1)
+    mean_us = F.expr("(2 * s_us + n) div (2 * n)")
     return agg.select(
         "user_id",
         F.col("n").alias("n_gaps"),
-        F.round(mu / 1_000_000.0, 6).alias("mean_gap_s"),
+        (mean_us.cast("double") / 1_000_000.0).alias("mean_gap_s"),
         F.round((sigma - mu) / (sigma + mu), 9).alias("burstiness"),
     )
 
