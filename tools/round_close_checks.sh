@@ -13,10 +13,27 @@ echo "== oracle parity @ sf0.01 (driver scale) =="
 SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 \
   python -m pytest tests/test_oracle_parity.py -q
 
-echo "== Lloyd/ANN-family parity @ sf0.1 (ulp-tolerance queries at bench scale) =="
+echo "== full parity @ sf0.1 (bench scale; ~25 min) =="
+# Round 7 ran the WHOLE oracle suite at sf0.1 for the first time and
+# caught two divergences invisible at sf<=0.01 (a DuckDB eager-ln(0)
+# crash on a value that first appears at sf0.1, and a round()-tie ulp
+# split) — so this stage now sweeps everything rather than only the
+# Lloyd/ANN ulp families. Excluded: the oracles whose SQL replays an
+# all-pairs token join (quadratic in DuckDB — sf0.1 is ~18M
+# list_intersect pairs and does not terminate in useful time); the list
+# is derived from the oracle text itself so it cannot rot as queries
+# are added. Those queries' sf0.1 behavior is covered by the Spark-side
+# scale probes (SCALING.md) and their driver checks at sf0.01.
+DESELECT=$(python - <<'EOF'
+import re
+import __spark_entry__ as e
+pat = re.compile(r"JOIN tok b|JOIN tok a|a\.doc_id < b\.doc_id|doc_a < |list_intersect")
+heavy = sorted(n for n, sql in e.oracle_sql().items() if pat.search(sql))
+print(" and ".join(f"not {n}" for n in heavy))
+EOF
+)
 SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1 \
-  python -m pytest tests/test_oracle_parity.py -q \
-  -k "kmeans or ann_lsh or ann_ivf or semdedup or dbscan or pagerank or decode_manifest"
+  python -m pytest tests/test_oracle_parity.py -q -k "$DESELECT"
 
 echo "== bench @ sf0.1 =="
 python bench.py
