@@ -35,5 +35,42 @@ EOF
 SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1 \
   python -m pytest tests/test_oracle_parity.py -q -k "$DESELECT"
 
+echo "== quadratic-oracle parity @ 1500 docs (3x driver docs, 9x pairs; ~7 min) =="
+# The pair-join oracles excluded above had only ever been value-checked
+# at 500 documents (sf<=0.01). A truncated 1500-doc slice of the sf0.1
+# corpus is the largest scale where DuckDB's all-pairs joins stay
+# tractable — 9x the pair count of any driver check. Non-document tables
+# are symlinked from sf0.1 (all 14 queries read documents only; the
+# other views just need to resolve).
+python - <<'EOF'
+import os, shutil
+import pyarrow.parquet as pq
+import pyarrow.compute as pc
+
+src, dst = "/root/testdata/sf0.1", "/tmp/d2p_sf_mid"
+shutil.rmtree(dst, ignore_errors=True)
+os.makedirs(dst)
+t = pq.read_table(f"{src}/documents.parquet")
+cut = sorted(t.column("doc_id").to_pylist())[:1500][-1]
+pq.write_table(
+    t.filter(pc.less_equal(t.column("doc_id"), cut)),
+    f"{dst}/documents.parquet",
+)
+for name in (
+    "region nation customer supplier part orders lineitem events embeddings"
+).split():
+    os.symlink(f"{src}/{name}.parquet", f"{dst}/{name}.parquet")
+EOF
+SELECT=$(python - <<'EOF'
+import re
+import __spark_entry__ as e
+pat = re.compile(r"JOIN tok b|JOIN tok a|a\.doc_id < b\.doc_id|doc_a < |list_intersect")
+heavy = sorted(n for n, sql in e.oracle_sql().items() if pat.search(sql))
+print(" or ".join(heavy))
+EOF
+)
+SPARK_GRAFT_TEST_SF_DIR=/tmp/d2p_sf_mid \
+  python -m pytest tests/test_oracle_parity.py -q -k "$SELECT"
+
 echo "== bench @ sf0.1 =="
 python bench.py
