@@ -284,9 +284,16 @@ def udaf_geometric_mean(spark, sf_dir):
     import numpy as np
     import pandas as pd  # noqa: F401 — annotation target for the UDF
 
-    def _gmean(v: pd.Series) -> float:
+    def _gmean(v: pd.Series) -> float | None:
         arr = v.to_numpy()
-        return float(np.exp(np.log(arr[arr > 0]).mean()))
+        pos = arr[arr > 0]
+        # no positive values -> NULL, matching the algebraic leg's
+        # avg-over-all-NULL (np.log([]).mean() would yield NaN + a
+        # RuntimeWarning and desync the two legs; the shipped corpus
+        # never produces such a group, a regenerated one can)
+        if len(pos) == 0:
+            return None
+        return float(np.exp(np.log(pos).mean()))
 
     gmean = F.pandas_udf(_gmean, "double", F.PandasUDFType.GROUPED_AGG)
 

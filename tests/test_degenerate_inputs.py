@@ -182,3 +182,56 @@ def test_kmeans_empty_cluster_keeps_centroid_and_oracle_agrees(
         assert o[1] == r["n_members"], (c, o, tuple(r))
         assert o[2] == pytest.approx(r["inertia"], abs=1e-9)
         assert o[3] == pytest.approx(r["centroid_norm"], abs=1e-9)
+
+
+@pytest.fixture(scope="module")
+def nonpositive_group_events_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("gmzero")
+    t0 = datetime.datetime(2024, 1, 1)
+    events = pd.DataFrame(
+        {
+            "event_id": range(4),
+            "ts": [t0 + datetime.timedelta(hours=i) for i in range(4)],
+            "user_id": [1, 1, 2, 2],
+            "event_type": ["zeroed", "zeroed", "view", "view"],
+            # one group with NO positive values, one normal group
+            "value": [0.0, 0.0, 2.0, 8.0],
+            "props": ["{}"] * 4,
+        }
+    )
+    events.to_parquet(root / "events.parquet")
+    return str(root)
+
+
+def test_geometric_mean_all_nonpositive_group_is_null(
+    spark, nonpositive_group_events_dir
+):
+    """A group whose every value is <= 0 must yield NULL from BOTH the
+    pandas-UDAF leg and the algebraic leg (np.log([]).mean() would yield
+    NaN + a RuntimeWarning and desync the legs), and the oracle must not
+    raise DuckDB's eager ln(0) Out of Range (the sf0.1 incident class)."""
+    import __spark_entry__ as entry_mod
+    from data_to_parquet_spark.operators.events import udaf_geometric_mean
+
+    got = {
+        r["event_type"]: r
+        for r in udaf_geometric_mean(
+            spark, nonpositive_group_events_dir
+        ).collect()
+    }
+    assert got["zeroed"]["geo_mean_udaf"] is None
+    assert got["zeroed"]["geo_mean_algebraic"] is None
+    assert got["zeroed"]["n_events"] == 2
+    assert got["view"]["geo_mean_udaf"] == pytest.approx(4.0, abs=1e-6)
+    assert got["view"]["geo_mean_algebraic"] == pytest.approx(4.0, abs=1e-6)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{nonpositive_group_events_dir}/events.parquet'"
+    )
+    sql = entry_mod.oracle_sql()["udaf_geometric_mean"]
+    oracle = {row[0]: row for row in con.execute(sql).fetchall()}
+    con.close()
+    assert oracle["zeroed"][1] is None and oracle["zeroed"][2] is None
+    assert oracle["view"][1] == pytest.approx(4.0, abs=1e-6)
