@@ -1608,10 +1608,17 @@ def neardup_graph_pagerank(spark, sf_dir):
                   AS DOUBLE) AS syy
       FROM ends
     )
+    -- degenerate guard: a REGULAR near-dup graph (every node the same
+    -- degree — e.g. a corpus whose duplicates are all isolated pairs)
+    -- has zero degree variance, so r is undefined: NULL, not a Spark
+    -- ANSI DIVIDE_BY_ZERO crash; greatest(,0) absorbs -epsilon rounding
     SELECT CAST(m AS BIGINT) AS n_directed_edges,
-           round((m * sxy - sx * sy)
-                 / (sqrt(m * sxx - sx * sx) * sqrt(m * syy - sy * sy)), 9)
-             AS assortativity
+           CASE WHEN sqrt(greatest(m * sxx - sx * sx, 0.0))
+                     * sqrt(greatest(m * syy - sy * sy, 0.0)) > 0
+                THEN round((m * sxy - sx * sy)
+                           / (sqrt(greatest(m * sxx - sx * sx, 0.0))
+                              * sqrt(greatest(m * syy - sy * sy, 0.0))), 9)
+           END AS assortativity
     FROM agg
     """,
 )
@@ -1651,9 +1658,25 @@ def neardup_graph_assortativity(spark, sf_dir):
         F.sum(dx * dx).cast("double").alias("sxx"),
         F.sum(dy * dy).cast("double").alias("syy"),
     )
-    r = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.sqrt(F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * F.sqrt(F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+    # degenerate guard (mirrored in the oracle): a REGULAR graph (all
+    # degrees equal — e.g. every duplicate cluster an isolated pair) has
+    # zero degree variance; r is undefined -> NULL, not a Spark ANSI
+    # DIVIDE_BY_ZERO crash. greatest(,0) absorbs -epsilon rounding at
+    # zero variance (DuckDB raises on sqrt(negative), Spark yields NaN).
+    den = F.sqrt(
+        F.greatest(
+            F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"),
+            F.lit(0.0),
+        )
+    ) * F.sqrt(
+        F.greatest(
+            F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"),
+            F.lit(0.0),
+        )
+    )
+    r = F.when(
+        den > 0,
+        (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / den,
     )
     return agg.select(
         F.col("m").alias("n_directed_edges"),

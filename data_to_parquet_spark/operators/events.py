@@ -807,17 +807,23 @@ def cohort_retention_weekly(spark, sf_dir):
              CAST(SUM(n) AS DOUBLE) AS sum_n
       FROM hourly GROUP BY event_type
     )
+    -- greatest(,0) absorbs the -epsilon double rounding can produce at
+    -- zero variance (DuckDB's sqrt(negative) raises); the var > 0 CASE
+    -- guard makes a constant-volume type emit no rows (nothing deviates)
+    -- instead of dividing by zero
+    , vartab AS (
+      SELECT event_type, mean_n, n_hours,
+             greatest(sum_sq - sum_n * sum_n / n_hours, 0.0)
+               / (n_hours - 1) AS var
+      FROM stats WHERE n_hours > 1
+    )
     SELECT h.event_type,
            strftime(h.h, '%Y-%m-%d %H:%M:%S') AS hour,
            h.n,
-           round((h.n - s.mean_n)
-                 / sqrt((s.sum_sq - s.sum_n * s.sum_n / s.n_hours)
-                        / (s.n_hours - 1)), 9) AS zscore
-    FROM hourly h JOIN stats s ON h.event_type = s.event_type
-    WHERE s.n_hours > 1
-      AND abs((h.n - s.mean_n)
-              / sqrt((s.sum_sq - s.sum_n * s.sum_n / s.n_hours)
-                     / (s.n_hours - 1))) >= 2.0
+           round((h.n - s.mean_n) / sqrt(var), 9) AS zscore
+    FROM hourly h JOIN vartab s ON h.event_type = s.event_type
+    WHERE s.var > 0
+      AND abs((h.n - s.mean_n) / sqrt(var)) >= 2.0
     """,
 )
 def hourly_anomaly_zscores(spark, sf_dir):
@@ -843,10 +849,21 @@ def hourly_anomaly_zscores(spark, sf_dir):
         F.sum(F.col("n") * F.col("n")).cast(_D).alias("sum_sq"),
         F.sum("n").cast(_D).alias("sum_n"),
     )
-    z = (F.col("n") - F.col("mean_n")) / F.sqrt(
-        (F.col("sum_sq") - F.col("sum_n") * F.col("sum_n") / F.col("n_hours"))
-        / (F.col("n_hours") - 1)
+    # degenerate guards (mirrored in the oracle): n_hours > 1 is applied
+    # BEFORE the variance division, greatest(,0) absorbs -epsilon
+    # rounding at zero variance, and var > 0 keeps a constant-volume
+    # type from dividing by zero (Spark ANSI raises DIVIDE_BY_ZERO even
+    # for doubles) — it emits no rows, since nothing deviates
+    var = F.when(
+        F.col("n_hours") > 1,
+        F.greatest(
+            F.col("sum_sq")
+            - F.col("sum_n") * F.col("sum_n") / F.col("n_hours"),
+            F.lit(0.0),
+        )
+        / (F.col("n_hours") - 1),
     )
+    z = F.when(var > 0, (F.col("n") - F.col("mean_n")) / F.sqrt(var))
     return (
         hourly.join(F.broadcast(stats), "event_type")
         .filter((F.col("n_hours") > 1) & (F.abs(z) >= 2.0))
@@ -1387,14 +1404,24 @@ def kaplan_meier_view_to_purchase(spark, sf_dir):
         SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS x_b
       FROM arms
     )
+    -- degenerate guards: an empty arm makes the rate NULL (not a
+    -- division crash), and a pooled rate of exactly 0 or 1 (nobody or
+    -- everybody converts) zeroes the pooled variance, so z is NULL
+    -- rather than x/0 (Spark ANSI raises DIVIDE_BY_ZERO even for
+    -- doubles; DuckDB quietly NULLs — the guard makes both NULL)
     SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
            CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
-           round(CAST(x_a AS DOUBLE) / n_a, 9) AS p_a,
-           round(CAST(x_b AS DOUBLE) / n_b, 9) AS p_b,
-           round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
-                 / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
-                        * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
-                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+           CASE WHEN n_a > 0
+                THEN round(CAST(x_a AS DOUBLE) / n_a, 9) END AS p_a,
+           CASE WHEN n_b > 0
+                THEN round(CAST(x_b AS DOUBLE) / n_b, 9) END AS p_b,
+           CASE WHEN n_a > 0 AND n_b > 0
+                 AND x_a + x_b > 0 AND x_a + x_b < n_a + n_b THEN
+             round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+                   / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                          * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                          * (1.0 / n_a + 1.0 / n_b)), 6)
+           END AS z_score
     FROM agg
     """,
 )
@@ -1433,14 +1460,26 @@ def ab_conversion_ztest(spark, sf_dir):
     z = (pa - pb) / F.sqrt(
         pp * (1.0 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
     )
+    # degenerate guards (mirrored in the oracle): empty arm -> NULL rate;
+    # pooled rate exactly 0 or 1 -> zero pooled variance -> NULL z. The
+    # F.when keeps the divisions unevaluated (Spark ANSI raises
+    # DIVIDE_BY_ZERO even for doubles)
+    x_tot = F.col("x_a") + F.col("x_b")
+    n_tot = F.col("n_a") + F.col("n_b")
     return agg.select(
         "n_a",
         "x_a",
         "n_b",
         "x_b",
-        F.round(pa, 9).alias("p_a"),
-        F.round(pb, 9).alias("p_b"),
-        F.round(z, 6).alias("z_score"),
+        F.when(F.col("n_a") > 0, F.round(pa, 9)).alias("p_a"),
+        F.when(F.col("n_b") > 0, F.round(pb, 9)).alias("p_b"),
+        F.when(
+            (F.col("n_a") > 0)
+            & (F.col("n_b") > 0)
+            & (x_tot > 0)
+            & (x_tot < n_tot),
+            F.round(z, 6),
+        ).alias("z_score"),
     )
 
 
@@ -1492,15 +1531,20 @@ def ab_conversion_ztest(spark, sf_dir):
              ELSE 0.0 END AS var_t
       FROM risk WHERE d1 + d2 > 0
     )
+    -- zero total variance (e.g. a lone subject, or every event day
+    -- exhausting its risk set) -> NULL z, not a division by zero
     SELECT CAST(COUNT(*) AS BIGINT) AS n_event_days,
            CAST(SUM(d1) AS BIGINT) AS observed_arm0,
            round(CAST(SUM(CAST(e1 AS DECIMAL(18,9))) AS DOUBLE), 6)
              AS expected_arm0,
            round(CAST(SUM(CAST(var_t AS DECIMAL(18,9))) AS DOUBLE), 6)
              AS variance,
-           round(CAST(SUM(CAST(o_minus_e AS DECIMAL(18,9))) AS DOUBLE)
-                 / sqrt(CAST(SUM(CAST(var_t AS DECIMAL(18,9)))
-                             AS DOUBLE)), 6) AS z_score
+           CASE WHEN CAST(SUM(CAST(var_t AS DECIMAL(18,9))) AS DOUBLE) > 0
+                THEN round(
+                  CAST(SUM(CAST(o_minus_e AS DECIMAL(18,9))) AS DOUBLE)
+                  / sqrt(CAST(SUM(CAST(var_t AS DECIMAL(18,9)))
+                              AS DOUBLE)), 6)
+           END AS z_score
     FROM terms
     """,
 )
@@ -1600,7 +1644,12 @@ def logrank_test_by_arm(spark, sf_dir):
         F.sum("d1").alias("observed_arm0"),
         F.round(dec("e1"), 6).alias("expected_arm0"),
         F.round(dec("var_t"), 6).alias("variance"),
-        F.round(dec("o_minus_e") / F.sqrt(dec("var_t")), 6).alias("z_score"),
+        # zero total variance (lone subject / every event day exhausts
+        # its risk set) -> NULL z, not a Spark ANSI DIVIDE_BY_ZERO
+        F.when(
+            dec("var_t") > 0,
+            F.round(dec("o_minus_e") / F.sqrt(dec("var_t")), 6),
+        ).alias("z_score"),
     )
 
 
@@ -1851,12 +1900,22 @@ def ks_test_order_periods(spark, sf_dir):
     -- representation-boundary tie that splits round(s/n/1e6, 6) between
     -- Spark's BigDecimal HALF_UP and DuckDB's scaled-multiply round
     -- (first seen at sf0.1, user 764: ...043 vs ...042) cannot occur
+    -- degenerate guards: greatest(,0) absorbs the -epsilon a double
+    -- rounding of n*ss - s*s can produce at zero variance (DuckDB's
+    -- sqrt(negative) raises, Spark's yields NaN), and s_us = 0 (every
+    -- gap zero: all of a user's events share one timestamp, so mu =
+    -- sigma = 0) makes B = 0/0 -> NULL instead of a Spark ANSI
+    -- DIVIDE_BY_ZERO crash
     SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
            CAST((2 * s_us + n) // (2 * n) AS DOUBLE) / 1000000.0
              AS mean_gap_s,
-           round((sqrt((n * ss - s * s) / (CAST(n AS DOUBLE) * n)) - s / n)
-                 / (sqrt((n * ss - s * s) / (CAST(n AS DOUBLE) * n)) + s / n),
-                 9) AS burstiness
+           CASE WHEN s_us > 0 THEN
+             round((sqrt(greatest(n * ss - s * s, 0.0)
+                         / (CAST(n AS DOUBLE) * n)) - s / n)
+                   / (sqrt(greatest(n * ss - s * s, 0.0)
+                           / (CAST(n AS DOUBLE) * n)) + s / n),
+                   9)
+           END AS burstiness
     FROM agg WHERE n >= 2
     """,
 )
@@ -1894,8 +1953,12 @@ def interarrival_burstiness_users(spark, sf_dir):
         F.sum(dg * dg).cast("double").alias("ss"),
     ).filter(F.col("n") >= 2)
     mu = F.col("s") / F.col("n")
+    # greatest(,0) absorbs the -epsilon double rounding can produce at
+    # zero variance (DuckDB raises on sqrt(negative), Spark yields NaN)
     sigma = F.sqrt(
-        (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+        F.greatest(
+            F.col("n") * F.col("ss") - F.col("s") * F.col("s"), F.lit(0.0)
+        )
         / (F.col("n").cast("double") * F.col("n"))
     )
     # mean gap at 6 dp of seconds == HALF-UP integer micros, computed as
@@ -1907,7 +1970,12 @@ def interarrival_burstiness_users(spark, sf_dir):
         "user_id",
         F.col("n").alias("n_gaps"),
         (mean_us.cast("double") / 1_000_000.0).alias("mean_gap_s"),
-        F.round((sigma - mu) / (sigma + mu), 9).alias("burstiness"),
+        # all-zero gaps (every event of the user on one timestamp) make
+        # B = 0/0 — NULL, not a Spark ANSI DIVIDE_BY_ZERO crash; the
+        # F.when guard keeps the division unevaluated on those rows
+        F.when(
+            F.col("s_us") > 0, F.round((sigma - mu) / (sigma + mu), 9)
+        ).alias("burstiness"),
     )
 
 

@@ -1663,9 +1663,13 @@ _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     )
     {' UNION ALL '.join(f'''
     SELECT '{a}' AS col_x, '{b}' AS col_y, CAST(n AS BIGINT) AS n,
-           round((n * sp_{a}_{b} - s_{a} * s_{b})
-                 / (sqrt(n * ss_{a} - s_{a} * s_{a})
-                    * sqrt(n * ss_{b} - s_{b} * s_{b})), 9) AS pearson_r
+           CASE WHEN sqrt(greatest(n * ss_{a} - s_{a} * s_{a}, 0.0))
+                     * sqrt(greatest(n * ss_{b} - s_{b} * s_{b}, 0.0)) > 0
+                THEN round((n * sp_{a}_{b} - s_{a} * s_{b})
+                           / (sqrt(greatest(n * ss_{a} - s_{a} * s_{a}, 0.0))
+                              * sqrt(greatest(n * ss_{b} - s_{b} * s_{b}, 0.0))),
+                           9)
+           END AS pearson_r
     FROM agg''' for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1:])}
     """,
 )
@@ -1702,12 +1706,32 @@ def correlation_matrix_lineitem(spark, sf_dir):
     # per-pair selects re-executed the whole scan+aggregate per branch
     # (measured 6 parquet scans in one plan)
     structs = []
+    # degenerate guards (mirrored in the oracle): a CONSTANT column has
+    # zero variance, so r is undefined — NULL, not a Spark ANSI
+    # DIVIDE_BY_ZERO crash; greatest(,0) absorbs the -epsilon double
+    # rounding can produce at zero variance (DuckDB raises on
+    # sqrt(negative), Spark yields NaN)
     for a, b in pairs:
-        r = (
-            F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
-        ) / (
-            F.sqrt(F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
-            * F.sqrt(F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        den = F.sqrt(
+            F.greatest(
+                F.col("n") * F.col(f"ss_{a}")
+                - F.col(f"s_{a}") * F.col(f"s_{a}"),
+                F.lit(0.0),
+            )
+        ) * F.sqrt(
+            F.greatest(
+                F.col("n") * F.col(f"ss_{b}")
+                - F.col(f"s_{b}") * F.col(f"s_{b}"),
+                F.lit(0.0),
+            )
+        )
+        r = F.when(
+            den > 0,
+            (
+                F.col("n") * F.col(f"sp_{a}_{b}")
+                - F.col(f"s_{a}") * F.col(f"s_{b}")
+            )
+            / den,
         )
         structs.append(
             F.struct(

@@ -235,3 +235,295 @@ def test_geometric_mean_all_nonpositive_group_is_null(
     con.close()
     assert oracle["zeroed"][1] is None and oracle["zeroed"][2] is None
     assert oracle["view"][1] == pytest.approx(4.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Round-7 ANSI-division guards: Spark 4's ANSI mode raises DIVIDE_BY_ZERO
+# even for doubles, so any statistic whose denominator can reach exact zero
+# on degenerate data was a latent Spark-side CRASH (DuckDB quietly NULLs
+# the division but raises on sqrt(negative)/ln(0)). Each test below builds
+# the zero-denominator shape and pins NULL from BOTH engines.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def same_ts_events_dir(tmp_path_factory):
+    """User 1: three events on ONE timestamp (all gaps zero -> mu = sigma
+    = 0). User 2: a normal spread."""
+    root = tmp_path_factory.mktemp("burst0")
+    t0 = datetime.datetime(2024, 1, 1)
+    events = pd.DataFrame(
+        {
+            "event_id": range(6),
+            "ts": [t0, t0, t0]
+            + [t0 + datetime.timedelta(minutes=m) for m in (0, 10, 40)],
+            "user_id": [1, 1, 1, 2, 2, 2],
+            "event_type": ["view"] * 6,
+            "value": [1.0] * 6,
+            "props": ["{}"] * 6,
+        }
+    )
+    events.to_parquet(root / "events.parquet")
+    return str(root)
+
+
+def _oracle_rows(table_dir: str, table: str, sql: str):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {table} AS SELECT * FROM '{table_dir}/{table}.parquet'"
+    )
+    rows = con.execute(sql).fetchall()
+    con.close()
+    return rows
+
+
+def test_burstiness_all_zero_gaps_is_null(spark, same_ts_events_dir):
+    import __spark_entry__ as entry_mod
+    from data_to_parquet_spark.operators.events import (
+        interarrival_burstiness_users,
+    )
+
+    got = {
+        r["user_id"]: r
+        for r in interarrival_burstiness_users(
+            spark, same_ts_events_dir
+        ).collect()
+    }
+    assert got[1]["n_gaps"] == 2
+    assert got[1]["mean_gap_s"] == 0.0
+    assert got[1]["burstiness"] is None  # 0/0 -> NULL, not DIVIDE_BY_ZERO
+    assert got[2]["burstiness"] is not None
+
+    oracle = {
+        row[0]: row
+        for row in _oracle_rows(
+            same_ts_events_dir,
+            "events",
+            entry_mod.oracle_sql()["interarrival_burstiness_users"],
+        )
+    }
+    assert oracle[1][3] is None and oracle[2][3] is not None
+
+
+@pytest.fixture(scope="module")
+def constant_hourly_events_dir(tmp_path_factory):
+    """Type 'flat': exactly 2 events in each of 3 hours (zero variance).
+    Type 'spiky': 1,1,1,1,1,1,1,30 across 8 hours (a >=2-sigma hour)."""
+    root = tmp_path_factory.mktemp("zvar")
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    i = 0
+    for h in range(3):
+        for _ in range(2):
+            rows.append((i, t0 + datetime.timedelta(hours=h), 1, "flat"))
+            i += 1
+    for h in range(8):
+        n = 30 if h == 7 else 1
+        for _ in range(n):
+            rows.append((i, t0 + datetime.timedelta(hours=h), 2, "spiky"))
+            i += 1
+    events = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    events["value"] = 1.0
+    events["props"] = "{}"
+    events.to_parquet(root / "events.parquet")
+    return str(root)
+
+
+def test_zscores_zero_variance_type_emits_no_rows(
+    spark, constant_hourly_events_dir
+):
+    import __spark_entry__ as entry_mod
+    from data_to_parquet_spark.operators.events import hourly_anomaly_zscores
+
+    got = hourly_anomaly_zscores(spark, constant_hourly_events_dir).collect()
+    types = {r["event_type"] for r in got}
+    assert "flat" not in types  # nothing deviates, and no crash
+    assert "spiky" in types
+
+    oracle = _oracle_rows(
+        constant_hourly_events_dir,
+        "events",
+        entry_mod.oracle_sql()["hourly_anomaly_zscores"],
+    )
+    assert {row[0] for row in oracle} == {"spiky"}
+
+
+@pytest.fixture(scope="module")
+def no_conversion_events_dir(tmp_path_factory):
+    """Nobody reaches the 14-purchase conversion bar -> pooled rate 0."""
+    root = tmp_path_factory.mktemp("noconv")
+    t0 = datetime.datetime(2024, 1, 1)
+    events = pd.DataFrame(
+        {
+            "event_id": range(4),
+            "ts": [t0 + datetime.timedelta(hours=i) for i in range(4)],
+            "user_id": [1, 1, 2, 2],  # one user per arm (parity split)
+            "event_type": ["view", "purchase", "view", "click"],
+            "value": [1.0] * 4,
+            "props": ["{}"] * 4,
+        }
+    )
+    events.to_parquet(root / "events.parquet")
+    return str(root)
+
+
+def test_ztest_zero_pooled_rate_is_null(spark, no_conversion_events_dir):
+    import __spark_entry__ as entry_mod
+    from data_to_parquet_spark.operators.events import ab_conversion_ztest
+
+    row = ab_conversion_ztest(spark, no_conversion_events_dir).collect()[0]
+    assert row["x_a"] == 0 and row["x_b"] == 0
+    assert row["p_a"] == 0.0 and row["p_b"] == 0.0
+    assert row["z_score"] is None  # zero pooled variance -> NULL, no crash
+
+    orc = _oracle_rows(
+        no_conversion_events_dir,
+        "events",
+        entry_mod.oracle_sql()["ab_conversion_ztest"],
+    )[0]
+    assert orc[6] is None
+
+
+@pytest.fixture(scope="module")
+def single_subject_events_dir(tmp_path_factory):
+    """ONE subject total (view then purchase): at its event day the whole
+    risk set is that subject (n1 + n2 = 1), so the hypergeometric
+    variance term is zero by the n > 1 branch."""
+    root = tmp_path_factory.mktemp("lone")
+    t0 = datetime.datetime(2024, 1, 1)
+    events = pd.DataFrame(
+        {
+            "event_id": [0, 1],
+            "ts": [t0, t0 + datetime.timedelta(days=2)],
+            "user_id": [1, 1],
+            "event_type": ["view", "purchase"],
+            "value": [1.0, 1.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    events.to_parquet(root / "events.parquet")
+    return str(root)
+
+
+def test_logrank_single_subject_z_is_null(spark, single_subject_events_dir):
+    """A lone subject makes every hypergeometric variance term zero ->
+    z NULL on both engines, not a division by zero."""
+    import __spark_entry__ as entry_mod
+    from data_to_parquet_spark.operators.events import logrank_test_by_arm
+
+    row = logrank_test_by_arm(spark, single_subject_events_dir).collect()[0]
+    assert row["variance"] == 0.0
+    assert row["z_score"] is None
+
+    orc = _oracle_rows(
+        single_subject_events_dir,
+        "events",
+        entry_mod.oracle_sql()["logrank_test_by_arm"],
+    )[0]
+    assert orc[3] == 0.0 and orc[4] is None
+
+
+@pytest.fixture(scope="module")
+def constant_column_lineitem_dir(tmp_path_factory):
+    """l_tax is CONSTANT -> zero variance -> every pair with l_tax has an
+    undefined Pearson r."""
+    root = tmp_path_factory.mktemp("zcorr")
+    li = pd.DataFrame(
+        {
+            "l_orderkey": range(8),
+            "l_partkey": [1] * 8,
+            "l_suppkey": [1] * 8,
+            "l_linenumber": [1] * 8,
+            "l_quantity": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0],
+            "l_extendedprice": [10.0, 21.0, 29.0, 42.0, 48.0, 63.0, 68.0, 84.0],
+            "l_discount": [0.01, 0.02, 0.01, 0.03, 0.02, 0.04, 0.01, 0.05],
+            "l_tax": [0.08] * 8,
+            "l_returnflag": ["N"] * 8,
+            "l_linestatus": ["O"] * 8,
+            "l_shipdate": [datetime.datetime(2024, 1, 1)] * 8,
+        }
+    )
+    li.to_parquet(root / "lineitem.parquet")
+    return str(root)
+
+
+def test_correlation_constant_column_is_null(
+    spark, constant_column_lineitem_dir
+):
+    import __spark_entry__ as entry_mod
+    from data_to_parquet_spark.operators.relational import (
+        correlation_matrix_lineitem,
+    )
+
+    got = {
+        (r["col_x"], r["col_y"]): r["pearson_r"]
+        for r in correlation_matrix_lineitem(
+            spark, constant_column_lineitem_dir
+        ).collect()
+    }
+    for (a, b), r in got.items():
+        if "l_tax" in (a, b):
+            assert r is None, (a, b, r)
+        else:
+            assert r is not None, (a, b)
+    assert got[("l_quantity", "l_extendedprice")] == pytest.approx(
+        0.998, abs=5e-3
+    )
+
+    oracle = {
+        (row[0], row[1]): row[3]
+        for row in _oracle_rows(
+            constant_column_lineitem_dir,
+            "lineitem",
+            entry_mod.oracle_sql()["correlation_matrix_lineitem"],
+        )
+    }
+    assert oracle == got
+
+
+@pytest.fixture(scope="module")
+def isolated_pairs_docs_dir(tmp_path_factory):
+    """Every duplicate cluster is an isolated PAIR -> a 1-regular graph
+    (all degrees equal) -> zero degree variance."""
+    root = tmp_path_factory.mktemp("regular")
+    texts = []
+    for i in range(3):
+        base = " ".join(f"w{i}x{j}" for j in range(12))
+        texts += [base, base]  # identical twins: J = 1.0, cross-pair J = 0
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": texts,
+            "lang": ["en"] * 6,
+            "source": ["s0"] * 6,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    docs.to_parquet(root / "documents.parquet")
+    return str(root)
+
+
+def test_assortativity_regular_graph_is_null(spark, isolated_pairs_docs_dir):
+    import __spark_entry__ as entry_mod
+    from data_to_parquet_spark.operators import dedup
+
+    dedup._SIG_CACHE.clear()
+    dedup._JACCARD_PAIRS_CACHE.clear()
+    try:
+        row = dedup.neardup_graph_assortativity(
+            spark, isolated_pairs_docs_dir
+        ).collect()[0]
+    finally:
+        dedup._SIG_CACHE.clear()
+        dedup._JACCARD_PAIRS_CACHE.clear()
+    assert row["n_directed_edges"] == 6  # 3 pairs, both orientations
+    assert row["assortativity"] is None
+
+    orc = _oracle_rows(
+        isolated_pairs_docs_dir,
+        "documents",
+        entry_mod.oracle_sql()["neardup_graph_assortativity"],
+    )[0]
+    assert orc[0] == 6 and orc[1] is None
