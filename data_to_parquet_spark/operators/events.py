@@ -1862,10 +1862,14 @@ def ks_test_order_periods(spark, sf_dir):
     steps = cum.groupBy("x").agg(
         F.max("c_ref").alias("c_ref"), F.max("c_cur").alias("c_cur")
     )
-    return steps.agg(
-        F.lit(n_ref).alias("n_ref"),
-        F.lit(n_cur).alias("n_cur"),
-        F.round(
+    # degenerate guard: an EMPTY period (every order on one side of the
+    # split) has no ECDF, so D is undefined — NULL ks_d, matching the
+    # oracle's NULL-propagating /0, instead of a Spark ANSI
+    # DIVIDE_BY_ZERO on the literal zero count
+    if not n_ref or not n_cur:
+        ks = F.lit(None).cast("double")
+    else:
+        ks = F.round(
             F.max(
                 F.abs(
                     F.col("c_ref").cast("double") / n_ref
@@ -1873,7 +1877,11 @@ def ks_test_order_periods(spark, sf_dir):
                 )
             ),
             9,
-        ).alias("ks_d"),
+        )
+    return steps.agg(
+        F.lit(n_ref).alias("n_ref"),
+        F.lit(n_cur).alias("n_cur"),
+        ks.alias("ks_d"),
     )
 
 

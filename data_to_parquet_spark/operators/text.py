@@ -733,12 +733,19 @@ _ZIPF_TOP = 1000  # terms used for the log-log fit
       SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
       FROM ranked WHERE rnk <= {_ZIPF_TOP}
     )
+    -- degenerate guard: with fewer than 2 ranked terms the regression
+    -- is undefined (zero x-variance; an empty corpus even divides the
+    -- intercept by COUNT(*) = 0) -> NULL stats, not a division crash
     SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
-           round((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
-                 / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)), 6) AS slope,
-           round((SUM(y) - ((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
-                 / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))) * SUM(x))
-                 / COUNT(*), 6) AS intercept
+           CASE WHEN COUNT(*) >= 2 THEN
+             round((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                   / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)), 6)
+           END AS slope,
+           CASE WHEN COUNT(*) >= 2 THEN
+             round((SUM(y) - ((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                   / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))) * SUM(x))
+                   / COUNT(*), 6)
+           END AS intercept
     FROM top
     """,
 )
@@ -773,10 +780,16 @@ def corpus_zipf_stats(spark, sf_dir):
     slope = (cnt * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / (
         cnt * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
     )
+    # degenerate guard (mirrored in the oracle): < 2 ranked terms means
+    # zero x-variance (and an EMPTY corpus divides the intercept by
+    # COUNT = 0) — NULL stats, not a Spark ANSI DIVIDE_BY_ZERO crash.
+    # Distinct ranks make the variance strictly positive at cnt >= 2.
     return top.agg(
         cnt.cast("bigint").alias("n_terms"),
-        F.round(slope, 6).alias("slope"),
-        F.round((F.sum("y") - slope * F.sum("x")) / cnt, 6).alias("intercept"),
+        F.when(cnt >= 2, F.round(slope, 6)).alias("slope"),
+        F.when(
+            cnt >= 2, F.round((F.sum("y") - slope * F.sum("x")) / cnt, 6)
+        ).alias("intercept"),
     )
 
 

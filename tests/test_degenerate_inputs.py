@@ -527,3 +527,75 @@ def test_assortativity_regular_graph_is_null(spark, isolated_pairs_docs_dir):
         entry_mod.oracle_sql()["neardup_graph_assortativity"],
     )[0]
     assert orc[0] == 6 and orc[1] is None
+
+
+@pytest.fixture(scope="module")
+def single_term_docs_dir(tmp_path_factory):
+    """The whole corpus is ONE distinct term -> one Zipf rank -> zero
+    x-variance for the log-log regression."""
+    root = tmp_path_factory.mktemp("oneterm")
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(3),
+            "text": ["spam spam spam", "spam", "spam spam"],
+            "lang": ["en"] * 3,
+            "source": ["s0"] * 3,
+            "n_chars": [14, 4, 9],
+        }
+    )
+    docs.to_parquet(root / "documents.parquet")
+    return str(root)
+
+
+def test_zipf_single_rank_is_null(spark, single_term_docs_dir):
+    import __spark_entry__ as entry_mod
+    from data_to_parquet_spark.operators.text import corpus_zipf_stats
+
+    row = corpus_zipf_stats(spark, single_term_docs_dir).collect()[0]
+    assert row["n_terms"] == 1
+    assert row["slope"] is None and row["intercept"] is None
+
+    orc = _oracle_rows(
+        single_term_docs_dir,
+        "documents",
+        entry_mod.oracle_sql()["corpus_zipf_stats"],
+    )[0]
+    assert orc == (1, None, None)
+
+
+@pytest.fixture(scope="module")
+def one_period_orders_dir(tmp_path_factory):
+    """Every order falls AFTER the KS split date -> the reference period
+    is empty and its ECDF undefined."""
+    root = tmp_path_factory.mktemp("oneperiod")
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(4),
+            "o_custkey": [1, 2, 1, 2],
+            "o_orderstatus": ["F"] * 4,
+            "o_totalprice": [100.0, 250.0, 175.0, 310.0],
+            "o_orderdate": [datetime.datetime(1999, 3, 1 + i) for i in range(4)],
+            "o_orderpriority": ["1-URGENT"] * 4,
+        }
+    )
+    # Spark 4 rejects pandas' default TIMESTAMP(NANOS) outside the events
+    # table (load_table only sets nanosAsLong there)
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+    orders.to_parquet(root / "orders.parquet")
+    return str(root)
+
+
+def test_ks_empty_reference_period_is_null(spark, one_period_orders_dir):
+    import __spark_entry__ as entry_mod
+    from data_to_parquet_spark.operators.events import ks_test_order_periods
+
+    row = ks_test_order_periods(spark, one_period_orders_dir).collect()[0]
+    assert row["n_ref"] == 0 and row["n_cur"] == 4
+    assert row["ks_d"] is None
+
+    orc = _oracle_rows(
+        one_period_orders_dir,
+        "orders",
+        entry_mod.oracle_sql()["ks_test_order_periods"],
+    )[0]
+    assert orc == (0, 4, None)
