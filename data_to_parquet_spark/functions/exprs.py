@@ -68,8 +68,19 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def cosine_from(dotv: Column, na: Column, nb: Column) -> Column:
+    """Cosine from a precomputed dot product and norms, NULL when either
+    norm is zero. Spark 4's ANSI mode raises DIVIDE_BY_ZERO even for
+    doubles, so an all-zero vector anywhere in a corpus would CRASH every
+    similarity query; DuckDB's division quietly yields NULL, which then
+    fails every >= threshold verify and ranks last — the F.when guard
+    gives Spark the same semantics, so the oracles need no change."""
+    den = na * nb
+    return F.when(den > 0, dotv / den)
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    return cosine_from(dot(a, b), norm(a), norm(b))
 
 
 # -- text tokenization -----------------------------------------------------

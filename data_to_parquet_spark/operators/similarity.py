@@ -15,7 +15,13 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions.exprs import cosine, dot, exploded_rows_pos, norm
+from ..functions.exprs import (
+    cosine,
+    cosine_from,
+    dot,
+    exploded_rows_pos,
+    norm,
+)
 from .base import Registry, load_table, path_fingerprint
 
 SIM = Registry()
@@ -207,9 +213,10 @@ def similarity_topk_bruteforce(spark, sf_dir):
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (
-                dot(F.col("qe"), F.col("embedding"))
-                / (F.col("qnrm") * F.col("nrm"))
+            cosine_from(
+                dot(F.col("qe"), F.col("embedding")),
+                F.col("qnrm"),
+                F.col("nrm"),
             ).alias("cos_sim"),
         )
     )
@@ -312,9 +319,10 @@ def embedding_neardup_pairs(spark, sf_dir):
         .select(
             "vec_a",
             "vec_b",
-            (
-                dot(F.col("emb_a"), F.col("emb_b"))
-                / (F.col("nrm_a") * F.col("nrm_b"))
+            cosine_from(
+                dot(F.col("emb_a"), F.col("emb_b")),
+                F.col("nrm_a"),
+                F.col("nrm_b"),
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= _ND_THRESHOLD)
@@ -437,9 +445,10 @@ def similarity_ann_lsh(spark, sf_dir):
         .select(
             "query_id",
             "neighbor_id",
-            (
-                dot(F.col("qe"), F.col("embedding"))
-                / (F.col("qnrm") * F.col("nrm"))
+            cosine_from(
+                dot(F.col("qe"), F.col("embedding")),
+                F.col("qnrm"),
+                F.col("nrm"),
             ).alias("cos_sim"),
         )
     )

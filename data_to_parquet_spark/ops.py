@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .functions.exprs import dot, exploded_rows, norm, tokens
+from .functions.exprs import cosine_from, dot, exploded_rows, norm, tokens
 from .operators.asof import asof_join
 
 __all__ = [
@@ -572,9 +572,9 @@ def cosine_topk(
     ).select(
         "query_id",
         "neighbor_id",
-        (dot(F.col("__qv"), F.col("__v")) / (F.col("__qn") * F.col("__n"))).alias(
-            "cos_sim"
-        ),
+        cosine_from(
+            dot(F.col("__qv"), F.col("__v")), F.col("__qn"), F.col("__n")
+        ).alias("cos_sim"),
     )
     order = (F.desc("cos_sim"), "neighbor_id")
     wpre = W.partitionBy("query_id", "__salt").orderBy(*order)
@@ -957,8 +957,11 @@ def semdedup(
             & (F.col("__ida") < F.col("__idb")),
         )
         .filter(
-            dot(F.col("__veca"), F.col("__vecb"))
-            / (F.col("__nrma") * F.col("__nrmb"))
+            cosine_from(
+                dot(F.col("__veca"), F.col("__vecb")),
+                F.col("__nrma"),
+                F.col("__nrmb"),
+            )
             >= float(tau)
         )
         .select(F.col("__idb").alias("__id"))

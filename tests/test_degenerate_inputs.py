@@ -599,3 +599,91 @@ def test_ks_empty_reference_period_is_null(spark, one_period_orders_dir):
         entry_mod.oracle_sql()["ks_test_order_periods"],
     )[0]
     assert orc == (0, 4, None)
+
+
+@pytest.fixture(scope="module")
+def zero_vector_embeddings_dir(tmp_path_factory):
+    """vec 5 is the ALL-ZERO vector: its cosine against anything is 0/0.
+    Spark ANSI raised DIVIDE_BY_ZERO; DuckDB's division yields NULL, which
+    fails every >= threshold verify and ranks below any real similarity —
+    the cosine_from guard gives Spark the same semantics."""
+    root = tmp_path_factory.mktemp("zerovec")
+
+    def unit(i, eps_at=None):
+        # 64-dim (the sign-LSH bucketing indexes dims 1..64): axis vector
+        # with an optional small off-axis component
+        v = [0.0] * 64
+        v[i] = 1.0
+        if eps_at is not None:
+            v[eps_at] = 0.2
+        return v
+
+    base = [
+        unit(0),
+        unit(0, eps_at=9),  # cos with vec 0 ≈ 0.98 — a sure pair
+        unit(16),
+        unit(16, eps_at=25),
+        unit(32),
+        [0.0] * 64,  # zero vector
+        unit(48, eps_at=57),
+        unit(48),
+    ]
+    emb = pd.DataFrame(
+        {
+            "vec_id": range(len(base)),
+            "embedding": base,
+            "label": [0] * len(base),
+        }
+    )
+    emb.to_parquet(root / "embeddings.parquet")
+    return str(root)
+
+
+def test_zero_vector_corpus_matches_oracle(spark, zero_vector_embeddings_dir):
+    """Brute-force top-k and the eps-graph must run (no DIVIDE_BY_ZERO)
+    and hash-match the oracle row-for-row on a corpus with a zero vector."""
+    import __spark_entry__ as entry_mod
+    from data_to_parquet_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        similarity_topk_bruteforce,
+    )
+
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_neardup_pairs(
+            spark, zero_vector_embeddings_dir
+        ).collect()
+    }
+    assert all(5 not in p for p in pairs)  # zero vector pairs with nothing
+    orc_pairs = {
+        (row[0], row[1])
+        for row in _oracle_rows(
+            zero_vector_embeddings_dir,
+            "embeddings",
+            entry_mod.oracle_sql()["embedding_neardup_pairs"],
+        )
+    }
+    assert pairs == orc_pairs and len(pairs) > 0
+
+    topk = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in similarity_topk_bruteforce(
+            spark, zero_vector_embeddings_dir
+        ).collect()
+    }
+    orc = {
+        (row[0], row[3]): (row[1], row[2])
+        for row in _oracle_rows(
+            zero_vector_embeddings_dir,
+            "embeddings",
+            entry_mod.oracle_sql()["similarity_topk_bruteforce"],
+        )
+    }
+    assert set(topk) == set(orc)
+    for k, (nbr, cos) in topk.items():
+        onbr, ocos = orc[k]
+        assert nbr == onbr, (k, topk[k], orc[k])
+        if cos is None or ocos is None:
+            assert cos is None and ocos is None
+        else:
+            assert cos == pytest.approx(ocos, abs=1e-12)
