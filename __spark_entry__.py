@@ -49,7 +49,12 @@ _REGISTRY = REL.merge(
 #      implementation changed in a behavior-preserving way that still
 #      deserves fresh driver evidence;
 #   4) everything else, stalest first (ascending latest-checked round,
-#      registry insertion order within a round).
+#      registry insertion order within a round) — EXCEPT documented
+#      un-oracle-able queries (no oracle_sql() entry), which sort after
+#      every oracled query regardless of staleness: their driver contact
+#      is a weak rows-only check and they are pytest value-pinned, so a
+#      slot spent on them is a slot a stale hash-green needed (VERDICT r7
+#      item 3). They still rotate in once no oracled query is stale.
 # tests/test_verification_debt.py asserts the guard invariants hold for
 # whatever order this produces; with this scheme they hold by
 # construction every round without editing this file.
@@ -58,11 +63,17 @@ _REGISTRY = REL.merge(
 #: schedules a re-contact after a behavior-preserving implementation
 #: change and EXPIRES automatically once the query's latest driver entry
 #: reaches that round — no manual cleanup next round. Current pins:
-#: round-6 degenerate-input guards (KM ln(0), modularity m==0),
-#: parity-green locally, satisfied by any contact in round >= 7.
+#: round-7 behavior adjustments made AFTER each query's last driver
+#: contact — udaf_geometric_mean (last contact r3; r7 changed the
+#: all-nonpositive-group arm to NULL, 1526c47) and
+#: interarrival_burstiness_users (last contact r5; r7 changed the
+#: rounding tie rule to exact int64 half-up, 21ff932). Both parity-green
+#: locally; satisfied by any driver contact in round >= 8. The two
+#: round-6 pins (KM ln(0), modularity m==0) were satisfied by r7 contact
+#: and have expired.
 _REVERIFY_PINS = {
-    "kaplan_meier_view_to_purchase": 7,
-    "neardup_cluster_modularity": 7,
+    "udaf_geometric_mean": 8,
+    "interarrival_burstiness_users": 8,
 }
 
 
@@ -115,7 +126,7 @@ def _rotation_order(reg) -> list[str]:
     placed = set(never) | set(upgrades) | set(pins)
     rest = sorted(
         (n for n in names if n not in placed),
-        key=lambda n: (latest[n][0], insertion[n]),
+        key=lambda n: (n not in oracled, latest[n][0], insertion[n]),
     )
     return never + upgrades + pins + rest
 

@@ -521,13 +521,18 @@ def _vs_previous_round(
                     except ValueError:
                         continue
                     # same sf-mismatch guard as the BENCH_FULL fallback:
-                    # a tail recorded at another sf is not a valid prior
+                    # a tail recorded at another sf is not a valid prior —
+                    # but don't return early: leave prev empty and fall
+                    # through to the BENCH_FULL fallback below, which has
+                    # its own sf guard (ADVICE r7: returning here silently
+                    # disabled regression detection even when a valid
+                    # matching-sf prior existed on disk).
                     if (
                         current_sf is not None
                         and parsed.get("sf") is not None
                         and parsed.get("sf") != current_sf
                     ):
-                        return {}
+                        break
                     prev = parsed.get("queries", {})
                     break
         if not prev:

@@ -16,10 +16,19 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = [
     "Query",
     "Registry",
+    "UNREADABLE_FINGERPRINT",
     "load_table",
     "normalize_event_time",
     "path_fingerprint",
 ]
+
+#: Constant sentinel returned by :func:`path_fingerprint` when the path
+#: can't be statted. Callers MUST skip both cache lookup AND insert when
+#: they see it: a lookup on it could alias two different unreadable
+#: states (stale hit), and an insert per miss would grow the memo without
+#: bound on a persistently unreadable path (ADVICE r7 — the previous
+#: os.urandom sentinel had exactly that leak).
+UNREADABLE_FINGERPRINT = ("__unreadable__",)
 
 
 def path_fingerprint(path: str) -> tuple:
@@ -28,9 +37,9 @@ def path_fingerprint(path: str) -> tuple:
     keys — guards against the stale-green class where testdata is
     regenerated mid-session under the same path (NTZ-incident precedent;
     advisor r6). Fails SAFE: any OSError (e.g. racing a regeneration that
-    renames part-files mid-walk) yields a unique never-matching sentinel,
-    so an unreadable state can only cause an extra recompute, never a
-    stale cache hit."""
+    renames part-files mid-walk) yields :data:`UNREADABLE_FINGERPRINT`,
+    which callers treat as "don't cache at all" — an unreadable state can
+    only cause an extra recompute, never a stale hit or memo growth."""
     import os
 
     try:
@@ -48,7 +57,7 @@ def path_fingerprint(path: str) -> tuple:
             return tuple(parts)
         return (st.st_mtime_ns, st.st_size)
     except OSError:
-        return ("__unreadable__", os.urandom(16).hex())
+        return UNREADABLE_FINGERPRINT
 
 
 def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:

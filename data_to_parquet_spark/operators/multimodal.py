@@ -93,31 +93,36 @@ def image_header_dims(payload: bytes) -> tuple[str, int, int] | None:
     return None
 
 
-def _decode(payload: bytes) -> tuple[str, int, int, int]:
-    """(format, width, height, checksum) — real header parse when the
-    payload is PNG/JPEG/GIF, deterministic STUB dimensions otherwise (full
-    pixel decode needs PIL/cv2, absent in this container; the fallback
-    keeps tests/oracles stable and the Spark plumbing identical). The
-    checksum is the first 15 hex digits of the payload's md5 as an int64
-    (the S3-ETag-style content fingerprint; md5 is computable by both
-    engines, so the whole manifest is value-oracled — crc32, the previous
+def _decode_stub(payload: bytes) -> tuple[str, int, int, int]:
+    """Deterministic STUB manifest row: length-derived dimensions plus the
+    first 15 hex digits of the payload's md5 as an int64 checksum (the
+    S3-ETag-style content fingerprint; md5 is computable by both engines,
+    so a stub manifest is fully value-oracle-able — crc32, the previous
     choice, exists in neither DuckDB nor Spark SQL's DuckDB-replayable
     subset)."""
     checksum = int(hashlib.md5(payload).hexdigest()[:15], 16)
-    parsed = image_header_dims(payload)
-    if parsed is not None:
-        fmt, w, h = parsed
-        return fmt, w, h, checksum
     n = len(payload)
     return "unknown", 64 + n % 577, 64 + (n * 7) % 577, checksum
 
 
-def decode_binary_batches(
-    it: Iterator[pd.DataFrame],
+def _decode(payload: bytes) -> tuple[str, int, int, int]:
+    """(format, width, height, checksum) — real header parse when the
+    payload is PNG/JPEG/GIF, deterministic STUB dimensions otherwise (full
+    pixel decode needs PIL/cv2, absent in this container; the fallback
+    keeps tests/oracles stable and the Spark plumbing identical)."""
+    parsed = image_header_dims(payload)
+    if parsed is not None:
+        fmt, w, h = parsed
+        checksum = int(hashlib.md5(payload).hexdigest()[:15], 16)
+        return fmt, w, h, checksum
+    return _decode_stub(payload)
+
+
+def _manifest_batches(
+    it: Iterator[pd.DataFrame], decode
 ) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: (doc_id, modality, payload) → manifest rows."""
     for pdf in it:
-        decoded = [_decode(p) for p in pdf["payload"]]
+        decoded = [decode(p) for p in pdf["payload"]]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].values,
@@ -129,6 +134,31 @@ def decode_binary_batches(
                 "checksum": [d[3] for d in decoded],
             }
         )
+
+
+def decode_binary_batches(
+    it: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, modality, payload) → manifest rows,
+    parsing real PNG/JPEG/GIF headers and stubbing everything else."""
+    return _manifest_batches(it, _decode)
+
+
+def stub_decode_binary_batches(
+    it: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: manifest rows via the UNCONDITIONAL stub.
+
+    Used by the oracled manifest query, whose payloads are UTF-8 text
+    stand-ins: the GIF magic ('GIF87a'/'GIF89a') is pure ASCII, so a
+    document whose text happens to start with it would flip
+    decode_binary_batches into the real-header branch while the DuckDB
+    oracle replays the stub arithmetic — a latent cross-engine divergence
+    on regenerated testdata (ADVICE r7). Forcing the stub here makes the
+    Spark side and the oracle the same function by construction; the
+    real-header branch keeps its own coverage via tests/test_multimodal.py
+    with actual image payloads."""
+    return _manifest_batches(it, _decode_stub)
 
 
 @MM.register(
@@ -151,12 +181,13 @@ def multimodal_decode_manifest(spark, sf_dir):
     in for image bytes), decode via mapInPandas, emit a typed manifest.
 
     Scale: narrow map over payload partitions; Arrow moves the binary
-    batches; no shuffle. Value-oracled since round 7: text payloads take
-    the deterministic-stub branch (never a valid image header), whose
+    batches; no shuffle. Value-oracled since round 7: the kernel is the
+    UNCONDITIONAL stub (r8: was branch-on-header, which could diverge from
+    the oracle if a document's text started with the ASCII GIF magic), so
     dimension arithmetic, byte length, and md5-prefix checksum all replay
-    in DuckDB — so the driver hash-checks the binary plumbing end to end.
-    The real-image branch of the same kernel is covered by
-    tests/test_multimodal.py with actual PNG/JPEG/GIF payloads.
+    in DuckDB — the driver hash-checks the binary plumbing end to end.
+    The real-header branch is covered by tests/test_multimodal.py with
+    actual PNG/JPEG/GIF payloads.
     """
     d = load_table(spark, sf_dir, "documents")
     with_payload = d.select(
@@ -166,7 +197,9 @@ def multimodal_decode_manifest(spark, sf_dir):
         .alias("modality"),
         F.encode("text", "UTF-8").alias("payload"),
     )
-    return with_payload.mapInPandas(decode_binary_batches, _MANIFEST_SCHEMA)
+    return with_payload.mapInPandas(
+        stub_decode_binary_batches, _MANIFEST_SCHEMA
+    )
 
 
 _FRAME_SCHEMA = T.StructType(

@@ -39,15 +39,16 @@ def _corpus_centroids(spark, sf_dir: str, k: int, iterations: int):
     import os
 
     from ..ops import lloyd_centroids
+    from .base import UNREADABLE_FINGERPRINT
 
+    fp = path_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    # unreadable path → no memo at all (see UNREADABLE_FINGERPRINT)
     key = (
-        spark.sparkContext.applicationId,
-        path_fingerprint(os.path.join(sf_dir, "embeddings.parquet")),
-        sf_dir,
-        k,
-        iterations,
+        None
+        if fp == UNREADABLE_FINGERPRINT
+        else (spark.sparkContext.applicationId, fp, sf_dir, k, iterations)
     )
-    hit = _LLOYD_CENTROID_CACHE.get(key)
+    hit = _LLOYD_CENTROID_CACHE.get(key) if key is not None else None
     if hit is None:
         e = load_table(spark, sf_dir, "embeddings")
         # coarse-quantizer semantics: bounded-sample training above the
@@ -61,7 +62,8 @@ def _corpus_centroids(spark, sf_dir: str, k: int, iterations: int):
             iterations=iterations,
             sample_by_hash=True,
         )
-        _LLOYD_CENTROID_CACHE[key] = hit
+        if key is not None:
+            _LLOYD_CENTROID_CACHE[key] = hit
     return hit
 
 _N_QUERIES = 5  # query set = vec_id < 5

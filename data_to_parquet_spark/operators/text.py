@@ -1131,14 +1131,16 @@ def _bm25_shared_frames(spark, sf_dir):
     |query terms| x matching docs (the broadcast query join filters the
     explode before any shuffle — the BM25 scale property, kept intact).
     """
-    from .base import path_fingerprint
+    from .base import UNREADABLE_FINGERPRINT, path_fingerprint
 
+    fp = path_fingerprint(f"{sf_dir}/documents.parquet")
+    # unreadable path → no memo at all (see UNREADABLE_FINGERPRINT)
     key = (
-        spark.sparkContext.applicationId,
-        sf_dir,
-        path_fingerprint(f"{sf_dir}/documents.parquet"),
+        None
+        if fp == UNREADABLE_FINGERPRINT
+        else (spark.sparkContext.applicationId, sf_dir, fp)
     )
-    cached = _BM25_FRAME_CACHE.get(key)
+    cached = _BM25_FRAME_CACHE.get(key) if key is not None else None
     if cached is not None:
         return cached
     d = load_table(spark, sf_dir, "documents")
@@ -1156,7 +1158,8 @@ def _bm25_shared_frames(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=False)
     )
-    _BM25_FRAME_CACHE[key] = (dl, tf)
+    if key is not None:
+        _BM25_FRAME_CACHE[key] = (dl, tf)
     return dl, tf
 
 

@@ -1265,15 +1265,24 @@ def lloyd_centroids(
     """
     spark = df.sparkSession
     budget = LLOYD_LOCAL_TRAIN_MAX if local_max is None else local_max
-    head = df.select(id_col, vec_col).limit(budget + 1).collect()
-    if len(head) > budget and sample_by_hash:
+    # Probe the branch with ids only — never the vector column: collecting
+    # budget+1 FULL rows just to discover the corpus is over budget moved
+    # multi-hundred-MB of wide embeddings to the driver and discarded them
+    # (ADVICE r7). The id-only CollectLimit still early-exits after
+    # budget+1 rows, so probing a 100 TB corpus costs ~one partition read.
+    n_probe = len(df.select(id_col).limit(budget + 1).collect())
+    if n_probe <= budget:
+        head = df.select(id_col, vec_col).limit(budget + 1).collect()
+    elif sample_by_hash:
         head = (
             df.select(id_col, vec_col)
             .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")))
             .limit(budget)
             .collect()
         )
-    if len(head) <= budget:
+    else:
+        head = None  # over budget, full-corpus semantics → distributed loop
+    if head is not None:
         head.sort(key=lambda r: r[0])
         mat = np.vstack([r[1] for r in head]).astype("float64")
         centroids = mat[:k].copy()  # k lowest ids; shrinks if fewer rows

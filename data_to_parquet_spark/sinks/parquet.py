@@ -74,6 +74,12 @@ def to_single_parquet_file(
     ``None`` keeps whatever groups the part writers produced (merge
     concatenates them unchanged).
     """
+    if row_group_rows is not None and row_group_rows < 1:
+        # api.convert forwards caller batch_size unvalidated; 0 would spin
+        # the re-group loop forever on zero-row slices (ADVICE r7)
+        raise DataToParquetError(
+            f"row_group_rows must be >= 1, got {row_group_rows}"
+        )
     tmp = tempfile.mkdtemp(prefix="d2p_", dir=os.path.dirname(path) or ".")
     try:
         out_dir = os.path.join(tmp, "out")

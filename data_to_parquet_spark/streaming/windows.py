@@ -844,15 +844,17 @@ def streaming_incremental_neardup(spark, sf_dir):
     # the same path (advisor r6; NTZ-incident precedent). The temp root
     # is removed at interpreter exit (the returned DataFrame reads the
     # parquet accumulator lazily, so it must outlive the call).
-    from ..operators.base import path_fingerprint
+    from ..operators.base import UNREADABLE_FINGERPRINT, path_fingerprint
 
     doc_path = os.path.join(sf_dir, "documents.parquet")
+    fp = path_fingerprint(doc_path)
+    # unreadable path → no memo at all (see UNREADABLE_FINGERPRINT)
     key = (
-        spark.sparkContext.applicationId,
-        sf_dir,
-        path_fingerprint(doc_path),
+        None
+        if fp == UNREADABLE_FINGERPRINT
+        else (spark.sparkContext.applicationId, sf_dir, fp)
     )
-    cached = _INC_NEARDUP_CACHE.get(key)
+    cached = _INC_NEARDUP_CACHE.get(key) if key is not None else None
     if cached is not None:
         return cached
 
@@ -924,5 +926,6 @@ def streaming_incremental_neardup(spark, sf_dir):
     )
     q.awaitTermination()
     out = spark.read.parquet(pairs_dir).select("doc_a", "doc_b", "jaccard")
-    _INC_NEARDUP_CACHE[key] = out
+    if key is not None:
+        _INC_NEARDUP_CACHE[key] = out
     return out

@@ -69,6 +69,28 @@ def test_truncated_tail_falls_back_to_full_record(tmp_path):
     assert _vs_previous_round({"q": 2.0}, root=str(tmp_path)) == {}
 
 
+def test_sf_mismatched_tail_falls_back_to_full_record(tmp_path):
+    """ADVICE r7 regression pin: a driver-tail prior recorded at another
+    sf must not disable regression detection outright — the guard falls
+    through to BENCH_FULL.json, which has its own sf check."""
+    line = json.dumps({"metric": "t", "sf": 0.01, "queries": {"q": 0.1}})
+    _write(
+        tmp_path,
+        "BENCH_r06.json",
+        {"n": 6, "rc": 0, "tail": f"{line}\n"},
+    )
+    _write(tmp_path, "BENCH_FULL.json", {"sf": 0.1, "queries": {"q": 0.5}})
+    out = _vs_previous_round({"q": 2.0}, root=str(tmp_path), current_sf=0.1)
+    assert set(out) == {"q"}
+    assert "BENCH_FULL.json" in out["q"]
+    # and a BENCH_FULL recorded at yet another sf is still rejected
+    _write(tmp_path, "BENCH_FULL.json", {"sf": 0.01, "queries": {"q": 0.5}})
+    assert (
+        _vs_previous_round({"q": 2.0}, root=str(tmp_path), current_sf=0.1)
+        == {}
+    )
+
+
 def test_stray_non_numeric_artifact_is_ignored(tmp_path):
     # BENCH_rerun.json matches the BENCH_r*.json glob but has no round
     # number — must degrade to "no prior"/newest-numeric, not crash.

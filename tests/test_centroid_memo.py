@@ -132,6 +132,40 @@ def test_hash_sampled_training_matches_replay(spark):
     np.testing.assert_array_equal(got, cents)
 
 
+def test_unreadable_path_fingerprint_is_constant_sentinel(tmp_path):
+    """ADVICE r7 regression pin: the unreadable sentinel must be a
+    CONSTANT (the old os.urandom form made every memo lookup on a
+    persistently unreadable path miss AND insert a fresh key — unbounded
+    cache growth over a long session)."""
+    from data_to_parquet_spark.operators.base import (
+        UNREADABLE_FINGERPRINT,
+        path_fingerprint,
+    )
+
+    missing = str(tmp_path / "does_not_exist.parquet")
+    assert path_fingerprint(missing) == UNREADABLE_FINGERPRINT
+    assert path_fingerprint(missing) == path_fingerprint(missing)
+
+
+def test_unreadable_fingerprint_disables_memo(spark, tmp_path, monkeypatch):
+    """When the fingerprint is the unreadable sentinel, callers skip BOTH
+    cache get and put: results stay correct (recompute) and the memo does
+    not grow."""
+    from data_to_parquet_spark.operators.base import UNREADABLE_FINGERPRINT
+
+    root = str(tmp_path)
+    _write_embeddings(spark, root, scale=1.0)
+    sim._LLOYD_CENTROID_CACHE.clear()
+    monkeypatch.setattr(
+        sim, "path_fingerprint", lambda p: UNREADABLE_FINGERPRINT
+    )
+    c1 = sim._corpus_centroids(spark, root, k=3, iterations=2)
+    c2 = sim._corpus_centroids(spark, root, k=3, iterations=2)
+    assert len(sim._LLOYD_CENTROID_CACHE) == 0
+    assert c1 is not c2  # recomputed, not served from a memo
+    assert np.array_equal(c1, c2)
+
+
 def test_distinct_hyperparameters_train_separately(spark, tmp_path):
     root = str(tmp_path)
     _write_embeddings(spark, root, scale=1.0)

@@ -300,6 +300,19 @@ def test_row_group_regroup_edge_shapes(spark, tmp_path, n, batch, parts):
     assert got == list(range(n))
 
 
+@pytest.mark.parametrize("bad", [0, -1])
+def test_row_group_rows_must_be_positive(spark, tmp_path, bad):
+    """ADVICE r7 regression pin: row_group_rows<=0 used to spin the
+    re-group loop forever writing zero-row slices; convert(batch_size=0)
+    would hang. Must raise DataToParquetError up front instead."""
+    from data_to_parquet_spark.errors import DataToParquetError
+    from data_to_parquet_spark.sinks.parquet import to_single_parquet_file
+
+    out = str(tmp_path / "bad_rg.parquet")
+    with pytest.raises(DataToParquetError, match="row_group_rows"):
+        to_single_parquet_file(spark.range(10), out, row_group_rows=bad)
+
+
 def test_split_path_equivalence(spark, tmp_path, monkeypatch):
     """The large-file XML-split path must produce exactly the streaming
     path's output (incl. null-vs-empty and width truncation)."""

