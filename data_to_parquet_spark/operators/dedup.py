@@ -382,7 +382,17 @@ def dedup_simhash_pairs(spark, sf_dir):
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.chunk")
-    cand = (
+    # Verify BEFORE deduplicating: a pair can match in up to 4 bands, so
+    # the candidate stream carries ≤4 copies — but the Hamming check is
+    # one XOR+popcount, so re-verifying a duplicate costs nothing, while
+    # the distinct's shuffle then carries only VERIFIED 3-column pairs
+    # instead of every banded candidate with two 64-bit fingerprints
+    # (strictly less shuffle volume at corpus scale; measured parity at
+    # sf0.1 — 2.45 s both orders, same 98,433 pairs, r8).
+    hamming = F.bit_count(
+        F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+    )
+    return (
         bands.alias("x")
         .join(
             bands.alias("y"),
@@ -392,16 +402,11 @@ def dedup_simhash_pairs(spark, sf_dir):
         )
         .select(
             F.col("x.doc_id").alias("doc_a"),
-            F.col("x.simhash").alias("sim_a"),
             F.col("y.doc_id").alias("doc_b"),
-            F.col("y.simhash").alias("sim_b"),
+            hamming.alias("hamming"),
         )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
-        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= _SIMHASH_HAMMING)
+        .distinct()
     )
 
 
