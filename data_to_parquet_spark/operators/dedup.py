@@ -72,8 +72,9 @@ _SALT = 16  # parallelism multiplier for low-cardinality block keys
 #: duplication matrix — and without this memo each recomputes the most
 #: expensive join in the repo. The cached frame is a lazily-materialized
 #: localCheckpoint (first action pays, every later consumer reads the
-#: checkpointed blocks), mirroring `_CC_LABEL_CACHE` below: test data is
-#: immutable per sf_dir and the key dies with the Spark application. At
+#: checkpointed blocks), mirroring `_CC_LABEL_CACHE` below. Keyed via
+#: _docs_memo_key (applicationId + sf_dir + content fingerprint, r8) so a
+#: mid-session regeneration of the documents table invalidates it. At
 #: 100 TB this is the "materialize the pair table once" stage every real
 #: dedup pipeline has — downstream clustering/reporting reads the
 #: materialization, not the join.
@@ -89,15 +90,34 @@ _JACCARD_PAIRS_CACHE: dict = {}
 _SIG_CACHE: dict = {}
 
 
+def _docs_memo_key(spark, sf_dir):
+    """Session memo key for frames derived from the documents table:
+    (applicationId, sf_dir, content fingerprint), or None when the table
+    can't be statted — callers then skip the memo entirely (get AND put;
+    see base.UNREADABLE_FINGERPRINT). The fingerprint guards the
+    stale-green class where testdata regenerates mid-session under the
+    same path (NTZ-incident precedent; r8 brings these dedup memos onto
+    the same contract the Lloyd/BM25/incremental memos already had)."""
+    import os
+
+    from .base import UNREADABLE_FINGERPRINT, path_fingerprint
+
+    fp = path_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    if fp == UNREADABLE_FINGERPRINT:
+        return None
+    return (spark.sparkContext.applicationId, sf_dir, fp)
+
+
 def _doc_signatures(spark, sf_dir):
-    key = (spark.sparkContext.applicationId, sf_dir)
-    sig = _SIG_CACHE.get(key)
+    key = _docs_memo_key(spark, sf_dir)
+    sig = _SIG_CACHE.get(key) if key is not None else None
     if sig is None:
         from ..ops import df_ordered_signatures
 
         d = load_table(spark, sf_dir, "documents")
         sig = df_ordered_signatures(d, "doc_id", "text", block_col="lang")
-        _SIG_CACHE[key] = sig
+        if key is not None:
+            _SIG_CACHE[key] = sig
     return sig
 
 
@@ -139,8 +159,8 @@ def neardup_jaccard_pairs(spark, sf_dir):
     table→skinny prefix index join→distinct→verify); this query binds it to
     the documents corpus with `lang` blocking at threshold 0.9.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _JACCARD_PAIRS_CACHE.get(key)
+    key = _docs_memo_key(spark, sf_dir)
+    cached = _JACCARD_PAIRS_CACHE.get(key) if key is not None else None
     if cached is not None:
         return cached
     d = load_table(spark, sf_dir, "documents")
@@ -158,7 +178,8 @@ def neardup_jaccard_pairs(spark, sf_dir):
         F.col("id_b").alias("doc_b"),
         "jaccard",
     ).localCheckpoint(eager=False)
-    _JACCARD_PAIRS_CACHE[key] = out
+    if key is not None:
+        _JACCARD_PAIRS_CACHE[key] = out
     return out
 
 
@@ -444,14 +465,14 @@ SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
 #: fixpoint runs eager jobs at plan-construction time, so without this memo
 #: every query that needs the labels re-runs the most expensive computation
 #: in the repo; the cached frame is built on localCheckpoint-ed RDDs, so
-#: reuse costs nothing. Test data is immutable per sf_dir and the key dies
-#: with the Spark application, so the memo can't go stale.
+#: reuse costs nothing. Keyed via _docs_memo_key (content-fingerprinted,
+#: r8) so a mid-session regeneration of the documents table invalidates it.
 _CC_LABEL_CACHE: dict = {}
 
 
 def _cc_label_table(spark, sf_dir):
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _CC_LABEL_CACHE.get(key)
+    key = _docs_memo_key(spark, sf_dir)
+    cached = _CC_LABEL_CACHE.get(key) if key is not None else None
     if cached is not None:
         return cached
     from ..ops import connected_components
@@ -465,7 +486,8 @@ def _cc_label_table(spark, sf_dir):
         labels.select("doc_id"), "doc_id", "left_anti"
     ).withColumn("cluster_id", F.col("doc_id"))
     out = labels.unionByName(singletons).localCheckpoint(eager=False)
-    _CC_LABEL_CACHE[key] = out
+    if key is not None:
+        _CC_LABEL_CACHE[key] = out
     return out
 
 

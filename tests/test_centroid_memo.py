@@ -166,6 +166,47 @@ def test_unreadable_fingerprint_disables_memo(spark, tmp_path, monkeypatch):
     assert np.array_equal(c1, c2)
 
 
+def _write_docs(spark, root: str, flavor: str) -> None:
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (i, "en", f"{base} {flavor}", "web", 10) for i in range(4)
+    ] + [(9, "en", f"totally different {flavor} text body", "web", 5)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, source string, n_chars int"
+    )
+    tmp = os.path.join(root, "_tmp_docs")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    dst = os.path.join(root, "documents.parquet")
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    os.rename(tmp, dst)
+
+
+def test_dedup_memos_invalidate_when_documents_regenerate(spark, tmp_path):
+    """r8: the jaccard-pair / signature / CC-label memos moved onto the
+    same content-fingerprinted key contract as the Lloyd memo — a
+    mid-session regeneration of documents.parquet must recompute, not
+    serve pairs from the previous generation."""
+    from data_to_parquet_spark.operators import dedup
+
+    root = str(tmp_path)
+    _write_docs(spark, root, flavor="one")
+    dedup._SIG_CACHE.clear()
+    dedup._JACCARD_PAIRS_CACHE.clear()
+    p1 = dedup.neardup_jaccard_pairs(spark, root)
+    assert dedup.neardup_jaccard_pairs(spark, root) is p1  # memo hit
+    n1 = p1.count()
+    assert n1 == 6  # 4 identical docs -> C(4,2) pairs at J >= 0.9
+    time.sleep(0.05)
+    _write_docs(spark, root, flavor="two")
+    p2 = dedup.neardup_jaccard_pairs(spark, root)
+    assert p2 is not p1, (
+        "jaccard-pair memo served the previous generation of documents"
+    )
+    assert len(dedup._JACCARD_PAIRS_CACHE) == 2  # two distinct fingerprints
+    assert p2.count() == n1
+
+
 def test_distinct_hyperparameters_train_separately(spark, tmp_path):
     root = str(tmp_path)
     _write_embeddings(spark, root, scale=1.0)
