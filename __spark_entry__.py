@@ -51,10 +51,15 @@ _REGISTRY = REL.merge(
 #   4) everything else, stalest first (ascending latest-checked round,
 #      registry insertion order within a round) — EXCEPT documented
 #      un-oracle-able queries (no oracle_sql() entry), which sort after
-#      every oracled query regardless of staleness: their driver contact
-#      is a weak rows-only check and they are pytest value-pinned, so a
-#      slot spent on them is a slot a stale hash-green needed (VERDICT r7
-#      item 3). They still rotate in once no oracled query is stale.
+#      every oracled query: their driver contact is a weak rows-only
+#      check and they are pytest value-pinned, so a slot spent on them is
+#      a slot a stale hash-green needed (VERDICT r7 item 3). Starvation
+#      is BOUNDED, not permanent: once a rows-only query has gone
+#      _UNORACLED_STALE_AFTER rounds without contact it re-enters the
+#      staleness competition like any other query (without this, 197
+#      oracled queries cycling through 50 slots every ~4 rounds would
+#      keep the tail permanently full and a rows-only query whose row
+#      count silently regressed would never be re-contacted — r8 review).
 # tests/test_verification_debt.py asserts the guard invariants hold for
 # whatever order this produces; with this scheme they hold by
 # construction every round without editing this file.
@@ -75,6 +80,14 @@ _REVERIFY_PINS = {
     "udaf_geometric_mean": 8,
     "interarrival_burstiness_users": 8,
 }
+
+#: Rounds a rows-only (un-oracle-able) query may go without driver
+#: contact before it re-enters the stalest-first competition instead of
+#: sorting behind every oracled query. Chosen above the oracled staleness
+#: guard (STALE_AFTER = 4 in tests/test_verification_debt.py) so
+#: rows-only re-contact never displaces a stale hash-green, but below
+#: forever.
+_UNORACLED_STALE_AFTER = 6
 
 
 def _latest_driver_records() -> dict[str, tuple[int, str | None]]:
@@ -124,9 +137,19 @@ def _rotation_order(reg) -> list[str]:
         and (n not in latest or latest[n][0] < satisfied_round)
     ]
     placed = set(never) | set(upgrades) | set(pins)
+    max_round = max((r for r, _ in latest.values()), default=0)
+
+    def deprioritized(n: str) -> bool:
+        # rows-only queries yield their slot to oracled work — until they
+        # have gone _UNORACLED_STALE_AFTER rounds without contact
+        return (
+            n not in oracled
+            and latest[n][0] > max_round - _UNORACLED_STALE_AFTER
+        )
+
     rest = sorted(
         (n for n in names if n not in placed),
-        key=lambda n: (n not in oracled, latest[n][0], insertion[n]),
+        key=lambda n: (deprioritized(n), latest[n][0], insertion[n]),
     )
     return never + upgrades + pins + rest
 

@@ -18,17 +18,45 @@ __all__ = [
     "Registry",
     "UNREADABLE_FINGERPRINT",
     "load_table",
+    "memo_get",
+    "memo_put",
     "normalize_event_time",
     "path_fingerprint",
 ]
 
 #: Constant sentinel returned by :func:`path_fingerprint` when the path
-#: can't be statted. Callers MUST skip both cache lookup AND insert when
-#: they see it: a lookup on it could alias two different unreadable
-#: states (stale hit), and an insert per miss would grow the memo without
-#: bound on a persistently unreadable path (ADVICE r7 — the previous
-#: os.urandom sentinel had exactly that leak).
+#: can't be statted. :func:`memo_get`/:func:`memo_put` skip the cache
+#: entirely when they see it: a lookup on it could alias two different
+#: unreadable states (stale hit), and an insert per miss would grow the
+#: memo without bound on a persistently unreadable path (ADVICE r7 — the
+#: previous os.urandom sentinel had exactly that leak).
 UNREADABLE_FINGERPRINT = ("__unreadable__",)
+
+
+def memo_get(cache: dict, base_key: tuple, fingerprint: tuple):
+    """Fingerprint-validated session-memo lookup: the cache maps
+    ``base_key`` (applicationId + semantic parameters — NO fingerprint)
+    to ``(fingerprint, value)``. A hit requires the stored fingerprint to
+    match the current one, so a regenerated table misses; because the
+    fingerprint lives in the VALUE, :func:`memo_put` then REPLACES the
+    previous generation's entry instead of accumulating one entry per
+    generation (r8 review: fingerprint-in-key leaked one checkpointed
+    DataFrame per regeneration for the life of the app). Returns None on
+    miss or when ``fingerprint`` is :data:`UNREADABLE_FINGERPRINT`."""
+    if fingerprint == UNREADABLE_FINGERPRINT:
+        return None
+    hit = cache.get(base_key)
+    if hit is not None and hit[0] == fingerprint:
+        return hit[1]
+    return None
+
+
+def memo_put(cache: dict, base_key: tuple, fingerprint: tuple, value):
+    """Store ``value`` under ``base_key``, replacing any previous
+    generation (see :func:`memo_get`). No-op when ``fingerprint`` is
+    :data:`UNREADABLE_FINGERPRINT`."""
+    if fingerprint != UNREADABLE_FINGERPRINT:
+        cache[base_key] = (fingerprint, value)
 
 
 def path_fingerprint(path: str) -> tuple:

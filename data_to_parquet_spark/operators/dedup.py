@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.exprs import distinct_tokens, exploded_rows, tokens
-from .base import Registry, load_table
+from .base import Registry, load_table, memo_get, memo_put
 
 DEDUP = Registry()
 
@@ -91,33 +91,29 @@ _SIG_CACHE: dict = {}
 
 
 def _docs_memo_key(spark, sf_dir):
-    """Session memo key for frames derived from the documents table:
-    (applicationId, sf_dir, content fingerprint), or None when the table
-    can't be statted — callers then skip the memo entirely (get AND put;
-    see base.UNREADABLE_FINGERPRINT). The fingerprint guards the
-    stale-green class where testdata regenerates mid-session under the
-    same path (NTZ-incident precedent; r8 brings these dedup memos onto
-    the same contract the Lloyd/BM25/incremental memos already had)."""
+    """((applicationId, sf_dir), documents fingerprint) for the
+    fingerprint-validated session memos (base.memo_get/memo_put): the
+    fingerprint guards the stale-green class where testdata regenerates
+    mid-session under the same path (NTZ-incident precedent), and living
+    in the memo VALUE it replaces the previous generation's entry instead
+    of accumulating one per generation."""
     import os
 
-    from .base import UNREADABLE_FINGERPRINT, path_fingerprint
+    from .base import path_fingerprint
 
     fp = path_fingerprint(os.path.join(sf_dir, "documents.parquet"))
-    if fp == UNREADABLE_FINGERPRINT:
-        return None
-    return (spark.sparkContext.applicationId, sf_dir, fp)
+    return (spark.sparkContext.applicationId, sf_dir), fp
 
 
 def _doc_signatures(spark, sf_dir):
-    key = _docs_memo_key(spark, sf_dir)
-    sig = _SIG_CACHE.get(key) if key is not None else None
+    key, fp = _docs_memo_key(spark, sf_dir)
+    sig = memo_get(_SIG_CACHE, key, fp)
     if sig is None:
         from ..ops import df_ordered_signatures
 
         d = load_table(spark, sf_dir, "documents")
         sig = df_ordered_signatures(d, "doc_id", "text", block_col="lang")
-        if key is not None:
-            _SIG_CACHE[key] = sig
+        memo_put(_SIG_CACHE, key, fp, sig)
     return sig
 
 
@@ -159,8 +155,8 @@ def neardup_jaccard_pairs(spark, sf_dir):
     table→skinny prefix index join→distinct→verify); this query binds it to
     the documents corpus with `lang` blocking at threshold 0.9.
     """
-    key = _docs_memo_key(spark, sf_dir)
-    cached = _JACCARD_PAIRS_CACHE.get(key) if key is not None else None
+    key, fp = _docs_memo_key(spark, sf_dir)
+    cached = memo_get(_JACCARD_PAIRS_CACHE, key, fp)
     if cached is not None:
         return cached
     d = load_table(spark, sf_dir, "documents")
@@ -178,8 +174,7 @@ def neardup_jaccard_pairs(spark, sf_dir):
         F.col("id_b").alias("doc_b"),
         "jaccard",
     ).localCheckpoint(eager=False)
-    if key is not None:
-        _JACCARD_PAIRS_CACHE[key] = out
+    memo_put(_JACCARD_PAIRS_CACHE, key, fp, out)
     return out
 
 
@@ -471,8 +466,8 @@ _CC_LABEL_CACHE: dict = {}
 
 
 def _cc_label_table(spark, sf_dir):
-    key = _docs_memo_key(spark, sf_dir)
-    cached = _CC_LABEL_CACHE.get(key) if key is not None else None
+    key, fp = _docs_memo_key(spark, sf_dir)
+    cached = memo_get(_CC_LABEL_CACHE, key, fp)
     if cached is not None:
         return cached
     from ..ops import connected_components
@@ -486,8 +481,7 @@ def _cc_label_table(spark, sf_dir):
         labels.select("doc_id"), "doc_id", "left_anti"
     ).withColumn("cluster_id", F.col("doc_id"))
     out = labels.unionByName(singletons).localCheckpoint(eager=False)
-    if key is not None:
-        _CC_LABEL_CACHE[key] = out
+    memo_put(_CC_LABEL_CACHE, key, fp, out)
     return out
 
 

@@ -39,16 +39,11 @@ def _corpus_centroids(spark, sf_dir: str, k: int, iterations: int):
     import os
 
     from ..ops import lloyd_centroids
-    from .base import UNREADABLE_FINGERPRINT
+    from .base import memo_get, memo_put
 
     fp = path_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
-    # unreadable path → no memo at all (see UNREADABLE_FINGERPRINT)
-    key = (
-        None
-        if fp == UNREADABLE_FINGERPRINT
-        else (spark.sparkContext.applicationId, fp, sf_dir, k, iterations)
-    )
-    hit = _LLOYD_CENTROID_CACHE.get(key) if key is not None else None
+    key = (spark.sparkContext.applicationId, sf_dir, k, iterations)
+    hit = memo_get(_LLOYD_CENTROID_CACHE, key, fp)
     if hit is None:
         e = load_table(spark, sf_dir, "embeddings")
         # coarse-quantizer semantics: bounded-sample training above the
@@ -62,8 +57,7 @@ def _corpus_centroids(spark, sf_dir: str, k: int, iterations: int):
             iterations=iterations,
             sample_by_hash=True,
         )
-        if key is not None:
-            _LLOYD_CENTROID_CACHE[key] = hit
+        memo_put(_LLOYD_CENTROID_CACHE, key, fp, hit)
     return hit
 
 _N_QUERIES = 5  # query set = vec_id < 5

@@ -1131,16 +1131,11 @@ def _bm25_shared_frames(spark, sf_dir):
     |query terms| x matching docs (the broadcast query join filters the
     explode before any shuffle — the BM25 scale property, kept intact).
     """
-    from .base import UNREADABLE_FINGERPRINT, path_fingerprint
+    from .base import memo_get, memo_put, path_fingerprint
 
     fp = path_fingerprint(f"{sf_dir}/documents.parquet")
-    # unreadable path → no memo at all (see UNREADABLE_FINGERPRINT)
-    key = (
-        None
-        if fp == UNREADABLE_FINGERPRINT
-        else (spark.sparkContext.applicationId, sf_dir, fp)
-    )
-    cached = _BM25_FRAME_CACHE.get(key) if key is not None else None
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = memo_get(_BM25_FRAME_CACHE, key, fp)
     if cached is not None:
         return cached
     d = load_table(spark, sf_dir, "documents")
@@ -1158,8 +1153,7 @@ def _bm25_shared_frames(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=False)
     )
-    if key is not None:
-        _BM25_FRAME_CACHE[key] = (dl, tf)
+    memo_put(_BM25_FRAME_CACHE, key, fp, (dl, tf))
     return dl, tf
 
 

@@ -1270,6 +1270,10 @@ def lloyd_centroids(
     # multi-hundred-MB of wide embeddings to the driver and discarded them
     # (ADVICE r7). The id-only CollectLimit still early-exits after
     # budget+1 rows, so probing a 100 TB corpus costs ~one partition read.
+    # Deliberate trade: an at-or-under-budget corpus now pays a second
+    # (id-only, column-pruned) job before the full fetch — tens of ms on
+    # the small corpora that take this branch, vs the unbounded wide-row
+    # transfer the probe avoids on the corpora that don't.
     n_probe = len(df.select(id_col).limit(budget + 1).collect())
     if n_probe <= budget:
         head = df.select(id_col, vec_col).limit(budget + 1).collect()

@@ -844,17 +844,12 @@ def streaming_incremental_neardup(spark, sf_dir):
     # the same path (advisor r6; NTZ-incident precedent). The temp root
     # is removed at interpreter exit (the returned DataFrame reads the
     # parquet accumulator lazily, so it must outlive the call).
-    from ..operators.base import UNREADABLE_FINGERPRINT, path_fingerprint
+    from ..operators.base import memo_get, memo_put, path_fingerprint
 
     doc_path = os.path.join(sf_dir, "documents.parquet")
     fp = path_fingerprint(doc_path)
-    # unreadable path → no memo at all (see UNREADABLE_FINGERPRINT)
-    key = (
-        None
-        if fp == UNREADABLE_FINGERPRINT
-        else (spark.sparkContext.applicationId, sf_dir, fp)
-    )
-    cached = _INC_NEARDUP_CACHE.get(key) if key is not None else None
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = memo_get(_INC_NEARDUP_CACHE, key, fp)
     if cached is not None:
         return cached
 
@@ -926,6 +921,5 @@ def streaming_incremental_neardup(spark, sf_dir):
     )
     q.awaitTermination()
     out = spark.read.parquet(pairs_dir).select("doc_a", "doc_b", "jaccard")
-    if key is not None:
-        _INC_NEARDUP_CACHE[key] = out
+    memo_put(_INC_NEARDUP_CACHE, key, fp, out)
     return out

@@ -56,7 +56,9 @@ def test_memo_invalidates_when_table_regenerates(spark, tmp_path):
         "memo served centroids trained on the previous generation of "
         "the embeddings table"
     )
-    assert len(sim._LLOYD_CENTROID_CACHE) == 2  # two distinct fingerprints
+    # r8: the new generation REPLACES the old entry (fingerprint lives in
+    # the memo value, not the key) — no per-generation accumulation
+    assert len(sim._LLOYD_CENTROID_CACHE) == 1
 
 
 def test_local_and_distributed_training_agree(spark):
@@ -203,8 +205,11 @@ def test_dedup_memos_invalidate_when_documents_regenerate(spark, tmp_path):
     assert p2 is not p1, (
         "jaccard-pair memo served the previous generation of documents"
     )
-    assert len(dedup._JACCARD_PAIRS_CACHE) == 2  # two distinct fingerprints
+    # r8: regeneration replaces the entry — the old generation's
+    # checkpointed frame is released, not pinned for the app's lifetime
+    assert len(dedup._JACCARD_PAIRS_CACHE) == 1
     assert p2.count() == n1
+    assert dedup.neardup_jaccard_pairs(spark, root) is p2  # new memo hit
 
 
 def test_distinct_hyperparameters_train_separately(spark, tmp_path):

@@ -71,11 +71,13 @@ def test_stale_greens_are_scheduled_for_rotation():
     entry is >= STALE_AFTER rounds behind the newest CORRECTNESS artifact
     must sit inside the next 50-slot window, or it can drift stale forever.
 
-    Documented un-oracle-able queries (no oracle_sql() entry) are exempt
-    (VERDICT r7 item 3): their driver contact is a weak rows-only check,
-    they carry pytest value pins instead, and a slot spent re-running a
-    rows-only check is a slot a stale HASH-green needed. The rotation
-    still cycles them in once no oracled query is stale.
+    Documented un-oracle-able queries (no oracle_sql() entry) get a
+    LONGER leash (VERDICT r7 item 3 + r8 review): their driver contact is
+    a weak rows-only check and they carry pytest value pins, so a slot
+    spent re-running one is a slot a stale HASH-green needed — but the
+    leash is bounded (_UNORACLED_STALE_AFTER rounds), not infinite, so a
+    rows-only query whose row count silently regresses is still
+    re-contacted eventually.
     """
     import __spark_entry__ as e
 
@@ -87,8 +89,9 @@ def test_stale_greens_are_scheduled_for_rotation():
         q
         for q in order
         if q in latest
-        and q in oracled
-        and latest[q][0] <= max_round - STALE_AFTER
+        and latest[q][0]
+        <= max_round
+        - (STALE_AFTER if q in oracled else e._UNORACLED_STALE_AFTER)
     ]
     overflow = [q for q in stale if q not in window]
     assert not overflow, (
@@ -171,8 +174,18 @@ def test_rotation_order_contract():
     # bucket boundaries are respected
     front = never + upgrades + pins
     assert order[: len(front)] == front
-    # the tail sorts oracled-before-unoracled, then monotone in staleness
-    # within each group (VERDICT r7 item 3: rows-only queries never evict
-    # a stale hash-green from the window)
-    keys = [(n not in oracled, latest[n][0]) for n in rest]
+    # the tail sorts recently-contacted rows-only queries behind every
+    # oracled query (VERDICT r7 item 3: they never evict a stale
+    # hash-green), EXCEPT those past the _UNORACLED_STALE_AFTER leash,
+    # which re-enter the staleness competition (r8 review: starvation is
+    # bounded); monotone in staleness within each group
+    max_round = max((r for r, _ in latest.values()), default=0)
+    keys = [
+        (
+            n not in oracled
+            and latest[n][0] > max_round - e._UNORACLED_STALE_AFTER,
+            latest[n][0],
+        )
+        for n in rest
+    ]
     assert keys == sorted(keys)

@@ -51,6 +51,21 @@ def main(argv: list[str]) -> int:
         doc = json.load(f)
     flags = doc.get("regressions") or {}
     if not flags:
+        # The carry-forward (bench._write_full_record) may have preserved
+        # an adjudication for flags from an EARLIER record; annotate it so
+        # a reader doesn't mistake it for evidence about this flag-free
+        # record (the dated block itself stays — it is still the closure
+        # record for the flags it names, also kept in git history).
+        prior = doc.get("regression_adjudication")
+        if prior is not None and "note" not in prior:
+            prior["note"] = (
+                f"no regression flags in the current bench record (checked "
+                f"{date}); the adjudication below refers to flags from an "
+                f"earlier record — see its date and per-query flag strings"
+            )
+            with open(full_path, "w") as f:
+                json.dump(doc, f, indent=1)
+                f.write("\n")
         print(json.dumps({"date": date, "adjudicated": {}, "note": "no flags"}))
         return 0
 
@@ -65,12 +80,18 @@ def main(argv: list[str]) -> int:
         print(proc.stdout)
         print(proc.stderr, file=sys.stderr)
         return proc.returncode
-    # idle_remeasure prints one JSON line last (Spark may interleave noise)
+    # idle_remeasure prints one JSON line last (Spark may interleave
+    # noise, including lines that START with '{' — skip unparseable
+    # candidates instead of crashing the round-close gate, the same
+    # recovery rule as bench.py's driver-tail scan)
     measured = None
     for line in reversed(proc.stdout.splitlines()):
-        line = line.strip()
-        if line.startswith("{"):
-            measured = json.loads(line)
+        line = line.strip().split("\r")[-1]
+        if line.startswith("{") and '"queries"' in line:
+            try:
+                measured = json.loads(line)
+            except ValueError:
+                continue
             break
     if measured is None:
         print(proc.stdout)

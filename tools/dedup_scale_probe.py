@@ -144,19 +144,14 @@ def main() -> None:
         ),
     ]
 
+    from _md_sections import replace_section
+
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    md = os.path.join(here, "SCALING.md")
-    with open(md) as f:
-        doc = f.read()
-    # splice out only THIS probe's old section (marker .. next '## '),
-    # preserving sections other tools appended after it
-    marker = "\n## neardup_jaccard_pairs / dbscan_embedding_clusters — 2x steps"
-    start = doc.find(marker)
-    if start != -1:
-        nxt = doc.find("\n## ", start + 1)
-        doc = doc[:start] + (doc[nxt:] if nxt != -1 else "")
-    with open(md, "w") as f:
-        f.write(doc.rstrip("\n") + "\n" + "\n".join(lines) + "\n")
+    replace_section(
+        os.path.join(here, "SCALING.md"),
+        "\n## neardup_jaccard_pairs / dbscan_embedding_clusters — 2x steps",
+        lines,
+    )
     print("\n".join(lines))
     shutil.rmtree(ROOT, ignore_errors=True)
 

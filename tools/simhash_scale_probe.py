@@ -58,17 +58,14 @@ def main() -> None:
         f"| dedup_simhash_pairs | 2x | {s2[0]:.2f} | {s2[1]} | {s_exp:.2f} |",
     ]
 
+    from _md_sections import replace_section
+
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    md = os.path.join(here, "SCALING.md")
-    with open(md) as f:
-        doc = f.read()
-    marker = "\n## dedup_simhash_pairs — 2x step"
-    start = doc.find(marker)
-    if start != -1:
-        nxt = doc.find("\n## ", start + 1)
-        doc = doc[:start] + (doc[nxt:] if nxt != -1 else "")
-    with open(md, "w") as f:
-        f.write(doc.rstrip("\n") + "\n" + "\n".join(lines) + "\n")
+    replace_section(
+        os.path.join(here, "SCALING.md"),
+        "\n## dedup_simhash_pairs — 2x step",
+        lines,
+    )
     print("\n".join(lines))
     shutil.rmtree(ROOT, ignore_errors=True)
 
