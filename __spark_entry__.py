@@ -116,10 +116,14 @@ def _latest_driver_records() -> dict[str, tuple[int, str | None]]:
     return latest
 
 
-def _rotation_order(reg) -> list[str]:
+def _rotation_order(reg, latest=None) -> list[str]:
+    """Driver-window rotation order; ``latest`` ({query: (round, err)})
+    defaults to the committed artifacts and is injectable so tests can
+    simulate future rounds (steady-state staleness bounds)."""
     names = list(reg._queries.keys())
     insertion = {n: i for i, n in enumerate(names)}
-    latest = _latest_driver_records()
+    if latest is None:
+        latest = _latest_driver_records()
     oracled = {n for n in names if reg._queries[n].oracle is not None}
 
     never = [n for n in names if n not in latest]

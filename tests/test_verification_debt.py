@@ -130,6 +130,41 @@ def test_upgraded_oracles_get_driver_contact():
     )
 
 
+def test_rotation_steady_state_staleness_is_bounded():
+    """Simulate the mechanical rotation 10 rounds forward from the
+    committed artifacts: every oracled query must be re-contacted within
+    STALE_AFTER rounds and every rows-only query within
+    _UNORACLED_STALE_AFTER + STALE_AFTER rounds (the leash plus one
+    oracled cycle while it drains through the window). Pins this round's
+    starvation fix: with the unconditional rows-only deprioritization,
+    rows-only queries NEVER re-entered (r8 review)."""
+    import __spark_entry__ as e
+
+    reg = e._REGISTRY
+    oracled = set(e.oracle_sql().keys())
+    latest = {
+        n: (r, err) for n, (r, err) in e._latest_driver_records().items()
+    }
+    start = max(r for r, _ in latest.values())
+    worst_gap = {n: 0 for n in reg._queries}
+    for rnd in range(start + 1, start + 11):
+        order = e._rotation_order(reg, latest=latest)
+        for n in order[:WINDOW]:
+            latest[n] = (rnd, None)
+        for n in reg._queries:
+            worst_gap[n] = max(worst_gap[n], rnd - latest[n][0])
+    for n, gap in worst_gap.items():
+        bound = (
+            STALE_AFTER
+            if n in oracled
+            else e._UNORACLED_STALE_AFTER + STALE_AFTER
+        )
+        assert gap <= bound, (
+            f"{n} went {gap} rounds without simulated driver contact "
+            f"(bound {bound}) — the rotation starves it"
+        )
+
+
 def test_priority_list_is_exact_and_duplicate_free():
     # a typo'd or duplicated _PRIORITY name silently burns a window slot
     import __spark_entry__ as e
