@@ -490,6 +490,14 @@ def _write_full_record(line: dict, full_path: str) -> None:
         with open(full_path) as f:
             prior_adjudication = json.load(f).get("regression_adjudication")
         if prior_adjudication is not None:
+            # the adjudicate tool's "no flags in the current record" note
+            # asserts a property of the record it annotated — drop it when
+            # THIS record has flags, or the carried note would read as
+            # dismissing live regressions (r8 review)
+            if line.get("regressions") and "note" in prior_adjudication:
+                prior_adjudication = {
+                    k: v for k, v in prior_adjudication.items() if k != "note"
+                }
             line["regression_adjudication"] = prior_adjudication
     except (OSError, ValueError):
         pass

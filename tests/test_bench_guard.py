@@ -124,6 +124,26 @@ def test_full_record_carries_adjudication_forward(tmp_path):
     doc = json.loads(full.read_text())
     assert doc["queries"] == {"q": 0.9}  # new record won
     assert doc["regression_adjudication"] == adjudication  # block survived
+    # the adjudicate tool's "no flags in the current record" note must NOT
+    # ride into a record that HAS flags (it would read as dismissing live
+    # regressions); the rest of the block still carries forward
+    noted = dict(adjudication, note="no regression flags in the current...")
+    full.write_text(
+        json.dumps({"queries": {"q": 0.9}, "regression_adjudication": noted})
+    )
+    _write_full_record(
+        {"queries": {"q": 2.0}, "regressions": {"q": "0.9s -> 2.0s"}},
+        str(full),
+    )
+    doc = json.loads(full.read_text())
+    assert "note" not in doc["regression_adjudication"]
+    assert doc["regression_adjudication"]["queries"] == adjudication["queries"]
+    # ...but a flag-free record keeps the note verbatim
+    full.write_text(
+        json.dumps({"queries": {"q": 0.9}, "regression_adjudication": noted})
+    )
+    _write_full_record({"queries": {"q": 0.9}}, str(full))
+    assert json.loads(full.read_text())["regression_adjudication"] == noted
     # corrupt/missing prior degrades to a plain write, not a crash
     full.unlink()
     _write_full_record({"queries": {"q": 0.5}}, str(full))

@@ -146,6 +146,11 @@ def test_rotation_steady_state_staleness_is_bounded():
         n: (r, err) for n, (r, err) in e._latest_driver_records().items()
     }
     start = max(r for r, _ in latest.values())
+    # never-checked queries belong to the companion fit-the-window test;
+    # seed them at `start` here so an overfull never-checked set fails
+    # THAT test's diagnostic instead of a KeyError below (r8 review)
+    for n in reg._queries:
+        latest.setdefault(n, (start, None))
     worst_gap = {n: 0 for n in reg._queries}
     for rnd in range(start + 1, start + 11):
         order = e._rotation_order(reg, latest=latest)

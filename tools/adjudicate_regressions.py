@@ -86,7 +86,9 @@ def main(argv: list[str]) -> int:
     # recovery rule as bench.py's driver-tail scan)
     measured = None
     for line in reversed(proc.stdout.splitlines()):
-        line = line.strip().split("\r")[-1]
+        # re-strip after the CR split: a progress overwrite can leave the
+        # final segment with leading padding (r8 review)
+        line = line.strip().split("\r")[-1].strip()
         if line.startswith("{") and '"queries"' in line:
             try:
                 measured = json.loads(line)

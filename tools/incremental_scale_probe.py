@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import math
 import os
-import shutil
 import statistics
 import sys
 import time
@@ -72,6 +71,14 @@ def main() -> None:
 
     t1, n1 = run(corpus1)
     t2, n2 = run(corpus2)
+    # the probe's validity rests on this: the suffixed copy's token sets
+    # are disjoint from the batch's, so true pairs must be IDENTICAL —
+    # otherwise the exponent measures extra pair OUTPUT, not scan cost
+    assert n1 == n2, (
+        f"disjoint-copy invariant broken: 1x corpus yields {n1} pairs but "
+        f"2x yields {n2} — the token-suffix transform is no longer keeping "
+        f"the copy disjoint; the measurement is invalid"
+    )
     exp = math.log(t2 / t1) / math.log(2.0)
 
     lines = [
@@ -80,10 +87,16 @@ def main() -> None:
         "",
         "The production ingest question: a FIXED batch (sf0.1 docs with",
         "doc_id % 7 == 0) matched against a corpus that doubles (remaining",
-        "sf0.1 docs + a token-suffixed disjoint copy). True pairs are",
-        "identical by construction; the cost is the broadcast join",
-        "streaming the corpus past the batch once — exponent ~1.0 is the",
-        "optimal posture for a must-scan-once stream.",
+        "sf0.1 docs + a token-suffixed disjoint copy; identical output",
+        "pairs asserted by the probe). The cost model is the broadcast",
+        "join streaming the corpus past the batch once — ~linear in",
+        "corpus. Caveat: at ~2 s walls the corpus-scan term sits below",
+        "local[32]'s fixed per-run overhead (run-to-run swings at this",
+        "duration reach ±15% under co-tenant load — see BENCH_FULL.json's",
+        "methodology notes), so a near-zero or negative step",
+        "exponent here means 'scan cost not yet measurable at sf0.1', NOT",
+        "'sub-linear streaming'; the linear term would emerge at larger",
+        "corpora.",
         "",
         "| corpus | wall s | output pairs | step exponent |",
         "|---|---|---|---|",
