@@ -1447,6 +1447,15 @@ def cardinality_sketch_report(spark, sf_dir):
     engine-specific by construction; the ≤5% error property is pinned in
     tests/test_sketch_report.py.
 
+    Round-9 oracle-upgrade design (VERDICT r7 item 7, deferred from r8 to
+    keep the window on stale greens): emit an error BUCKET instead of the
+    raw estimate — (col_name, exact, error_le_5pct) — so the Spark side
+    still computes the real HLL while the DuckDB oracle computes the
+    exact counts and carries the bucket as a pre-verified literal (the
+    benford_digit_check envelope pattern). Cost: the estimate column
+    leaves the driver-checked surface (stays pinned by the pytest error
+    bound); benefit: exact + bucket become hash-checked.
+
     Scale: the exact side is the expensive half at 100 TB and exists here
     as the ground truth; the report's point is that the sketch column
     makes the exact one optional.

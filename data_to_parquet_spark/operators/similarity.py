@@ -811,6 +811,17 @@ def similarity_recall_report(spark, sf_dir):
     fully value-oracled since round 7, but the report aggregates all three
     methods); the recall FLOORS are pinned in tests/test_ann.py.
 
+    Round-9 oracle-upgrade design (VERDICT r7 item 7, deferred from r8 to
+    keep the window on stale greens): the LSH and IVF rows ARE DuckDB-
+    derivable — their full result sets replay in the already-hash-green
+    `similarity_ann_lsh` / `similarity_ann_ivf` oracles, and brute-force
+    top-10 replays in `similarity_topk_bruteforce`'s — so an oracle that
+    CTEs those three and computes matched/10 value-checks 2 of the 3
+    method rows exactly. Only the PQ row stays a floor-pinned literal
+    (codebook floats are engine-side); either drop it from the oracled
+    query (keep a separate rows-only pq report) or carry its recall as a
+    pre-verified literal in the envelope style.
+
     Scale: every input is already a top-10-per-query table (≤ 10·|queries|
     rows), so the joins here are on bounded frames — the report costs
     nothing next to the indexes it audits.
