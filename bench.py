@@ -494,10 +494,21 @@ def _write_full_record(line: dict, full_path: str) -> None:
             # asserts a property of the record it annotated — drop it when
             # THIS record has flags, or the carried note would read as
             # dismissing live regressions (r8 review)
-            if line.get("regressions") and "note" in prior_adjudication:
+            if line.get("regressions"):
                 prior_adjudication = {
                     k: v for k, v in prior_adjudication.items() if k != "note"
                 }
+                # the carried per-query verdicts adjudicated an EARLIER
+                # record's flags; this record has its own live flags
+                # (possibly naming the same queries), so tag the block
+                # stale until tools/adjudicate_regressions.py re-runs —
+                # a reader must not take last round's "noise" as
+                # clearing this round's flag (r8 ADVICE)
+                prior_adjudication["stale"] = (
+                    "adjudicates an earlier record's flags; this record "
+                    "has fresh regressions — re-run "
+                    "tools/adjudicate_regressions.py"
+                )
             line["regression_adjudication"] = prior_adjudication
     except (OSError, ValueError):
         pass

@@ -138,6 +138,10 @@ def test_full_record_carries_adjudication_forward(tmp_path):
     doc = json.loads(full.read_text())
     assert "note" not in doc["regression_adjudication"]
     assert doc["regression_adjudication"]["queries"] == adjudication["queries"]
+    # ...and the carried block is tagged stale so last round's per-query
+    # "noise" verdicts can't read as adjudicating THIS record's live
+    # flags (r8 ADVICE)
+    assert "stale" in doc["regression_adjudication"]
     # ...but a flag-free record keeps the note verbatim
     full.write_text(
         json.dumps({"queries": {"q": 0.9}, "regression_adjudication": noted})

@@ -1,0 +1,101 @@
+"""Unit pins for the round-close verification tools (r8 ADVICE fixes):
+tools/adjudicate_regressions.py's verdict basis and sf guard, and
+tools/_md_sections.py's section splice."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+from _md_sections import replace_section
+from adjudicate_regressions import _remeasure_sf, _verdicts
+
+
+def test_verdict_plain_query_uses_min_s():
+    flags = {"q": "1.0s -> 2.0s (2.0x, BENCH_r08.json)"}
+    measured = {"q": {"min_s": 1.05, "median_s": 1.2, "all_s": [1.2, 1.05]}}
+    out = _verdicts(flags, measured)
+    assert out["q"]["verdict"] == "noise"
+    assert out["q"]["basis_s"] == 1.05
+    measured = {"q": {"min_s": 1.9, "median_s": 2.0, "all_s": [2.0, 1.9]}}
+    assert _verdicts(flags, measured)["q"]["verdict"] == "regressed"
+
+
+def test_verdict_memo_backed_uses_cold_rep():
+    """r8 ADVICE (medium): for memo-backed queries every rep after the
+    first hits the session memo, so min_s times a cache read — a real
+    regression must not auto-adjudicate as noise off a 0.05s cache hit."""
+    flags = {"dedup_connected_components": "1.0s -> 2.6s (2.6x)"}
+    # warm reps are tiny (memo hits); the cold rep reproduces the flag
+    measured = {
+        "dedup_connected_components": {
+            "min_s": 0.05,
+            "median_s": 0.05,
+            "all_s": [2.7, 0.05, 0.05],
+        }
+    }
+    out = _verdicts(flags, measured)["dedup_connected_components"]
+    assert out["basis_s"] == 2.7
+    assert out["verdict"].startswith("memo_cold_exceeds_prior")
+    # and a genuinely-fast cold rep still proves noise
+    measured["dedup_connected_components"]["all_s"] = [0.9, 0.05, 0.05]
+    out = _verdicts(flags, measured)["dedup_connected_components"]
+    assert out["verdict"] == "noise"
+
+
+def test_verdict_unparseable_flag():
+    out = _verdicts(
+        {"q": "weird flag text"},
+        {"q": {"min_s": 1.0, "median_s": 1.0, "all_s": [1.0]}},
+    )
+    assert out["q"]["verdict"] == "unparseable_flag"
+
+
+def test_remeasure_sf_matches_bench_derivation():
+    assert _remeasure_sf("/root/testdata/sf0.1") == 0.1
+    assert _remeasure_sf("/root/testdata/sf0.01/") == 0.01
+    assert _remeasure_sf("/tmp/custom") == "/tmp/custom".rsplit("sf", 1)[-1]
+
+
+def test_adjudicate_main_aborts_on_sf_mismatch(tmp_path, monkeypatch):
+    """r8 ADVICE (low): priors recorded at one sf must not be compared
+    against idle re-measures taken at another."""
+    import adjudicate_regressions as adj
+
+    full = tmp_path / "BENCH_FULL.json"
+    full.write_text(
+        json.dumps(
+            {"sf": 0.01, "regressions": {"q": "1.0s -> 2.0s (2.0x)"}}
+        )
+    )
+    monkeypatch.setattr(adj, "REPO", str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    rc = adj.main(["--date", "2026-08-15"])
+    assert rc == 1
+    doc = json.loads(full.read_text())
+    assert doc["regression_adjudication"]["verdict"] == "sf_mismatch"
+
+
+def test_replace_section_at_file_start(tmp_path):
+    """r8 ADVICE (low): a section at offset 0 has no leading newline, so
+    the '\\n## '-prefixed find missed it and re-runs appended duplicates."""
+    md = tmp_path / "SCALING.md"
+    md.write_text("## probe A\nold line\n")
+    replace_section(str(md), "\n## probe A", ["## probe A", "new line"])
+    text = md.read_text()
+    assert text.count("## probe A") == 1
+    assert "new line" in text and "old line" not in text
+
+
+def test_replace_section_midfile_and_append(tmp_path):
+    md = tmp_path / "SCALING.md"
+    md.write_text("# top\n\n## probe A\na1\n\n## probe B\nb1\n")
+    replace_section(str(md), "\n## probe A", ["## probe A", "a2"])
+    text = md.read_text()
+    assert "a2" in text and "a1" not in text
+    assert "b1" in text  # neighbors preserved
+    replace_section(str(md), "\n## probe C", ["## probe C", "c1"])
+    assert "c1" in md.read_text()

@@ -16,7 +16,13 @@ def replace_section(md_path: str, marker: str, lines: list[str]) -> None:
     The section extends to the next ``"\\n## "`` heading or EOF."""
     with open(md_path) as f:
         doc = f.read()
-    start = doc.find(marker)
+    # a section sitting at the very start of the file has no leading
+    # newline, so the "\n## ..."-prefixed find would miss it and each
+    # re-run would append a duplicate section (r8 ADVICE)
+    if doc.startswith(marker.lstrip("\n")):
+        start = 0
+    else:
+        start = doc.find(marker)
     if start != -1:
         nxt = doc.find("\n## ", start + 1)
         doc = doc[:start] + (doc[nxt:] if nxt != -1 else "")

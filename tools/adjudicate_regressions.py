@@ -32,13 +32,67 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 NOISE_TOLERANCE = 1.1  # idle min within 10% of the recorded prior = noise
+
+
+def _remeasure_sf(sf_dir: str) -> float | str:
+    """The sf value idle_remeasure's run will record for ``sf_dir`` —
+    same derivation as bench.py's result line, so the two compare."""
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return float(sf) if sf.replace(".", "").isdigit() else sf
 
 
 def _recorded_prior(flag: str) -> float | None:
     """The 'then' seconds out of a drift-guard string '0.891s -> 1.559s…'."""
     m = re.match(r"([0-9.]+)s\s*->", flag)
     return float(m.group(1)) if m else None
+
+
+def _verdicts(flags: dict[str, str], measured: dict[str, dict]) -> dict:
+    """Per-query adjudication records from the flags and idle re-measures.
+
+    Memo-backed queries (bench._MEMO_BACKED): every idle_remeasure rep
+    after the first hits the session dedup/centroid memo, so min_s times
+    a cache read and a REAL regression would auto-adjudicate as noise
+    (r8 ADVICE). Base their verdict on the first (cold) rep — and only in
+    the safe direction: a cold rep at-or-below the prior proves noise,
+    but a cold rep ABOVE it is not auto-"regressed", because bench's
+    recorded prior ran after earlier memo-populating queries in the same
+    session (session-warm) while idle_remeasure's first rep may rebuild
+    those memos from scratch; that case needs a human (or a
+    bench-order-replaying) re-measure.
+    """
+    from bench import _MEMO_BACKED
+
+    adjudicated: dict[str, dict] = {}
+    for name in sorted(flags):
+        prior = _recorded_prior(flags[name])
+        idle = measured[name]
+        memo_backed = name in _MEMO_BACKED
+        basis = idle["all_s"][0] if memo_backed else idle["min_s"]
+        verdict = "unparseable_flag"
+        if prior is not None:
+            if basis <= prior * NOISE_TOLERANCE:
+                verdict = "noise"
+            elif memo_backed:
+                verdict = "memo_cold_exceeds_prior: manual adjudication required"
+            else:
+                verdict = "regressed"
+        adjudicated[name] = {
+            "flag": flags[name],
+            "recorded_prior_s": prior,
+            "idle_min_s": idle["min_s"],
+            "idle_median_s": idle["median_s"],
+            "basis": (
+                "all_s[0] (first/cold rep; memo-backed)"
+                if memo_backed
+                else "min_s across reps"
+            ),
+            "basis_s": basis,
+            "verdict": verdict,
+        }
+    return adjudicated
 
 
 def main(argv: list[str]) -> int:
@@ -50,6 +104,30 @@ def main(argv: list[str]) -> int:
     with open(full_path) as f:
         doc = json.load(f)
     flags = doc.get("regressions") or {}
+
+    # The flagged priors were recorded at doc["sf"]; idle_remeasure will
+    # run at SPARK_GRAFT_SF_DIR (default sf0.1). Comparing across scale
+    # factors makes every verdict meaningless — record the mismatch and
+    # stop instead (mirrors _vs_previous_round's sf guard; r8 ADVICE).
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    remeasure_sf = _remeasure_sf(sf_dir)
+    if flags and doc.get("sf") is not None and doc["sf"] != remeasure_sf:
+        doc["regression_adjudication"] = {
+            "date": date,
+            "verdict": "sf_mismatch",
+            "note": (
+                f"BENCH_FULL.json was recorded at sf={doc['sf']} but the "
+                f"re-measure sf_dir is {sf_dir} (sf={remeasure_sf}); "
+                f"adjudication aborted — re-run with SPARK_GRAFT_SF_DIR "
+                f"pointing at the recorded scale factor"
+            ),
+        }
+        with open(full_path, "w") as f:
+            json.dump(doc, f, indent=1)
+            f.write("\n")
+        print(json.dumps({"date": date, "error": "sf_mismatch"}))
+        return 1
+
     if not flags:
         # The carry-forward (bench._write_full_record) may have preserved
         # an adjudication for flags from an EARLIER record; annotate it so
@@ -99,24 +177,7 @@ def main(argv: list[str]) -> int:
         print(proc.stdout)
         raise SystemExit("idle_remeasure produced no JSON line")
 
-    adjudicated: dict[str, dict] = {}
-    for name in names:
-        prior = _recorded_prior(flags[name])
-        idle = measured["queries"][name]
-        verdict = "unparseable_flag"
-        if prior is not None:
-            verdict = (
-                "noise"
-                if idle["min_s"] <= prior * NOISE_TOLERANCE
-                else "regressed"
-            )
-        adjudicated[name] = {
-            "flag": flags[name],
-            "recorded_prior_s": prior,
-            "idle_min_s": idle["min_s"],
-            "idle_median_s": idle["median_s"],
-            "verdict": verdict,
-        }
+    adjudicated = _verdicts(flags, measured["queries"])
 
     doc["regression_adjudication"] = {
         "date": date,
