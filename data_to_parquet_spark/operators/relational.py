@@ -1437,31 +1437,17 @@ def incremental_agg_merge(spark, sf_dir):
     )
 
 
-@REL.register("cardinality_sketch_report", oracle=None)
-def cardinality_sketch_report(spark, sf_dir):
-    """Sketch-accuracy observability: per column, the exact distinct count
-    next to the HyperLogLog++ estimate and its relative error — the audit
-    that tells a pipeline when `approx_count_distinct` (constant memory,
-    one pass, mergeable across 100 TB of partitions) can replace an exact
-    distinct (a full shuffle of the key). Rows-only: HLL estimates are
-    engine-specific by construction; the ≤5% error property is pinned in
-    tests/test_sketch_report.py.
+_SKETCH_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"]
+_SKETCH_ERR_BOUND = 0.05  # practical envelope for the rsd=0.02 sketch
 
-    Round-9 oracle-upgrade design (VERDICT r7 item 7, deferred from r8 to
-    keep the window on stale greens): emit an error BUCKET instead of the
-    raw estimate — (col_name, exact, error_le_5pct) — so the Spark side
-    still computes the real HLL while the DuckDB oracle computes the
-    exact counts and carries the bucket as a pre-verified literal (the
-    benford_digit_check envelope pattern). Cost: the estimate column
-    leaves the driver-checked surface (stays pinned by the pytest error
-    bound); benefit: exact + bucket become hash-checked.
 
-    Scale: the exact side is the expensive half at 100 TB and exists here
-    as the ground truth; the report's point is that the sketch column
-    makes the exact one optional.
-    """
+def _sketch_report_full(spark, sf_dir):
+    """(col_name, exact, estimate, rel_error) — the raw observability
+    frame with the engine-specific HLL++ estimate; the registered query
+    buckets it (see cardinality_sketch_report) and the ≤5% error bound
+    is pinned on THIS frame in tests/test_sketch_report.py."""
     li = load_table(spark, sf_dir, "lineitem")
-    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"]
+    cols = _SKETCH_COLS
     agg = li.agg(
         *[F.count_distinct(F.col(c)).alias(f"__e_{c}") for c in cols],
         *[
@@ -1483,6 +1469,54 @@ def cardinality_sketch_report(spark, sf_dir):
             F.abs(F.col("estimate") - F.col("exact")).cast(_D)
             / F.col("exact")
         ).alias("rel_error"),
+    )
+
+
+@REL.register(
+    "cardinality_sketch_report",
+    oracle=f"""
+    WITH agg AS (
+      SELECT {', '.join(f'COUNT(DISTINCT {c}) AS e_{c}' for c in _SKETCH_COLS)}
+      FROM lineitem
+    )
+    {' UNION ALL '.join(
+        f"SELECT '{c}' AS col_name, e_{c} AS exact, TRUE AS error_le_5pct FROM agg"
+        for c in _SKETCH_COLS
+    )}
+    """,
+)
+def cardinality_sketch_report(spark, sf_dir):
+    """Sketch-accuracy observability: per column, the exact distinct count
+    next to whether the HyperLogLog++ estimate landed inside its practical
+    5% error envelope — the audit that tells a pipeline when
+    `approx_count_distinct` (constant memory, one pass, mergeable across
+    100 TB of partitions) can replace an exact distinct (a full shuffle of
+    the key).
+
+    Fully value-oracled since round 9 (the design written in round 8, the
+    benford_digit_check envelope pattern): the raw HLL estimate is
+    engine-specific by construction, so instead of emitting it the query
+    emits the error BUCKET `error_le_5pct` computed from the real Spark
+    sketch, while the oracle computes the exact counts and carries the
+    bucket as the pre-verified literal TRUE. The driver hash thereby
+    checks both the exact counts AND the claim that Spark's sketch is
+    within 5% on every audited column (a drifted sketch flips the bucket
+    to false → hash red); the raw estimate and its exact rel_error stay
+    pinned on `_sketch_report_full` in tests/test_sketch_report.py.
+    Deterministic: HLL++ is a pure function of the data, so the bucket
+    cannot flap between runs at a given sf.
+
+    Scale: the exact side is the expensive half at 100 TB and exists here
+    as the ground truth; the report's point is that the sketch column
+    makes the exact one optional.
+    """
+    full = _sketch_report_full(spark, sf_dir)
+    return full.select(
+        "col_name",
+        "exact",
+        (F.col("rel_error") <= F.lit(_SKETCH_ERR_BOUND)).alias(
+            "error_le_5pct"
+        ),
     )
 
 

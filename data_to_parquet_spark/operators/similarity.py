@@ -798,36 +798,136 @@ def semdedup_prune(spark, sf_dir):
     )
 
 
-@SIM.register("similarity_recall_report", oracle=None)
+# The recall report's oracle replays all three of its inputs — exact
+# brute-force top-10, LSH top-10, IVF top-10 — from the SAME CTE
+# fragments their own (hash-green since round 7) oracles are built from
+# (_dd_cosine / _ANN_BANDS_CTE / _km_cte_sql), then computes matched/10
+# in SQL. Composed flat rather than nesting the three full oracle
+# strings so the single WITH RECURSIVE prefix covers the Lloyd fold.
+_RECALL_ORACLE = f"""
+    WITH RECURSIVE {_km_cte_sql(_IVF_K, _IVF_ITERS)},
+    bf_q AS (SELECT vec_id AS query_id, embedding AS qe
+             FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    bf_scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_dd_cosine('q.qe', 'e.embedding')} AS cos_sim
+      FROM bf_q q JOIN embeddings e ON e.vec_id <> q.query_id
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM bf_scored
+      ) t WHERE rank <= {_TOP_K}
+    ),
+    bands AS ({_ANN_BANDS_CTE}),
+    qb AS (SELECT vec_id AS query_id, tbl, bucket FROM bands
+           WHERE vec_id < {_N_QUERIES}),
+    lsh_cand AS (
+      SELECT DISTINCT qb.query_id, b.vec_id AS neighbor_id
+      FROM qb JOIN bands b
+        ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+       AND b.vec_id <> qb.query_id
+    ),
+    lsh_scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             {_dd_cosine('qv.embedding', 'e.embedding')} AS cos_sim
+      FROM lsh_cand c
+      JOIN embeddings qv ON qv.vec_id = c.query_id
+      JOIN embeddings e ON e.vec_id = c.neighbor_id
+    ),
+    lsh AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM lsh_scored
+      ) t WHERE rank <= {_TOP_K}
+    ),
+    dists AS (
+      SELECT e.vec_id,
+             list_transform((SELECT cents FROM fin), c ->
+               list_sum(list_transform(range(1, len(c) + 1),
+                 i -> (CAST(e.embedding[i] AS DOUBLE) - c[i])
+                      * (CAST(e.embedding[i] AS DOUBLE) - c[i])))) AS ds
+      FROM embeddings e
+    ),
+    cells AS (
+      SELECT vec_id,
+             CAST(list_position(ds, list_min(ds)) - 1 AS INTEGER) AS cell
+      FROM dists
+    ),
+    qprobe AS (
+      SELECT query_id, cell FROM (
+        SELECT query_id, i - 1 AS cell, d2,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY d2, i) AS rn
+        FROM (SELECT vec_id AS query_id,
+                     unnest(range(1, len(ds) + 1)) AS i,
+                     unnest(ds) AS d2
+              FROM dists WHERE vec_id < {_N_QUERIES})
+      ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    ivf_cand AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id
+      FROM qprobe q JOIN cells c
+        ON c.cell = q.cell AND c.vec_id <> q.query_id
+    ),
+    ivf_scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             {_dd_cosine('qv.embedding', 'e.embedding')} AS cos_sim
+      FROM ivf_cand c
+      JOIN embeddings qv ON qv.vec_id = c.query_id
+      JOIN embeddings e ON e.vec_id = c.neighbor_id
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM ivf_scored
+      ) t WHERE rank <= {_TOP_K}
+    ),
+    got AS (
+      SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
+      UNION ALL
+      SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
+    )
+    SELECT e.query_id, m.method,
+           COUNT(*) AS k,
+           COUNT(g.neighbor_id) AS matched,
+           CAST(COUNT(g.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_at_10
+    FROM exact e
+    CROSS JOIN (SELECT 'lsh' AS method UNION ALL SELECT 'ivf' AS method) m
+    LEFT JOIN got g ON g.method = m.method
+                   AND g.query_id = e.query_id
+                   AND g.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id, m.method
+    """
+
+
+@SIM.register("similarity_recall_report", oracle=_RECALL_ORACLE)
 def similarity_recall_report(spark, sf_dir):
-    """ANN quality observability: recall@10 of every approximate index
-    (LSH / IVF / PQ) against the exact brute-force top-10, per query and
-    per method — the dashboard row an embedding-retrieval deployment
-    watches when tuning L/k/nprobe/code-size.
+    """ANN quality observability: recall@10 of the LSH and IVF indexes
+    against the exact brute-force top-10, per query and per method — the
+    dashboard row an embedding-retrieval deployment watches when tuning
+    L/k/nprobe.
 
     Computed as a left join of the exact neighbor set onto each method's
-    result set on (query_id, neighbor_id); recall = matched/10. Rows-only:
-    PQ's trained codebooks are engine-side (LSH and IVF are themselves
-    fully value-oracled since round 7, but the report aggregates all three
-    methods); the recall FLOORS are pinned in tests/test_ann.py.
-
-    Round-9 oracle-upgrade design (VERDICT r7 item 7, deferred from r8 to
-    keep the window on stale greens): the LSH and IVF rows ARE DuckDB-
-    derivable — their full result sets replay in the already-hash-green
-    `similarity_ann_lsh` / `similarity_ann_ivf` oracles, and brute-force
-    top-10 replays in `similarity_topk_bruteforce`'s — so an oracle that
-    CTEs those three and computes matched/10 value-checks 2 of the 3
-    method rows exactly. Only the PQ row stays a floor-pinned literal
-    (codebook floats are engine-side); either drop it from the oracled
-    query (keep a separate rows-only pq report) or carry its recall as a
-    pre-verified literal in the envelope style.
+    result set on (query_id, neighbor_id); recall = matched/10. Fully
+    value-oracled since round 9 (the design written in round 8): the
+    oracle CTEs the three already-hash-green replays — brute-force
+    (`similarity_topk_bruteforce`), LSH (`similarity_ann_lsh`), IVF
+    (`similarity_ann_ivf`) — and computes matched/10 in SQL. The PQ row
+    moved OUT of this query to make that possible: PQ's trained codebook
+    floats are engine-side, so its recall cannot replay in SQL; it stays
+    floor-pinned in tests/test_ann.py::test_pq_recall_and_determinism,
+    which computes it directly from `similarity_ann_pq` vs brute force.
 
     Scale: every input is already a top-10-per-query table (≤ 10·|queries|
     rows), so the joins here are on bounded frames — the report costs
     nothing next to the indexes it audits.
     """
     # the exact set joins against every method — checkpointed so the
-    # brute-force subtree runs once, not three times; each method's top-k
+    # brute-force subtree runs once, not twice; each method's top-k
     # (<= 10*|queries| rows) is likewise checkpointed so its index build
     # isn't replayed inside the fused plan (was 13 embeddings scans)
     exact = (
@@ -838,7 +938,6 @@ def similarity_recall_report(spark, sf_dir):
     methods = (
         ("lsh", similarity_ann_lsh),
         ("ivf", similarity_ann_ivf),
-        ("pq", similarity_ann_pq),
     )
     reports = []
     for name, fn in methods:
