@@ -170,6 +170,39 @@ def test_rotation_steady_state_staleness_is_bounded():
         )
 
 
+def test_rows_only_queries_have_value_pins():
+    """Pin-existence guard (r8 VERDICT item 7): rows-only queries sort
+    behind every oracled query in the rotation, so in practice they get
+    no driver contact — their pytest value pins are the ONLY correctness
+    evidence. A deleted pin test would be invisible to the driver; this
+    guard makes it fail CI instead. Each rows-only query name must appear
+    in at least one tests/*.py file other than the generic harnesses
+    (test_oracle_parity.py runs every rows-only query as a row-count
+    smoke; that is exactly the weak check this guard exists to exceed).
+    """
+    import __spark_entry__ as e
+
+    rows_only = [
+        q for q in e._REGISTRY._queries if q not in e.oracle_sql()
+    ]
+    generic = {"test_oracle_parity.py", "test_verification_debt.py"}
+    here = os.path.dirname(os.path.abspath(__file__))
+    sources = {
+        os.path.basename(p): open(p).read()
+        for p in glob.glob(os.path.join(here, "test_*.py"))
+        if os.path.basename(p) not in generic
+    }
+    unpinned = [
+        q
+        for q in rows_only
+        if not any(q in src for src in sources.values())
+    ]
+    assert not unpinned, (
+        f"rows-only queries with no value-pinning test naming them "
+        f"(their only correctness evidence): {unpinned}"
+    )
+
+
 def test_priority_list_is_exact_and_duplicate_free():
     # a typo'd or duplicated _PRIORITY name silently burns a window slot
     import __spark_entry__ as e
