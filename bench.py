@@ -152,6 +152,9 @@ BENCH_QUERIES = [
     "interarrival_burstiness_users",
     "neardup_cluster_modularity",
     "event_top_paths",
+    # added round 9: the deliberate unfreeze pair
+    "excel_multisheet_union",
+    "rerank_positional_ce",
     # Two registry/driver-checked queries are deliberately NOT benched.
     # als_one_sweep_factors: the one-sweep ALS is ~6 s of multi-stage
     # driver-coordinated linear algebra, dominated by stage scheduling at

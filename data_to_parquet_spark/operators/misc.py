@@ -80,6 +80,72 @@ def excel_roundtrip(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+_MS_ROWS = {"alpha": 40, "beta": 30, "gamma": 20}
+
+
+def _make_multisheet_fixture(path: str) -> None:
+    """Three sheets, three different header schemas, every cell derived
+    arithmetically from its index (the oracle recomputes them)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tests.xlsx_fixture import write_xlsx
+
+    alpha = [["id", "val"]] + [
+        [i, i * 3] for i in range(_MS_ROWS["alpha"])
+    ]
+    beta = [["id", "val", "tag"]] + [
+        [100 + i, i * 5, f"t{i % 4}"] for i in range(_MS_ROWS["beta"])
+    ]
+    gamma = [["id", "note"]] + [
+        [200 + i, f"n_{(i * 7) % 13}"] for i in range(_MS_ROWS["gamma"])
+    ]
+    write_xlsx(path, {"alpha": alpha, "beta": beta, "gamma": gamma})
+
+
+@MISC.register(
+    "excel_multisheet_union",
+    oracle=f"""
+    SELECT CAST(i AS VARCHAR) AS id, CAST(i * 3 AS VARCHAR) AS val,
+           CAST(NULL AS VARCHAR) AS tag, CAST(NULL AS VARCHAR) AS note,
+           'alpha' AS _sheet
+    FROM generate_series(0, {_MS_ROWS['alpha'] - 1}) AS t(i)
+    UNION ALL
+    SELECT CAST(100 + i AS VARCHAR), CAST(i * 5 AS VARCHAR),
+           't' || CAST(i % 4 AS VARCHAR), CAST(NULL AS VARCHAR), 'beta'
+    FROM generate_series(0, {_MS_ROWS['beta'] - 1}) AS t(i)
+    UNION ALL
+    SELECT CAST(200 + i AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), 'n_' || CAST((i * 7) % 13 AS VARCHAR),
+           'gamma'
+    FROM generate_series(0, {_MS_ROWS['gamma'] - 1}) AS t(i)
+    """,
+)
+def excel_multisheet_union(spark, sf_dir):
+    """Multi-sheet workbook union (round-9 unfreeze): read EVERY sheet of
+    one workbook — three sheets with three different header schemas — and
+    union them by column name with NULL back-fill, tagged with the sheet
+    name. The reference resolves exactly one sheet per conversion
+    (``src/lib.rs:105-124``); this is the extension of that surface a
+    multi-tab spreadsheet feed needs (pandas' ``sheet_name=None``). The
+    DuckDB oracle recomputes every cell string arithmetically from the
+    fixture formulas, so the hash checks per-sheet header inference, the
+    reference cell stringify rules, the by-name union, and the NULL
+    back-fill together.
+
+    Scale: per-sheet plans parallelize like any read_excel (one task per
+    file/split); the union is plan-level concatenation, no shuffle.
+    """
+    tmp = tempfile.mkdtemp(prefix="d2p_multisheet_")
+    src = os.path.join(tmp, "fixture.xlsx")
+    _make_multisheet_fixture(src)
+    from ..sources.excel import read_excel_all_sheets
+
+    return read_excel_all_sheets(spark, src).select(
+        "id", "val", "tag", "note", "_sheet"
+    )
+
+
 _JSONL_ROWS = 2000
 
 

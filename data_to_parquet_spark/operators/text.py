@@ -1349,10 +1349,10 @@ _RRF_K = 60  # standard reciprocal-rank-fusion constant
 _RRF_CAND = 10  # per-ranker candidate depth (the bm25 query's own top-k)
 
 
-@TXT.register(
-    "hybrid_retrieval_rrf",
-    oracle=f"""
-    WITH q(query_id, term) AS (VALUES {_BM25_VALUES}),
+# The hybrid oracle's CTE body and final select are module-level parts so
+# the round-9 rerank stage can CTE the whole ranked output (the proven
+# compose-from-green-fragments pattern, cf. similarity._RECALL_ORACLE).
+_HYBRID_CTE_BODY = f"""q(query_id, term) AS (VALUES {_BM25_VALUES}),
     tok AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -1411,8 +1411,9 @@ _RRF_CAND = 10  # per-ranker candidate depth (the bm25 query's own top-k)
       FROM (SELECT * FROM bm25 WHERE r_bm25 <= {_RRF_CAND}) b
       FULL OUTER JOIN (SELECT * FROM cov WHERE r_cov <= {_RRF_CAND}) c
         ON b.query_id = c.query_id AND b.doc_id = c.doc_id
-    )
-    SELECT query_id, doc_id, rrf_score,
+    )"""
+
+_HYBRID_FINAL_SELECT = f"""SELECT query_id, doc_id, rrf_score,
            CAST(COALESCE(r_bm25, 0) AS INT) AS r_bm25,
            CAST(COALESCE(r_cov, 0) AS INT) AS r_cov,
            rank
@@ -1421,7 +1422,14 @@ _RRF_CAND = 10  # per-ranker candidate depth (the bm25 query's own top-k)
         PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
       ) AS INT) AS rank
       FROM fused)
-    WHERE rank <= {_BM25_TOPK}
+    WHERE rank <= {_BM25_TOPK}"""
+
+
+@TXT.register(
+    "hybrid_retrieval_rrf",
+    oracle=f"""
+    WITH {_HYBRID_CTE_BODY}
+    {_HYBRID_FINAL_SELECT}
     """,
 )
 def hybrid_retrieval_rrf(spark, sf_dir):
@@ -1495,6 +1503,105 @@ def hybrid_retrieval_rrf(spark, sf_dir):
             F.coalesce("r_cov", F.lit(0)).alias("r_cov"),
             "rank",
         )
+    )
+
+
+@TXT.register(
+    "rerank_positional_ce",
+    oracle=f"""
+    WITH {_HYBRID_CTE_BODY},
+    ranked AS ({_HYBRID_FINAL_SELECT}),
+    cand AS (
+      SELECT r.query_id, r.doc_id, r.rank AS rrf_rank, tok.t,
+             len(tok.t) AS dl
+      FROM ranked r JOIN tok ON tok.doc_id = r.doc_id
+    ),
+    contrib AS (
+      SELECT c.query_id, c.doc_id, c.rrf_rank, c.dl,
+             COALESCE(list_position(c.t, q.term), 0) AS pos
+      FROM cand c JOIN q ON q.query_id = c.query_id
+    ),
+    scored AS (
+      SELECT query_id, doc_id, rrf_rank,
+             CAST(SUM(CAST(CASE WHEN pos >= 1
+               THEN 1.0 / (1.0 + CAST(pos - 1 AS DOUBLE)
+                                 / CAST(dl AS DOUBLE))
+               ELSE 0.0 END AS DECIMAL(18,9))) AS DOUBLE) AS ce_score
+      FROM contrib
+      GROUP BY query_id, doc_id, rrf_rank
+    )
+    SELECT query_id, doc_id, ce_score,
+           CAST(rrf_rank AS INT) AS rrf_rank,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY ce_score DESC, rrf_rank) AS INT) AS ce_rank
+    FROM scored
+    """,
+)
+def rerank_positional_ce(spark, sf_dir):
+    """Cross-encoder-style reranking stage over the hybrid-retrieval
+    output (round-9 unfreeze): re-score each of `hybrid_retrieval_rrf`'s
+    top-{10} candidates JOINTLY against its query — every (query, doc)
+    pair gets a fresh score from the pair itself, the defining shape of a
+    cross-encoder rerank — and emit the re-ranked list alongside the
+    first-stage rank. The scorer is a deterministic positional-coverage
+    proxy standing in for a neural cross-encoder: each query term present
+    in the document contributes 1/(1 + first_position/doc_len), so
+    earlier, fuller coverage wins (per-term doubles are decimal-summed,
+    the BM25 float discipline). The Spark plumbing — bounded candidate
+    set, broadcast query table, per-pair joint scoring, per-query
+    re-rank window — is exactly the contract a model-backed scorer
+    (Pandas-UDF batch inference) would slot into.
+
+    Fully value-oracled: the oracle CTEs the entire hash-green hybrid
+    pipeline (shared fragment `_HYBRID_CTE_BODY`) and replays the
+    positional scorer in SQL.
+
+    Scale: the rerank touches ≤ top-k·|queries| pairs regardless of
+    corpus size — THE property that makes two-stage retrieval viable at
+    100 TB (first stage prunes with indexes, second stage spends model
+    compute on a bounded set). The candidate-side tokenization re-reads
+    only matched docs via a broadcast semi-side join, no shuffle.
+    """
+    ranked = hybrid_retrieval_rrf(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("rrf_rank")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    # broadcast the <= k*|queries| candidate list against the corpus scan;
+    # tokens are computed only for the joined (candidate) rows
+    cand = d.select("doc_id", tokens(F.col("text")).alias("t")).join(
+        F.broadcast(ranked), "doc_id"
+    )
+    q = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    contrib = cand.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "doc_id",
+        "rrf_rank",
+        F.expr("array_position(t, term)").alias("pos"),
+        F.size("t").alias("dl"),
+    )
+    per_term = (
+        F.when(
+            F.col("pos") >= 1,
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + (F.col("pos") - 1).cast("double")
+                / F.col("dl").cast("double")
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("decimal(18,9)")
+    )
+    scored = contrib.groupBy("query_id", "doc_id", "rrf_rank").agg(
+        F.sum(per_term).cast("double").alias("ce_score")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("ce_score"), "rrf_rank")
+    return scored.select(
+        "query_id",
+        "doc_id",
+        "ce_score",
+        "rrf_rank",
+        F.row_number().over(w).alias("ce_rank"),
     )
 
 

@@ -34,7 +34,13 @@ from ..errors import DataToParquetError
 from ..kernels import build_headers
 from .xlsx import XlsxWorkbook, _fast_path_eligible, walk_rows, walk_rows_fast
 
-__all__ = ["read_excel", "scan_sheet", "open_workbook", "DEFAULT_BATCH_SIZE"]
+__all__ = [
+    "read_excel",
+    "read_excel_all_sheets",
+    "scan_sheet",
+    "open_workbook",
+    "DEFAULT_BATCH_SIZE",
+]
 
 DEFAULT_BATCH_SIZE = 5000  # reference default: src/main.rs:31-32
 
@@ -270,6 +276,55 @@ def read_excel(
         T.StructType([T.StructField("path", T.StringType())]),
     )
     return _restore_names(files.mapInPandas(reader, schema))
+
+
+def read_excel_all_sheets(
+    spark: SparkSession,
+    path: str,
+    *,
+    skip_rows: int = 0,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    sheet_column: str = "_sheet",
+) -> DataFrame:
+    """Union every sheet of ONE workbook into a single DataFrame, each row
+    tagged with its sheet name in ``sheet_column``.
+
+    The reference resolves exactly one sheet per conversion
+    (``src/lib.rs:105-124`` — ``get_sheet_name`` returns a single name and
+    errors otherwise); this is the multi-sheet extension of that surface,
+    the pandas ``sheet_name=None`` ergonomic. Each sheet is read through
+    :func:`read_excel` with its OWN inferred header schema (the reference
+    naming rules apply per sheet), then the frames are unioned by column
+    NAME with ``allowMissingColumns=True`` so heterogeneous sheets surface
+    NULL for the columns they lack — the same additive-evolution contract
+    as the parquet mergeSchema path. Column order: first sheet's columns,
+    then ``sheet_column``, then new columns in sheet order.
+
+    Scale: each sheet is an independent :func:`read_excel` plan (single-
+    file split parallelism included), and the union is a zero-shuffle
+    plan-level concatenation — Spark unions are not exchanges.
+    """
+    with open_workbook(path) as wb:
+        names = wb.sheet_names
+    if not names:
+        raise DataToParquetError(f"{path!r}: workbook has no sheets")
+    from pyspark.sql import functions as F
+
+    out: DataFrame | None = None
+    for name in names:
+        part = read_excel(
+            spark,
+            path,
+            sheet_name=name,
+            skip_rows=skip_rows,
+            batch_size=batch_size,
+        ).withColumn(sheet_column, F.lit(name))
+        out = (
+            part
+            if out is None
+            else out.unionByName(part, allowMissingColumns=True)
+        )
+    return out
 
 
 def _read_single_xlsx_split(

@@ -521,3 +521,56 @@ def test_all_dataref_stringify_arms_one_workbook(spark, tmp_path):
             "Value", "", None,
         ),
     ]
+
+
+# ---- multi-sheet union source (round 9) ----
+
+
+def test_multisheet_union_xlsx(spark, tmp_path):
+    from data_to_parquet_spark.sources.excel import read_excel_all_sheets
+
+    path = str(tmp_path / "multi.xlsx")
+    write_xlsx(
+        path,
+        {
+            "one": [["a", "b"], [1, 2], [3, 4]],
+            "two": [["a", "c"], [5, "x"]],
+        },
+    )
+    df = read_excel_all_sheets(spark, path)
+    # first sheet's columns, then the tag, then later sheets' new columns
+    assert df.columns == ["a", "b", "_sheet", "c"]
+    got = sorted(_rows(df.select("a", "b", "c", "_sheet")))
+    assert got == [
+        ("1", "2", None, "one"),
+        ("3", "4", None, "one"),
+        ("5", None, "x", "two"),
+    ]
+
+
+def test_multisheet_union_xlsb(spark, tmp_path):
+    from data_to_parquet_spark.sources.excel import read_excel_all_sheets
+
+    from .xlsb_fixture import write_xlsb
+
+    path = str(tmp_path / "multi.xlsb")
+    write_xlsb(
+        path,
+        {
+            "s1": [["k", "v"], [1, 10]],
+            "s2": [["k", "w"], [2, 20]],
+        },
+    )
+    df = read_excel_all_sheets(spark, path)
+    got = sorted(_rows(df.select("k", "v", "w", "_sheet")))
+    assert got == [("1", "10", None, "s1"), ("2", None, "20", "s2")]
+
+
+def test_multisheet_custom_tag_column(spark, tmp_path):
+    from data_to_parquet_spark.sources.excel import read_excel_all_sheets
+
+    path = str(tmp_path / "single.xlsx")
+    write_xlsx(path, {"only": [["x"], [7]]})
+    df = read_excel_all_sheets(spark, path, sheet_column="src_sheet")
+    assert _rows(df) == [("7", "only")]
+    assert df.columns == ["x", "src_sheet"]

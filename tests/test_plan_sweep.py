@@ -40,6 +40,7 @@ ALLOW_BNLJ = {
     "exp_smoothing_weekly_orders",  # 1-row (wk0, wk1) domain agg x priorities
     "benford_digit_check",  # 1-row grand-total joined back to 9 digit rows
     "hybrid_retrieval_rrf",  # rides bm25's allowlisted 1-row (N, avgdl) join
+    "rerank_positional_ce",  # wraps hybrid_retrieval_rrf (same 1-row join)
     "holt_linear_weekly_orders",  # same 1-row (wk0, wk1) domain agg as SES
     "psi_drift_orders",  # 1-row (t_ref, t_cur) total joined back to 10 bins
     "quality_decile_schedule",  # 1-row exact-quantile thresholds joined back
