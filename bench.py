@@ -185,6 +185,13 @@ _MEMO_BACKED = {
     "similarity_ann_ivf",
     "semdedup_prune",
     "similarity_recall_report",
+    # BM25 frame memo (text._BM25_FRAME_CACHE): the corpus tokenization +
+    # checkpointed (tok, dl, tf) frames are built once per session and
+    # shared by the whole retrieval family (r9 review — these had the
+    # same memo-warm re-measure trap as the dedup set all along).
+    "bm25_rank_queries",
+    "hybrid_retrieval_rrf",
+    "rerank_positional_ce",
 }
 
 

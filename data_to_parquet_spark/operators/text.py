@@ -1123,13 +1123,17 @@ _BM25_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
 _BM25_FRAME_CACHE: dict = {}
 
 
-def _bm25_shared_frames(spark, sf_dir):
-    """(dl, tf): per-doc token lengths and per-(query, term, doc) term
-    frequencies for the literal benchmark query table, each checkpointed.
+def _bm25_frames(spark, sf_dir):
+    """(tok, dl, tf): per-doc token arrays, token lengths, and
+    per-(query, term, doc) term frequencies for the literal benchmark
+    query table, each checkpointed.
 
-    One tokenization pass feeds both: dl is |docs| rows, tf is bounded by
-    |query terms| x matching docs (the broadcast query join filters the
-    explode before any shuffle — the BM25 scale property, kept intact).
+    One tokenization pass feeds all three: tok is the checkpointed
+    (doc_id, tokens) table the whole retrieval family shares (BM25,
+    hybrid's coverage ranker, the positional reranker), dl is |docs|
+    rows, tf is bounded by |query terms| x matching docs (the broadcast
+    query join filters the explode before any shuffle — the BM25 scale
+    property, kept intact).
     """
     from .base import memo_get, memo_put, path_fingerprint
 
@@ -1153,7 +1157,13 @@ def _bm25_shared_frames(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=False)
     )
-    memo_put(_BM25_FRAME_CACHE, key, fp, (dl, tf))
+    memo_put(_BM25_FRAME_CACHE, key, fp, (tok, dl, tf))
+    return tok, dl, tf
+
+
+def _bm25_shared_frames(spark, sf_dir):
+    """(dl, tf) — the BM25/hybrid slice of :func:`_bm25_frames`."""
+    _, dl, tf = _bm25_frames(spark, sf_dir)
     return dl, tf
 
 
@@ -1565,12 +1575,11 @@ def rerank_positional_ce(spark, sf_dir):
     ranked = hybrid_retrieval_rrf(spark, sf_dir).select(
         "query_id", "doc_id", F.col("rank").alias("rrf_rank")
     )
-    d = load_table(spark, sf_dir, "documents")
-    # broadcast the <= k*|queries| candidate list against the corpus scan;
-    # tokens are computed only for the joined (candidate) rows
-    cand = d.select("doc_id", tokens(F.col("text")).alias("t")).join(
-        F.broadcast(ranked), "doc_id"
-    )
+    # broadcast the <= k*|queries| candidate list against the SESSION'S
+    # checkpointed token table (one corpus tokenization feeds the whole
+    # retrieval family) instead of re-scanning + re-tokenizing documents
+    tok, _, _ = _bm25_frames(spark, sf_dir)
+    cand = tok.join(F.broadcast(ranked), "doc_id")
     q = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
     contrib = cand.join(F.broadcast(q), "query_id").select(
         "query_id",
