@@ -152,9 +152,11 @@ BENCH_QUERIES = [
     "interarrival_burstiness_users",
     "neardup_cluster_modularity",
     "event_top_paths",
-    # added round 9: the deliberate unfreeze pair
+    # added round 9: the deliberate unfreeze set
     "excel_multisheet_union",
     "rerank_positional_ce",
+    "sequence_pack_shards",
+    "split_leakage_audit",
     # Two registry/driver-checked queries are deliberately NOT benched.
     # als_one_sweep_factors: the one-sweep ALS is ~6 s of multi-stage
     # driver-coordinated linear algebra, dominated by stage scheduling at
@@ -172,6 +174,7 @@ BENCH_QUERIES = [
 # second run — their first (cold) time is the comparable number.
 _MEMO_BACKED = {
     "neardup_jaccard_pairs",
+    "split_leakage_audit",  # reads the memoized jaccard pair table
     "containment_neardup_pairs",
     "dedup_connected_components",
     "dedup_keep_canonical",
