@@ -189,13 +189,18 @@ def read_excel(
     sheet_index: int | None = None,
     skip_rows: int = 0,
     batch_size: int = DEFAULT_BATCH_SIZE,
+    schema: T.StructType | None = None,
 ) -> DataFrame:
     """Read one or many Excel workbooks into a DataFrame of nullable strings.
 
     Equivalent surface to the reference CLI/API options
     (``src/main.rs:7-33``): sheet selection by name/index/default, leading-row
     skip, batch size. Multi-file reads require a shared schema (taken from the
-    first file), mirroring "one conversion = one schema".
+    first file), mirroring "one conversion = one schema". Passing ``schema``
+    (all nullable strings, names = expected header row) skips the driver-side
+    inference open — callers that already parsed the workbook (e.g.
+    :func:`read_excel_all_sheets`) avoid re-opening it; executor tasks still
+    validate each file's actual header row against it.
     """
     if isinstance(paths, str):
         paths = [paths]
@@ -219,7 +224,8 @@ def read_excel(
     for p in paths:
         open_workbook(p).close()  # validate extensions + readability up front
 
-    schema = infer_schema(paths[0], sheet_name, sheet_index, skip_rows)
+    if schema is None:
+        schema = infer_schema(paths[0], sheet_name, sheet_index, skip_rows)
     n_cols = len(schema)
     out_names = schema.fieldNames()
     if len(set(out_names)) < n_cols:
@@ -302,12 +308,41 @@ def read_excel_all_sheets(
 
     Scale: each sheet is an independent :func:`read_excel` plan (single-
     file split parallelism included), and the union is a zero-shuffle
-    plan-level concatenation — Spark unions are not exchanges.
+    plan-level concatenation — Spark unions are not exchanges. The
+    workbook is parsed ONCE on the driver (sheet list + every header
+    row); each per-sheet plan receives its schema instead of re-opening
+    the file.
+
+    Sheets whose header names collide after the reference dedup-suffix
+    rules (the ``a, a_2, a`` edge read_excel supports positionally) are
+    rejected — a BY-NAME union has no well-defined target for a
+    duplicated name; and a sheet already containing ``sheet_column`` is
+    rejected rather than silently overwritten.
     """
     with open_workbook(path) as wb:
         names = wb.sheet_names
-    if not names:
-        raise DataToParquetError(f"{path!r}: workbook has no sheets")
+        if not names:
+            raise DataToParquetError(f"{path!r}: workbook has no sheets")
+        headers = {
+            name: scan_sheet(wb, name, skip_rows, batch_size=1)[0]
+            for name in names
+        }
+    for name, hdr in headers.items():
+        if not hdr:
+            raise DataToParquetError(
+                f"{path!r}: no header row found in sheet {name!r}"
+            )
+        if len(set(hdr)) < len(hdr):
+            raise DataToParquetError(
+                f"{path!r}: sheet {name!r} has duplicate header names "
+                f"{hdr}; a by-name union is ambiguous — read it "
+                f"positionally via read_excel(sheet_name={name!r})"
+            )
+        if sheet_column in hdr:
+            raise DataToParquetError(
+                f"{path!r}: sheet {name!r} already has a column named "
+                f"{sheet_column!r}; pass a different sheet_column"
+            )
     from pyspark.sql import functions as F
 
     out: DataFrame | None = None
@@ -318,6 +353,12 @@ def read_excel_all_sheets(
             sheet_name=name,
             skip_rows=skip_rows,
             batch_size=batch_size,
+            schema=T.StructType(
+                [
+                    T.StructField(h, T.StringType(), True)
+                    for h in headers[name]
+                ]
+            ),
         ).withColumn(sheet_column, F.lit(name))
         out = (
             part

@@ -574,3 +574,24 @@ def test_multisheet_custom_tag_column(spark, tmp_path):
     df = read_excel_all_sheets(spark, path, sheet_column="src_sheet")
     assert _rows(df) == [("7", "only")]
     assert df.columns == ["x", "src_sheet"]
+
+
+def test_multisheet_rejects_tag_collision_and_dup_headers(spark, tmp_path):
+    from data_to_parquet_spark.sources.excel import read_excel_all_sheets
+
+    collide = str(tmp_path / "collide.xlsx")
+    write_xlsx(collide, {"s": [["a", "_sheet"], [1, 2]]})
+    with pytest.raises(DataToParquetError, match="_sheet"):
+        read_excel_all_sheets(spark, collide)
+    # a different tag column makes the same workbook readable
+    df = read_excel_all_sheets(spark, collide, sheet_column="origin")
+    assert _rows(df) == [("1", "2", "s")]
+
+    # the reference naming rules usually dedupe ('a, a' -> 'a, a_2'), but
+    # the documented 'a, a_2, a' edge collides to 'a, a_2, a_2' —
+    # read_excel reads it positionally; a by-name union must refuse
+    dup = str(tmp_path / "dup.xlsx")
+    write_xlsx(dup, {"s": [["a", "a_2", "a"], [1, 2, 3]]})
+    assert read_excel(spark, dup).columns == ["a", "a_2", "a_2"]
+    with pytest.raises(DataToParquetError, match="duplicate header"):
+        read_excel_all_sheets(spark, dup)

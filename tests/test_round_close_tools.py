@@ -99,3 +99,63 @@ def test_replace_section_midfile_and_append(tmp_path):
     assert "b1" in text  # neighbors preserved
     replace_section(str(md), "\n## probe C", ["## probe C", "c1"])
     assert "c1" in md.read_text()
+
+
+def test_adjudicate_isolates_memo_backed_subprocesses(tmp_path, monkeypatch):
+    """r9 review: flagged memo-backed queries must each re-measure in
+    their OWN idle_remeasure subprocess — in a shared session an earlier
+    flagged query can warm a shared memo and deflate a later query's
+    'cold' first rep, auto-adjudicating a real regression as noise."""
+    import adjudicate_regressions as adj
+
+    full = tmp_path / "BENCH_FULL.json"
+    flags = {
+        "containment_neardup_pairs": "1.0s -> 3.0s (3.0x)",  # memo-backed
+        "neardup_jaccard_pairs": "1.0s -> 3.0s (3.0x)",  # memo-backed
+        "q1_pricing_summary": "0.5s -> 1.5s (3.0x)",  # plain
+    }
+    full.write_text(json.dumps({"sf": 0.1, "regressions": flags}))
+    monkeypatch.setattr(adj, "REPO", str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    calls = []
+
+    class FakeProc:
+        returncode = 0
+
+        def __init__(self, names):
+            q = {
+                n: {"min_s": 0.4, "median_s": 0.5, "all_s": [0.6, 0.4]}
+                for n in names
+            }
+            self.stdout = json.dumps(
+                {
+                    "sf_dir": "/root/testdata/sf0.1",
+                    "reps": 2,
+                    "loadavg_at_start": [0.1, 0.1, 0.1],
+                    "loadavg_at_end": [0.1, 0.1, 0.1],
+                    "queries": q,
+                }
+            )
+            self.stderr = ""
+
+    def fake_run(cmd, **kwargs):
+        names = cmd[cmd.index(os.path.join(str(tmp_path), "tools", "idle_remeasure.py")) + 1 :]
+        calls.append(list(names))
+        return FakeProc(names)
+
+    monkeypatch.setattr(adj.subprocess, "run", fake_run)
+    rc = adj.main(["--date", "2026-08-15"])
+    assert rc == 0
+    # one shared batch for the plain query, one isolated call per
+    # memo-backed query
+    assert ["q1_pricing_summary"] in calls
+    assert ["containment_neardup_pairs"] in calls
+    assert ["neardup_jaccard_pairs"] in calls
+    assert len(calls) == 3
+    doc = json.loads(full.read_text())
+    verdicts = doc["regression_adjudication"]["queries"]
+    assert set(verdicts) == set(flags)
+    # memo-backed used the cold rep (0.6), plain used min_s (0.4)
+    assert verdicts["neardup_jaccard_pairs"]["basis_s"] == 0.6
+    assert verdicts["q1_pricing_summary"]["basis_s"] == 0.4

@@ -148,34 +148,57 @@ def main(argv: list[str]) -> int:
         return 0
 
     names = sorted(flags)
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "idle_remeasure.py"), *names],
-        capture_output=True,
-        text=True,
-        cwd=REPO,
-    )
-    if proc.returncode != 0:
-        print(proc.stdout)
-        print(proc.stderr, file=sys.stderr)
-        return proc.returncode
-    # idle_remeasure prints one JSON line last (Spark may interleave
-    # noise, including lines that START with '{' — skip unparseable
-    # candidates instead of crashing the round-close gate, the same
-    # recovery rule as bench.py's driver-tail scan)
-    measured = None
-    for line in reversed(proc.stdout.splitlines()):
-        # re-strip after the CR split: a progress overwrite can leave the
-        # final segment with leading padding (r8 review)
-        line = line.strip().split("\r")[-1].strip()
-        if line.startswith("{") and '"queries"' in line:
-            try:
-                measured = json.loads(line)
-            except ValueError:
-                continue
-            break
-    if measured is None:
-        print(proc.stdout)
-        raise SystemExit("idle_remeasure produced no JSON line")
+    # Each memo-backed flag gets its OWN idle_remeasure subprocess: in a
+    # shared session an alphabetically-earlier flagged query can populate
+    # a shared memo (e.g. the jaccard signature table) and deflate a
+    # later query's "cold" first rep, letting a real regression
+    # auto-adjudicate as noise — the same trap the cold-rep basis exists
+    # to close (r9 review). Non-memo queries share one session.
+    from bench import _MEMO_BACKED
+
+    batches = [[n for n in names if n not in _MEMO_BACKED]]
+    batches += [[n] for n in names if n in _MEMO_BACKED]
+    measured: dict | None = None
+    for batch in batches:
+        if not batch:
+            continue
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(REPO, "tools", "idle_remeasure.py"),
+                *batch,
+            ],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+        )
+        if proc.returncode != 0:
+            print(proc.stdout)
+            print(proc.stderr, file=sys.stderr)
+            return proc.returncode
+        # idle_remeasure prints one JSON line last (Spark may interleave
+        # noise, including lines that START with '{' — skip unparseable
+        # candidates instead of crashing the round-close gate, the same
+        # recovery rule as bench.py's driver-tail scan)
+        batch_measured = None
+        for line in reversed(proc.stdout.splitlines()):
+            # re-strip after the CR split: a progress overwrite can leave
+            # the final segment with leading padding (r8 review)
+            line = line.strip().split("\r")[-1].strip()
+            if line.startswith("{") and '"queries"' in line:
+                try:
+                    batch_measured = json.loads(line)
+                except ValueError:
+                    continue
+                break
+        if batch_measured is None:
+            print(proc.stdout)
+            raise SystemExit("idle_remeasure produced no JSON line")
+        if measured is None:
+            measured = batch_measured
+        else:
+            measured["queries"].update(batch_measured["queries"])
+            measured["loadavg_at_end"] = batch_measured["loadavg_at_end"]
 
     adjudicated = _verdicts(flags, measured["queries"])
 
