@@ -100,6 +100,31 @@ def distinct_tokens(text: Column) -> Column:
     return F.array_distinct(tokens(text))
 
 
+# -- deterministic cross-engine hash buckets ---------------------------------
+# The first 8 md5 hex chars of the value's string form, as an integer,
+# mod n — stable across runs AND engines (xxhash64 is Spark-only). Keep
+# the Spark expression and the DuckDB fragment in lockstep here; three
+# operators (quality_decile_schedule, sequence_pack_shards,
+# split_leakage_audit) bucket with this pair.
+
+
+def md5_bucket(col: Column, n: int) -> Column:
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(col.cast("string")), 1, 8), 16, 10
+        ).cast("bigint"),
+        F.lit(n),
+    )
+
+
+def md5_bucket_sql(expr: str, n: int) -> str:
+    """DuckDB twin of :func:`md5_bucket` (same hex slice, same modulus)."""
+    return (
+        f"CAST('0x' || substring(md5(CAST({expr} AS VARCHAR)), 1, 8) "
+        f"AS BIGINT) % {n}"
+    )
+
+
 # -- fast explode of computed arrays ---------------------------------------
 
 

@@ -18,7 +18,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.exprs import distinct_tokens, exploded_rows, tokens
+from ..functions.exprs import (
+    distinct_tokens,
+    exploded_rows,
+    md5_bucket,
+    md5_bucket_sql,
+    tokens,
+)
 from .base import Registry, load_table, memo_get, memo_put
 
 DEDUP = Registry()
@@ -189,12 +195,7 @@ def _split_case_sql(bucket_expr: str) -> str:
 
 
 def _split_col(doc_col):
-    bucket = F.pmod(
-        F.conv(
-            F.substring(F.md5(doc_col.cast("string")), 1, 8), 16, 10
-        ).cast("bigint"),
-        F.lit(_SPLIT_BUCKETS),
-    )
+    bucket = md5_bucket(doc_col, _SPLIT_BUCKETS)
     return (
         F.when(bucket <= 7, F.lit("train"))
         .when(bucket == 8, F.lit("val"))
@@ -217,12 +218,8 @@ def _split_col(doc_col):
       WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9
     ), sp AS (
-      SELECT {_split_case_sql(
-          "(CAST('0x' || substring(md5(CAST(doc_a AS VARCHAR)), 1, 8)"
-          f" AS BIGINT) % {_SPLIT_BUCKETS})")} AS sa,
-             {_split_case_sql(
-          "(CAST('0x' || substring(md5(CAST(doc_b AS VARCHAR)), 1, 8)"
-          f" AS BIGINT) % {_SPLIT_BUCKETS})")} AS sb
+      SELECT {_split_case_sql(f"({md5_bucket_sql('doc_a', _SPLIT_BUCKETS)})")} AS sa,
+             {_split_case_sql(f"({md5_bucket_sql('doc_b', _SPLIT_BUCKETS)})")} AS sb
       FROM pairs
     )
     SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,

@@ -17,7 +17,12 @@ import math
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions.exprs import exploded_rows, tokens
+from ..functions.exprs import (
+    exploded_rows,
+    md5_bucket,
+    md5_bucket_sql,
+    tokens,
+)
 from .base import Registry, load_table
 
 PIPE = Registry()
@@ -785,8 +790,7 @@ _CURR_SHARDS = 16
       SELECT doc_id, n_tokens,
              (SELECT CAST(SUM(CAST(n_tokens > t AS INT)) AS BIGINT)
               FROM unnest(ts) AS u(t)) AS decile,
-             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-                  AS BIGINT) % {_CURR_SHARDS} AS shard
+             {md5_bucket_sql('doc_id', _CURR_SHARDS)} AS shard
       FROM scored CROSS JOIN thresholds
     )
     SELECT decile, shard,
@@ -836,14 +840,7 @@ def quality_decile_schedule(spark, sf_dir):
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    shard = F.pmod(
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
-            16,
-            10,
-        ).cast("bigint"),
-        F.lit(_CURR_SHARDS),
-    )
+    shard = md5_bucket(F.col("doc_id"), _CURR_SHARDS)
     binned = scored.join(F.broadcast(thresholds)).select(
         "doc_id",
         "n_tokens",
@@ -869,8 +866,7 @@ _PACK_SHARDS = 8  # md5 shards packed independently (the worker unit)
       SELECT doc_id,
              len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                              x -> x <> '')) AS n_tokens,
-             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-                  AS BIGINT) % {_PACK_SHARDS} AS shard
+             {md5_bucket_sql('doc_id', _PACK_SHARDS)} AS shard
       FROM documents
     ), packed AS (
       SELECT doc_id, shard, n_tokens,
@@ -892,7 +888,7 @@ _PACK_SHARDS = 8  # md5 shards packed independently (the worker unit)
 )
 def sequence_pack_shards(spark, sf_dir):
     """Sequence packing for LLM pretraining (round-9 unfreeze): lay every
-    document's tokens end-to-end into fixed {1024}-token training
+    document's tokens end-to-end into fixed {_PACK_BUDGET}-token training
     sequences and emit each doc's placement — (shard, bin_id, bin_offset,
     bins_spanned) — the manifest a data loader needs to assemble packed
     batches without padding waste (documents straddle bin boundaries,
@@ -902,7 +898,8 @@ def sequence_pack_shards(spark, sf_dir):
     computation, and a single global running sum would funnel the whole
     corpus through ONE window partition (the ntile trap
     `quality_decile_schedule` documents). Instead documents are assigned
-    to {8} deterministic md5 shards and each shard packs independently —
+    to {_PACK_SHARDS} deterministic md5 shards and each shard packs
+    independently —
     a per-shard cumulative-sum window, embarrassingly parallel across
     shards, which is exactly how multi-worker loaders shard packing in
     practice; at 100 TB you raise the shard count with the worker count.
@@ -910,16 +907,10 @@ def sequence_pack_shards(spark, sf_dir):
     shards, integer division only.
     """
     d = load_table(spark, sf_dir, "documents")
-    shard = F.pmod(
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-        ).cast("bigint"),
-        F.lit(_PACK_SHARDS),
-    )
     toks = d.select(
         "doc_id",
         F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
-        shard.alias("shard"),
+        md5_bucket(F.col("doc_id"), _PACK_SHARDS).alias("shard"),
     )
     w = (
         W.partitionBy("shard")

@@ -224,6 +224,7 @@ def read_excel(
     for p in paths:
         open_workbook(p).close()  # validate extensions + readability up front
 
+    caller_schema = schema is not None
     if schema is None:
         schema = infer_schema(paths[0], sheet_name, sheet_index, skip_rows)
     n_cols = len(schema)
@@ -269,6 +270,20 @@ def read_excel(
             spark, paths[0], schema, sheet_name, sheet_index, skip_rows, batch_size
         )
         if split is not None:
+            # The split fragments index columns positionally and never see
+            # the header row, so a CALLER-passed schema must be validated
+            # here (the streaming `reader` does it per task; without this
+            # a stale schema would silently mislabel columns — r9 review).
+            # One extra driver-side open, only on the >=4 MB split path.
+            if caller_schema:
+                actual = infer_schema(
+                    paths[0], sheet_name, sheet_index, skip_rows
+                ).fieldNames()
+                if actual != out_names:
+                    raise DataToParquetError(
+                        f"{paths[0]!r}: header row {actual} does not match "
+                        f"the provided schema {out_names}"
+                    )
             return _restore_names(split)
 
     # One slice per workbook via parallelize — an explicit-slices local

@@ -595,3 +595,37 @@ def test_multisheet_rejects_tag_collision_and_dup_headers(spark, tmp_path):
     assert read_excel(spark, dup).columns == ["a", "a_2", "a_2"]
     with pytest.raises(DataToParquetError, match="duplicate header"):
         read_excel_all_sheets(spark, dup)
+
+
+def test_caller_schema_validated_on_split_path(spark, tmp_path, monkeypatch):
+    """r9 review: the split path never sees the header row, so a
+    caller-passed schema must be validated driver-side there too — a
+    stale schema must raise, not silently mislabel columns."""
+    from pyspark.sql import types as T
+
+    from data_to_parquet_spark.sources import excel as excel_mod
+
+    monkeypatch.setattr(excel_mod, "SPLIT_THRESHOLD_BYTES", 10_000)
+    path = str(tmp_path / "schema_split.xlsx")
+    write_xlsx(path, {"S": [["a", "b"]] + [[i, i * 2] for i in range(3000)]})
+
+    good = T.StructType(
+        [T.StructField(n, T.StringType(), True) for n in ("a", "b")]
+    )
+    df = read_excel(spark, path, schema=good)
+    assert df.rdd.getNumPartitions() > 1  # split path engaged
+    assert df.columns == ["a", "b"] and df.count() == 3000
+
+    stale = T.StructType(
+        [T.StructField(n, T.StringType(), True) for n in ("x", "y")]
+    )
+    with pytest.raises(DataToParquetError, match="does not match"):
+        read_excel(spark, path, schema=stale)
+    # and the streaming path rejects the same stale schema (at task time)
+    monkeypatch.setattr(excel_mod, "SPLIT_THRESHOLD_BYTES", 10**9)
+    import py4j.protocol
+
+    with pytest.raises(
+        (DataToParquetError, py4j.protocol.Py4JJavaError, Exception)
+    ):
+        read_excel(spark, path, schema=stale).count()

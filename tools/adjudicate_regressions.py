@@ -159,6 +159,10 @@ def main(argv: list[str]) -> int:
     batches = [[n for n in names if n not in _MEMO_BACKED]]
     batches += [[n] for n in names if n in _MEMO_BACKED]
     measured: dict | None = None
+    # per-batch idle-ness evidence: with several subprocesses the overall
+    # start/end loadavg can read calm while one batch ran under a
+    # co-tenant burst — record each batch's own window (r9 review)
+    batch_loads: list[dict] = []
     for batch in batches:
         if not batch:
             continue
@@ -194,6 +198,13 @@ def main(argv: list[str]) -> int:
         if batch_measured is None:
             print(proc.stdout)
             raise SystemExit("idle_remeasure produced no JSON line")
+        batch_loads.append(
+            {
+                "names": batch,
+                "loadavg_at_start": batch_measured["loadavg_at_start"],
+                "loadavg_at_end": batch_measured["loadavg_at_end"],
+            }
+        )
         if measured is None:
             measured = batch_measured
         else:
@@ -209,6 +220,7 @@ def main(argv: list[str]) -> int:
         + ", warmup per bench.py contract",
         "loadavg_at_start": measured["loadavg_at_start"],
         "loadavg_at_end": measured["loadavg_at_end"],
+        "batch_loadavgs": batch_loads,
         "queries": adjudicated,
     }
     with open(full_path, "w") as f:
