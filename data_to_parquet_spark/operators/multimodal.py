@@ -847,6 +847,124 @@ def multimodal_resize_png(spark, sf_dir):
     )
 
 
+@MM.register(
+    "multimodal_resize_digest",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             16 + doc_id % 48 AS w,
+             12 + doc_id % 36 AS h
+      FROM documents
+    ), cells AS (
+      SELECT doc_id, w, h, i % {_PNG_TARGET} AS gx, i // {_PNG_TARGET} AS gy,
+             ((i % {_PNG_TARGET}) * w) // {_PNG_TARGET} AS sx,
+             ((i // {_PNG_TARGET}) * h) // {_PNG_TARGET} AS sy
+      FROM d, unnest(generate_series(0, {_PNG_TARGET * _PNG_TARGET - 1})) AS t(i)
+    ), px AS (
+      SELECT doc_id, w, h, gx, gy,
+             (sx * 3 + doc_id) % 256 AS r,
+             (sy * 5 + doc_id // 7) % 256 AS g,
+             xor(sx, sy) % 256 AS b
+      FROM cells
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INT) AS orig_width,
+           CAST(MAX(h) AS INT) AS orig_height,
+           CAST({_PNG_TARGET} AS INT) AS width,
+           CAST({_PNG_TARGET} AS INT) AS height,
+           CAST(SUM(r) AS BIGINT) AS r_sum,
+           CAST(SUM(g) AS BIGINT) AS g_sum,
+           CAST(SUM(b) AS BIGINT) AS b_sum,
+           CAST(SUM(CASE WHEN gx = gy
+                         THEN 299 * r + 587 * g + 114 * b
+                         ELSE 0 END) AS BIGINT) AS diag_lum
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_resize_digest(spark, sf_dir):
+    """Value-oracled digest of the REAL resize pipeline (round 9): take
+    `multimodal_resize_png`'s re-encoded 64×64 PNGs, decode them AGAIN,
+    and emit per-image channel sums plus a position-sensitive diagonal
+    luminance checksum. The DuckDB oracle replays the nearest-neighbor
+    sampling arithmetic (sx = gx·w//64, sy = gy·h//64 — the
+    `resize_nearest` rule, same floor arithmetic the dhash oracle
+    replays) over the synthesized pixel formula, so a hash match proves
+    encode → decode → resample → re-encode → decode reproduced every
+    pixel bit-exactly end to end. This is the md5-twin pattern applied
+    to the last un-oracled multimodal path: `multimodal_resize_png`
+    itself stays the binary-out producer (payload bytes are not
+    SQL-expressible), with this twin giving the driver a full value
+    check of the same dataflow.
+
+    Scale: two chained narrow maps (resize, digest), no shuffle; the
+    digest is 4 integers per image regardless of image size.
+    """
+    import numpy as np
+
+    def digest_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.png import decode_png
+
+        for pdf in it:
+            rows = {
+                k: []
+                for k in (
+                    "doc_id",
+                    "orig_width",
+                    "orig_height",
+                    "width",
+                    "height",
+                    "r_sum",
+                    "g_sum",
+                    "b_sum",
+                    "diag_lum",
+                )
+            }
+            for doc_id, ow, oh, payload in zip(
+                pdf["doc_id"],
+                pdf["orig_width"],
+                pdf["orig_height"],
+                pdf["resized_png"],
+            ):
+                img = decode_png(bytes(payload)).astype(np.int64)
+                diag = np.arange(min(img.shape[0], img.shape[1]))
+                dpx = img[diag, diag]
+                rows["doc_id"].append(doc_id)
+                rows["orig_width"].append(ow)
+                rows["orig_height"].append(oh)
+                rows["width"].append(img.shape[1])
+                rows["height"].append(img.shape[0])
+                rows["r_sum"].append(int(img[..., 0].sum()))
+                rows["g_sum"].append(int(img[..., 1].sum()))
+                rows["b_sum"].append(int(img[..., 2].sum()))
+                rows["diag_lum"].append(
+                    int(
+                        (
+                            299 * dpx[:, 0]
+                            + 587 * dpx[:, 1]
+                            + 114 * dpx[:, 2]
+                        ).sum()
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("orig_width", T.IntegerType()),
+            T.StructField("orig_height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("r_sum", T.LongType()),
+            T.StructField("g_sum", T.LongType()),
+            T.StructField("b_sum", T.LongType()),
+            T.StructField("diag_lum", T.LongType()),
+        ]
+    )
+    return multimodal_resize_png(spark, sf_dir).mapInPandas(
+        digest_batches, schema
+    )
+
+
 _DHASH_CLASSES = 37  # visual-content classes — forces real duplicate images
 
 
