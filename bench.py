@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "sequence_pack_shards",
     "split_leakage_audit",
     "multimodal_resize_digest",
+    "quantile_sketch_report",
     # Two registry/driver-checked queries are deliberately NOT benched.
     # als_one_sweep_factors: the one-sweep ALS is ~6 s of multi-stage
     # driver-coordinated linear algebra, dominated by stage scheduling at

@@ -845,6 +845,55 @@ def approx_aggregates(spark, sf_dir):
 
 
 @REL.register(
+    "quantile_sketch_report",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+           TRUE AS rank_err_le_1pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def quantile_sketch_report(spark, sf_dir):
+    """Quantile-sketch accuracy observability (round 9) — the
+    percentile sibling of `cardinality_sketch_report`, completing the
+    sketch-audit pair: per group, the EXACT interpolated median next to
+    whether the `percentile_approx` sketch's value lands within 1% RANK
+    error of it, measured against the real data (the fraction of group
+    rows at or below the sketch's answer must sit in [0.49, 0.51]).
+    The envelope pattern: Spark computes the real sketch and the real
+    rank; the oracle computes the exact median (`quantile_cont` ≡ Spark
+    `percentile`, bit-identical per the `percentile_prices_by_flag`
+    precedent) and carries the bucket as the pre-verified literal TRUE —
+    a drifted sketch flips the bucket and the driver hash goes red.
+    `approx_aggregates` stays the rows-only raw-values view, pinned by
+    tests/test_rows_only_pins.py.
+
+    Scale: the sketch is the 100 TB path (fixed-size state, map-side
+    combinable); the audit costs one extra broadcast of 3 group medians
+    and a second aggregate — run it on a sample day, then trust the
+    sketch on the full table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("__ap50")
+    )
+    joined = li.join(F.broadcast(approx), "l_returnflag")
+    n = F.count(F.lit(1))
+    at_or_below = F.sum(
+        (F.col("l_extendedprice") <= F.col("__ap50")).cast("long")
+    )
+    return joined.groupBy("l_returnflag").agg(
+        n.alias("n_rows"),
+        F.percentile("l_extendedprice", 0.5).alias("exact_p50"),
+        (
+            F.abs(at_or_below.cast("double") / n - F.lit(0.5))
+            <= F.lit(0.01)
+        ).alias("rank_err_le_1pct"),
+    )
+
+
+@REL.register(
     "q4_late_shipment_priority",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n_orders
