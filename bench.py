@@ -199,6 +199,51 @@ _MEMO_BACKED = {
     "rerank_positional_ce",
 }
 
+# Memo FAMILIES — queries sharing one session cache, used to classify
+# each memo-backed query's bench-recorded prior:
+#   * the family member that runs FIRST in BENCH_QUERIES order builds
+#     the memo, so its recorded prior paid the build (memo-COLD prior);
+#   * every later member's prior read the warm memo (memo-WARM prior),
+#     so the comparable idle re-measure for it is a WARM rep, not the
+#     fresh-session cold rep (r9: two manual adjudications in one day
+#     had exactly this shape — see BENCH_FULL.json's manual_note pair).
+_MEMO_FAMILIES = [
+    {  # dedup signature/pair/label memos (operators/dedup.py)
+        "neardup_jaccard_pairs",
+        "split_leakage_audit",
+        "containment_neardup_pairs",
+        "dedup_connected_components",
+        "dedup_keep_canonical",
+        "cross_source_overlap",
+        "neardup_graph_pagerank",
+        "neardup_graph_assortativity",
+        "neardup_cluster_modularity",
+    },
+    {  # Lloyd centroid memo (operators/similarity.py)
+        "similarity_ann_ivf",
+        "semdedup_prune",
+        "similarity_recall_report",
+    },
+    {  # BM25 frame memo (operators/text.py)
+        "bm25_rank_queries",
+        "hybrid_retrieval_rrf",
+        "rerank_positional_ce",
+    },
+]
+
+
+def memo_warm_prior_queries() -> set[str]:
+    """Memo-backed queries whose bench-recorded prior is memo-WARM: a
+    family member earlier in BENCH_QUERIES order already built their
+    shared memo. Family members absent from BENCH_QUERIES never have a
+    bench prior and are excluded."""
+    pos = {n: i for i, n in enumerate(BENCH_QUERIES)}
+    warm: set[str] = set()
+    for fam in _MEMO_FAMILIES:
+        benched = sorted((q for q in fam if q in pos), key=pos.__getitem__)
+        warm.update(benched[1:])
+    return warm
+
 
 _EXCEL_ROWS = 100_000  # conversion-throughput workload size
 

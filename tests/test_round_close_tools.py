@@ -24,26 +24,52 @@ def test_verdict_plain_query_uses_min_s():
     assert _verdicts(flags, measured)["q"]["verdict"] == "regressed"
 
 
-def test_verdict_memo_backed_uses_cold_rep():
-    """r8 ADVICE (medium): for memo-backed queries every rep after the
-    first hits the session memo, so min_s times a cache read — a real
-    regression must not auto-adjudicate as noise off a 0.05s cache hit."""
-    flags = {"dedup_connected_components": "1.0s -> 2.6s (2.6x)"}
-    # warm reps are tiny (memo hits); the cold rep reproduces the flag
+def test_verdict_memo_builder_uses_cold_rep():
+    """r8 ADVICE (medium): a memo-BUILDER's bench prior paid the memo
+    build, so warm reps (cache hits) must not adjudicate it — the cold
+    rep is the basis, and only in the noise direction (the cold rep
+    also pays session ramp the deep-warm bench prior never paid)."""
+    # neardup_jaccard_pairs is the dedup family's first-in-bench builder
+    flags = {"neardup_jaccard_pairs": "1.0s -> 2.6s (2.6x)"}
     measured = {
-        "dedup_connected_components": {
+        "neardup_jaccard_pairs": {
             "min_s": 0.05,
             "median_s": 0.05,
             "all_s": [2.7, 0.05, 0.05],
         }
     }
-    out = _verdicts(flags, measured)["dedup_connected_components"]
+    out = _verdicts(flags, measured)["neardup_jaccard_pairs"]
     assert out["basis_s"] == 2.7
     assert out["verdict"].startswith("memo_cold_exceeds_prior")
     # and a genuinely-fast cold rep still proves noise
-    measured["dedup_connected_components"]["all_s"] = [0.9, 0.05, 0.05]
-    out = _verdicts(flags, measured)["dedup_connected_components"]
+    measured["neardup_jaccard_pairs"]["all_s"] = [0.9, 0.05, 0.05]
+    out = _verdicts(flags, measured)["neardup_jaccard_pairs"]
     assert out["verdict"] == "noise"
+
+
+def test_verdict_memo_warm_prior_uses_warm_reps():
+    """r9: a memo-READER's bench prior read a warm memo (a family member
+    earlier in bench order built it), so the comparable idle basis is
+    the warm reps — both noise AND regressed adjudicate automatically,
+    ending the manual-adjudication loop for this class."""
+    flags = {"containment_neardup_pairs": "4.0s -> 6.4s (1.6x)"}
+    # cold rep pays the family build + ramp; warm reps match the prior's
+    # regime and come back fast -> noise, no manual step
+    measured = {
+        "containment_neardup_pairs": {
+            "min_s": 2.8,
+            "median_s": 2.9,
+            "all_s": [8.2, 2.9, 2.8],
+        }
+    }
+    out = _verdicts(flags, measured)["containment_neardup_pairs"]
+    assert out["basis_s"] == 2.8
+    assert "warm reps" in out["basis"]
+    assert out["verdict"] == "noise"
+    # a warm basis ABOVE the prior is a real, same-regime regression
+    measured["containment_neardup_pairs"]["all_s"] = [8.2, 6.3, 6.1]
+    out = _verdicts(flags, measured)["containment_neardup_pairs"]
+    assert out["verdict"] == "regressed"
 
 
 def test_verdict_unparseable_flag():
@@ -159,3 +185,15 @@ def test_adjudicate_isolates_memo_backed_subprocesses(tmp_path, monkeypatch):
     # memo-backed used the cold rep (0.6), plain used min_s (0.4)
     assert verdicts["neardup_jaccard_pairs"]["basis_s"] == 0.6
     assert verdicts["q1_pricing_summary"]["basis_s"] == 0.4
+
+
+def test_memo_families_cover_memo_backed_exactly():
+    """The family partition drives the adjudication basis; a query added
+    to _MEMO_BACKED but not placed in a family (or vice versa) would get
+    the wrong regime silently."""
+    from bench import _MEMO_BACKED, _MEMO_FAMILIES
+
+    union = set().union(*_MEMO_FAMILIES)
+    assert union == _MEMO_BACKED
+    # families are disjoint — one shared cache each
+    assert sum(len(f) for f in _MEMO_FAMILIES) == len(union)

@@ -52,30 +52,41 @@ def _recorded_prior(flag: str) -> float | None:
 def _verdicts(flags: dict[str, str], measured: dict[str, dict]) -> dict:
     """Per-query adjudication records from the flags and idle re-measures.
 
-    Memo-backed queries (bench._MEMO_BACKED): every idle_remeasure rep
-    after the first hits the session dedup/centroid memo, so min_s times
-    a cache read and a REAL regression would auto-adjudicate as noise
-    (r8 ADVICE). Base their verdict on the first (cold) rep — and only in
-    the safe direction: a cold rep at-or-below the prior proves noise,
-    but a cold rep ABOVE it is not auto-"regressed", because bench's
-    recorded prior ran after earlier memo-populating queries in the same
-    session (session-warm) while idle_remeasure's first rep may rebuild
-    those memos from scratch; that case needs a human (or a
-    bench-order-replaying) re-measure.
-    """
-    from bench import _MEMO_BACKED
+    The basis must match the REGIME the bench prior was recorded in
+    (r8 ADVICE + two r9 manual adjudications):
 
+    * plain queries — min_s across reps (bench measures steady state);
+    * memo-backed queries whose prior is memo-WARM (a family member
+      earlier in bench order built their shared memo —
+      bench.memo_warm_prior_queries()): the warm reps (all_s[1:]) are
+      the same regime, so min over them adjudicates both directions;
+    * memo-backed queries whose prior paid the memo BUILD (first of
+      family in bench order): the fresh-subprocess first rep is the
+      only cold number, but it also pays session ramp the deep-warm
+      bench prior never paid — so it can prove noise (cold at-or-below
+      prior) but never auto-"regressed"; that residue stays manual.
+    """
+    from bench import _MEMO_BACKED, memo_warm_prior_queries
+
+    warm_prior = memo_warm_prior_queries()
     adjudicated: dict[str, dict] = {}
     for name in sorted(flags):
         prior = _recorded_prior(flags[name])
         idle = measured[name]
         memo_backed = name in _MEMO_BACKED
-        basis = idle["all_s"][0] if memo_backed else idle["min_s"]
+        if not memo_backed:
+            basis, basis_label = idle["min_s"], "min_s across reps"
+        elif name in warm_prior and len(idle["all_s"]) > 1:
+            basis = min(idle["all_s"][1:])
+            basis_label = "min over warm reps (memo-warm prior)"
+        else:
+            basis = idle["all_s"][0]
+            basis_label = "all_s[0] (first/cold rep; memo-build prior)"
         verdict = "unparseable_flag"
         if prior is not None:
             if basis <= prior * NOISE_TOLERANCE:
                 verdict = "noise"
-            elif memo_backed:
+            elif memo_backed and name not in warm_prior:
                 verdict = "memo_cold_exceeds_prior: manual adjudication required"
             else:
                 verdict = "regressed"
@@ -84,11 +95,7 @@ def _verdicts(flags: dict[str, str], measured: dict[str, dict]) -> dict:
             "recorded_prior_s": prior,
             "idle_min_s": idle["min_s"],
             "idle_median_s": idle["median_s"],
-            "basis": (
-                "all_s[0] (first/cold rep; memo-backed)"
-                if memo_backed
-                else "min_s across reps"
-            ),
+            "basis": basis_label,
             "basis_s": basis,
             "verdict": verdict,
         }
