@@ -50,6 +50,9 @@ PROBED = [
     "similarity_ann_lsh",          # sign-bit band join + bounded top-k
     "similarity_ann_ivf",          # distributed Lloyd + probe join
     "semdedup_prune",              # Lloyd cells + salted within-cell join
+    # round-9 unfreeze shapes with quadratic-prone or funnel-prone plans
+    "rerank_positional_ce",        # candidate x query-term joint scoring
+    "sequence_pack_shards",        # per-shard cumsum (global-funnel trap)
 ]
 
 
