@@ -232,17 +232,32 @@ _MEMO_FAMILIES = [
 ]
 
 
+# Queries whose OWN deliverable is the memoized frame (the pair table /
+# CC label table IS their output): a warm rep is a pure cache read, so
+# no warm rep is EVER comparable to their bench prior regardless of
+# family position — r9 review caught dedup_connected_components (bench
+# prior = CC fixpoint on warm pairs; warm rep = 0.05 s label read)
+# auto-adjudicating real regressions as noise under the family rule.
+_MEMO_SELF_CACHED = {
+    "neardup_jaccard_pairs",  # _JACCARD_PAIRS_CACHE holds its output
+    "dedup_connected_components",  # _CC_LABEL_CACHE holds its output
+    "dedup_keep_canonical",  # thin projection of _CC_LABEL_CACHE
+}
+
+
 def memo_warm_prior_queries() -> set[str]:
-    """Memo-backed queries whose bench-recorded prior is memo-WARM: a
+    """Memo-backed queries whose bench-recorded prior is memo-WARM (a
     family member earlier in BENCH_QUERIES order already built their
-    shared memo. Family members absent from BENCH_QUERIES never have a
-    bench prior and are excluded."""
+    shared memo) AND whose warm reps still perform the query's own work
+    (their output is not itself the memoized frame — _MEMO_SELF_CACHED).
+    Family members absent from BENCH_QUERIES never have a bench prior
+    and are excluded."""
     pos = {n: i for i, n in enumerate(BENCH_QUERIES)}
     warm: set[str] = set()
     for fam in _MEMO_FAMILIES:
         benched = sorted((q for q in fam if q in pos), key=pos.__getitem__)
         warm.update(benched[1:])
-    return warm
+    return warm - _MEMO_SELF_CACHED
 
 
 _EXCEL_ROWS = 100_000  # conversion-throughput workload size

@@ -267,23 +267,21 @@ def read_excel(
 
     if len(paths) == 1 and paths[0].lower().endswith(".xlsx"):
         split = _read_single_xlsx_split(
-            spark, paths[0], schema, sheet_name, sheet_index, skip_rows, batch_size
+            spark,
+            paths[0],
+            schema,
+            sheet_name,
+            sheet_index,
+            skip_rows,
+            batch_size,
+            # split fragments never see the header row, so a CALLER-passed
+            # schema is validated against it inside the split's single
+            # workbook open (the streaming `reader` checks per task;
+            # without this a stale schema silently mislabels columns —
+            # r9 review); the inferred-schema path needs no re-check
+            expected_headers=out_names if caller_schema else None,
         )
         if split is not None:
-            # The split fragments index columns positionally and never see
-            # the header row, so a CALLER-passed schema must be validated
-            # here (the streaming `reader` does it per task; without this
-            # a stale schema would silently mislabel columns — r9 review).
-            # One extra driver-side open, only on the >=4 MB split path.
-            if caller_schema:
-                actual = infer_schema(
-                    paths[0], sheet_name, sheet_index, skip_rows
-                ).fieldNames()
-                if actual != out_names:
-                    raise DataToParquetError(
-                        f"{paths[0]!r}: header row {actual} does not match "
-                        f"the provided schema {out_names}"
-                    )
             return _restore_names(split)
 
     # One slice per workbook via parallelize — an explicit-slices local
@@ -391,6 +389,7 @@ def _read_single_xlsx_split(
     sheet_index: int | None,
     skip_rows: int,
     batch_size: int,
+    expected_headers: list[str] | None = None,
 ) -> DataFrame | None:
     """Parallelize ONE large .xlsx across tasks by splitting the sheet XML
     at ``<row`` boundaries.
@@ -423,6 +422,17 @@ def _read_single_xlsx_split(
             # no declared dimension box → geometry must be inferred from the
             # cell stream; only the streaming path implements that
             return None
+        # split fragments index columns positionally and never see the
+        # header row, so a CALLER-passed schema is validated here on the
+        # already-open workbook (one header-row scan, no extra open —
+        # the streaming path's per-task check has no split equivalent)
+        if expected_headers is not None:
+            actual, _ = scan_sheet(wb, sheet, skip_rows, batch_size=1)
+            if actual != expected_headers:
+                raise DataToParquetError(
+                    f"{path!r}: header row {actual} does not match the "
+                    f"provided schema {expected_headers}"
+                )
         data = wb._zip.read(member)
 
     # fragments re-number r-less rows from 0, which would corrupt the

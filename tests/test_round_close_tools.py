@@ -72,6 +72,43 @@ def test_verdict_memo_warm_prior_uses_warm_reps():
     assert out["verdict"] == "regressed"
 
 
+def test_verdict_self_cached_never_uses_warm_reps():
+    """r9 follow-up review: dedup_connected_components' warm reps are
+    pure _CC_LABEL_CACHE reads (~0.05 s) — its bench prior paid the CC
+    fixpoint, so a warm basis would auto-noise a REAL regression (the
+    original r8-ADVICE trap). Self-cached queries stay on the cold rep
+    with the manual branch, even though jaccard precedes them in bench
+    order."""
+    flags = {"dedup_connected_components": "1.0s -> 2.6s (2.6x)"}
+    measured = {
+        "dedup_connected_components": {
+            "min_s": 0.05,
+            "median_s": 0.05,
+            "all_s": [2.7, 0.05, 0.05],
+        }
+    }
+    out = _verdicts(flags, measured)["dedup_connected_components"]
+    assert out["basis_s"] == 2.7
+    assert out["verdict"].startswith("memo_cold_exceeds_prior")
+
+
+def test_verdict_single_rep_warm_prior_stays_manual():
+    """r9 follow-up review: a memo-warm-prior query re-measured with
+    REPS=1 has only the (incomparable) cold rep — it must take the
+    manual branch, not auto-'regressed'."""
+    flags = {"containment_neardup_pairs": "4.0s -> 6.4s (1.6x)"}
+    measured = {
+        "containment_neardup_pairs": {
+            "min_s": 8.2,
+            "median_s": 8.2,
+            "all_s": [8.2],
+        }
+    }
+    out = _verdicts(flags, measured)["containment_neardup_pairs"]
+    assert out["basis_s"] == 8.2
+    assert out["verdict"].startswith("memo_cold_exceeds_prior")
+
+
 def test_verdict_unparseable_flag():
     out = _verdicts(
         {"q": "weird flag text"},
@@ -197,3 +234,8 @@ def test_memo_families_cover_memo_backed_exactly():
     assert union == _MEMO_BACKED
     # families are disjoint — one shared cache each
     assert sum(len(f) for f in _MEMO_FAMILIES) == len(union)
+    # the self-cached refinement names real memo-backed queries
+    from bench import _MEMO_SELF_CACHED, memo_warm_prior_queries
+
+    assert _MEMO_SELF_CACHED <= union
+    assert not (_MEMO_SELF_CACHED & memo_warm_prior_queries())

@@ -74,19 +74,25 @@ def _verdicts(flags: dict[str, str], measured: dict[str, dict]) -> dict:
         prior = _recorded_prior(flags[name])
         idle = measured[name]
         memo_backed = name in _MEMO_BACKED
+        cold_memo_basis = False
         if not memo_backed:
             basis, basis_label = idle["min_s"], "min_s across reps"
         elif name in warm_prior and len(idle["all_s"]) > 1:
             basis = min(idle["all_s"][1:])
             basis_label = "min over warm reps (memo-warm prior)"
         else:
+            # memo builders, self-cached queries (their warm reps are
+            # pure cache reads), and single-rep runs: only the cold rep
+            # carries signal, and it is never auto-"regressed" (it pays
+            # memo build + session ramp the bench prior may not have)
             basis = idle["all_s"][0]
-            basis_label = "all_s[0] (first/cold rep; memo-build prior)"
+            basis_label = "all_s[0] (first/cold rep; no comparable warm basis)"
+            cold_memo_basis = True
         verdict = "unparseable_flag"
         if prior is not None:
             if basis <= prior * NOISE_TOLERANCE:
                 verdict = "noise"
-            elif memo_backed and name not in warm_prior:
+            elif cold_memo_basis:
                 verdict = "memo_cold_exceeds_prior: manual adjudication required"
             else:
                 verdict = "regressed"

@@ -12,8 +12,11 @@ copy are independent of the originals, so extra candidate pairs are
 genuine band collisions at doubled bucket occupancy, the banding's real
 scale behavior).
 
-Both queries ride the dedup memos, so every rep clears them first
-(cold build each time — `_cold_docs`).
+`neardup_graph_pagerank` rides the dedup memos, so every rep clears
+them first (cold pair-graph build each time — `_cold_docs`);
+`dedup_minhash_md5_pairs` uses no session memo (it builds its banded
+signatures fresh per call), so the clearing is a no-op for it and its
+rows measure the fresh build either way.
 
 Run: ``python tools/graph_minhash_scale_probe.py``.
 """
@@ -55,12 +58,15 @@ def main() -> None:
         "## neardup_graph_pagerank / dedup_minhash_md5_pairs — 2x steps (round 9)",
         "",
         "Same doubled-disjoint-documents harness as the jaccard study",
-        "(cold memos every rep, median of 3). Pagerank: the duplicated",
-        "near-dup graph is two disconnected mirrors — 2x vertices, 2x",
-        "edges, same 10 fixed iterations, so the per-iteration edge",
-        "aggregation is the scaling term. Minhash: the copy's signatures",
-        "are independent; extra candidates are genuine band collisions at",
-        "doubled bucket occupancy.",
+        "(median of 3; pagerank reps clear the dedup memos first — cold",
+        "pair-graph build each time; minhash uses no session memo and",
+        "builds its banded signatures fresh per call either way).",
+        "Pagerank: the duplicated near-dup graph is two disconnected",
+        "mirrors — 2x vertices, 2x edges, same 10 fixed iterations, so",
+        "the per-iteration edge aggregation is the scaling term.",
+        "Minhash: the copy's signatures are independent; extra",
+        "candidates are genuine band collisions at doubled bucket",
+        "occupancy.",
         "",
         "Note the pagerank walls: cold-memo reps rebuild the jaccard",
         "pair graph + CC labels first (the memoized bench time is ~3.9 s",
