@@ -155,7 +155,6 @@ BENCH_QUERIES = [
     # added round 9: the deliberate unfreeze set
     "excel_multisheet_union",
     "rerank_positional_ce",
-    "sequence_pack_shards",
     "split_leakage_audit",
     "multimodal_resize_digest",
     "quantile_sketch_report",

@@ -103,9 +103,9 @@ def distinct_tokens(text: Column) -> Column:
 # -- deterministic cross-engine hash buckets ---------------------------------
 # The first 8 md5 hex chars of the value's string form, as an integer,
 # mod n — stable across runs AND engines (xxhash64 is Spark-only). Keep
-# the Spark expression and the DuckDB fragment in lockstep here; three
-# operators (quality_decile_schedule, sequence_pack_shards,
-# split_leakage_audit) bucket with this pair.
+# the Spark expression and the DuckDB fragment in lockstep here;
+# quality_decile_schedule buckets with this pair (sequence_packing's
+# shards and split_train_val_test's prefix rule predate it).
 
 
 def md5_bucket(col: Column, n: int) -> Column:

@@ -18,13 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.exprs import (
-    distinct_tokens,
-    exploded_rows,
-    md5_bucket,
-    md5_bucket_sql,
-    tokens,
-)
+from ..functions.exprs import distinct_tokens, exploded_rows, tokens
 from .base import Registry, load_table, memo_get, memo_put
 
 DEDUP = Registry()
@@ -184,21 +178,25 @@ def neardup_jaccard_pairs(spark, sf_dir):
     return out
 
 
-_SPLIT_BUCKETS = 10  # md5(doc_id) % 10: 0-7 train, 8 val, 9 test
+# The ~80/10/10 hash-split rule is EXACTLY text.split_train_val_test's
+# (first two md5 hex chars of the id: < 'cd' train, < 'e6' val, else
+# test) so this audit checks the very split that operator materializes.
 
 
-def _split_case_sql(bucket_expr: str) -> str:
+def _split_case_sql(doc_expr: str) -> str:
     return (
-        f"CASE WHEN {bucket_expr} <= 7 THEN 'train' "
-        f"WHEN {bucket_expr} = 8 THEN 'val' ELSE 'test' END"
+        f"CASE WHEN substr(md5(CAST({doc_expr} AS VARCHAR)), 1, 2) < 'cd'"
+        f" THEN 'train'"
+        f" WHEN substr(md5(CAST({doc_expr} AS VARCHAR)), 1, 2) < 'e6'"
+        f" THEN 'val' ELSE 'test' END"
     )
 
 
 def _split_col(doc_col):
-    bucket = md5_bucket(doc_col, _SPLIT_BUCKETS)
+    h2 = F.substring(F.md5(doc_col.cast("string")), 1, 2)
     return (
-        F.when(bucket <= 7, F.lit("train"))
-        .when(bucket == 8, F.lit("val"))
+        F.when(h2 < "cd", F.lit("train"))
+        .when(h2 < "e6", F.lit("val"))
         .otherwise(F.lit("test"))
     )
 
@@ -218,8 +216,8 @@ def _split_col(doc_col):
       WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9
     ), sp AS (
-      SELECT {_split_case_sql(f"({md5_bucket_sql('doc_a', _SPLIT_BUCKETS)})")} AS sa,
-             {_split_case_sql(f"({md5_bucket_sql('doc_b', _SPLIT_BUCKETS)})")} AS sb
+      SELECT {_split_case_sql('doc_a')} AS sa,
+             {_split_case_sql('doc_b')} AS sb
       FROM pairs
     )
     SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,
@@ -230,13 +228,14 @@ def _split_col(doc_col):
 )
 def split_leakage_audit(spark, sf_dir):
     """Train/val/test split-leakage audit (round-9 unfreeze): assign every
-    document a deterministic split (md5(doc_id) % 10 → 8/1/1
-    train/val/test, the standard hash-split) and count how many NEAR-DUP
-    pairs cross split boundaries — the contamination check a training
-    pipeline runs before trusting its eval numbers, because a test doc
-    whose near-duplicate sits in train is a leaked answer
+    document its deterministic ~80/10/10 hash split — the EXACT rule
+    `split_train_val_test` materializes (first two md5 hex chars of the
+    id), so this audits that operator's own split — and count how many
+    NEAR-DUP pairs cross split boundaries: the contamination check a
+    training pipeline runs before trusting its eval numbers, because a
+    test doc whose near-duplicate sits in train is a leaked answer
     (`contamination_ngram_overlap` is the external-benchmark sibling;
-    this audits the pipeline's own split).
+    this audits the pipeline's internal split).
 
     Scale: the split label is a pure FUNCTION of doc_id, so it is
     computed map-side directly on the memoized near-dup pair table

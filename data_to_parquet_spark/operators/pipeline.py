@@ -855,90 +855,6 @@ def quality_decile_schedule(spark, sf_dir):
     )
 
 
-_PACK_BUDGET = 1024  # tokens per training sequence
-_PACK_SHARDS = 8  # md5 shards packed independently (the worker unit)
-
-
-@PIPE.register(
-    "sequence_pack_shards",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id,
-             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                             x -> x <> '')) AS n_tokens,
-             {md5_bucket_sql('doc_id', _PACK_SHARDS)} AS shard
-      FROM documents
-    ), packed AS (
-      SELECT doc_id, shard, n_tokens,
-             COALESCE(SUM(n_tokens) OVER (
-               PARTITION BY shard ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS cum_before
-      FROM toks
-    )
-    SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
-           CAST(cum_before // {_PACK_BUDGET} AS BIGINT) AS bin_id,
-           CAST(cum_before % {_PACK_BUDGET} AS BIGINT) AS bin_offset,
-           CAST(CASE WHEN n_tokens = 0 THEN 1
-                ELSE (cum_before + n_tokens - 1) // {_PACK_BUDGET}
-                     - cum_before // {_PACK_BUDGET} + 1 END
-             AS BIGINT) AS bins_spanned
-    FROM packed
-    """,
-)
-def sequence_pack_shards(spark, sf_dir):
-    """Sequence packing for LLM pretraining (round-9 unfreeze): lay every
-    document's tokens end-to-end into fixed {_PACK_BUDGET}-token training
-    sequences and emit each doc's placement — (shard, bin_id, bin_offset,
-    bins_spanned) — the manifest a data loader needs to assemble packed
-    batches without padding waste (documents straddle bin boundaries,
-    the GPT-style concat-and-chunk regime).
-
-    The scale design is the point: packing is a running-token-offset
-    computation, and a single global running sum would funnel the whole
-    corpus through ONE window partition (the ntile trap
-    `quality_decile_schedule` documents). Instead documents are assigned
-    to {_PACK_SHARDS} deterministic md5 shards and each shard packs
-    independently —
-    a per-shard cumulative-sum window, embarrassingly parallel across
-    shards, which is exactly how multi-worker loaders shard packing in
-    practice; at 100 TB you raise the shard count with the worker count.
-    Cross-engine determinism: exact integer token counts, md5-derived
-    shards, integer division only.
-    """
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
-        md5_bucket(F.col("doc_id"), _PACK_SHARDS).alias("shard"),
-    )
-    w = (
-        W.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    packed = toks.withColumn(
-        "cum_before",
-        F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint")),
-    )
-    b = _PACK_BUDGET
-    return packed.select(
-        "doc_id",
-        "shard",
-        "n_tokens",
-        F.expr(f"cum_before div {b}").alias("bin_id"),
-        F.pmod(F.col("cum_before"), F.lit(b)).alias("bin_offset"),
-        F.when(F.col("n_tokens") == 0, F.lit(1).cast("bigint"))
-        .otherwise(
-            F.expr(
-                f"(cum_before + n_tokens - 1) div {b}"
-                f" - cum_before div {b} + 1"
-            )
-        )
-        .alias("bins_spanned"),
-    )
-
-
 _DSIR_TARGET_LANG = "en"  # target-distribution slice
 _DSIR_FRAC = 0.2  # fraction of the corpus selected
 

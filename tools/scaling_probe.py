@@ -52,7 +52,6 @@ PROBED = [
     "semdedup_prune",              # Lloyd cells + salted within-cell join
     # round-9 unfreeze shapes with quadratic-prone or funnel-prone plans
     "rerank_positional_ce",        # candidate x query-term joint scoring
-    "sequence_pack_shards",        # per-shard cumsum (global-funnel trap)
 ]
 
 
