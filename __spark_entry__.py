@@ -79,6 +79,11 @@ _REGISTRY = REL.merge(
 _REVERIFY_PINS = {
     "udaf_geometric_mean": 8,
     "interarrival_burstiness_users": 8,
+    # r10: rank error now measured at the MIDPOINT of the sketch value's
+    # tie run (strictly-less + half the ties; r9 ADVICE tie-robustness
+    # fix) — behavior-adjusted after its r9 contact, parity-green
+    # locally; satisfied by any driver contact in round >= 10.
+    "quantile_sketch_report": 10,
 }
 
 #: Rounds a rows-only (un-oracle-able) query may go without driver
@@ -143,12 +148,22 @@ def _rotation_order(reg, latest=None) -> list[str]:
     placed = set(never) | set(upgrades) | set(pins)
     max_round = max((r for r, _ in latest.values()), default=0)
 
+    # The window computed here is consumed in round max_round + 1 (the
+    # committed artifacts run through max_round; the driver's next contact
+    # is the round in progress), so "rounds without contact" counts the
+    # evaluation round too: a query last contacted in round R has gone
+    # (max_round + 1) - R rounds without contact when this window runs.
+    # The r9 verdict caught the off-by-one — r4-contacted rows-only
+    # queries were expected to re-enter at r10 (6 rounds: r5..r10) but the
+    # old `max_round - _UNORACLED_STALE_AFTER` bound deferred them to r11.
+    eval_round = max_round + 1
+
     def deprioritized(n: str) -> bool:
         # rows-only queries yield their slot to oracled work — until they
         # have gone _UNORACLED_STALE_AFTER rounds without contact
         return (
             n not in oracled
-            and latest[n][0] > max_round - _UNORACLED_STALE_AFTER
+            and eval_round - latest[n][0] < _UNORACLED_STALE_AFTER
         )
 
     rest = sorted(

@@ -25,12 +25,26 @@ from .base import Registry, load_table
 MISC = Registry()
 
 
-def _make_fixture(path: str) -> None:
-    # deterministic workbook: 100 rows, every cell-type arm
+def _import_xlsx_writer():
+    """The stdlib xlsx writer lives in the repo's tests package; derive
+    the repo root from this file (…/data_to_parquet_spark/operators/ →
+    two levels up) instead of hardcoding an absolute checkout path
+    (r9 ADVICE)."""
     import sys
 
-    sys.path.insert(0, "/root/repo")  # tests package hosts the stdlib writer
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
     from tests.xlsx_fixture import write_xlsx
+
+    return write_xlsx
+
+
+def _make_fixture(path: str) -> None:
+    # deterministic workbook: 100 rows, every cell-type arm
+    write_xlsx = _import_xlsx_writer()
 
     rows = [["id", "amount", "name", "active", "when_iso", "err"]]
     for i in range(100):
@@ -86,10 +100,7 @@ _MS_ROWS = {"alpha": 40, "beta": 30, "gamma": 20}
 def _make_multisheet_fixture(path: str) -> None:
     """Three sheets, three different header schemas, every cell derived
     arithmetically from its index (the oracle recomputes them)."""
-    import sys
-
-    sys.path.insert(0, "/root/repo")
-    from tests.xlsx_fixture import write_xlsx
+    write_xlsx = _import_xlsx_writer()
 
     alpha = [["id", "val"]] + [
         [i, i * 3] for i in range(_MS_ROWS["alpha"])

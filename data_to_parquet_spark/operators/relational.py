@@ -859,15 +859,20 @@ def quantile_sketch_report(spark, sf_dir):
     percentile sibling of `cardinality_sketch_report`, completing the
     sketch-audit pair: per group, the EXACT interpolated median next to
     whether the `percentile_approx` sketch's value lands within 1% RANK
-    error of it, measured against the real data (the fraction of group
-    rows at or below the sketch's answer must sit in [0.49, 0.51]).
-    The envelope pattern: Spark computes the real sketch and the real
-    rank; the oracle computes the exact median (`quantile_cont` ≡ Spark
-    `percentile`, bit-identical per the `percentile_prices_by_flag`
-    precedent) and carries the bucket as the pre-verified literal TRUE —
-    a drifted sketch flips the bucket and the driver hash goes red.
-    `approx_aggregates` stays the rows-only raw-values view, pinned by
-    tests/test_rows_only_pins.py.
+    error of it, measured against the real data. The rank of the
+    sketch's answer is the MIDPOINT of its tie run — strictly-less rows
+    plus half the rows equal to it, over the group count — so a heavily
+    tied column can't inflate the measured rank independently of sketch
+    accuracy (a plain at-or-below count assigns the whole tie mass to
+    the sketch value; r9 ADVICE). On l_extendedprice ties are sparse and
+    both definitions agree; the midpoint form keeps the bucket honest on
+    low-cardinality columns too. The envelope pattern: Spark computes
+    the real sketch and the real rank; the oracle computes the exact
+    median (`quantile_cont` ≡ Spark `percentile`, bit-identical per the
+    `percentile_prices_by_flag` precedent) and carries the bucket as the
+    pre-verified literal TRUE — a drifted sketch flips the bucket and
+    the driver hash goes red. `approx_aggregates` stays the rows-only
+    raw-values view, pinned by tests/test_rows_only_pins.py.
 
     Scale: the sketch is the 100 TB path (fixed-size state, map-side
     combinable); the audit costs one extra broadcast of 3 group medians
@@ -880,16 +885,21 @@ def quantile_sketch_report(spark, sf_dir):
     )
     joined = li.join(F.broadcast(approx), "l_returnflag")
     n = F.count(F.lit(1))
-    at_or_below = F.sum(
-        (F.col("l_extendedprice") <= F.col("__ap50")).cast("long")
+    strictly_less = F.sum(
+        (F.col("l_extendedprice") < F.col("__ap50")).cast("long")
     )
+    ties = F.sum(
+        (F.col("l_extendedprice") == F.col("__ap50")).cast("long")
+    )
+    midpoint_rank = (
+        strictly_less.cast("double") + ties.cast("double") / F.lit(2.0)
+    ) / n
     return joined.groupBy("l_returnflag").agg(
         n.alias("n_rows"),
         F.percentile("l_extendedprice", 0.5).alias("exact_p50"),
-        (
-            F.abs(at_or_below.cast("double") / n - F.lit(0.5))
-            <= F.lit(0.01)
-        ).alias("rank_err_le_1pct"),
+        (F.abs(midpoint_rank - F.lit(0.5)) <= F.lit(0.01)).alias(
+            "rank_err_le_1pct"
+        ),
     )
 
 

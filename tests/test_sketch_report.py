@@ -36,3 +36,25 @@ def test_bucketed_query_agrees_with_full_frame(spark, sf_dir):
         # false bucket here means the driver hash would go red — this
         # assert is the early warning
         assert r["error_le_5pct"] is True
+
+
+def test_quantile_rank_error_is_tie_robust(spark, tmp_path):
+    """r9 ADVICE: a heavily-tied column must not flip the rank-error
+    bucket when the sketch is perfect. 60% of one group's rows share the
+    true median value — an at-or-below rank counts the whole tie mass
+    (0.8, bucket FALSE despite a perfect sketch); the midpoint-of-tie-run
+    rank (strictly-less + half the ties) reads 0.5 and keeps it TRUE."""
+    from data_to_parquet_spark.operators.relational import (
+        quantile_sketch_report,
+    )
+
+    rows = (
+        [("A", 1.0)] * 20 + [("A", 5.0)] * 60 + [("A", 9.0)] * 20
+    )
+    df = spark.createDataFrame(rows, "l_returnflag string, l_extendedprice double")
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = quantile_sketch_report(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["exact_p50"] == 5.0
+    assert r["rank_err_le_1pct"] is True

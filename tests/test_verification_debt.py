@@ -85,13 +85,18 @@ def test_stale_greens_are_scheduled_for_rotation():
     order = _registry_order()
     window = set(order[:WINDOW])
     oracled = set(e.oracle_sql().keys())
+    # The next window runs in round max_round + 1, so a rows-only query
+    # counts the evaluation round in its "rounds without contact" tally
+    # (r9 verdict: r4-contacted queries re-enter at r10, not r11).
     stale = [
         q
         for q in order
         if q in latest
-        and latest[q][0]
-        <= max_round
-        - (STALE_AFTER if q in oracled else e._UNORACLED_STALE_AFTER)
+        and (
+            latest[q][0] <= max_round - STALE_AFTER
+            if q in oracled
+            else (max_round + 1) - latest[q][0] >= e._UNORACLED_STALE_AFTER
+        )
     ]
     overflow = [q for q in stale if q not in window]
     assert not overflow, (
@@ -253,10 +258,11 @@ def test_rotation_order_contract():
     # which re-enter the staleness competition (r8 review: starvation is
     # bounded); monotone in staleness within each group
     max_round = max((r for r, _ in latest.values()), default=0)
+    eval_round = max_round + 1  # the round this window will run in
     keys = [
         (
             n not in oracled
-            and latest[n][0] > max_round - e._UNORACLED_STALE_AFTER,
+            and eval_round - latest[n][0] < e._UNORACLED_STALE_AFTER,
             latest[n][0],
         )
         for n in rest
