@@ -239,3 +239,70 @@ def test_memo_families_cover_memo_backed_exactly():
 
     assert _MEMO_SELF_CACHED <= union
     assert not (_MEMO_SELF_CACHED & memo_warm_prior_queries())
+
+
+def test_adjudicate_keeps_plain_queries_in_one_shared_batch(
+    tmp_path, monkeypatch
+):
+    """r9 verdict item 7: the memo-isolation split must not degrade the
+    cheap path — however many NON-memo-backed queries are flagged, they
+    all share ONE idle_remeasure subprocess (one Spark session, one
+    warmup), while each memo-backed flag still gets its own."""
+    import adjudicate_regressions as adj
+    from bench import _MEMO_BACKED
+
+    plain = [
+        "q1_pricing_summary",
+        "topk_orders",
+        "q6_revenue_forecast",
+        "window_lag_order_gap",
+    ]
+    memo = sorted(_MEMO_BACKED)[:2]
+    assert not (set(plain) & _MEMO_BACKED)
+    flags = {n: "1.0s -> 3.0s (3.0x)" for n in plain + memo}
+
+    full = tmp_path / "BENCH_FULL.json"
+    full.write_text(json.dumps({"sf": 0.1, "regressions": flags}))
+    monkeypatch.setattr(adj, "REPO", str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    calls = []
+
+    class FakeProc:
+        returncode = 0
+
+        def __init__(self, names):
+            q = {
+                n: {"min_s": 0.4, "median_s": 0.5, "all_s": [0.6, 0.4]}
+                for n in names
+            }
+            self.stdout = json.dumps(
+                {
+                    "sf_dir": "/root/testdata/sf0.1",
+                    "reps": 2,
+                    "loadavg_at_start": [0.1, 0.1, 0.1],
+                    "loadavg_at_end": [0.1, 0.1, 0.1],
+                    "queries": q,
+                }
+            )
+            self.stderr = ""
+
+    def fake_run(cmd, **kwargs):
+        names = cmd[
+            cmd.index(
+                os.path.join(str(tmp_path), "tools", "idle_remeasure.py")
+            )
+            + 1 :
+        ]
+        calls.append(list(names))
+        return FakeProc(names)
+
+    monkeypatch.setattr(adj.subprocess, "run", fake_run)
+    rc = adj.main(["--date", "2026-08-15"])
+    assert rc == 0
+    # exactly one batch holds ALL the plain queries (sorted flag order),
+    # and each memo-backed query runs alone — total 1 + len(memo) calls
+    assert sorted(plain) in calls
+    for n in memo:
+        assert [n] in calls
+    assert len(calls) == 1 + len(memo)
