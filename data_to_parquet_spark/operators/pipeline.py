@@ -1070,3 +1070,176 @@ def quantile_normalize_lengths(spark, sf_dir):
             ).alias("normalized"),
         )
     )
+
+
+# -- model-scored quality gate (round 10) ----------------------------------
+
+#: hashed-feature dimensionality of the quality model (fastText default
+#: `bucket` is 2M; 4096 keeps the DuckDB replay and the plan literal small
+#: while still demonstrating collision handling — several features share a
+#: bucket at this corpus size, exactly like production hashing)
+_QMS_BUCKETS = 4096
+
+
+def _qms_weight_table():
+    """The model: one deterministic md5-derived weight per hash bucket, in
+    integer millis so feature sums are exact int64 arithmetic (the float
+    link function is applied ONCE per doc, after the sum). Derivation
+    matches `md5_bucket`'s repo convention (first 8 md5 hex chars):
+    w_milli[b] = md5('w:<b>')[:8] % 2001 - 1000, uniform on [-1000, 1000].
+    """
+    import hashlib
+
+    import numpy as np
+
+    return np.array(
+        [
+            int(
+                hashlib.md5(f"w:{b}".encode()).hexdigest()[:8], 16
+            ) % 2001 - 1000
+            for b in range(_QMS_BUCKETS)
+        ],
+        dtype=np.int64,
+    )
+
+
+@PIPE.register(
+    "quality_model_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, t[i] AS f
+      FROM tok, unnest(generate_series(1, len(t))) AS g(i)
+      UNION ALL
+      SELECT doc_id, t[i] || ' ' || t[i + 1]
+      FROM tok, unnest(generate_series(1, len(t) - 1)) AS g(i)
+    ), fw AS (
+      SELECT doc_id,
+             ({md5_bucket_sql("'f:' || f", _QMS_BUCKETS)}) AS b
+      FROM feats
+    ), scored AS (
+      SELECT doc_id,
+             COUNT(*) AS n_features,
+             CAST(SUM(CAST('0x' || substring(md5('w:' || CAST(b AS VARCHAR)),
+                                             1, 8) AS BIGINT)
+                      % 2001 - 1000) AS BIGINT) AS w_milli_sum
+      FROM fw GROUP BY doc_id
+    )
+    SELECT doc_id, n_features, w_milli_sum,
+           round(1.0 / (1.0 + exp(-(CAST(w_milli_sum AS DOUBLE)
+                                    / (1000.0 * n_features)))), 9)
+             AS quality_score,
+           (w_milli_sum > 0) AS keep
+    FROM scored
+    """,
+)
+def quality_model_score(spark, sf_dir):
+    """Model-scored quality gate (round-10 unfreeze): batch inference of a
+    fastText-style linear text classifier — lowercase word unigrams +
+    bigrams, feature-hashed into {_QMS_BUCKETS} buckets (Weinberger et
+    al. 2009's hashing trick, fastText's `bucket` scheme), mean-pooled
+    against a fixed weight vector, squashed through a logistic link —
+    executed corpus-wide as a VECTORIZED Arrow-batched Pandas kernel.
+    This fills the one LLM-pipeline stage the registry previously showed
+    only by proxy (`rerank_positional_ce`'s docstring promises the
+    model-scorer slot for its top-k candidates; this is the corpus-wide
+    batch-inference shape): swap `_qms_weight_table` + the bincount for
+    a real ONNX/torch forward pass and nothing else changes — schema,
+    batching, partitioning, and the JVM plan around it are identical.
+
+    Determinism (the reason this is fully value-oracled where a real
+    model would be rows-only): weights are md5-derived integers in
+    millis, so the per-doc feature sum is EXACT int64 arithmetic in both
+    engines regardless of accumulation order; the only float ops are one
+    division and one logistic per doc, rounded to 9 (the
+    `unigram_lm_quality` libm precedent). Bucket derivation is the repo's
+    `md5_bucket` convention; unigrams and bigrams cannot collide
+    pre-hash (bigrams always contain a space).
+
+    Scale: ONE narrow Arrow-batched map over (doc_id, text) — zero
+    shuffles, zero joins; the model ships as a {_QMS_BUCKETS}-entry int64
+    closure literal (the bloom deny-set precedent), and per batch the
+    kernel factorizes features so md5 runs once per DISTINCT feature, not
+    per occurrence. The final link + gate are JVM-side codegen exprs. At
+    100 TB this is embarrassingly parallel scan-side work — the gate
+    writes survivors without any wide dependency.
+    """
+    import pandas as pd
+
+    w_milli = _qms_weight_table()
+
+    def score_batches(it):
+        import hashlib
+        import re
+
+        import numpy as np
+
+        token_re = re.compile(r"[a-z0-9]+")
+        for pdf in it:
+            doc_ids, doc_idx, all_feats = [], [], []
+            for i, (doc_id, text) in enumerate(
+                zip(pdf["doc_id"], pdf["text"])
+            ):
+                toks = token_re.findall(text.lower()) if text else []
+                feats = toks + [
+                    a + " " + b for a, b in zip(toks, toks[1:])
+                ]
+                if not feats:
+                    continue
+                doc_ids.append(doc_id)
+                doc_idx.extend([len(doc_ids) - 1] * len(feats))
+                all_feats.extend(feats)
+            if not doc_ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "n_features": pd.Series([], dtype="int64"),
+                        "w_milli_sum": pd.Series([], dtype="int64"),
+                    }
+                )
+                continue
+            codes, uniques = pd.factorize(pd.Series(all_feats))
+            buckets = np.array(
+                [
+                    int(
+                        hashlib.md5(("f:" + u).encode()).hexdigest()[:8],
+                        16,
+                    )
+                    % _QMS_BUCKETS
+                    for u in uniques
+                ],
+                dtype=np.int64,
+            )
+            fw = w_milli[buckets[codes]]
+            idx = np.asarray(doc_idx, dtype=np.int64)
+            # bincount sums int64 exactly (|sum| <= 1000 * n_feats << 2^53)
+            sums = np.bincount(idx, weights=fw).astype(np.int64)
+            counts = np.bincount(idx).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(doc_ids, dtype=np.int64),
+                    "n_features": counts,
+                    "w_milli_sum": sums,
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.select("doc_id", "text").mapInPandas(
+        score_batches, "doc_id long, n_features long, w_milli_sum long"
+    )
+    logit = F.col("w_milli_sum").cast(_D) / (
+        F.lit(1000.0) * F.col("n_features")
+    )
+    return stats.select(
+        "doc_id",
+        "n_features",
+        "w_milli_sum",
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 9
+        ).alias("quality_score"),
+        (F.col("w_milli_sum") > 0).alias("keep"),
+    )
