@@ -1216,6 +1216,125 @@ def embedding_dim_profile(spark, sf_dir):
     )
 
 
+@SIM.register(
+    "embedding_int8_quantize_audit",
+    oracle="""
+    WITH dims AS (
+      SELECT i - 1 AS dim,
+             MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+             MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+      GROUP BY i
+    ), packed AS (
+      SELECT (SELECT list(mn ORDER BY dim) FROM dims) AS mns,
+             (SELECT list(mx ORDER BY dim) FROM dims) AS mxs
+    ), deqd AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, len(embedding)),
+                            i -> CAST(embedding[i] AS DOUBLE)) AS dv,
+             list_transform(generate_series(1, len(embedding)),
+               i -> CASE WHEN (mxs[i] - mns[i]) / 255.0 > 0
+                      THEN mns[i]
+                           + round((CAST(embedding[i] AS DOUBLE) - mns[i])
+                                   / ((mxs[i] - mns[i]) / 255.0))
+                             * ((mxs[i] - mns[i]) / 255.0)
+                      ELSE mns[i] END) AS deq
+      FROM embeddings, packed
+    )
+    SELECT vec_id,
+           round(list_max(list_transform(generate_series(1, len(dv)),
+                                         i -> abs(dv[i] - deq[i]))), 9)
+             AS max_abs_err,
+           round(list_reduce(list_transform(generate_series(1, len(dv)),
+                                            i -> (dv[i] - deq[i])
+                                                 * (dv[i] - deq[i])),
+                             (x, y) -> x + y) / len(dv), 9) AS mse,
+           round(list_reduce(list_transform(generate_series(1, len(dv)),
+                                            i -> dv[i] * deq[i]),
+                             (x, y) -> x + y)
+                 / (sqrt(list_reduce(list_transform(
+                           generate_series(1, len(dv)),
+                           i -> dv[i] * dv[i]), (x, y) -> x + y))
+                    * sqrt(list_reduce(list_transform(
+                             generate_series(1, len(dv)),
+                             i -> deq[i] * deq[i]), (x, y) -> x + y))),
+                 9) AS cos_dequant
+    FROM deqd
+    """,
+)
+def embedding_int8_quantize_audit(spark, sf_dir):
+    """Int8 affine quantization of the embedding corpus with a per-vector
+    dequantization-error audit — the vector-compression stage a 100 TB
+    ANN deployment runs before swapping float32 for int8 (4× memory /
+    bandwidth, the difference between an index that fits executor RAM
+    and one that spills): per DIMENSION, the corpus min/max define an
+    affine code `round((x - mn) / scale)` with `scale = (mx - mn)/255`;
+    the audit dequantizes and reports, per vector, the max absolute
+    element error, the MSE, and the cosine between the original and the
+    dequantized vector — the numbers that justify (or veto) serving ANN
+    from the int8 index. Constant dimensions (scale 0) encode as code 0
+    and dequantize to `mn` exactly, in both engines.
+
+    Determinism: per-dim min/max are exact over any aggregation order;
+    float32 widens to double exactly; code/dequant are single closed-form
+    double expressions evaluated identically in both engines (the round
+    argument is non-negative, where Spark HALF_UP ≡ DuckDB
+    half-away-from-zero); MSE/cosine use the module's sequential
+    left-fold discipline (`_DD_DOT`) so element order matches Spark's
+    `F.aggregate`, with round-9 on top. The cosine is NULL-guarded per
+    `cosine_from` (ANSI divide-by-zero).
+
+    Scale: ONE map-side-combined groupBy(dim) whose shuffle carries
+    d×partitions partial rows (corpus-size-independent), a d-bounded
+    driver collect (the PCA/ALS/SemDedup precedent), then ONE narrow
+    map with the d-entry min/max literals baked into the plan — no
+    joins, no second shuffle, embarrassingly parallel at any corpus
+    size. The same literals are what you'd broadcast to write the int8
+    codes themselves as the index artifact.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dv_expr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    flat = exploded_rows_pos(e, [], dv_expr, "dim", "x")
+    stats = (
+        flat.groupBy("dim")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    mn = {r["dim"]: r["mn"] for r in stats}
+    mx = {r["dim"]: r["mx"] for r in stats}
+    d = len(stats)
+    mns = F.array(*[F.lit(mn[i]) for i in range(d)])
+    mxs = F.array(*[F.lit(mx[i]) for i in range(d)])
+
+    def deq_el(x, i):
+        mn_el = F.element_at(mns, i + 1)
+        scale = (F.element_at(mxs, i + 1) - mn_el) / F.lit(255.0)
+        code = F.when(
+            scale > 0, F.round((x.cast("double") - mn_el) / scale)
+        ).otherwise(F.lit(0.0))
+        return mn_el + code * scale
+
+    base = e.select(
+        "vec_id",
+        dv_expr.alias("dv"),
+        F.transform(F.col("embedding"), deq_el).alias("deq"),
+    )
+    diff2 = F.zip_with("dv", "deq", lambda x, y: (x - y) * (x - y))
+    return base.select(
+        "vec_id",
+        F.round(
+            F.array_max(F.zip_with("dv", "deq", lambda x, y: F.abs(x - y))),
+            9,
+        ).alias("max_abs_err"),
+        F.round(
+            F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
+            / F.size("dv"),
+            9,
+        ).alias("mse"),
+        F.round(cosine(F.col("dv"), F.col("deq")), 9).alias("cos_dequant"),
+    )
+
+
 _ALS_RANK = 4  # latent factor dimension
 _ALS_REG = 0.1  # ridge regularization lambda
 
