@@ -1140,31 +1140,36 @@ def _qms_weight_table():
 def quality_model_score(spark, sf_dir):
     """Model-scored quality gate (round-10 unfreeze): batch inference of a
     fastText-style linear text classifier — lowercase word unigrams +
-    bigrams, feature-hashed into {_QMS_BUCKETS} buckets (Weinberger et
-    al. 2009's hashing trick, fastText's `bucket` scheme), mean-pooled
-    against a fixed weight vector, squashed through a logistic link —
-    executed corpus-wide as a VECTORIZED Arrow-batched Pandas kernel.
-    This fills the one LLM-pipeline stage the registry previously showed
-    only by proxy (`rerank_positional_ce`'s docstring promises the
-    model-scorer slot for its top-k candidates; this is the corpus-wide
+    bigrams, feature-hashed into 4096 buckets (Weinberger et al. 2009's
+    hashing trick, fastText's `bucket` scheme), mean-pooled against a
+    fixed weight vector, squashed through a logistic link — executed
+    corpus-wide as a VECTORIZED Arrow-batched Pandas kernel. This fills
+    the one LLM-pipeline stage the registry previously showed only by
+    proxy (`rerank_positional_ce`'s docstring promises the model-scorer
+    slot for its top-k candidates; this is the corpus-wide
     batch-inference shape): swap `_qms_weight_table` + the bincount for
     a real ONNX/torch forward pass and nothing else changes — schema,
     batching, partitioning, and the JVM plan around it are identical.
 
     Determinism (the reason this is fully value-oracled where a real
-    model would be rows-only): weights are md5-derived integers in
-    millis, so the per-doc feature sum is EXACT int64 arithmetic in both
-    engines regardless of accumulation order; the only float ops are one
+    model would be rows-only): tokenization happens JVM-SIDE via the
+    module-shared `tokens()` (F.lower + TOKEN_SPLIT_RE), the pair
+    proven ≡ DuckDB's `lower`/`string_split_regex` by every token-based
+    oracle — the Python kernel never touches case mapping or regex, so
+    no third tokenizer whose Unicode tables could drift (r10
+    self-review); weights are md5-derived integers in millis, so the
+    per-doc feature sum is EXACT int64 arithmetic in both engines
+    regardless of accumulation order; the only float ops are one
     division and one logistic per doc, rounded to 9 (the
-    `unigram_lm_quality` libm precedent). Bucket derivation is the repo's
-    `md5_bucket` convention; unigrams and bigrams cannot collide
+    `unigram_lm_quality` libm precedent). Bucket derivation is the
+    repo's `md5_bucket` convention; unigrams and bigrams cannot collide
     pre-hash (bigrams always contain a space).
 
-    Scale: ONE narrow Arrow-batched map over (doc_id, text) — zero
-    shuffles, zero joins; the model ships as a {_QMS_BUCKETS}-entry int64
-    closure literal (the bloom deny-set precedent), and per batch the
-    kernel factorizes features so md5 runs once per DISTINCT feature, not
-    per occurrence. The final link + gate are JVM-side codegen exprs. At
+    Scale: ONE narrow Arrow-batched map over (doc_id, tokens) — zero
+    shuffles, zero joins; the model ships as a 4096-entry int64 closure
+    literal (the bloom deny-set precedent), and per batch the kernel
+    factorizes features so md5 runs once per DISTINCT feature, not per
+    occurrence. The final link + gate are JVM-side codegen exprs. At
     100 TB this is embarrassingly parallel scan-side work — the gate
     writes survivors without any wide dependency.
     """
@@ -1174,17 +1179,13 @@ def quality_model_score(spark, sf_dir):
 
     def score_batches(it):
         import hashlib
-        import re
 
         import numpy as np
 
-        token_re = re.compile(r"[a-z0-9]+")
         for pdf in it:
             doc_ids, doc_idx, all_feats = [], [], []
-            for i, (doc_id, text) in enumerate(
-                zip(pdf["doc_id"], pdf["text"])
-            ):
-                toks = token_re.findall(text.lower()) if text else []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["toks"]):
+                toks = list(toks) if toks is not None else []
                 feats = toks + [
                     a + " " + b for a, b in zip(toks, toks[1:])
                 ]
@@ -1228,7 +1229,9 @@ def quality_model_score(spark, sf_dir):
             )
 
     d = load_table(spark, sf_dir, "documents")
-    stats = d.select("doc_id", "text").mapInPandas(
+    stats = d.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).mapInPandas(
         score_batches, "doc_id long, n_features long, w_milli_sum long"
     )
     logit = F.col("w_milli_sum").cast(_D) / (

@@ -1218,7 +1218,7 @@ def embedding_dim_profile(spark, sf_dir):
 
 @SIM.register(
     "embedding_int8_quantize_audit",
-    oracle="""
+    oracle=f"""
     WITH dims AS (
       SELECT i - 1 AS dim,
              MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
@@ -1240,26 +1240,18 @@ def embedding_dim_profile(spark, sf_dir):
                              * ((mxs[i] - mns[i]) / 255.0)
                       ELSE mns[i] END) AS deq
       FROM embeddings, packed
+    ), diffs AS (
+      SELECT vec_id, dv, deq,
+             list_transform(generate_series(1, len(dv)),
+                            i -> dv[i] - deq[i]) AS dif
+      FROM deqd
     )
     SELECT vec_id,
-           round(list_max(list_transform(generate_series(1, len(dv)),
-                                         i -> abs(dv[i] - deq[i]))), 9)
+           round(list_max(list_transform(dif, x -> abs(x))), 9)
              AS max_abs_err,
-           round(list_reduce(list_transform(generate_series(1, len(dv)),
-                                            i -> (dv[i] - deq[i])
-                                                 * (dv[i] - deq[i])),
-                             (x, y) -> x + y) / len(dv), 9) AS mse,
-           round(list_reduce(list_transform(generate_series(1, len(dv)),
-                                            i -> dv[i] * deq[i]),
-                             (x, y) -> x + y)
-                 / (sqrt(list_reduce(list_transform(
-                           generate_series(1, len(dv)),
-                           i -> dv[i] * dv[i]), (x, y) -> x + y))
-                    * sqrt(list_reduce(list_transform(
-                             generate_series(1, len(dv)),
-                             i -> deq[i] * deq[i]), (x, y) -> x + y))),
-                 9) AS cos_dequant
-    FROM deqd
+           round({_DD_DOT.format(a="dif", b="dif")} / len(dif), 9) AS mse,
+           round({_dd_cosine("dv", "deq")}, 9) AS cos_dequant
+    FROM diffs
     """,
 )
 def embedding_int8_quantize_audit(spark, sf_dir):
@@ -1318,18 +1310,14 @@ def embedding_int8_quantize_audit(spark, sf_dir):
         "vec_id",
         dv_expr.alias("dv"),
         F.transform(F.col("embedding"), deq_el).alias("deq"),
-    )
-    diff2 = F.zip_with("dv", "deq", lambda x, y: (x - y) * (x - y))
+    ).withColumn("dif", F.zip_with("dv", "deq", lambda x, y: x - y))
     return base.select(
         "vec_id",
         F.round(
-            F.array_max(F.zip_with("dv", "deq", lambda x, y: F.abs(x - y))),
-            9,
+            F.array_max(F.transform("dif", F.abs)), 9
         ).alias("max_abs_err"),
         F.round(
-            F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
-            / F.size("dv"),
-            9,
+            dot(F.col("dif"), F.col("dif")) / F.size("dif"), 9
         ).alias("mse"),
         F.round(cosine(F.col("dv"), F.col("deq")), 9).alias("cos_dequant"),
     )
