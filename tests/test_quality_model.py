@@ -68,3 +68,39 @@ def test_kernel_matches_naive_scorer(spark, tmp_path):
         )
         assert abs(r["quality_score"] - expect_score) < 1e-9
         assert r["keep"] == (w_sum > 0)
+
+
+def test_kernel_matches_naive_on_random_corpus(spark, tmp_path):
+    """Seeded-random corpus (varied lengths, repetition, collisions,
+    punctuation, digits) — the vectorized factorize/bincount path must
+    agree with the naive scorer on every document."""
+    import random
+
+    rng = random.Random(20260815)
+    vocab = [
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789")
+                for _ in range(rng.randint(1, 8)))
+        for _ in range(200)
+    ]
+    docs = []
+    for doc_id in range(50):
+        n = rng.randint(1, 120)
+        words = [rng.choice(vocab) for _ in range(n)]
+        # sprinkle punctuation/casing the JVM tokenizer must strip
+        text = " ".join(
+            w.upper() if rng.random() < 0.2 else w for w in words
+        )
+        if rng.random() < 0.3:
+            text = "!! " + text + " ??"
+        docs.append((doc_id, text))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in quality_model_score(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == set(range(50))
+    for doc_id, text in docs:
+        n, w_sum = _naive_score(text)
+        assert out[doc_id]["n_features"] == n, doc_id
+        assert out[doc_id]["w_milli_sum"] == w_sum, doc_id
