@@ -158,6 +158,9 @@ BENCH_QUERIES = [
     "split_leakage_audit",
     "multimodal_resize_digest",
     "quantile_sketch_report",
+    # added round 10: batch model inference + int8 quantization audit
+    "quality_model_score",
+    "embedding_int8_quantize_audit",
     # Two registry/driver-checked queries are deliberately NOT benched.
     # als_one_sweep_factors: the one-sweep ALS is ~6 s of multi-stage
     # driver-coordinated linear algebra, dominated by stage scheduling at
