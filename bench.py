@@ -158,9 +158,12 @@ BENCH_QUERIES = [
     "split_leakage_audit",
     "multimodal_resize_digest",
     "quantile_sketch_report",
-    # added round 10: batch model inference + int8 quantization audit
+    # added round 10: batch model inference + int8 quantization audit +
+    # the two oracle-upgrade audits (bloom one-sided error, PCA trace)
     "quality_model_score",
     "embedding_int8_quantize_audit",
+    "contamination_bloom_audit",
+    "pca_variance_report",
     # Two registry/driver-checked queries are deliberately NOT benched.
     # als_one_sweep_factors: the one-sweep ALS is ~6 s of multi-stage
     # driver-coordinated linear algebra, dominated by stage scheduling at

@@ -147,6 +147,32 @@ _SHINGLE_N = 5  # word n-gram width for contamination checks
 _BENCH_MOD = 97  # doc_id % _BENCH_MOD == 0 → doc belongs to the benchmark set
 
 
+def _shingle_frame(spark, sf_dir):
+    """(doc_id, s) with s = the doc's DISTINCT word {_SHINGLE_N}-gram
+    shingles — shared by the three contamination queries.
+
+    The index list is slice(sequence(1, max(n-4, 1)), 1, max(n-4, 0)):
+    Spark's sequence(1, 0) is the DESCENDING [1, 0] — not empty like
+    DuckDB's generate_series — so a <{_SHINGLE_N}-token doc would
+    otherwise produce garbage shingles; slicing the (always-ascending)
+    sequence to length max(n-4, 0) yields exactly zero of them. The guard
+    is expressed this way (not if()/concat_ws per element) deliberately:
+    both alternatives fall out of whole-stage codegen here and measured
+    1.4× and 7× slower respectively on the full query.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    shingles = F.expr(
+        f"array_distinct(transform("
+        f" slice(sequence(1, greatest(size(t) - {_SHINGLE_N - 1}, 1)),"
+        f"       1, greatest(size(t) - {_SHINGLE_N - 1}, 0)),"
+        f" i -> array_join(slice(t, i, {_SHINGLE_N}), ' ')))"
+    )
+    return d.select("doc_id", t.alias("t")).select(
+        "doc_id", shingles.alias("s")
+    )
+
+
 @PIPE.register(
     "contamination_ngram_overlap",
     oracle=f"""
@@ -186,25 +212,7 @@ def contamination_ngram_overlap(spark, sf_dir):
     corpus-sized shuffle. This is the standard decontamination shape
     (e.g. n-gram overlap against test sets) at pretraining scale.
     """
-    d = load_table(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
-    # The index list is slice(sequence(1, max(n-4, 1)), 1, max(n-4, 0)):
-    # Spark's sequence(1, 0) is the DESCENDING [1, 0] — not empty like
-    # DuckDB's generate_series — so a <{_SHINGLE_N}-token doc would
-    # otherwise produce garbage shingles; slicing the (always-ascending)
-    # sequence to length max(n-4, 0) yields exactly zero of them. The guard
-    # is expressed this way (not if()/concat_ws per element) deliberately:
-    # both alternatives fall out of whole-stage codegen here and measured
-    # 1.4× and 7× slower respectively on the full query.
-    shingles = F.expr(
-        f"array_distinct(transform("
-        f" slice(sequence(1, greatest(size(t) - {_SHINGLE_N - 1}, 1)),"
-        f"       1, greatest(size(t) - {_SHINGLE_N - 1}, 0)),"
-        f" i -> array_join(slice(t, i, {_SHINGLE_N}), ' ')))"
-    )
-    sh = d.select("doc_id", t.alias("t")).select(
-        "doc_id", shingles.alias("s")
-    )
+    sh = _shingle_frame(spark, sf_dir)
     bench = exploded_rows(
         sh.filter(F.col("doc_id") % _BENCH_MOD == 0), [], F.col("s"), "g"
     ).distinct()
@@ -230,45 +238,16 @@ _BLOOM_BITS = 1 << 17  # bloom filter width (16 KiB bitmap)
 _BLOOM_K = 4  # hash functions
 
 
-@PIPE.register("contamination_bloom_flags", oracle=None)
-def contamination_bloom_flags(spark, sf_dir):
-    """Bloom-filter decontamination — the LARGE-dirty-set scale path. The
-    exact variant above broadcasts the benchmark shingle dictionary, which
-    works while eval suites are small; when the deny-set grows to billions
-    of n-grams (every test set + every known benchmark + leaked docs), the
-    broadcast becomes the bottleneck. The bloom posture fixes the shipped
-    state at m bits REGARDLESS of set size: build a 2^17-bit / 4-hash
-    filter from the benchmark shingles, ship the 16 KiB bitmap as a plan
-    literal, and probe every doc's shingles with pure JVM bit arithmetic — a
-    no-shuffle narrow map over the corpus, zero per-row joins.
+def _bloom_probe_frame(sh):
+    """Exploded non-benchmark probes (doc_id, g) with the bloom bitmap
+    bound as the ``__w`` literal column — shared by the flags query and
+    the round-10 audit.
 
-    One-sided error by construction: a truly contaminated shingle ALWAYS
-    hits (no false negatives — the property decontamination needs); false
-    positives over-flag at rate ≈ (set_bits/m)^k, pinned under 0.1% of
-    checked shingles by tests/test_bloom_contamination.py, which also
-    verifies flagged ⊇ exact per doc. Rows-only: xxhash64 is not available
-    to DuckDB; semantics are pinned against the exact query in the test.
-
-    Crossover note: at THIS corpus scale the exact broadcast join is
-    faster (the benchmark dictionary is tiny); the bloom path wins when
-    the deny-set no longer broadcasts. Both are kept registered because
-    they are different points on the same scale curve.
+    Build: k bit positions per benchmark shingle, OR'd into m bits. The
+    position set is collected driver-side — it is bounded by k·|benchmark
+    shingles| (and at true scale this is a one-time fold into 16 KiB,
+    exactly what e.g. spark.util.sketch.BloomFilter materializes).
     """
-    d = load_table(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
-    shingles = F.expr(
-        f"array_distinct(transform("
-        f" slice(sequence(1, greatest(size(t) - {_SHINGLE_N - 1}, 1)),"
-        f"       1, greatest(size(t) - {_SHINGLE_N - 1}, 0)),"
-        f" i -> array_join(slice(t, i, {_SHINGLE_N}), ' ')))"
-    )
-    sh = d.select("doc_id", t.alias("t")).select(
-        "doc_id", shingles.alias("s")
-    )
-    # build: k bit positions per benchmark shingle, OR'd into m bits. The
-    # position set is collected driver-side — it is bounded by k·|benchmark
-    # shingles| (and at true scale this is a one-time fold into 16 KiB,
-    # exactly what e.g. spark.util.sketch.BloomFilter materializes).
     bench_pos = (
         exploded_rows(
             sh.filter(F.col("doc_id") % _BENCH_MOD == 0),
@@ -301,18 +280,20 @@ def contamination_bloom_flags(spark, sf_dir):
     wlits = F.lit(
         [w - (1 << 64) if w >= (1 << 63) else w for w in words]
     )
-    # probe: explode shingles (index-explode — see exploded_rows) and test
-    # the k bits with PLAIN column expressions, then re-aggregate per doc.
-    # Higher-order-function lambdas evaluate outside whole-stage codegen
-    # (a filter/forall formulation measured 6× slower than the exact
-    # broadcast join it was meant to beat); flat bit arithmetic stays in
-    # codegen, and the one extra doc_id aggregation is partial-combined.
-    ex = exploded_rows(
+    return exploded_rows(
         sh.filter(F.col("doc_id") % _BENCH_MOD != 0),
         ["doc_id"],
         F.col("s"),
         "g",
     ).withColumn("__w", wlits)
+
+
+def _bloom_hit_expr():
+    """All-k-bits-set probe over ``__w``/``g`` as PLAIN column
+    expressions. Higher-order-function lambdas evaluate outside
+    whole-stage codegen (a filter/forall formulation measured 6× slower
+    than the exact broadcast join it was meant to beat); flat bit
+    arithmetic stays in codegen."""
     hit = None
     for i in range(_BLOOM_K):
         # codegen'd subexpression elimination dedupes the repeated hash
@@ -324,6 +305,36 @@ def contamination_bloom_flags(spark, sf_dir):
             f" & 1) = 1"
         )
         hit = bit if hit is None else (hit & bit)
+    return hit
+
+
+@PIPE.register("contamination_bloom_flags", oracle=None)
+def contamination_bloom_flags(spark, sf_dir):
+    """Bloom-filter decontamination — the LARGE-dirty-set scale path. The
+    exact variant above broadcasts the benchmark shingle dictionary, which
+    works while eval suites are small; when the deny-set grows to billions
+    of n-grams (every test set + every known benchmark + leaked docs), the
+    broadcast becomes the bottleneck. The bloom posture fixes the shipped
+    state at m bits REGARDLESS of set size: build a 2^17-bit / 4-hash
+    filter from the benchmark shingles, ship the 16 KiB bitmap as a plan
+    literal, and probe every doc's shingles with pure JVM bit arithmetic — a
+    no-shuffle narrow map over the corpus, zero per-row joins.
+
+    One-sided error by construction: a truly contaminated shingle ALWAYS
+    hits (no false negatives — the property decontamination needs); false
+    positives over-flag at rate ≈ (set_bits/m)^k, pinned under 0.1% of
+    checked shingles by tests/test_bloom_contamination.py, which also
+    verifies flagged ⊇ exact per doc. Rows-only: xxhash64 is not available
+    to DuckDB; semantics are pinned against the exact query in the test.
+
+    Crossover note: at THIS corpus scale the exact broadcast join is
+    faster (the benchmark dictionary is tiny); the bloom path wins when
+    the deny-set no longer broadcasts. Both are kept registered because
+    they are different points on the same scale curve.
+    """
+    sh = _shingle_frame(spark, sf_dir)
+    ex = _bloom_probe_frame(sh)
+    hit = _bloom_hit_expr()
     return (
         ex.select("doc_id", hit.cast("int").alias("__hit"))
         .groupBy("doc_id")
@@ -339,6 +350,88 @@ def contamination_bloom_flags(spark, sf_dir):
                 "flagged_frac"
             ),
         )
+    )
+
+
+@PIPE.register(
+    "contamination_bloom_audit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - {_SHINGLE_N - 1}, 0)),
+               i -> array_to_string(t[i:i+{_SHINGLE_N - 1}], ' '))) AS s
+      FROM tok
+    ), bench AS (
+      SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % {_BENCH_MOD} = 0
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS g FROM sh
+      WHERE doc_id % {_BENCH_MOD} <> 0 AND len(s) > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(COUNT(bench.g) AS BIGINT) AS n_contaminated_probes,
+           TRUE AS no_false_negatives,
+           TRUE AS fp_rate_lt_1pct
+    FROM ex LEFT JOIN bench ON ex.g = bench.g
+    """,
+)
+def contamination_bloom_audit(spark, sf_dir):
+    """Bloom decontamination AUDIT (round-10 oracle upgrade for the bloom
+    family): probe every non-benchmark shingle through BOTH the exact
+    broadcast set and the 2^17-bit bloom, and report corpus-wide — the
+    exact probe/contamination counts next to the two buckets that state
+    the bloom's one-sided-error contract on the real data:
+    `no_false_negatives` (every exactly-contaminated probe is
+    bloom-flagged — the property decontamination REQUIRES) and
+    `fp_rate_lt_1pct` (false-positive rate over clean probes under 1%;
+    the pytest pin holds it under 0.1%, so 1% is a comfortable
+    envelope). The sketch-report envelope pattern: the oracle recomputes
+    the exact columns and carries the buckets as pre-verified TRUE
+    literals — a bloom regression (bad bit arithmetic, wrong hash seed,
+    truncated bitmap) flips a bucket and the driver hash goes red, where
+    previously `contamination_bloom_flags` got only a rows-only check
+    (xxhash64 has no DuckDB twin; the flags themselves stay rows-only by
+    construction, pinned per-doc by tests/test_bloom_contamination.py).
+
+    Scale: the exact side is the broadcast dictionary join
+    (`contamination_ngram_overlap`'s shape), the bloom side the same
+    16 KiB plan-literal probe as the flags query, fused over ONE explode
+    of the corpus shingles; output is a single scalar row.
+    """
+    sh = _shingle_frame(spark, sf_dir)
+    bench = exploded_rows(
+        sh.filter(F.col("doc_id") % _BENCH_MOD == 0), [], F.col("s"), "g"
+    ).distinct()
+    probes = _bloom_probe_frame(sh).join(
+        F.broadcast(bench.withColumnRenamed("g", "bg")),
+        F.col("g") == F.col("bg"),
+        "left_outer",
+    )
+    exact = F.col("bg").isNotNull()
+    bloom = _bloom_hit_expr()
+    agg = probes.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.coalesce(F.sum(exact.cast("long")), F.lit(0)).alias("n_cont"),
+        F.coalesce(
+            F.sum((exact & ~bloom).cast("long")), F.lit(0)
+        ).alias("n_fn"),
+        F.coalesce(
+            F.sum((~exact & bloom).cast("long")), F.lit(0)
+        ).alias("n_fp"),
+    )
+    clean = F.col("n_probes") - F.col("n_cont")
+    return agg.select(
+        "n_probes",
+        F.col("n_cont").alias("n_contaminated_probes"),
+        (F.col("n_fn") == 0).alias("no_false_negatives"),
+        F.when(
+            clean > 0, F.col("n_fp").cast(_D) / clean < 0.01
+        ).otherwise(F.lit(True)).alias("fp_rate_lt_1pct"),
     )
 
 

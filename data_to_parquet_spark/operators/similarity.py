@@ -975,41 +975,11 @@ _PCA_DIM = 64  # embeddings table dimension (TESTDATA.md)
 _PCA_COMPONENTS = 4
 
 
-@SIM.register("embedding_pca_components", oracle=None)
-def embedding_pca_components(spark, sf_dir):
-    """Distributed PCA over the embedding corpus: top principal components
-    via exact-shape two-phase covariance accumulation + driver-side power
-    iteration — the dimensionality-reduction stage in front of semantic
-    dedup / clustering at scale (project 64-d → 4-d, then bucket), and the
-    standard corpus-drift diagnostic (eigenvalue spectrum).
-
-    The scale design is the point. Phase 1 (``mapInPandas``): each Arrow
-    batch contributes ONE row — its count, d-element column sum, and
-    flattened d×d Gram partial (numpy matmul, vectorized) — so executor→
-    shuffle volume is O(#batches × d²), independent of corpus size. Phase
-    2: posexplode those partial arrays to (idx, v) and sum per idx with
-    map-side combine — a 4096-group aggregation, never a driver-side
-    merge of batches. Only the final d×d matrix (one bounded collect of
-    d² sums) reaches the driver, where power iteration + deflation on a
-    64×64 matrix is microseconds. Output: (component, dim, loading,
-    eigenvalue, explained_frac) — d×k rows.
-
-    No oracle — and measurably cannot have one (round-6 study): the
-    embedding covariance spectrum is nearly flat (λ2/λ1 ≈ 0.987 at
-    sf0.01, 0.983 at sf0.1; top-4 gaps 2-10e-4), so 200 power iterations
-    sit far from convergence ((0.99)^200 ≈ 0.13) and the ~1e-13
-    reduce-order noise in the Gram totals amplifies through the
-    iteration path and deflation to ~1e-10 on the UNROUNDED loadings —
-    a hash-exact cross-engine compare would flip at the few-percent
-    level per run, and rounding coarsely enough to absorb it (5
-    decimals) would destroy the loading fidelity the query exists to
-    report. Contrast `kmeans_embedding_clusters`/`neardup_graph_pagerank`
-    (upgraded round 6), whose outputs are tie-gated or quantized with
-    orders-of-magnitude margin. The driver records rows-only;
-    tests/test_pca.py pins loadings against numpy's exact
-    eigendecomposition (|cos| alignment per component, eigenvalue rtol)
-    and fixes the sign convention (largest-|loading| entry positive).
-    """
+def _pca_fit(spark, sf_dir):
+    """The shared PCA dataflow (see `embedding_pca_components` for the
+    scale design): distributed count/colsum/Gram partials → d²-bounded
+    driver collect → covariance → power iteration with deflation.
+    Returns (n_total, total_var, comps, eigs)."""
     d = load_table(spark, sf_dir, "embeddings")
 
     def gram_batches(it):
@@ -1062,6 +1032,45 @@ def embedding_pca_components(spark, sf_dir):
         comps.append(v)
         eigs.append(lam)
         a = a - lam * np.outer(v, v)
+    return n_total, total_var, comps, eigs
+
+
+@SIM.register("embedding_pca_components", oracle=None)
+def embedding_pca_components(spark, sf_dir):
+    """Distributed PCA over the embedding corpus: top principal components
+    via exact-shape two-phase covariance accumulation + driver-side power
+    iteration — the dimensionality-reduction stage in front of semantic
+    dedup / clustering at scale (project 64-d → 4-d, then bucket), and the
+    standard corpus-drift diagnostic (eigenvalue spectrum).
+
+    The scale design is the point. Phase 1 (``mapInPandas``): each Arrow
+    batch contributes ONE row — its count, d-element column sum, and
+    flattened d×d Gram partial (numpy matmul, vectorized) — so executor→
+    shuffle volume is O(#batches × d²), independent of corpus size. Phase
+    2: posexplode those partial arrays to (idx, v) and sum per idx with
+    map-side combine — a 4096-group aggregation, never a driver-side
+    merge of batches. Only the final d×d matrix (one bounded collect of
+    d² sums) reaches the driver, where power iteration + deflation on a
+    64×64 matrix is microseconds. Output: (component, dim, loading,
+    eigenvalue, explained_frac) — d×k rows.
+
+    No oracle — and measurably cannot have one (round-6 study): the
+    embedding covariance spectrum is nearly flat (λ2/λ1 ≈ 0.987 at
+    sf0.01, 0.983 at sf0.1; top-4 gaps 2-10e-4), so 200 power iterations
+    sit far from convergence ((0.99)^200 ≈ 0.13) and the ~1e-13
+    reduce-order noise in the Gram totals amplifies through the
+    iteration path and deflation to ~1e-10 on the UNROUNDED loadings —
+    a hash-exact cross-engine compare would flip at the few-percent
+    level per run, and rounding coarsely enough to absorb it (5
+    decimals) would destroy the loading fidelity the query exists to
+    report. Contrast `kmeans_embedding_clusters`/`neardup_graph_pagerank`
+    (upgraded round 6), whose outputs are tie-gated or quantized with
+    orders-of-magnitude margin. The driver records rows-only;
+    tests/test_pca.py pins loadings against numpy's exact
+    eigendecomposition (|cos| alignment per component, eigenvalue rtol)
+    and fixes the sign convention (largest-|loading| entry positive).
+    """
+    _, total_var, comps, eigs = _pca_fit(spark, sf_dir)
 
     rows = [
         (c, dim, float(comps[c][dim]), eigs[c], eigs[c] / total_var)
@@ -1073,6 +1082,86 @@ def embedding_pca_components(spark, sf_dir):
         "component int, dim int, loading double, eigenvalue double,"
         " explained_frac double",
     )
+
+
+@SIM.register(
+    "pca_variance_report",
+    oracle=f"""
+    WITH flat AS (
+      SELECT i - 1 AS dim,
+             CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+    ), dimvar AS (
+      SELECT dim,
+             (COUNT(*) * CAST(SUM(CAST(x AS DECIMAL(18,12))
+                                  * CAST(x AS DECIMAL(18,12))) AS DOUBLE)
+              - CAST(SUM(CAST(x AS DECIMAL(18,12))) AS DOUBLE)
+                * CAST(SUM(CAST(x AS DECIMAL(18,12))) AS DOUBLE))
+             / (CAST(COUNT(*) AS DOUBLE) * COUNT(*)) AS var
+      FROM flat GROUP BY dim
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vectors,
+           round(SUM(var), 6) AS total_var,
+           TRUE AS components_near_orthonormal,
+           TRUE AS topk_var_in_bracket
+    FROM dimvar
+    """,
+)
+def pca_variance_report(spark, sf_dir):
+    """PCA observability (round-10 oracle upgrade for the PCA family):
+    the round-6 study showed `embedding_pca_components`' raw loadings
+    CANNOT be value-oracled (near-flat spectrum + ~1e-13 reduce-order
+    noise amplifies to percent-level loading differences), so — the
+    sketch-report envelope pattern — this sibling reports what IS
+    cross-engine exact next to buckets whose truth the Spark side
+    measures on the real fitted components: `total_var` (the covariance
+    trace; the oracle recomputes it as the sum of per-dim variances from
+    DECIMAL-exact moments, the `embedding_dim_profile` precedent, and
+    the float64 Gram path agrees to ~1e-12 ≪ the round-6 grain),
+    `components_near_orthonormal` (max |vi·vj − δij| ≤ 0.05: deflation
+    under this NEAR-FLAT spectrum leaves genuinely non-orthogonal
+    iterates — measured 1.6e-4 / 1.3e-3 / 7.3e-3 at sf0.001/0.01/0.1,
+    so 0.05 is a ≥7× envelope in the HLL-5%-bound tradition, while a
+    real normalization/deflation bug produces O(1) error and flips
+    it), and
+    `topk_var_in_bracket` (k/d·total ≤ Σλ ≤ total — the top-k average
+    can never sit below the overall average, and captured variance can
+    never exceed the trace; measured Σλ sits 1.3-1.7× above the lower
+    bound across sfs; an eigenvalue-scale bug flips it). A Gram
+    accumulation bug (wrong count, bad mean subtraction) moves
+    `total_var` itself and the driver hash goes red — the PCA family's
+    first driver VALUE check; the loadings stay rows-only by
+    measurement, pinned against numpy in tests/test_pca.py.
+
+    Scale: identical dataflow to `embedding_pca_components` (shared
+    `_pca_fit`): O(#batches × d²) shuffle volume, d²-bounded driver
+    collect, driver-side 64×64 iteration; output is one scalar row.
+    """
+    n_total, total_var, comps, eigs = _pca_fit(spark, sf_dir)
+    vmat = np.stack(comps)
+    gram = vmat @ vmat.T
+    ortho_err = float(np.max(np.abs(gram - np.eye(len(comps)))))
+    topk = float(sum(eigs))
+    k, dd = _PCA_COMPONENTS, _PCA_DIM
+    in_bracket = (
+        topk >= (k / dd) * total_var - 1e-9
+        and topk <= total_var + 1e-9
+    )
+    # F.round (HALF_UP ≡ DuckDB round on positives), not Python's
+    # banker's round — the repo-wide tie discipline
+    return spark.createDataFrame(
+        [
+            (
+                int(n_total),
+                total_var,
+                bool(ortho_err <= 0.05),
+                bool(in_bracket),
+            )
+        ],
+        "n_vectors bigint, total_var double,"
+        " components_near_orthonormal boolean,"
+        " topk_var_in_bracket boolean",
+    ).withColumn("total_var", F.round(F.col("total_var"), 6))
 
 
 _KM_K = 8  # cluster count

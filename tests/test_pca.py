@@ -86,3 +86,35 @@ def test_distributed_covariance_equals_local(spark, sf_dir):
     # explained_frac denominators imply the distributed trace; compare
     trace_dist = eigs[0] / fracs[0]
     assert abs(trace_dist - np.trace(cov)) < 1e-8 * max(1, np.trace(cov))
+
+
+def test_variance_report_buckets_have_margin(spark, sf_dir):
+    """Early warning for the round-10 driver envelope
+    (`pca_variance_report`): the oracle carries its two buckets as
+    pre-verified TRUE literals, so this pin asserts they hold with REAL
+    margin at the test sf — orthogonality error well inside the 0.05
+    envelope (measured 1.6e-4..7.3e-3 across sf0.001..0.1) and the
+    top-k variance sum comfortably inside its bracket — before the
+    driver ever hashes them."""
+    import numpy as np
+
+    from data_to_parquet_spark.operators.similarity import (
+        _PCA_COMPONENTS,
+        _PCA_DIM,
+        _pca_fit,
+        pca_variance_report,
+    )
+
+    n, total_var, comps, eigs = _pca_fit(spark, sf_dir)
+    vmat = np.stack(comps)
+    ortho_err = float(np.max(np.abs(vmat @ vmat.T - np.eye(len(comps)))))
+    assert ortho_err <= 0.02, ortho_err  # tighter than the 0.05 envelope
+    topk = float(sum(eigs))
+    assert topk >= 1.1 * (_PCA_COMPONENTS / _PCA_DIM) * total_var
+    assert topk <= 0.5 * total_var  # far from the trace ceiling too
+
+    row = pca_variance_report(spark, sf_dir).collect()[0]
+    assert row["n_vectors"] == int(n)
+    assert row["components_near_orthonormal"] is True
+    assert row["topk_var_in_bracket"] is True
+    assert abs(row["total_var"] - round(total_var, 6)) <= 1e-6
