@@ -1429,43 +1429,13 @@ def _als_item_init(n_items: int) -> np.ndarray:
     return np.array(vals).reshape(n_items, _ALS_RANK)
 
 
-@SIM.register("als_one_sweep_factors", oracle=None)
-def als_one_sweep_factors(spark, sf_dir):
-    """One full ALS sweep (the MLlib marquee algorithm re-expressed on the
-    DataFrame API): explicit-feedback alternating least squares over the
-    customer × brand purchase-count matrix — solve every user factor
-    against fixed item factors, then re-solve every item factor against
-    the new user factors. Output: per-brand factor norms, rater counts,
-    and the observed-entry RMSE of the resulting model.
-
-    Distributed shape (what makes ALS scale on Spark):
-    * USER step: item factors are a tiny broadcast k×d constant inside a
-      `mapInPandas` batch solver — each Arrow batch assembles its users'
-      d×d normal equations and solves them with ONE batched
-      `np.linalg.solve`; per-user rating lists arrive via a single
-      user-keyed shuffle (collect_list sorted by item for deterministic
-      accumulation order).
-    * ITEM step: the reduction Σᵤ xᵤxᵤᵀ per item must aggregate over
-      millions of users, so state cannot live per-task: each rating row
-      emits its d²+d Gram/rhs contributions, and ONE map-side-combined
-      groupBy((item, coeff_idx)) sums them — the shuffle carries
-      |items|·(d²+d)·partitions rows, independent of user count (the
-      same batch-Gram trick as `embedding_pca_components`). Only the
-      |items|×(d²+d) solved table ever reaches the driver.
-    * RMSE: one join of ratings against both factor tables, one scalar
-      aggregate.
-
-    Rows-only, for the same measured reason as `embedding_pca_components`
-    (round-6 study): each user/item factor is the solution of a d×d
-    linear system, and `np.linalg.solve`'s pivoted-LU arithmetic has no
-    DuckDB-replicable counterpart — a recursive-CTE Gaussian elimination
-    would make different pivot/summation choices, and the solve
-    amplifies those ulp differences by the normal-matrix condition
-    number, putting cross-engine drift above any rounding fine enough to
-    keep the factor norms meaningful. tests/test_als.py pins factors and
-    RMSE against a dense numpy replication with identical init,
-    ordering, and regularization.
-    """
+def _als_sweep(spark, sf_dir):
+    """The shared one-sweep ALS dataflow (see `als_one_sweep_factors`
+    for the distributed design): ratings matrix -> batched per-user
+    ridge solves against broadcast item factors -> map-side-combined
+    per-item Gram reduction -> driver-side item re-solve -> observed-
+    entry RMSE. Returns (ratings, brands, n_raters, per_item,
+    total_n, rmse, y_new)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     p = load_table(spark, sf_dir, "part")
@@ -1588,6 +1558,50 @@ def als_one_sweep_factors(spark, sf_dir):
     total_sse = sum(v[0] for v in per_item.values())
     total_n = sum(v[1] for v in per_item.values())
     rmse = float(np.sqrt(total_sse / total_n))
+    return ratings, brands, n_raters, per_item, total_n, rmse, y_new
+
+
+@SIM.register("als_one_sweep_factors", oracle=None)
+def als_one_sweep_factors(spark, sf_dir):
+    """One full ALS sweep (the MLlib marquee algorithm re-expressed on the
+    DataFrame API): explicit-feedback alternating least squares over the
+    customer × brand purchase-count matrix — solve every user factor
+    against fixed item factors, then re-solve every item factor against
+    the new user factors. Output: per-brand factor norms, rater counts,
+    and the observed-entry RMSE of the resulting model.
+
+    Distributed shape (what makes ALS scale on Spark):
+    * USER step: item factors are a tiny broadcast k×d constant inside a
+      `mapInPandas` batch solver — each Arrow batch assembles its users'
+      d×d normal equations and solves them with ONE batched
+      `np.linalg.solve`; per-user rating lists arrive via a single
+      user-keyed shuffle (collect_list sorted by item for deterministic
+      accumulation order).
+    * ITEM step: the reduction Σᵤ xᵤxᵤᵀ per item must aggregate over
+      millions of users, so state cannot live per-task: each rating row
+      emits its d²+d Gram/rhs contributions, and ONE map-side-combined
+      groupBy((item, coeff_idx)) sums them — the shuffle carries
+      |items|·(d²+d)·partitions rows, independent of user count (the
+      same batch-Gram trick as `embedding_pca_components`). Only the
+      |items|×(d²+d) solved table ever reaches the driver.
+    * RMSE: one join of ratings against both factor tables, one scalar
+      aggregate.
+
+    Rows-only, for the same measured reason as `embedding_pca_components`
+    (round-6 study): each user/item factor is the solution of a d×d
+    linear system, and `np.linalg.solve`'s pivoted-LU arithmetic has no
+    DuckDB-replicable counterpart — a recursive-CTE Gaussian elimination
+    would make different pivot/summation choices, and the solve
+    amplifies those ulp differences by the normal-matrix condition
+    number, putting cross-engine drift above any rounding fine enough to
+    keep the factor norms meaningful. tests/test_als.py pins factors and
+    RMSE against a dense numpy replication with identical init,
+    ordering, and regularization.
+    """
+    _, brands, n_raters, per_item, _, rmse, y_new = _als_sweep(
+        spark, sf_dir
+    )
+    n_items = len(brands)
     rows = [
         (
             brands[i],
@@ -1605,6 +1619,91 @@ def als_one_sweep_factors(spark, sf_dir):
         "brand string, n_raters long, factor_norm double,"
         " item_rmse double, global_rmse double",
     )
+
+
+@SIM.register(
+    "als_convergence_report",
+    oracle="""
+    WITH ratings AS (
+      SELECT o_custkey AS u, p_brand AS b,
+             COUNT(DISTINCT o_orderkey) AS r
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY o_custkey, p_brand
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_ratings,
+           CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT b) AS BIGINT) AS n_items,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           round(sqrt((COUNT(*) * CAST(SUM(r * r) AS DOUBLE)
+                       - CAST(SUM(r) AS DOUBLE) * CAST(SUM(r) AS DOUBLE))
+                      / (CAST(COUNT(*) AS DOUBLE) * COUNT(*))), 9)
+             AS baseline_rmse,
+           TRUE AS model_beats_baseline,
+           TRUE AS factor_norms_bounded
+    FROM ratings
+    """,
+)
+def als_convergence_report(spark, sf_dir):
+    """ALS observability (round-10 oracle upgrade for the ALS family):
+    `als_one_sweep_factors` is rows-only by the round-6 measurement
+    (pivoted-LU solves have no DuckDB counterpart), so — the
+    sketch-report envelope pattern — this sibling reports what IS
+    cross-engine exact next to buckets the Spark side measures on the
+    real swept model: the exact rating-matrix shape (`n_ratings`,
+    `n_users`, `n_items`, `sum_r` — all integer aggregates) and the
+    global-mean predictor's RMSE (`baseline_rmse`, closed-form from
+    exact integer moments, rounded to 9 — the `embedding_dim_profile`
+    discipline), plus `model_beats_baseline` (one ALS sweep must out-
+    predict the constant global mean on observed entries — measured
+    ratio 0.81/0.86/0.87 at sf0.001/0.01/0.1, a 13-19% margin; a broken
+    solve collapses to >= baseline and flips it) and
+    `factor_norms_bounded` (max item-factor norm <= 10 vs measured
+    <= 2.05 — an ill-conditioned/exploding solve flips it). A ratings-
+    assembly bug moves the exact columns themselves — the ALS family's
+    first driver VALUE check; factors and RMSE stay numpy-pinned in
+    tests/test_als.py.
+
+    Scale: identical dataflow to `als_one_sweep_factors` (shared
+    `_als_sweep`) plus one scalar aggregate over the ratings frame;
+    output is a single row. Deliberately NOT benched, like the sweep
+    itself (multi-stage driver-coordinated linear algebra is stage-
+    scheduling-bound at sf0.1).
+    """
+    import math
+
+    ratings, brands, n_raters, per_item, total_n, rmse, y_new = (
+        _als_sweep(spark, sf_dir)
+    )
+    s = ratings.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user").alias("nu"),
+        F.countDistinct("brand").alias("nb"),
+        F.sum("r").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).alias("srr"),
+    ).first()
+    n, sr, srr = s["n"], s["sr"], s["srr"]
+    baseline = math.sqrt(
+        (n * float(srr) - float(sr) * float(sr)) / (float(n) * n)
+    )
+    max_norm = float(np.sqrt((y_new**2).sum(axis=1)).max())
+    return spark.createDataFrame(
+        [
+            (
+                int(n),
+                int(s["nu"]),
+                int(s["nb"]),
+                int(sr),
+                baseline,
+                bool(rmse < baseline),
+                bool(max_norm <= 10.0),
+            )
+        ],
+        "n_ratings bigint, n_users bigint, n_items bigint, sum_r bigint,"
+        " baseline_rmse double, model_beats_baseline boolean,"
+        " factor_norms_bounded boolean",
+    ).withColumn("baseline_rmse", F.round(F.col("baseline_rmse"), 9))
 
 
 _DBSCAN_MIN_NBRS = 3  # core point: >= this many eps-neighbors (self excluded)

@@ -104,3 +104,20 @@ def test_als_model_beats_mean_baseline(spark, sf_dir):
     baseline_rmse = float(np.sqrt(((vals - vals.mean()) ** 2).mean()))
     got = als_one_sweep_factors(spark, sf_dir).first()
     assert got["global_rmse"] < baseline_rmse
+
+
+def test_convergence_report_buckets_have_margin(spark, sf_dir):
+    """Early warning for the round-10 driver envelope
+    (`als_convergence_report`): its buckets ship as pre-verified TRUE
+    oracle literals, so assert they hold with REAL margin at the test
+    sf before the driver hashes them."""
+    from data_to_parquet_spark.operators.similarity import (
+        als_convergence_report,
+    )
+
+    row = als_convergence_report(spark, sf_dir).first()
+    assert row["model_beats_baseline"] is True
+    assert row["factor_norms_bounded"] is True
+    assert row["n_ratings"] > 0
+    assert row["sum_r"] >= row["n_ratings"]  # counts are >= 1 per cell
+    assert row["baseline_rmse"] > 0
