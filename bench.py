@@ -164,13 +164,15 @@ BENCH_QUERIES = [
     "embedding_int8_quantize_audit",
     "contamination_bloom_audit",
     "pca_variance_report",
-    # Two registry/driver-checked queries are deliberately NOT benched.
-    # als_one_sweep_factors: the one-sweep ALS is ~6 s of multi-stage
-    # driver-coordinated linear algebra, dominated by stage scheduling at
-    # sf0.1. streaming_incremental_neardup: a 5-epoch foreachBatch
-    # composition is ~20 s of fixed per-epoch stage overhead at sf0.1 — it
-    # would be 15% of the bench line while measuring scheduler latency,
-    # not operator throughput.
+    # Three registry/driver-checked queries are deliberately NOT benched.
+    # als_one_sweep_factors (and its round-10 sibling
+    # als_convergence_report, which re-runs the same sweep): the one-sweep
+    # ALS is ~6 s of multi-stage driver-coordinated linear algebra,
+    # dominated by stage scheduling at sf0.1.
+    # streaming_incremental_neardup: a 5-epoch foreachBatch composition is
+    # ~20 s of fixed per-epoch stage overhead at sf0.1 — it would be 15%
+    # of the bench line while measuring scheduler latency, not operator
+    # throughput.
 ]
 
 # Queries that populate or read the cross-query dedup memos
