@@ -1434,8 +1434,10 @@ def _als_sweep(spark, sf_dir):
     for the distributed design): ratings matrix -> batched per-user
     ridge solves against broadcast item factors -> map-side-combined
     per-item Gram reduction -> driver-side item re-solve -> observed-
-    entry RMSE. Returns (ratings, brands, n_raters, per_item,
-    total_n, rmse, y_new)."""
+    entry RMSE. Returns (rated, brands, n_raters, per_item,
+    total_n, rmse, y_new) — `rated` is the CHECKPOINTED
+    (user, item, r) frame, safe to re-aggregate without re-running the
+    ratings join."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     p = load_table(spark, sf_dir, "part")
@@ -1558,7 +1560,11 @@ def _als_sweep(spark, sf_dir):
     total_sse = sum(v[0] for v in per_item.values())
     total_n = sum(v[1] for v in per_item.values())
     rmse = float(np.sqrt(total_sse / total_n))
-    return ratings, brands, n_raters, per_item, total_n, rmse, y_new
+    # rated (not ratings) goes back to callers: it is the checkpointed
+    # frame, so a consumer aggregating over it reuses the materialized
+    # join instead of re-running lineitem⋈orders⋈part a third time
+    # (r10 second-pass review)
+    return rated, brands, n_raters, per_item, total_n, rmse, y_new
 
 
 @SIM.register("als_one_sweep_factors", oracle=None)
@@ -1673,17 +1679,20 @@ def als_convergence_report(spark, sf_dir):
     """
     import math
 
-    ratings, brands, n_raters, per_item, total_n, rmse, y_new = (
+    rated, brands, n_raters, per_item, total_n, rmse, y_new = (
         _als_sweep(spark, sf_dir)
     )
-    s = ratings.agg(
+    # rated is the checkpointed (user, item, r) frame — this aggregate
+    # reuses the materialized join instead of re-running it. r holds
+    # small integer counts stored as double, so Σr and Σr² are exact.
+    s = rated.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user").alias("nu"),
-        F.countDistinct("brand").alias("nb"),
+        F.countDistinct("item").alias("nb"),
         F.sum("r").alias("sr"),
         F.sum(F.col("r") * F.col("r")).alias("srr"),
     ).first()
-    n, sr, srr = s["n"], s["sr"], s["srr"]
+    n, sr, srr = s["n"], int(s["sr"]), s["srr"]
     baseline = math.sqrt(
         (n * float(srr) - float(sr) * float(sr)) / (float(n) * n)
     )
