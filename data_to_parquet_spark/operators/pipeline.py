@@ -148,12 +148,12 @@ _BENCH_MOD = 97  # doc_id % _BENCH_MOD == 0 → doc belongs to the benchmark set
 
 
 def _shingle_frame(spark, sf_dir):
-    """(doc_id, s) with s = the doc's DISTINCT word {_SHINGLE_N}-gram
-    shingles — shared by the three contamination queries.
+    """(doc_id, s) with s = the doc's DISTINCT word 5-gram shingles
+    (n = _SHINGLE_N) — shared by the three contamination queries.
 
     The index list is slice(sequence(1, max(n-4, 1)), 1, max(n-4, 0)):
     Spark's sequence(1, 0) is the DESCENDING [1, 0] — not empty like
-    DuckDB's generate_series — so a <{_SHINGLE_N}-token doc would
+    DuckDB's generate_series — so a <5-token doc would
     otherwise produce garbage shingles; slicing the (always-ascending)
     sequence to length max(n-4, 0) yields exactly zero of them. The guard
     is expressed this way (not if()/concat_ws per element) deliberately:

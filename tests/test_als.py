@@ -121,3 +121,27 @@ def test_convergence_report_buckets_have_margin(spark, sf_dir):
     assert row["n_ratings"] > 0
     assert row["sum_r"] >= row["n_ratings"]  # counts are >= 1 per cell
     assert row["baseline_rmse"] > 0
+
+
+def test_als_sweep_memoized_within_session(spark, sf_dir):
+    """r10 ADVICE: als_convergence_report used to re-run the entire
+    sweep that als_one_sweep_factors had just executed. The shared
+    `_als_sweep` is now session-memoized (fingerprint-validated like the
+    dedup memos), so the second consumer must get the SAME tuple object
+    back — and a fingerprint mismatch (regenerated testdata) must miss."""
+    from data_to_parquet_spark.operators import similarity as sim
+
+    sim._ALS_SWEEP_CACHE.clear()
+    first = sim._als_sweep(spark, sf_dir)
+    second = sim._als_sweep(spark, sf_dir)
+    assert first is second
+    assert len(sim._ALS_SWEEP_CACHE) == 1
+    # a changed fingerprint (testdata regenerated in place) must MISS and
+    # REPLACE the entry rather than serving the old generation
+    key = next(iter(sim._ALS_SWEEP_CACHE))
+    stored_fp, stored_val = sim._ALS_SWEEP_CACHE[key]
+    sim._ALS_SWEEP_CACHE[key] = (("stale", "generation"), stored_val)
+    third = sim._als_sweep(spark, sf_dir)
+    assert third is not stored_val
+    assert sim._ALS_SWEEP_CACHE[key][0] == stored_fp
+    sim._ALS_SWEEP_CACHE.clear()

@@ -118,3 +118,27 @@ def test_variance_report_buckets_have_margin(spark, sf_dir):
     assert row["components_near_orthonormal"] is True
     assert row["topk_var_in_bracket"] is True
     assert abs(row["total_var"] - round(total_var, 6)) <= 1e-6
+
+
+def test_variance_report_total_var_clear_of_rounding_boundary(spark, sf_dir):
+    """r10 ADVICE: `total_var` is the one driver-hashed value computed
+    via genuinely different arithmetic in the two engines (shuffle-order
+    float64 Gram sums in Spark vs DECIMAL-exact per-dim moments in the
+    oracle), agreeing to ~1e-12. Both round to 6 decimals, so a value
+    landing within ~1e-12 of a 0.5e-6 HALF_UP boundary could flake the
+    parity hash. This pin fires BEFORE the driver would: assert the
+    unrounded value sits at least 1e-9 (1000x the observed cross-engine
+    discrepancy) away from the nearest rounding boundary at the test sf,
+    so a regeneration into the risky zone shows up as a pytest failure
+    with this explanation attached instead of an unexplained driver red."""
+    from data_to_parquet_spark.operators.similarity import _pca_fit
+
+    _, total_var, _, _ = _pca_fit(spark, sf_dir)
+    # distance from the nearest x.xxxxxx5e-6 HALF_UP boundary
+    frac = (total_var * 1e6) % 1.0
+    dist_to_boundary = abs(frac - 0.5) * 1e-6
+    assert dist_to_boundary > 1e-9, (
+        f"total_var={total_var!r} is {dist_to_boundary:.2e} from a "
+        "6-decimal rounding boundary; widen the rounding or switch the "
+        "driver compare to an explicit tolerance before this flakes"
+    )
