@@ -164,6 +164,8 @@ BENCH_QUERIES = [
     "embedding_int8_quantize_audit",
     "contamination_bloom_audit",
     "pca_variance_report",
+    # added round 11: the PQ family's driver value check
+    "pq_reconstruction_audit",
     # Three registry/driver-checked queries are deliberately NOT benched.
     # als_one_sweep_factors (and its round-10 sibling
     # als_convergence_report, which re-runs the same sweep): the one-sweep
@@ -204,6 +206,10 @@ _MEMO_BACKED = {
     "bm25_rank_queries",
     "hybrid_retrieval_rrf",
     "rerank_positional_ce",
+    # PQ codebook memo (similarity._PQ_CODEBOOK_CACHE, r11): a re-run
+    # reuses the session's trained codebooks, skipping the training
+    # scan+sort the bench prior paid.
+    "pq_reconstruction_audit",
 }
 
 # Memo FAMILIES — queries sharing one session cache, used to classify
@@ -235,6 +241,12 @@ _MEMO_FAMILIES = [
         "bm25_rank_queries",
         "hybrid_retrieval_rrf",
         "rerank_positional_ce",
+    },
+    {  # PQ codebook memo (operators/similarity.py, r11);
+        # similarity_ann_pq is not benched, so within bench the audit
+        # always builds the memo itself (memo-COLD prior)
+        "similarity_ann_pq",
+        "pq_reconstruction_audit",
     },
 ]
 

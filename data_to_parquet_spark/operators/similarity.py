@@ -612,6 +612,85 @@ def embedding_array_stats(spark, sf_dir):
     )
 
 
+_PQ_M, _PQ_KSUB, _PQ_SAMPLE_N = 8, 16, 2048
+
+#: Session memo for the trained PQ codebooks: `similarity_ann_pq` and
+#: `pq_reconstruction_audit` (r11) share one training run per session —
+#: the training collect is bounded (_PQ_SAMPLE_N rows) but pays a corpus
+#: scan + sort; fingerprint-validated like the Lloyd-centroid memo so a
+#: regenerated corpus retrains instead of serving stale codebooks.
+_PQ_CODEBOOK_CACHE: dict = {}
+
+
+def _pq_fit(spark, sf_dir):
+    """Train the per-subspace PQ codebooks (m=_PQ_M subspaces, ksub=
+    _PQ_KSUB centroids each, 5 Lloyd iterations, seed 42) on a bounded
+    md5(id)-lowest sample — deterministic across runs/partitionings and
+    driver-side, so the trained floats are bit-stable within a corpus
+    generation. Returns (codebooks (m, ksub, dsub), cb_norm2 (m, ksub),
+    dim, dsub). Memoized per (applicationId, sf_dir)."""
+    import os
+
+    fp = path_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    key = (spark.sparkContext.applicationId, sf_dir, "pq")
+    hit = memo_get(_PQ_CODEBOOK_CACHE, key, fp)
+    if hit is not None:
+        return hit
+    e = load_table(spark, sf_dir, "embeddings")
+    # deterministic training sample: md5(id)-lowest rows (content-
+    # independent pseudo-random and stable across partitionings, unlike a
+    # bare limit() whose row order is scan-order-dependent)
+    sample = np.vstack(
+        [
+            r["embedding"]
+            for r in e.select("vec_id", "embedding")
+            .orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")))
+            .limit(_PQ_SAMPLE_N)
+            .collect()
+        ]
+    ).astype("float64")
+    dim = sample.shape[1]
+    dsub = dim // _PQ_M
+    rng = np.random.default_rng(42)
+    codebooks = np.zeros((_PQ_M, _PQ_KSUB, dsub))
+    for j in range(_PQ_M):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        cents = sub[rng.choice(len(sub), size=_PQ_KSUB, replace=False)]
+        for _ in range(5):  # Lloyd iterations per subspace
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(_PQ_KSUB):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        codebooks[j] = cents
+    hit = (codebooks, (codebooks ** 2).sum(axis=2), dim, dsub)
+    memo_put(_PQ_CODEBOOK_CACHE, key, fp, hit)
+    return hit
+
+
+def _pq_encode_udf(codebooks, cb_norm2, dsub):
+    """Arrow-batched encoder: each vector -> _PQ_M nearest-centroid codes
+    (one vectorized numpy pass per batch; codebooks ship as closure
+    literals, the int8-audit precedent for d-bounded model state)."""
+
+    @F.pandas_udf("array<int>")
+    def encode(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy()).astype("float64")
+        codes = np.empty((len(mat), _PQ_M), dtype="int32")
+        for j in range(_PQ_M):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            d2 = (
+                (sub ** 2).sum(axis=1, keepdims=True)
+                - 2 * sub @ codebooks[j].T
+                + cb_norm2[j][None, :]
+            )
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
 @SIM.register("similarity_ann_pq", oracle=None)
 def similarity_ann_pq(spark, sf_dir):
     """ANN via product quantization (PQ) with asymmetric distance
@@ -639,51 +718,10 @@ def similarity_ann_pq(spark, sf_dir):
     sample; recall-vs-bruteforce floors are pinned in tests/test_ann.py.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    m_sub, ksub, sample_n = 8, 16, 2048
+    codebooks, cb_norm2, dim, dsub = _pq_fit(spark, sf_dir)
+    m_sub = _PQ_M
 
-    # deterministic training sample: md5(id)-lowest rows (content-
-    # independent pseudo-random and stable across partitionings, unlike a
-    # bare limit() whose row order is scan-order-dependent)
-    sample = np.vstack(
-        [
-            r["embedding"]
-            for r in e.select("vec_id", "embedding")
-            .orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")))
-            .limit(sample_n)
-            .collect()
-        ]
-    ).astype("float64")
-    dim = sample.shape[1]
-    dsub = dim // m_sub
-    rng = np.random.default_rng(42)
-    codebooks = np.zeros((m_sub, ksub, dsub))
-    for j in range(m_sub):
-        sub = sample[:, j * dsub : (j + 1) * dsub]
-        cents = sub[rng.choice(len(sub), size=ksub, replace=False)]
-        for _ in range(5):  # Lloyd iterations per subspace
-            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(ksub):
-                members = sub[assign == c]
-                if len(members):
-                    cents[c] = members.mean(axis=0)
-        codebooks[j] = cents
-    cb_norm2 = (codebooks ** 2).sum(axis=2)  # (m, ksub)
-
-    @F.pandas_udf("array<int>")
-    def encode(emb: pd.Series) -> pd.Series:
-        mat = np.vstack(emb.to_numpy()).astype("float64")
-        codes = np.empty((len(mat), m_sub), dtype="int32")
-        for j in range(m_sub):
-            sub = mat[:, j * dsub : (j + 1) * dsub]
-            d2 = (
-                (sub ** 2).sum(axis=1, keepdims=True)
-                - 2 * sub @ codebooks[j].T
-                + cb_norm2[j][None, :]
-            )
-            codes[:, j] = d2.argmin(axis=1)
-        return pd.Series(list(codes))
-
+    encode = _pq_encode_udf(codebooks, cb_norm2, dsub)
     coded = e.select("vec_id", encode("embedding").alias("codes"))
 
     qrows = sorted(
@@ -726,6 +764,195 @@ def similarity_ann_pq(spark, sf_dir):
         scored.filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
+    )
+
+
+#: pq_reconstruction_audit bucket bounds, each a >=1.7x envelope around
+#: the measured sf0.001/0.01/0.1 values (r11 probe; the HLL-5%-bound
+#: tradition — a real bug moves the metric by O(1), noise by ulps):
+#: mean recon cos measured 0.640-0.671 (floor 0.5); mean recon MSE
+#: measured 0.0086-0.0092 (bound 0.05, 5.4x); recall@10 vs exact
+#: measured 0.20-0.28 (floor 0.1; random top-10 of a 2000-vector corpus
+#: recalls ~0.005); ADC |approx-true| cosine error measured max
+#: 0.31-0.36 / mean 0.12-0.16 (bounds 0.7 / 0.35).
+_PQ_RECON_COS_FLOOR = 0.5
+_PQ_RECON_MSE_BOUND = 0.05
+_PQ_RECALL_FLOOR = 0.1
+_PQ_ADC_ERR_MAX_BOUND = 0.7
+_PQ_ADC_ERR_MEAN_BOUND = 0.35
+
+
+@SIM.register(
+    "pq_reconstruction_audit",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(MAX(len(embedding)) AS INTEGER) AS dim,
+           CAST({_N_QUERIES * _TOP_K} AS BIGINT) AS n_report_pairs,
+           TRUE AS codes_in_range,
+           TRUE AS subspaces_nondegenerate,
+           TRUE AS recon_cos_floor,
+           TRUE AS recon_mse_bounded,
+           TRUE AS recall_vs_exact_floor,
+           TRUE AS adc_err_bounded
+    FROM embeddings
+    """,
+)
+def pq_reconstruction_audit(spark, sf_dir):
+    """PQ observability (r11: the last ANN family member without a driver
+    VALUE check gains one — the sketch-report envelope pattern of
+    `embedding_int8_quantize_audit`/`contamination_bloom_audit`):
+    `similarity_ann_pq` itself is rows-only by measurement (its output
+    scores are built FROM the trained codebook floats, so no rounding
+    threshold survives a testdata regeneration), but the numbers that
+    justify SERVING the PQ index are cross-checkable: this audit
+    reports, in one row, what IS cross-engine exact (corpus size, vector
+    dimensionality, and the report-pair count the top-k contract fixes
+    at n_queries x k) next to buckets whose truth the Spark side
+    measures on the REAL trained codebooks and the REAL ADC scan —
+    every code in [0, ksub), every subspace using >=2 distinct codes
+    (measured: all 16 at every sf; 1 = collapsed training), mean
+    reconstruction cosine >= 0.5 and mean reconstruction MSE <= 0.05
+    (measured 0.640-0.671 / 0.0086-0.0092 across sf0.001-0.1), PQ
+    recall@10 against the exact brute-force top-k >= 0.1 (measured
+    0.20-0.28; random recalls ~0.005), and ADC-vs-true cosine error
+    bounded (max <= 0.7, mean <= 0.35; measured 0.31-0.36 / 0.12-0.16).
+    A broken encoder, a swapped LUT axis, a degenerate training run, or
+    an inflated ADC approximation each flips a bucket and the driver
+    hash goes red. Bounds live in the _PQ_* constants above;
+    tests/test_ann.py pins tighter floors at the test sf.
+
+    Scale: training is the memoized bounded-sample `_pq_fit` (shared
+    with `similarity_ann_pq` — one run per session); the encode+decode
+    error pass is ONE narrow Arrow-batched mapInPandas over the corpus
+    whose output (vec_id, 2 doubles, m codes) is checkpointed — at
+    production scale that checkpoint IS the PQ index artifact you'd
+    persist; code-usage is an 8-group aggregation with map-side combine;
+    recall joins two 50-row top-k frames (each corpus-linear to
+    produce, queries broadcast); true-cosine fetch broadcasts the
+    50-pair frame against the corpus scan. Driver traffic: one stats
+    row, 8 usage rows, 4 scalars — corpus-independent.
+    """
+    codebooks, cb_norm2, dim, dsub = _pq_fit(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    m_sub, ksub = _PQ_M, _PQ_KSUB
+
+    def enc_dec(batches):
+        for pdf in batches:
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+            n = len(mat)
+            codes = np.empty((n, m_sub), dtype="int32")
+            recon = np.empty_like(mat)
+            for j in range(m_sub):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                d2 = (
+                    (sub ** 2).sum(axis=1, keepdims=True)
+                    - 2 * sub @ codebooks[j].T
+                    + cb_norm2[j][None, :]
+                )
+                codes[:, j] = d2.argmin(axis=1)
+                recon[:, j * dsub : (j + 1) * dsub] = codebooks[j][
+                    codes[:, j]
+                ]
+            num = (mat * recon).sum(axis=1)
+            den = np.sqrt((mat ** 2).sum(axis=1)) * np.sqrt(
+                (recon ** 2).sum(axis=1)
+            )
+            cos = np.where(den > 0, num / den, 0.0)
+            mse = ((mat - recon) ** 2).mean(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "recon_cos": cos,
+                    "recon_mse": mse,
+                    "codes": list(codes),
+                }
+            )
+
+    per_vec = (
+        e.select("vec_id", "embedding")
+        .mapInPandas(
+            enc_dec,
+            "vec_id long, recon_cos double, recon_mse double,"
+            " codes array<int>",
+        )
+        .localCheckpoint(eager=False)
+    )
+    stats = per_vec.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("recon_cos").alias("mean_cos"),
+        F.avg("recon_mse").alias("mean_mse"),
+    ).first()
+    usage = (
+        per_vec.select(F.posexplode("codes").alias("sub", "code"))
+        .groupBy("sub")
+        .agg(
+            F.count_distinct("code").alias("nd"),
+            F.min("code").alias("mn"),
+            F.max("code").alias("mx"),
+        )
+        .collect()
+    )
+    codes_in_range = bool(
+        len(usage) == m_sub
+        and min(r["mn"] for r in usage) >= 0
+        and max(r["mx"] for r in usage) < ksub
+    )
+    nondegenerate = bool(
+        len(usage) == m_sub and all(r["nd"] >= 2 for r in usage)
+    )
+
+    pq = (
+        similarity_ann_pq(spark, sf_dir)
+        .select("query_id", "neighbor_id", "approx_cos")
+        .localCheckpoint(eager=False)
+    )
+    bf = similarity_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    n_pairs = pq.count()
+    matched = pq.join(bf, ["query_id", "neighbor_id"]).count()
+    recall = matched / n_pairs if n_pairs else 0.0
+
+    nb = e.join(
+        F.broadcast(pq), e["vec_id"] == pq["neighbor_id"]
+    ).select(
+        "query_id", "approx_cos", e["embedding"].alias("ne")
+    )
+    qv = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    err_row = (
+        qv.join(F.broadcast(nb), "query_id")
+        .select(
+            F.abs(
+                F.col("approx_cos") - cosine(F.col("qe"), F.col("ne"))
+            ).alias("err")
+        )
+        .agg(F.max("err").alias("mx"), F.avg("err").alias("av"))
+        .first()
+    )
+
+    return spark.createDataFrame(
+        [
+            (
+                int(stats["n"]),
+                int(dim),
+                int(n_pairs),
+                codes_in_range,
+                nondegenerate,
+                bool(stats["mean_cos"] >= _PQ_RECON_COS_FLOOR),
+                bool(stats["mean_mse"] <= _PQ_RECON_MSE_BOUND),
+                bool(recall >= _PQ_RECALL_FLOOR),
+                bool(
+                    err_row["mx"] <= _PQ_ADC_ERR_MAX_BOUND
+                    and err_row["av"] <= _PQ_ADC_ERR_MEAN_BOUND
+                ),
+            )
+        ],
+        "n_vectors bigint, dim int, n_report_pairs bigint,"
+        " codes_in_range boolean, subspaces_nondegenerate boolean,"
+        " recon_cos_floor boolean, recon_mse_bounded boolean,"
+        " recall_vs_exact_floor boolean, adc_err_bounded boolean",
     )
 
 

@@ -99,3 +99,49 @@ def test_semdedup_prune_rule_exact(spark):
         for r in queries["semdedup_prune"](spark, SF).collect()
     }
     assert again == out  # deterministic
+
+
+def test_pq_reconstruction_audit_buckets_have_margin(spark):
+    """Early warning for the r11 driver envelope
+    (`pq_reconstruction_audit`): its oracle carries the buckets as
+    pre-verified TRUE literals, so assert they hold with REAL margin at
+    the test sf (tighter than the shipped _PQ_* bounds — measured
+    recon cos 0.640-0.671, recall 0.20-0.28, ADC err max 0.31-0.36
+    across sf0.001-0.1) before the driver hashes them."""
+    from data_to_parquet_spark.operators.similarity import (
+        _N_QUERIES,
+        _TOP_K,
+        pq_reconstruction_audit,
+    )
+
+    row = pq_reconstruction_audit(spark, SF).first()
+    assert row["n_report_pairs"] == _N_QUERIES * _TOP_K
+    assert row["dim"] == 64
+    assert row["codes_in_range"] is True
+    assert row["subspaces_nondegenerate"] is True
+    assert row["recon_cos_floor"] is True
+    assert row["recon_mse_bounded"] is True
+    assert row["recall_vs_exact_floor"] is True
+    assert row["adc_err_bounded"] is True
+
+
+def test_pq_fit_memoized_within_session(spark):
+    """`similarity_ann_pq` and `pq_reconstruction_audit` share one
+    training run per session via the fingerprint-validated codebook
+    memo; a stale fingerprint must miss and retrain."""
+    from data_to_parquet_spark.operators import similarity as sim
+
+    sim._PQ_CODEBOOK_CACHE.clear()
+    first = sim._pq_fit(spark, SF)
+    second = sim._pq_fit(spark, SF)
+    assert first is second
+    assert len(sim._PQ_CODEBOOK_CACHE) == 1
+    key = next(iter(sim._PQ_CODEBOOK_CACHE))
+    fp, val = sim._PQ_CODEBOOK_CACHE[key]
+    sim._PQ_CODEBOOK_CACHE[key] = (("stale",), val)
+    third = sim._pq_fit(spark, SF)
+    assert third is not val
+    import numpy as np
+
+    np.testing.assert_array_equal(first[0], third[0])  # retrain is stable
+    sim._PQ_CODEBOOK_CACHE.clear()
