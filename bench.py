@@ -164,8 +164,10 @@ BENCH_QUERIES = [
     "embedding_int8_quantize_audit",
     "contamination_bloom_audit",
     "pca_variance_report",
-    # added round 11: the PQ family's driver value check
+    # added round 11: the PQ family's driver value check + the embed
+    # stage (hashed-projection batch inference over the full corpus)
     "pq_reconstruction_audit",
+    "embedding_generate_hashed",
     # Three registry/driver-checked queries are deliberately NOT benched.
     # als_one_sweep_factors (and its round-10 sibling
     # als_convergence_report, which re-runs the same sweep): the one-sweep

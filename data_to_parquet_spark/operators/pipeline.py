@@ -1344,3 +1344,195 @@ def quality_model_score(spark, sf_dir):
         ).alias("quality_score"),
         (F.col("w_milli_sum") > 0).alias("keep"),
     )
+
+
+# -- embedding generation (round 11) ----------------------------------------
+
+#: dimensionality of the generated embeddings — matches the fixture
+#: embeddings table's 64 dims so generated vectors drop into the same
+#: ANN/k-means dataflows (dsub=8 PQ subspaces, IVF cells) unchanged
+_EMB_DIM = 64
+
+
+@PIPE.register(
+    "embedding_generate_hashed",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, t[i] AS f
+      FROM tok, unnest(generate_series(1, len(t))) AS g(i)
+    ), fb AS (
+      SELECT doc_id,
+             ({md5_bucket_sql("'e:' || f", _EMB_DIM)}) AS b,
+             CASE WHEN CAST('0x' || substring(md5('s:' || f), 1, 8)
+                        AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM feats
+    ), sums AS (
+      SELECT doc_id, b, CAST(SUM(s) AS BIGINT) AS v
+      FROM fb GROUP BY doc_id, b
+    ), dense AS (
+      SELECT d.doc_id, g.i AS dim, COALESCE(sums.v, CAST(0 AS BIGINT)) AS v
+      FROM (SELECT doc_id FROM documents) d
+      CROSS JOIN (SELECT unnest(generate_series(0, {_EMB_DIM - 1})) AS i) g
+      LEFT JOIN sums ON sums.doc_id = d.doc_id AND sums.b = g.i
+    ), vecs AS (
+      SELECT doc_id, list(v ORDER BY dim) AS emb_sums
+      FROM dense GROUP BY doc_id
+    ), normed AS (
+      SELECT doc_id, emb_sums,
+             CAST(list_sum(list_transform(emb_sums, x -> x * x))
+                  AS DOUBLE) AS norm2
+      FROM vecs
+    )
+    SELECT n.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           array_to_string(n.emb_sums, ',') AS emb_sums_csv,
+           round(sqrt(n.norm2), 9) AS l2_norm
+    FROM normed n JOIN tok t USING (doc_id)
+    """,
+)
+def embedding_generate_hashed(spark, sf_dir):
+    """Embedding GENERATION as corpus-wide batch inference (round-11
+    unfreeze): the one LLM-pipeline stage previously shown only by its
+    consumers — every ANN/k-means/SemDedup query reads fixture vectors;
+    this is the embed step that would produce them. A deterministic
+    hashed-projection text encoder (feature hashing with a sign hash —
+    Weinberger et al. 2009's signed hashing trick, the classic
+    random-projection sentence baseline): each token maps to one of
+    _EMB_DIM=64 dims via the repo's md5-bucket convention and
+    contributes ±1 via an independent sign hash; the per-doc dim sums
+    are L2-normalized into a unit vector. 64 dims match the fixture
+    embeddings table, so the output drops into the existing PQ (8×8
+    subspaces) / IVF / k-means dataflows unchanged — swap the kernel
+    body for a real transformer forward pass and the schema, batching,
+    and plan are identical (the `quality_model_score` slot, one stage
+    earlier in the pipeline).
+
+    Determinism (fully value-oracled where a real encoder would be
+    rows-only): tokenization is JVM-side via the module-shared
+    `tokens()` (no third tokenizer); bucket and sign are md5-derived
+    per DISTINCT token (factorized per batch, the quality-model
+    precedent); the per-doc dim sums are EXACT int64 counts in both
+    engines regardless of accumulation order; the only float ops are
+    one sqrt and one division per element — IEEE-correctly-rounded on
+    identical int64 inputs in both engines — with round-9 on top.
+    Zero-token docs yield the zero vector (norm 0) by the same CASE in
+    both engines.
+
+    The registered output is FLAT (the driver canonicalizer hashes
+    scalar cells only): the exact int64 dim sums serialize as a CSV
+    string (int-to-string is engine-identical) next to the round-9 L2
+    norm — together they pin the generated vector exactly, since the
+    unit vector is sums/norm by construction. Consumers get the actual
+    array<double> vectors from `generated_embeddings()` below, the
+    library form the ANN/k-means tests feed from.
+
+    Scale: ONE narrow Arrow-batched map over (doc_id, tokens) — zero
+    shuffles, zero joins, embarrassingly parallel scan-side work; the
+    normalization is JVM-side codegen over the returned int64 array. At
+    100 TB this is exactly the embed stage's shape: the kernel is the
+    GPU-or-CPU-bound part you'd swap, the plan around it already
+    streams.
+    """
+    stats = _hashed_embedding_sums(spark, sf_dir)
+    norm2 = F.aggregate(
+        "emb_sums", F.lit(0).cast("long"), lambda a, x: a + x * x
+    )
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(
+            F.transform("emb_sums", lambda x: x.cast("string")), ","
+        ).alias("emb_sums_csv"),
+        F.round(F.sqrt(norm2.cast(_D)), 9).alias("l2_norm"),
+    )
+
+
+def _hashed_embedding_sums(spark, sf_dir):
+    """(doc_id, n_tokens, emb_sums array<bigint>) — the exact integer
+    core of `embedding_generate_hashed`, shared by the registered flat
+    audit and the `generated_embeddings` library form."""
+    import pandas as pd
+
+    def embed(it):
+        import hashlib
+
+        import numpy as np
+
+        for pdf in it:
+            n = len(pdf)
+            sums = np.zeros((n, _EMB_DIM), dtype=np.int64)
+            ntoks = np.zeros(n, dtype=np.int64)
+            all_toks, doc_idx = [], []
+            for i, toks in enumerate(pdf["toks"]):
+                toks = list(toks) if toks is not None else []
+                ntoks[i] = len(toks)
+                doc_idx.extend([i] * len(toks))
+                all_toks.extend(toks)
+            if all_toks:
+                codes, uniques = pd.factorize(pd.Series(all_toks))
+                b = np.array(
+                    [
+                        int(
+                            hashlib.md5(("e:" + u).encode()).hexdigest()[:8],
+                            16,
+                        )
+                        % _EMB_DIM
+                        for u in uniques
+                    ],
+                    dtype=np.int64,
+                )
+                s = np.array(
+                    [
+                        1
+                        if int(
+                            hashlib.md5(("s:" + u).encode()).hexdigest()[:8],
+                            16,
+                        )
+                        % 2
+                        == 0
+                        else -1
+                        for u in uniques
+                    ],
+                    dtype=np.int64,
+                )
+                idx = np.asarray(doc_idx, dtype=np.int64)
+                np.add.at(sums, (idx, b[codes]), s[codes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": ntoks,
+                    "emb_sums": list(sums),
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).mapInPandas(embed, "doc_id long, n_tokens long, emb_sums array<bigint>")
+
+
+def generated_embeddings(spark, sf_dir):
+    """(vec_id, embedding array<double>) — unit-normalized generated
+    vectors in the fixture embeddings table's shape, so the existing
+    ANN/k-means dataflows consume them unchanged (zero-token docs keep
+    the zero vector; downstream cosine guards already NULL-handle it)."""
+    stats = _hashed_embedding_sums(spark, sf_dir)
+    norm2 = F.aggregate(
+        "emb_sums", F.lit(0).cast("long"), lambda a, x: a + x * x
+    )
+    l2 = F.sqrt(norm2.cast(_D))
+    return stats.select(
+        F.col("doc_id").alias("vec_id"),
+        F.when(
+            norm2 > 0,
+            F.transform("emb_sums", lambda x: x.cast(_D) / l2),
+        )
+        .otherwise(F.transform("emb_sums", lambda x: F.lit(0.0)))
+        .alias("embedding"),
+    )

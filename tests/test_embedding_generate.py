@@ -1,0 +1,85 @@
+"""Pins for the round-11 embedding-generation stage: the vectorized
+hashed-projection kernel must agree with a naive per-document encoder
+(hashlib + pure Python), the generated unit vectors must actually be
+unit-norm, and — the reason the stage exists — they must drop into the
+existing k-means dataflow unchanged. The cross-engine value check is
+tests/test_oracle_parity.py::embedding_generate_hashed; these guard the
+kernel's vectorization (factorize/np.add.at) and the consumer contract
+without involving DuckDB."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import numpy as np
+
+from data_to_parquet_spark.operators.pipeline import (
+    _EMB_DIM,
+    embedding_generate_hashed,
+    generated_embeddings,
+)
+
+
+def _naive_embed(text: str):
+    toks = re.findall(r"[a-z0-9]+", text.lower())
+    sums = [0] * _EMB_DIM
+    for t in toks:
+        b = int(hashlib.md5(("e:" + t).encode()).hexdigest()[:8], 16) % _EMB_DIM
+        s = 1 if int(hashlib.md5(("s:" + t).encode()).hexdigest()[:8], 16) % 2 == 0 else -1
+        sums[b] += s
+    return len(toks), sums
+
+
+def test_kernel_matches_naive_encoder(spark, sf_dir):
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(50)
+        .collect()
+    }
+    got = {
+        r["doc_id"]: r
+        for r in embedding_generate_hashed(spark, sf_dir)
+        .filter("doc_id IN ({})".format(",".join(map(str, docs))))
+        .collect()
+    }
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        n, sums = _naive_embed(text)
+        assert got[doc_id]["n_tokens"] == n
+        assert got[doc_id]["emb_sums_csv"] == ",".join(map(str, sums))
+        expect_norm = math.sqrt(sum(x * x for x in sums))
+        assert abs(got[doc_id]["l2_norm"] - round(expect_norm, 9)) < 1e-12
+
+
+def test_generated_vectors_are_unit_norm(spark, sf_dir):
+    rows = generated_embeddings(spark, sf_dir).collect()
+    assert all(len(r["embedding"]) == _EMB_DIM for r in rows)
+    norms = np.array(
+        [math.sqrt(sum(x * x for x in r["embedding"])) for r in rows]
+    )
+    nonzero = norms[norms > 0]
+    assert len(nonzero) > 0
+    np.testing.assert_allclose(nonzero, 1.0, rtol=1e-12)
+    # zero-token docs (if any) stay the exact zero vector
+    for r in rows:
+        if sum(abs(x) for x in r["embedding"]) == 0:
+            assert all(x == 0.0 for x in r["embedding"])
+
+
+def test_generated_vectors_feed_kmeans(spark, sf_dir):
+    """The consumer contract: generated vectors run through the SAME
+    Lloyd trainer the IVF/semdedup quantizers use (ops.lloyd_centroids),
+    producing a full set of finite centroids — the embed stage feeds the
+    existing index-building dataflows without any adapter."""
+    from data_to_parquet_spark.ops import lloyd_centroids
+
+    vecs = generated_embeddings(spark, sf_dir)
+    cents, corpus = lloyd_centroids(
+        vecs, "vec_id", "embedding", k=4, iterations=2
+    )
+    assert cents.shape == (4, _EMB_DIM)
+    assert np.isfinite(cents).all()
+    assert corpus.count() == vecs.count()

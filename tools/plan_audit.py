@@ -134,6 +134,9 @@ AUDITED = [
     "embedding_int8_quantize_audit",
     "contamination_bloom_audit",
     "quantile_sketch_report",
+    # round 11: the embed stage (same scan-side narrow shape as
+    # quality_model_score)
+    "embedding_generate_hashed",
 ]
 
 
