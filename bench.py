@@ -210,8 +210,10 @@ _MEMO_BACKED = {
     "rerank_positional_ce",
     # PQ codebook memo (similarity._PQ_CODEBOOK_CACHE, r11): a re-run
     # reuses the session's trained codebooks, skipping the training
-    # scan+sort the bench prior paid.
+    # scan+sort the bench prior paid. similarity_ann_pq shares the memo
+    # but is not benched (listed for the family invariant).
     "pq_reconstruction_audit",
+    "similarity_ann_pq",
 }
 
 # Memo FAMILIES — queries sharing one session cache, used to classify
