@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     # stage (hashed-projection batch inference over the full corpus)
     "pq_reconstruction_audit",
     "embedding_generate_hashed",
+    "generated_embedding_topk",
     # Three registry/driver-checked queries are deliberately NOT benched.
     # als_one_sweep_factors (and its round-10 sibling
     # als_convergence_report, which re-runs the same sweep): the one-sweep

@@ -1354,10 +1354,12 @@ def quality_model_score(spark, sf_dir):
 _EMB_DIM = 64
 
 
-@PIPE.register(
-    "embedding_generate_hashed",
-    oracle=f"""
-    WITH tok AS (
+#: the DuckDB replay of `_hashed_embedding_sums` — shared by the
+#: embedding_generate_hashed oracle and the end-to-end search oracle
+#: (generated_embedding_topk); `normed` carries the exact int64 dim sums
+#: plus the (exact-int-summed, double-cast) squared norm
+_EMB_SQL_CTES = f"""
+    tok AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                          x -> x <> '') AS t
@@ -1389,6 +1391,13 @@ _EMB_DIM = 64
                   AS DOUBLE) AS norm2
       FROM vecs
     )
+"""
+
+
+@PIPE.register(
+    "embedding_generate_hashed",
+    oracle=f"""
+    WITH {_EMB_SQL_CTES}
     SELECT n.doc_id,
            CAST(len(t.t) AS BIGINT) AS n_tokens,
            array_to_string(n.emb_sums, ',') AS emb_sums_csv,
@@ -1536,3 +1545,89 @@ def generated_embeddings(spark, sf_dir):
         .otherwise(F.transform("emb_sums", lambda x: F.lit(0.0)))
         .alias("embedding"),
     )
+
+
+_GEN_TOPK_QUERIES = 5  # query set = doc_id < 5
+_GEN_TOPK_K = 10
+
+
+@PIPE.register(
+    "generated_embedding_topk",
+    oracle=None,  # assigned below — needs similarity's cosine fold SQL
+)
+def generated_embedding_topk(spark, sf_dir):
+    """End-to-end embed -> search (round 11): exact cosine top-k over the
+    GENERATED embeddings — the full pipeline a retrieval deployment runs
+    (encode the corpus, search it), previously shown only as separate
+    stages on fixture vectors. Unlike the fixture-PQ path this is FULLY
+    value-oracled end to end: the hashed-projection vectors are exact
+    int64 sums normalized by IEEE-identical sqrt/division in both
+    engines, and the cosine is the module-shared sequential fold, so
+    every reported score is bit-identical cross-engine with no rounding
+    envelope at all — the strongest correctness class available for a
+    similarity search.
+
+    Zero-token docs (zero vectors) are excluded from both corpus and
+    query sides in both engines (norm2 > 0): a degenerate vector has no
+    direction to search by, and excluding it keeps the cosine total and
+    the NULL-ordering semantics engine-independent.
+
+    Scale: the generation is the same single narrow Arrow-batched map as
+    `embedding_generate_hashed`; the search is `ops.cosine_topk` — query
+    set broadcast (no corpus shuffle), salted two-stage top-k window
+    (32x|queries| reduce keys, then the exact global top-k over the
+    <= 32k survivors). Identical posture to
+    `similarity_topk_bruteforce`, which EXPLAIN.md pins.
+    """
+    from ..ops import cosine_topk
+
+    sums = _hashed_embedding_sums(spark, sf_dir)
+    norm2 = F.aggregate(
+        "emb_sums", F.lit(0).cast("long"), lambda a, x: a + x * x
+    )
+    l2 = F.sqrt(norm2.cast(_D))
+    unit = sums.filter(norm2 > 0).select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform("emb_sums", lambda x: x.cast(_D) / l2).alias(
+            "embedding"
+        ),
+    )
+    q = unit.filter(F.col("vec_id") < _GEN_TOPK_QUERIES)
+    return cosine_topk(unit, q, "vec_id", "embedding", k=_GEN_TOPK_K)
+
+
+def _gen_topk_oracle() -> str:
+    from .similarity import _dd_cosine
+
+    return f"""
+    WITH {_EMB_SQL_CTES},
+    unit AS (
+      SELECT doc_id AS vec_id,
+             list_transform(emb_sums,
+                            x -> CAST(x AS DOUBLE) / sqrt(norm2)) AS v
+      FROM normed WHERE norm2 > 0
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv
+      FROM unit WHERE vec_id < {_GEN_TOPK_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, u.vec_id AS neighbor_id,
+             {_dd_cosine('q.qv', 'u.v')} AS cos_sim
+      FROM q JOIN unit u ON u.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id)
+                AS rank
+      FROM scored
+    ) t WHERE rank <= {_GEN_TOPK_K}
+    """
+
+
+# Query instances are frozen; attach the oracle by replacement. The SQL
+# needs similarity's cosine-fold fragment, imported lazily inside
+# _gen_topk_oracle to keep module import order unconstrained.
+import dataclasses as _dc  # noqa: E402
+
+PIPE._queries["generated_embedding_topk"] = _dc.replace(
+    PIPE._queries["generated_embedding_topk"], oracle=_gen_topk_oracle()
+)

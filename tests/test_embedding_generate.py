@@ -83,3 +83,45 @@ def test_generated_vectors_feed_kmeans(spark, sf_dir):
     assert cents.shape == (4, _EMB_DIM)
     assert np.isfinite(cents).all()
     assert corpus.count() == vecs.count()
+
+
+def test_generated_topk_matches_numpy(spark, sf_dir):
+    """Engine-independent pin for the end-to-end embed->search path:
+    replay encode + exact cosine top-k in numpy and require identical
+    (query, rank) -> neighbor assignments and cosines to 1e-12."""
+    from data_to_parquet_spark.operators.pipeline import (
+        _GEN_TOPK_K,
+        _GEN_TOPK_QUERIES,
+        generated_embedding_topk,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    ids, mat = [], []
+    for r in docs:
+        _, sums = _naive_embed(r["text"])
+        v = np.asarray(sums, dtype="float64")
+        n = math.sqrt(float(v @ v))
+        if n > 0:
+            ids.append(r["doc_id"])
+            mat.append(v / n)
+    ids = np.asarray(ids)
+    mat = np.vstack(mat)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in generated_embedding_topk(spark, sf_dir).collect()
+    }
+    n_queries = int((ids < _GEN_TOPK_QUERIES).sum())
+    assert len(got) == n_queries * _GEN_TOPK_K
+    for qpos in np.where(ids < _GEN_TOPK_QUERIES)[0]:
+        qid = int(ids[qpos])
+        cos = (mat @ mat[qpos]) / (norms * norms[qpos])
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != qid),
+            key=lambda i: (-cos[i], ids[i]),
+        )[:_GEN_TOPK_K]
+        for rank, i in enumerate(order, start=1):
+            nb, c = got[(qid, rank)]
+            assert nb == ids[i], (qid, rank, nb, ids[i])
+            assert abs(c - cos[i]) < 1e-12

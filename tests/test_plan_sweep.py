@@ -21,6 +21,7 @@ import __spark_entry__ as entry_mod
 ALLOW_BNLJ = {
     "range_join_quantity_bands",  # literal band table (3 rows)
     "similarity_topk_bruteforce",  # fixed query-vector set, broadcast
+    "generated_embedding_topk",  # same shape over generated vectors
     "similarity_ann_lsh",  # same bounded query set
     "similarity_ann_ivf",
     "similarity_ann_pq",

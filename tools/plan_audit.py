@@ -135,8 +135,9 @@ AUDITED = [
     "contamination_bloom_audit",
     "quantile_sketch_report",
     # round 11: the embed stage (same scan-side narrow shape as
-    # quality_model_score)
+    # quality_model_score) + the end-to-end embed->search top-k
     "embedding_generate_hashed",
+    "generated_embedding_topk",
 ]
 
 
