@@ -215,6 +215,13 @@ _MEMO_BACKED = {
     # but is not benched (listed for the family invariant).
     "pq_reconstruction_audit",
     "similarity_ann_pq",
+    # ALS sweep memo (similarity._ALS_SWEEP_CACHE, r11): the whole sweep
+    # result is shared. NEITHER query is benched today (deliberate, see
+    # BENCH_QUERIES comment), but if either is ever added, a same-session
+    # re-measure would time a cache read — listed now so the r9 trap
+    # can't recur silently.
+    "als_one_sweep_factors",
+    "als_convergence_report",
 }
 
 # Memo FAMILIES — queries sharing one session cache, used to classify
@@ -252,6 +259,12 @@ _MEMO_FAMILIES = [
         # always builds the memo itself (memo-COLD prior)
         "similarity_ann_pq",
         "pq_reconstruction_audit",
+    },
+    {  # ALS sweep memo (operators/similarity.py, r11); neither member
+        # is benched today — listed so the family invariant holds and a
+        # future benching inherits the right adjudication regime
+        "als_one_sweep_factors",
+        "als_convergence_report",
     },
 ]
 

@@ -1462,10 +1462,13 @@ def embedding_generate_hashed(spark, sf_dir):
     )
 
 
-def _hashed_embedding_sums(spark, sf_dir):
+def _hashed_embedding_sums(spark, sf_dir, doc_filter=None):
     """(doc_id, n_tokens, emb_sums array<bigint>) — the exact integer
     core of `embedding_generate_hashed`, shared by the registered flat
-    audit and the `generated_embeddings` library form."""
+    audit and the `generated_embeddings` library form. ``doc_filter``
+    (a Column predicate on the documents table) encodes a SUBSET with a
+    pushed-down scan filter — the encoder is per-doc deterministic and
+    batch-independent, so subset vectors equal their full-corpus twins."""
     import pandas as pd
 
     def embed(it):
@@ -1521,6 +1524,8 @@ def _hashed_embedding_sums(spark, sf_dir):
             )
 
     d = load_table(spark, sf_dir, "documents")
+    if doc_filter is not None:
+        d = d.filter(doc_filter)
     return d.select(
         "doc_id", tokens(F.col("text")).alias("toks")
     ).mapInPandas(embed, "doc_id long, n_tokens long, emb_sums array<bigint>")
@@ -1572,27 +1577,42 @@ def generated_embedding_topk(spark, sf_dir):
     direction to search by, and excluding it keeps the cosine total and
     the NULL-ordering semantics engine-independent.
 
-    Scale: the generation is the same single narrow Arrow-batched map as
-    `embedding_generate_hashed`; the search is `ops.cosine_topk` — query
-    set broadcast (no corpus shuffle), salted two-stage top-k window
-    (32x|queries| reduce keys, then the exact global top-k over the
-    <= 32k survivors). Identical posture to
-    `similarity_topk_bruteforce`, which EXPLAIN.md pins.
+    Scale: the corpus encodes in ONE narrow Arrow-batched map (the
+    `embedding_generate_hashed` kernel); the query side encodes its own
+    pushed-filter doc_id < N scan (a handful of rows — a filter cannot
+    push below a Python map, so deriving queries from the corpus frame
+    would re-run the full embed a second time); the search is
+    `ops.cosine_topk` — query set broadcast (no corpus shuffle), salted
+    two-stage top-k window (32x|queries| reduce keys, then the exact
+    global top-k over the <= 32k survivors). Identical posture to
+    `similarity_topk_bruteforce`; EXPLAIN.md pins the plan.
     """
     from ..ops import cosine_topk
 
-    sums = _hashed_embedding_sums(spark, sf_dir)
-    norm2 = F.aggregate(
-        "emb_sums", F.lit(0).cast("long"), lambda a, x: a + x * x
+    def unit_vectors(frame):
+        norm2 = F.aggregate(
+            "emb_sums", F.lit(0).cast("long"), lambda a, x: a + x * x
+        )
+        l2 = F.sqrt(norm2.cast(_D))
+        return frame.filter(norm2 > 0).select(
+            F.col("doc_id").alias("vec_id"),
+            F.transform("emb_sums", lambda x: x.cast(_D) / l2).alias(
+                "embedding"
+            ),
+        )
+
+    unit = unit_vectors(_hashed_embedding_sums(spark, sf_dir))
+    # the query side encodes its OWN doc_id < N scan (pushed-filter, a
+    # handful of rows) rather than filtering `unit`: a filter cannot push
+    # below the Python map, so filtering unit would re-run the full-corpus
+    # embed kernel a second time just to keep 5 rows (r11 review). The
+    # encoder is per-doc deterministic and batch-independent, so the
+    # query vectors are identical either way.
+    q = unit_vectors(
+        _hashed_embedding_sums(
+            spark, sf_dir, doc_filter=F.col("doc_id") < _GEN_TOPK_QUERIES
+        )
     )
-    l2 = F.sqrt(norm2.cast(_D))
-    unit = sums.filter(norm2 > 0).select(
-        F.col("doc_id").alias("vec_id"),
-        F.transform("emb_sums", lambda x: x.cast(_D) / l2).alias(
-            "embedding"
-        ),
-    )
-    q = unit.filter(F.col("vec_id") < _GEN_TOPK_QUERIES)
     return cosine_topk(unit, q, "vec_id", "embedding", k=_GEN_TOPK_K)
 
 
@@ -1623,9 +1643,12 @@ def _gen_topk_oracle() -> str:
     """
 
 
-# Query instances are frozen; attach the oracle by replacement. The SQL
-# needs similarity's cosine-fold fragment, imported lazily inside
-# _gen_topk_oracle to keep module import order unconstrained.
+# Query instances are frozen; attach the oracle by replacement. Building
+# the SQL imports operators.similarity (for its cosine-fold fragment) AT
+# PIPELINE IMPORT TIME — safe today because similarity imports nothing
+# from pipeline, but if similarity ever needs pipeline (e.g. to reuse
+# generated_embeddings), move this import/attachment behind a lazy
+# oracle_sql() hook first or the package import goes circular.
 import dataclasses as _dc  # noqa: E402
 
 PIPE._queries["generated_embedding_topk"] = _dc.replace(

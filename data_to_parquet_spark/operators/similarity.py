@@ -832,6 +832,37 @@ def pq_reconstruction_audit(spark, sf_dir):
     50-pair frame against the corpus scan. Driver traffic: one stats
     row, 8 usage rows, 4 scalars — corpus-independent.
     """
+    m = _pq_audit_metrics(spark, sf_dir)
+    return spark.createDataFrame(
+        [
+            (
+                m["n_vectors"],
+                m["dim"],
+                m["n_report_pairs"],
+                m["codes_in_range"],
+                m["subspaces_nondegenerate"],
+                bool(m["mean_recon_cos"] >= _PQ_RECON_COS_FLOOR),
+                bool(m["mean_recon_mse"] <= _PQ_RECON_MSE_BOUND),
+                bool(m["recall"] >= _PQ_RECALL_FLOOR),
+                bool(
+                    m["adc_err_max"] <= _PQ_ADC_ERR_MAX_BOUND
+                    and m["adc_err_mean"] <= _PQ_ADC_ERR_MEAN_BOUND
+                ),
+            )
+        ],
+        "n_vectors bigint, dim int, n_report_pairs bigint,"
+        " codes_in_range boolean, subspaces_nondegenerate boolean,"
+        " recon_cos_floor boolean, recon_mse_bounded boolean,"
+        " recall_vs_exact_floor boolean, adc_err_bounded boolean",
+    )
+
+
+def _pq_audit_metrics(spark, sf_dir) -> dict:
+    """The raw measured values behind `pq_reconstruction_audit`'s
+    buckets — exposed so tests/test_ann.py can pin TIGHTER bounds on the
+    underlying floats (early warning) while the shipped _PQ_* envelopes
+    gate the driver row (r11 review: asserting only the booleans would
+    fire simultaneously with the driver red, not before it)."""
     codebooks, cb_norm2, dim, dsub = _pq_fit(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
     m_sub, ksub = _PQ_M, _PQ_KSUB
@@ -932,28 +963,19 @@ def pq_reconstruction_audit(spark, sf_dir):
         .first()
     )
 
-    return spark.createDataFrame(
-        [
-            (
-                int(stats["n"]),
-                int(dim),
-                int(n_pairs),
-                codes_in_range,
-                nondegenerate,
-                bool(stats["mean_cos"] >= _PQ_RECON_COS_FLOOR),
-                bool(stats["mean_mse"] <= _PQ_RECON_MSE_BOUND),
-                bool(recall >= _PQ_RECALL_FLOOR),
-                bool(
-                    err_row["mx"] <= _PQ_ADC_ERR_MAX_BOUND
-                    and err_row["av"] <= _PQ_ADC_ERR_MEAN_BOUND
-                ),
-            )
-        ],
-        "n_vectors bigint, dim int, n_report_pairs bigint,"
-        " codes_in_range boolean, subspaces_nondegenerate boolean,"
-        " recon_cos_floor boolean, recon_mse_bounded boolean,"
-        " recall_vs_exact_floor boolean, adc_err_bounded boolean",
-    )
+    return {
+        "n_vectors": int(stats["n"]),
+        "dim": int(dim),
+        "n_report_pairs": int(n_pairs),
+        "codes_in_range": codes_in_range,
+        "subspaces_nondegenerate": nondegenerate,
+        "code_distinct_counts": sorted(r["nd"] for r in usage),
+        "mean_recon_cos": float(stats["mean_cos"]),
+        "mean_recon_mse": float(stats["mean_mse"]),
+        "recall": float(recall),
+        "adc_err_max": float(err_row["mx"]),
+        "adc_err_mean": float(err_row["av"]),
+    }
 
 
 _SD_K = 16  # k-means cells

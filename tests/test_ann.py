@@ -103,22 +103,39 @@ def test_semdedup_prune_rule_exact(spark):
 
 def test_pq_reconstruction_audit_buckets_have_margin(spark):
     """Early warning for the r11 driver envelope
-    (`pq_reconstruction_audit`): its oracle carries the buckets as
-    pre-verified TRUE literals, so assert they hold with REAL margin at
-    the test sf (tighter than the shipped _PQ_* bounds — measured
-    recon cos 0.640-0.671, recall 0.20-0.28, ADC err max 0.31-0.36
-    across sf0.001-0.1) before the driver hashes them."""
+    (`pq_reconstruction_audit`): assert the UNDERLYING measured values
+    hold at thresholds tighter than the shipped _PQ_* bounds (measured
+    recon cos 0.640-0.671, mse 0.0086-0.0092, recall 0.20-0.28, ADC err
+    max 0.31-0.36 / mean 0.12-0.16 across sf0.001-0.1), so a slow drift
+    toward an envelope fails HERE first — asserting only the audit's
+    booleans would fire simultaneously with the driver red (r11
+    review). The driver-facing row is checked for consistency too."""
     from data_to_parquet_spark.operators.similarity import (
         _N_QUERIES,
+        _PQ_KSUB,
+        _PQ_M,
         _TOP_K,
+        _pq_audit_metrics,
         pq_reconstruction_audit,
     )
 
+    m = _pq_audit_metrics(spark, SF)
+    assert m["n_report_pairs"] == _N_QUERIES * _TOP_K
+    assert m["dim"] == 64
+    assert m["codes_in_range"] is True
+    assert m["subspaces_nondegenerate"] is True
+    # tighter-than-envelope pins on the raw values (envelopes: 0.5 /
+    # 0.05 / 0.1 / 0.7 / 0.35)
+    assert m["mean_recon_cos"] >= 0.58, m["mean_recon_cos"]
+    assert m["mean_recon_mse"] <= 0.02, m["mean_recon_mse"]
+    assert m["recall"] >= 0.15, m["recall"]
+    assert m["adc_err_max"] <= 0.5, m["adc_err_max"]
+    assert m["adc_err_mean"] <= 0.25, m["adc_err_mean"]
+    # all 16 codes in use per subspace at every measured sf (>=2 is the
+    # shipped degenerate-training bound)
+    assert m["code_distinct_counts"] == [_PQ_KSUB] * _PQ_M
+
     row = pq_reconstruction_audit(spark, SF).first()
-    assert row["n_report_pairs"] == _N_QUERIES * _TOP_K
-    assert row["dim"] == 64
-    assert row["codes_in_range"] is True
-    assert row["subspaces_nondegenerate"] is True
     assert row["recon_cos_floor"] is True
     assert row["recon_mse_bounded"] is True
     assert row["recall_vs_exact_floor"] is True
