@@ -306,3 +306,86 @@ def test_adjudicate_keeps_plain_queries_in_one_shared_batch(
     for n in memo:
         assert [n] in calls
     assert len(calls) == 1 + len(memo)
+
+
+def test_adjudicate_carries_voluntary_entries_forward(tmp_path, monkeypatch):
+    """r11: a gate run used to REPLACE the whole regression_adjudication
+    block, silently deleting hand-recorded voluntary family
+    adjudications (the dedup-family idle re-measure was wiped by the
+    same gate run it was recorded for). Voluntary entries must survive a
+    flag-driven rewrite — unless the same query is freshly flagged, in
+    which case the fresh verdict wins."""
+    import adjudicate_regressions as adj
+
+    voluntary = {
+        "flag": None,
+        "voluntary": True,
+        "manual_verdict": "noise",
+        "manual_note": "idle family re-measure, dated",
+    }
+    full = tmp_path / "BENCH_FULL.json"
+    full.write_text(
+        json.dumps(
+            {
+                "sf": 0.1,
+                "regressions": {
+                    "q1_pricing_summary": "1.0s -> 3.0s (3.0x)",
+                    "dedup_simhash_pairs": "2.0s -> 9.0s (4.5x)",
+                },
+                "queries": {},
+                "regression_adjudication": {
+                    "date": "2026-08-14",
+                    "queries": {
+                        # survives: voluntary, not freshly flagged
+                        "neardup_jaccard_pairs": dict(voluntary),
+                        # yields: voluntary but freshly flagged this run
+                        "dedup_simhash_pairs": dict(voluntary),
+                        # dropped: stale flag-driven entry, not voluntary
+                        "token_budget_sample": {
+                            "flag": "old", "verdict": "noise",
+                        },
+                    },
+                },
+            }
+        )
+    )
+    monkeypatch.setattr(adj, "REPO", str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    class FakeProc:
+        returncode = 0
+
+        def __init__(self, names):
+            q = {
+                n: {"min_s": 0.4, "median_s": 0.5, "all_s": [0.6, 0.4]}
+                for n in names
+            }
+            self.stdout = json.dumps(
+                {
+                    "sf_dir": "/root/testdata/sf0.1",
+                    "reps": 2,
+                    "loadavg_at_start": [0.1, 0.1, 0.1],
+                    "loadavg_at_end": [0.1, 0.1, 0.1],
+                    "queries": q,
+                }
+            )
+            self.stderr = ""
+
+    def fake_run(cmd, **kwargs):
+        names = cmd[
+            cmd.index(
+                os.path.join(str(tmp_path), "tools", "idle_remeasure.py")
+            )
+            + 1 :
+        ]
+        return FakeProc(names)
+
+    monkeypatch.setattr(adj.subprocess, "run", fake_run)
+    assert adj.main(["--date", "2026-08-15"]) == 0
+
+    out = json.loads(full.read_text())["regression_adjudication"]["queries"]
+    assert out["neardup_jaccard_pairs"]["voluntary"] is True  # carried
+    assert "manual_note" not in out["dedup_simhash_pairs"]  # fresh wins
+    assert out["dedup_simhash_pairs"]["verdict"] == "noise"
+    assert "token_budget_sample" not in out  # stale flag entries drop
+    assert out["q1_pricing_summary"]["verdict"] == "noise"

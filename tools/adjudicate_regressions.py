@@ -226,6 +226,25 @@ def main(argv: list[str]) -> int:
 
     adjudicated = _verdicts(flags, measured["queries"])
 
+    # Carry forward VOLUNTARY entries (manual family adjudications not
+    # driven by a flag, marked "voluntary": true) from the prior block:
+    # this tool owns only the flag-driven verdicts, and replacing the
+    # whole block used to silently delete hand-recorded evidence the
+    # verdict had asked for (r11: the dedup-family idle re-measure was
+    # wiped by the same gate run it was recorded for). A voluntary entry
+    # for a query that is ALSO freshly flagged yields to the fresh
+    # verdict.
+    prior_queries = doc.get("regression_adjudication", {}).get(
+        "queries", {}
+    )
+    for name, entry in prior_queries.items():
+        if (
+            isinstance(entry, dict)
+            and entry.get("voluntary")
+            and name not in adjudicated
+        ):
+            adjudicated[name] = entry
+
     doc["regression_adjudication"] = {
         "date": date,
         "method": "tools/idle_remeasure.py, reps="
