@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "pq_reconstruction_audit",
     "embedding_generate_hashed",
     "generated_embedding_topk",
+    "similarity_ann_ivfpq",
     # Three registry/driver-checked queries are deliberately NOT benched.
     # als_one_sweep_factors (and its round-10 sibling
     # als_convergence_report, which re-runs the same sweep): the one-sweep
@@ -202,6 +203,7 @@ _MEMO_BACKED = {
     "similarity_ann_ivf",
     "semdedup_prune",
     "similarity_recall_report",
+    "similarity_ann_ivfpq",
     # BM25 frame memo (text._BM25_FRAME_CACHE): the corpus tokenization +
     # checkpointed (tok, dl, tf) frames are built once per session and
     # shared by the whole retrieval family (r9 review — these had the
@@ -244,10 +246,14 @@ _MEMO_FAMILIES = [
         "neardup_graph_assortativity",
         "neardup_cluster_modularity",
     },
-    {  # Lloyd centroid memo (operators/similarity.py)
+    {  # Lloyd centroid memo (operators/similarity.py); ivfpq (r11)
+        # reads the shared IVF centroids AND holds its own residual
+        # codebook memo (_IVFPQ_CODEBOOK_CACHE) — classified here by the
+        # larger shared cache
         "similarity_ann_ivf",
         "semdedup_prune",
         "similarity_recall_report",
+        "similarity_ann_ivfpq",
     },
     {  # BM25 frame memo (operators/text.py)
         "bm25_rank_queries",

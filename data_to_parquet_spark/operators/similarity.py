@@ -640,7 +640,20 @@ def _pq_fit(spark, sf_dir):
     # deterministic training sample: md5(id)-lowest rows (content-
     # independent pseudo-random and stable across partitionings, unlike a
     # bare limit() whose row order is scan-order-dependent)
-    sample = np.vstack(
+    sample = _pq_training_sample(spark, sf_dir)
+    dim = sample.shape[1]
+    dsub = dim // _PQ_M
+    codebooks = _pq_train_codebooks(sample, dsub)
+    hit = (codebooks, (codebooks ** 2).sum(axis=2), dim, dsub)
+    memo_put(_PQ_CODEBOOK_CACHE, key, fp, hit)
+    return hit
+
+
+def _pq_training_sample(spark, sf_dir) -> np.ndarray:
+    """The bounded md5(id)-lowest training sample as an (n, d) float64
+    matrix, ordered by the md5 sort (stable across partitionings)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return np.vstack(
         [
             r["embedding"]
             for r in e.select("vec_id", "embedding")
@@ -649,8 +662,13 @@ def _pq_fit(spark, sf_dir):
             .collect()
         ]
     ).astype("float64")
-    dim = sample.shape[1]
-    dsub = dim // _PQ_M
+
+
+def _pq_train_codebooks(sample: np.ndarray, dsub: int) -> np.ndarray:
+    """Per-subspace k-means (ksub centroids, 5 Lloyd iterations, seed
+    42) over ``sample`` — shared by raw-vector PQ (`_pq_fit`) and
+    residual PQ (`_ivfpq_fit`); the training input is the ONLY
+    difference between the two layouts."""
     rng = np.random.default_rng(42)
     codebooks = np.zeros((_PQ_M, _PQ_KSUB, dsub))
     for j in range(_PQ_M):
@@ -664,9 +682,7 @@ def _pq_fit(spark, sf_dir):
                 if len(members):
                     cents[c] = members.mean(axis=0)
         codebooks[j] = cents
-    hit = (codebooks, (codebooks ** 2).sum(axis=2), dim, dsub)
-    memo_put(_PQ_CODEBOOK_CACHE, key, fp, hit)
-    return hit
+    return codebooks
 
 
 def _pq_encode_udf(codebooks, cb_norm2, dsub):
@@ -976,6 +992,187 @@ def _pq_audit_metrics(spark, sf_dir) -> dict:
         "adc_err_max": float(err_row["mx"]),
         "adc_err_mean": float(err_row["av"]),
     }
+
+
+#: Session memo for the residual-PQ codebooks (IVF-PQ layout): keyed
+#: like _PQ_CODEBOOK_CACHE; the residual training additionally depends
+#: on the IVF centroids, which are themselves deterministic functions of
+#: the same fingerprinted corpus, so one fingerprint covers both.
+_IVFPQ_CODEBOOK_CACHE: dict = {}
+
+
+def _ivfpq_fit(spark, sf_dir):
+    """Train residual-PQ codebooks for the IVF-PQ layout: the same
+    bounded md5-lowest sample as `_pq_fit`, but each vector is first
+    reduced to its RESIDUAL against its nearest IVF centroid (the
+    Jegou et al. 2011 coarse+fine decomposition — residuals are
+    near-zero-mean and much lower-variance than raw vectors, which is
+    why production billion-vector indexes quantize them instead).
+    Returns (centroids (k, d), codebooks (m, ksub, dsub), cb_norm2,
+    dim, dsub). Memoized per (applicationId, sf_dir)."""
+    import os
+
+    fp = path_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    key = (spark.sparkContext.applicationId, sf_dir, "ivfpq")
+    hit = memo_get(_IVFPQ_CODEBOOK_CACHE, key, fp)
+    if hit is not None:
+        return hit
+    centroids = _corpus_centroids(spark, sf_dir, _IVF_K, _IVF_ITERS)
+    sample = _pq_training_sample(spark, sf_dir)
+    dim = sample.shape[1]
+    dsub = dim // _PQ_M
+    d2 = (
+        (sample ** 2).sum(axis=1, keepdims=True)
+        - 2 * sample @ centroids.T
+        + (centroids ** 2).sum(axis=1)[None, :]
+    )
+    residuals = sample - centroids[d2.argmin(axis=1)]
+    codebooks = _pq_train_codebooks(residuals, dsub)
+    hit = (centroids, codebooks, (codebooks ** 2).sum(axis=2), dim, dsub)
+    memo_put(_IVFPQ_CODEBOOK_CACHE, key, fp, hit)
+    return hit
+
+
+@SIM.register("similarity_ann_ivfpq", oracle=None)
+def similarity_ann_ivfpq(spark, sf_dir):
+    """ANN via IVF-PQ — the composition of `similarity_ann_ivf`'s coarse
+    quantizer and `similarity_ann_pq`'s product quantizer into the
+    standard billion-vector index layout (Jegou et al. 2011; what FAISS
+    `IndexIVFPQ` serves): every vector stores its IVF cell, its exact
+    norm, and m 4-bit codes of its RESIDUAL against the cell centroid;
+    a query probes its nprobe nearest cells and ADC-scores only vectors
+    in those cells via approx_dot = <q, centroid_cell> + sum of
+    per-subspace LUT lookups on the residual codes. This is the piece
+    the two halves individually leave undemonstrated: IVF re-ranks with
+    exact cosines (needs the raw vectors), PQ scans the whole corpus —
+    IVF-PQ is the plan where neither raw vectors nor full scans exist
+    at search time, i.e. the memory/compute posture that actually
+    serves at 100 TB.
+
+    Rows-only by the same round-6 measurement as `similarity_ann_pq`:
+    output scores are built FROM the trained centroid/codebook floats,
+    so no rounding threshold survives a regeneration. Pinned instead in
+    tests/test_ann.py: determinism, a recall floor vs brute force, and
+    the structural candidate-restriction invariant (every reported
+    neighbor's cell lies in its query's probe set — the property that
+    makes the layout an INDEX rather than a scan).
+
+    Scale: one narrow Arrow-batched index pass (cell assign + residual
+    encode + exact norm per vector — at production scale this coded
+    frame IS the persisted index artifact); the search is a second
+    narrow pass that scores each batch row only against the queries
+    probing its cell (nprobe/k of the corpus per query on average),
+    then one per-query top-k window over the surviving candidates. No
+    joins, no shuffle before the final window; centroids, codebooks,
+    and the per-query LUTs ship broadcast as closure literals.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids, codebooks, cb_norm2, dim, dsub = _ivfpq_fit(spark, sf_dir)
+    m_sub, nprobe = _PQ_M, _IVF_NPROBE
+    cent_norm2 = (centroids ** 2).sum(axis=1)
+
+    def index_kernel(batches):
+        for pdf in batches:
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+            n = len(mat)
+            d2 = (
+                (mat ** 2).sum(axis=1, keepdims=True)
+                - 2 * mat @ centroids.T
+                + cent_norm2[None, :]
+            )
+            cells = d2.argmin(axis=1)
+            resid = mat - centroids[cells]
+            codes = np.empty((n, m_sub), dtype="int32")
+            for j in range(m_sub):
+                sub = resid[:, j * dsub : (j + 1) * dsub]
+                dd = (
+                    (sub ** 2).sum(axis=1, keepdims=True)
+                    - 2 * sub @ codebooks[j].T
+                    + cb_norm2[j][None, :]
+                )
+                codes[:, j] = dd.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": cells.astype("int32"),
+                    "codes": list(codes),
+                    "xnorm": np.sqrt((mat ** 2).sum(axis=1)),
+                }
+            )
+
+    coded = e.select("vec_id", "embedding").mapInPandas(
+        index_kernel,
+        "vec_id long, cell int, codes array<int>, xnorm double",
+    )
+
+    qrows = sorted(
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qids = np.array([r["vec_id"] for r in qrows])
+    qmat = np.vstack([r["embedding"] for r in qrows]).astype("float64")
+    nq = len(qids)
+    qnorm = np.sqrt((qmat ** 2).sum(axis=1))
+    qd2 = (
+        (qmat ** 2).sum(axis=1, keepdims=True)
+        - 2 * qmat @ centroids.T
+        + cent_norm2[None, :]
+    )
+    # stable argsort: distance ties break toward the lower cell index,
+    # the similarity_ann_ivf probe rule
+    probes = np.argsort(qd2, axis=1, kind="stable")[:, :nprobe]
+    q_cent_dot = qmat @ centroids.T  # (nq, k): the <q, c> ADC constant
+    luts = np.einsum(
+        "qjd,jcd->qjc", qmat.reshape(nq, m_sub, dsub), codebooks
+    )  # (nq, m, ksub)
+
+    def adc_scan(batches):
+        for pdf in batches:
+            codes = np.vstack(pdf["codes"].to_numpy())  # (n, m)
+            cells = pdf["cell"].to_numpy()
+            xnorm = pdf["xnorm"].to_numpy()
+            vec_ids = pdf["vec_id"].to_numpy()
+            out_q, out_n, out_c = [], [], []
+            for qi in range(nq):
+                mask = np.isin(cells, probes[qi])
+                if not mask.any():
+                    continue
+                sub_codes = codes[mask]
+                approx = q_cent_dot[qi, cells[mask]].copy()
+                for j in range(m_sub):
+                    approx += luts[qi, j, sub_codes[:, j]]
+                cos = approx / (qnorm[qi] * xnorm[mask])
+                out_q.append(np.full(mask.sum(), qids[qi]))
+                out_n.append(vec_ids[mask])
+                out_c.append(cos)
+            if not out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": pd.Series([], dtype="int64"),
+                        "neighbor_id": pd.Series([], dtype="int64"),
+                        "approx_cos": pd.Series([], dtype="float64"),
+                    }
+                )
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "approx_cos": np.concatenate(out_c),
+                }
+            )
+
+    scored = coded.mapInPandas(
+        adc_scan, "query_id long, neighbor_id long, approx_cos double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("approx_cos"), "neighbor_id")
+    return (
+        scored.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+    )
 
 
 _SD_K = 16  # k-means cells

@@ -162,3 +162,58 @@ def test_pq_fit_memoized_within_session(spark):
 
     np.testing.assert_array_equal(first[0], third[0])  # retrain is stable
     sim._PQ_CODEBOOK_CACHE.clear()
+
+
+def test_ivfpq_recall_determinism_and_cell_restriction(spark):
+    """Pins for the r11 IVF-PQ composition (rows-only by the PQ
+    measurement): deterministic output, a recall floor vs brute force
+    (measured 0.42/0.50/0.20 at sf0.001/0.01/0.1; random top-10 recalls
+    ~0.02), and the structural invariant that makes it an INDEX — every
+    reported neighbor's cell lies in its query's nprobe probe set,
+    replayed in numpy from the same fit."""
+    import numpy as np
+
+    from data_to_parquet_spark.operators.similarity import (
+        _IVF_NPROBE,
+        _N_QUERIES,
+        _PQ_M,
+        _ivfpq_fit,
+        similarity_ann_ivfpq,
+    )
+
+    queries = entry_mod.queries()
+    r1 = queries["similarity_ann_ivfpq"](spark, SF).collect()
+    r2 = queries["similarity_ann_ivfpq"](spark, SF).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+
+    got = _topk_sets(r1)
+    bf = _topk_sets(queries["similarity_topk_bruteforce"](spark, SF).collect())
+    assert set(got) == set(bf)
+    assert all(len(v) == 10 for v in got.values())
+    recall = sum(len(got[q] & bf[q]) / len(bf[q]) for q in bf) / len(bf)
+    assert recall >= 0.2, f"IVF-PQ recall collapsed: {recall}"
+
+    # candidate restriction: replay cell assignment + probe sets
+    centroids, codebooks, cb_norm2, dim, dsub = _ivfpq_fit(spark, SF)
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype="float64")
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+
+    def cell_of(v):
+        return int(((centroids - v) ** 2).sum(axis=1).argmin())
+
+    def probes_of(v):
+        d2 = ((centroids - v) ** 2).sum(axis=1)
+        return set(np.argsort(d2, kind="stable")[:_IVF_NPROBE].tolist())
+
+    for r in r1:
+        assert cell_of(emb[r["neighbor_id"]]) in probes_of(
+            emb[r["query_id"]]
+        ), (r["query_id"], r["neighbor_id"])
+
+    # residual training is real: the codebooks differ from raw-vector PQ
+    from data_to_parquet_spark.operators.similarity import _pq_fit
+
+    raw_cb = _pq_fit(spark, SF)[0]
+    assert not np.allclose(raw_cb, codebooks)

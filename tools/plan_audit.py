@@ -138,6 +138,7 @@ AUDITED = [
     # quality_model_score) + the end-to-end embed->search top-k
     "embedding_generate_hashed",
     "generated_embedding_topk",
+    "similarity_ann_ivfpq",
 ]
 
 
