@@ -125,6 +125,15 @@ def main(argv: list[str]) -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     remeasure_sf = _remeasure_sf(sf_dir)
     if flags and doc.get("sf") is not None and doc["sf"] != remeasure_sf:
+        # the abort record replaces the block too — keep voluntary
+        # entries here for the same reason as the main path below
+        kept_voluntary = {
+            n: v
+            for n, v in doc.get("regression_adjudication", {})
+            .get("queries", {})
+            .items()
+            if isinstance(v, dict) and v.get("voluntary")
+        }
         doc["regression_adjudication"] = {
             "date": date,
             "verdict": "sf_mismatch",
@@ -134,6 +143,7 @@ def main(argv: list[str]) -> int:
                 f"adjudication aborted — re-run with SPARK_GRAFT_SF_DIR "
                 f"pointing at the recorded scale factor"
             ),
+            "queries": kept_voluntary,
         }
         with open(full_path, "w") as f:
             json.dump(doc, f, indent=1)
