@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "embedding_generate_hashed",
     "generated_embedding_topk",
     "similarity_ann_ivfpq",
+    "ivfpq_selectivity_audit",
     # Three registry/driver-checked queries are deliberately NOT benched.
     # als_one_sweep_factors (and its round-10 sibling
     # als_convergence_report, which re-runs the same sweep): the one-sweep
@@ -204,6 +205,7 @@ _MEMO_BACKED = {
     "semdedup_prune",
     "similarity_recall_report",
     "similarity_ann_ivfpq",
+    "ivfpq_selectivity_audit",
     # BM25 frame memo (text._BM25_FRAME_CACHE): the corpus tokenization +
     # checkpointed (tok, dl, tf) frames are built once per session and
     # shared by the whole retrieval family (r9 review — these had the
@@ -254,6 +256,7 @@ _MEMO_FAMILIES = [
         "semdedup_prune",
         "similarity_recall_report",
         "similarity_ann_ivfpq",
+        "ivfpq_selectivity_audit",
     },
     {  # BM25 frame memo (operators/text.py)
         "bm25_rank_queries",

@@ -1175,6 +1175,219 @@ def similarity_ann_ivfpq(spark, sf_dir):
     )
 
 
+#: ivfpq_selectivity_audit bucket bounds — >=2x envelopes around the r11
+#: measurements (recall 0.42/0.50/0.20 at sf0.001/0.01/0.1; residual-ADC
+#: cosine error max 0.21-0.25 / mean 0.064-0.072 — about 2x tighter than
+#: raw-vector PQ's 0.31-0.36 / 0.12-0.16, the quantitative payoff of
+#: residual encoding)
+_IVFPQ_RECALL_FLOOR = 0.1
+_IVFPQ_ADC_ERR_MAX_BOUND = 0.5
+_IVFPQ_ADC_ERR_MEAN_BOUND = 0.15
+
+
+@SIM.register(
+    "ivfpq_selectivity_audit",
+    oracle=f"""
+    WITH RECURSIVE {_km_cte_sql(_IVF_K, _IVF_ITERS)},
+    dists AS (
+      SELECT e.vec_id,
+             list_transform((SELECT cents FROM fin), c ->
+               list_sum(list_transform(range(1, len(c) + 1),
+                 i -> (CAST(e.embedding[i] AS DOUBLE) - c[i])
+                      * (CAST(e.embedding[i] AS DOUBLE) - c[i])))) AS ds
+      FROM embeddings e
+    ),
+    cells AS (
+      SELECT vec_id,
+             CAST(list_position(ds, list_min(ds)) - 1 AS INTEGER) AS cell
+      FROM dists
+    ),
+    qprobe AS (
+      SELECT query_id, cell FROM (
+        SELECT query_id, i - 1 AS cell, d2,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY d2, i) AS rn
+        FROM (SELECT vec_id AS query_id,
+                     unnest(range(1, len(ds) + 1)) AS i,
+                     unnest(ds) AS d2
+              FROM dists WHERE vec_id < {_N_QUERIES})
+      ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    cellcounts AS (
+      SELECT cell, COUNT(*) AS cnt FROM cells GROUP BY cell
+    ),
+    cand AS (
+      SELECT q.query_id, SUM(cnt) - 1 AS n_cand
+      FROM qprobe q JOIN cellcounts cc ON cc.cell = q.cell
+      GROUP BY q.query_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vectors,
+           CAST({_N_QUERIES * _TOP_K} AS BIGINT) AS n_report_pairs,
+           (SELECT CAST(SUM(n_cand) AS BIGINT) FROM cand) AS n_candidates,
+           TRUE AS candidates_restricted,
+           TRUE AS recall_vs_exact_floor,
+           TRUE AS adc_err_bounded
+    """,
+)
+def ivfpq_selectivity_audit(spark, sf_dir):
+    """IVF-PQ observability, landed in the same round as the operator —
+    the envelope pattern's fifth application, but with a harder exact
+    core than its siblings: `n_candidates` (the number of corpus vectors
+    the index actually scores — Σ over queries of the probed cells'
+    populations minus the query itself) is computed INDEPENDENTLY in
+    both engines, Spark from the vectorized cell-assignment kernel +
+    one 16-group count, DuckDB by replaying the whole coarse quantizer
+    through the shared recursive-CTE Lloyd fold (the
+    `similarity_ann_ivf` machinery, hash-green since round 7). The
+    index's selectivity — the thing that makes IVF-PQ an index — is
+    therefore a cross-engine-verified VALUE, not a pre-verified bucket:
+    a probe-rule regression, a cell-assignment tie-rule drift, or a
+    quantizer training change moves the number and the driver hash goes
+    red. Next to it, the buckets measured on the real ADC scan:
+    `candidates_restricted` (every reported neighbor's cell lies in its
+    query's probe set), recall@10 vs exact >= 0.1 (measured
+    0.42/0.50/0.20 across sf0.001-0.1), and residual-ADC cosine error
+    bounded (max <= 0.5, mean <= 0.15; measured 0.21-0.25 / 0.064-0.072
+    — ~2x tighter than raw-vector PQ, the measured payoff of residual
+    encoding). `similarity_ann_ivfpq` itself stays rows-only by the PQ
+    measurement; tests/test_ann.py pins its floors.
+
+    Scale: cell assignment is one narrow map + a 16-group map-side-
+    combined count; probe sets are driver-side numpy over nq vectors;
+    the recall/ADC evidence reuses the operator's own scan plus the
+    brute-force baseline (each corpus-linear, queries broadcast).
+    Driver traffic: 16 count rows + 50 pairs + 4 scalars.
+    """
+    m = _ivfpq_audit_metrics(spark, sf_dir)
+    return spark.createDataFrame(
+        [
+            (
+                m["n_vectors"],
+                m["n_report_pairs"],
+                m["n_candidates"],
+                m["candidates_restricted"],
+                bool(m["recall"] >= _IVFPQ_RECALL_FLOOR),
+                bool(
+                    m["adc_err_max"] <= _IVFPQ_ADC_ERR_MAX_BOUND
+                    and m["adc_err_mean"] <= _IVFPQ_ADC_ERR_MEAN_BOUND
+                ),
+            )
+        ],
+        "n_vectors bigint, n_report_pairs bigint, n_candidates bigint,"
+        " candidates_restricted boolean, recall_vs_exact_floor boolean,"
+        " adc_err_bounded boolean",
+    )
+
+
+def _ivfpq_audit_metrics(spark, sf_dir) -> dict:
+    """Raw measured values behind `ivfpq_selectivity_audit`'s row — the
+    `_pq_audit_metrics` pattern, so tests pin TIGHTER float thresholds
+    than the shipped envelopes."""
+    centroids, codebooks, cb_norm2, dim, dsub = _ivfpq_fit(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    cent_norm2 = (centroids ** 2).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def nearest_cell(emb: pd.Series) -> pd.Series:
+        m = np.vstack(emb.to_numpy()).astype("float64")
+        d2 = (
+            (m ** 2).sum(axis=1, keepdims=True)
+            - 2 * m @ centroids.T
+            + cent_norm2[None, :]
+        )
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    cell_frame = e.select(
+        "vec_id", nearest_cell("embedding").alias("cell")
+    ).localCheckpoint(eager=False)
+    counts = {
+        r["cell"]: r["cnt"]
+        for r in cell_frame.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n_vectors = sum(counts.values())
+
+    qrows = sorted(
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qmat = np.vstack([r["embedding"] for r in qrows]).astype("float64")
+    qd2 = (
+        (qmat ** 2).sum(axis=1, keepdims=True)
+        - 2 * qmat @ centroids.T
+        + cent_norm2[None, :]
+    )
+    probes = np.argsort(qd2, axis=1, kind="stable")[:, :_IVF_NPROBE]
+    # the query's own cell is its nearest centroid = probe rank 0, so
+    # each query's candidate count is its probed populations minus itself
+    n_candidates = int(
+        sum(
+            sum(counts.get(int(c), 0) for c in probes[qi]) - 1
+            for qi in range(len(qrows))
+        )
+    )
+
+    pairs = (
+        similarity_ann_ivfpq(spark, sf_dir)
+        .select("query_id", "neighbor_id", "approx_cos")
+        .localCheckpoint(eager=False)
+    )
+    n_pairs = pairs.count()
+
+    # candidate restriction: the 50 reported neighbors' cells vs probes
+    probe_sets = {
+        int(qrows[qi]["vec_id"]): {int(c) for c in probes[qi]}
+        for qi in range(len(qrows))
+    }
+    reported = (
+        pairs.join(
+            cell_frame, pairs["neighbor_id"] == cell_frame["vec_id"]
+        )
+        .select("query_id", "cell")
+        .collect()
+    )
+    restricted = bool(
+        len(reported) == n_pairs
+        and all(r["cell"] in probe_sets[r["query_id"]] for r in reported)
+    )
+
+    bf = similarity_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    matched = pairs.join(bf, ["query_id", "neighbor_id"]).count()
+    recall = matched / n_pairs if n_pairs else 0.0
+
+    nb = e.join(
+        F.broadcast(pairs), e["vec_id"] == pairs["neighbor_id"]
+    ).select("query_id", "approx_cos", e["embedding"].alias("ne"))
+    qv = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    err_row = (
+        qv.join(F.broadcast(nb), "query_id")
+        .select(
+            F.abs(
+                F.col("approx_cos") - cosine(F.col("qe"), F.col("ne"))
+            ).alias("err")
+        )
+        .agg(F.max("err").alias("mx"), F.avg("err").alias("av"))
+        .first()
+    )
+
+    return {
+        "n_vectors": int(n_vectors),
+        "n_report_pairs": int(n_pairs),
+        "n_candidates": n_candidates,
+        "candidates_restricted": restricted,
+        "recall": float(recall),
+        "adc_err_max": float(err_row["mx"]),
+        "adc_err_mean": float(err_row["av"]),
+    }
+
+
 _SD_K = 16  # k-means cells
 _SD_ITERS = 5  # Lloyd iterations (full corpus, shared with the oracle CTE)
 _SD_TAU = 0.35  # within-cell cosine above which the later vector is pruned

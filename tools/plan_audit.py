@@ -125,11 +125,11 @@ AUDITED = [
     "multimodal_resize_digest",
     # round 10: model-scored quality gate + int8 quantization audit +
     # the bloom oracle-upgrade audit. pca_variance_report,
-    # als_convergence_report, and (r11) pq_reconstruction_audit are
-    # deliberately NOT audited: each returns a driver-local one-row
-    # createDataFrame, so their explained plan is a vacuous
-    # LocalTableScan while the audit would pay the full distributed fit
-    # per regeneration (r10 second-pass review).
+    # als_convergence_report, and the r11 pq_reconstruction_audit /
+    # ivfpq_selectivity_audit are deliberately NOT audited: each returns
+    # a driver-local one-row createDataFrame, so their explained plan is
+    # a vacuous LocalTableScan while the audit would pay the full
+    # distributed fit per regeneration (r10 second-pass review).
     "quality_model_score",
     "embedding_int8_quantize_audit",
     "contamination_bloom_audit",
