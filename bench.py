@@ -171,6 +171,10 @@ BENCH_QUERIES = [
     "generated_embedding_topk",
     "similarity_ann_ivfpq",
     "ivfpq_selectivity_audit",
+    # added round 11 (session 2): the t-closeness audit completing the
+    # privacy triad + last-touch attribution over events
+    "t_closeness_audit",
+    "attribution_last_touch",
     # Three registry/driver-checked queries are deliberately NOT benched.
     # als_one_sweep_factors (and its round-10 sibling
     # als_convergence_report, which re-runs the same sweep): the one-sweep

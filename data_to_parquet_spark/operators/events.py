@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions.exprs import money
+from ..functions.exprs import dsum, money
 from .asof import asof_join
 from .base import Registry, load_table
 
@@ -2041,4 +2041,84 @@ def event_top_paths(spark, sf_dir):
     return (
         paths.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= _PATH_TOPK)
+    )
+
+
+@EVT.register(
+    "attribution_last_touch",
+    oracle="""
+    WITH marked AS (
+      SELECT ts, event_type, value,
+             LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                             THEN ts END IGNORE NULLS) OVER w AS t_ts,
+             LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS) OVER w AS t_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), purch AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CASE WHEN t_ts IS NOT NULL AND t_ts >= ts - INTERVAL 7 DAY
+                  THEN t_type ELSE 'direct' END AS touch_type,
+             value
+      FROM marked WHERE event_type = 'purchase'
+    )
+    SELECT day, touch_type, COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
+    FROM purch GROUP BY 1, 2
+    """,
+)
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch marketing attribution: credit each purchase to the most
+    recent preceding view/click by the same user within a 7-day lookback,
+    or to 'direct' when no touch qualifies — the credit-assignment report
+    behind every campaign dashboard, and a different shape from the funnel
+    (`funnel_view_click_purchase` asks how far users progress; this asks
+    which touch gets the revenue). Reports purchases and attributed value
+    per (day, touch type).
+
+    Determinism: the per-user event order is the total order (ts,
+    event_id) — event_id is unique — so the ROWS-frame last-non-null touch
+    is identical cross-engine; revenue sums are decimal(18,6)-exact before
+    the final double cast. Scale: ONE shuffle of events on user_id for the
+    window (ignore-nulls last over a running frame — no self-join, where
+    the naive form is an as-of self-join of purchases against touches),
+    then a tiny map-side-combined groupBy over (day, touch_type); the
+    purchase filter cannot precede the window (the window must see the
+    touch rows) but drops ~80% of rows before the aggregate.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    marked = e.select(
+        "ts",
+        "event_type",
+        "value",
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("t_ts"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("t_type"),
+    )
+    purch = marked.filter(F.col("event_type") == "purchase").select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        F.when(
+            F.col("t_ts").isNotNull()
+            & (F.col("t_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
+            F.col("t_type"),
+        )
+        .otherwise(F.lit("direct"))
+        .alias("touch_type"),
+        "value",
+    )
+    return purch.groupBy("day", "touch_type").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        dsum("value", "attributed_value", scale=6),
     )

@@ -14,11 +14,14 @@ this module is north-star extension surface like ``operators/pipeline.py``.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..ops import PII_PATTERNS, mask_pii
 from .base import Registry, load_table
 
 PRIV = Registry()
+
+_D = "double"
 
 # Shared by both engines: Java regex and DuckDB's RE2 interpret these
 # identically (character classes, \d, bounded/unbounded repetition).
@@ -472,4 +475,155 @@ def dp_noisy_counts(spark, sf_dir):
         F.greatest(F.lit(0.0), F.round(F.col("n_true") + noise))
         .cast("long")
         .alias("n_noisy"),
+    )
+
+
+# t-closeness band domain: TPC-H c_acctbal is drawn from [-999.99, 9999.99]
+# (verified at every shipped sf: sf0.1 spans [-999.85, 9999.80]), so
+# floor(c_acctbal / 1000) has the FIXED literal domain {-1, ..., 9}. Baking
+# the domain in (instead of collecting the observed bands) keeps the query a
+# single scan with no driver action; absent bands contribute zero mass on
+# both sides of the EMD and change nothing.
+_T_BANDS = tuple(range(-1, 10))
+_T_M1 = len(_T_BANDS) - 1  # the (m - 1) EMD normalizer for ordered values
+
+
+@PRIV.register(
+    "t_closeness_audit",
+    oracle=f"""
+    WITH base AS (
+      SELECT n_name, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+      FROM customer JOIN nation ON n_nationkey = c_nationkey
+    ), cb AS (
+      SELECT n_name, c_mktsegment, bal_band, COUNT(*) AS cnt
+      FROM base GROUP BY 1, 2, 3
+    ), cls AS (
+      SELECT n_name, c_mktsegment, CAST(SUM(cnt) AS BIGINT) AS class_n
+      FROM cb GROUP BY 1, 2
+    ), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM cb),
+    g AS (
+      SELECT bal_band, CAST(SUM(cnt) AS BIGINT) AS g_cnt
+      FROM cb GROUP BY 1
+    ), bands AS (
+      SELECT CAST(range AS BIGINT) AS bal_band
+      FROM range({_T_BANDS[0]}, {_T_BANDS[-1] + 1})
+    ), dense AS (
+      SELECT cls.n_name, cls.c_mktsegment, cls.class_n, bands.bal_band,
+             CAST(COALESCE(cb.cnt, 0) AS BIGINT) AS cnt,
+             COALESCE(g.g_cnt, 0) AS g_cnt, tot.n_total
+      FROM cls CROSS JOIN bands CROSS JOIN tot
+      LEFT JOIN cb USING (n_name, c_mktsegment, bal_band)
+      LEFT JOIN g USING (bal_band)
+    ), cum AS (
+      SELECT n_name, c_mktsegment, class_n, n_total,
+             SUM(cnt * n_total - g_cnt * class_n) OVER (
+               PARTITION BY n_name, c_mktsegment ORDER BY bal_band
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_diff
+      FROM dense
+    ), emd AS (
+      SELECT n_name, c_mktsegment, class_n,
+             CAST(SUM(ABS(cum_diff)) AS BIGINT) AS emd_num,
+             round(CAST(SUM(ABS(cum_diff)) AS DOUBLE)
+                   / (CAST(class_n AS DOUBLE) * CAST(MAX(n_total) AS DOUBLE)
+                      * {float(_T_M1)}), 9) AS t_emd
+      FROM cum GROUP BY n_name, c_mktsegment, class_n
+    )
+    SELECT n_name, c_mktsegment, class_n, emd_num, t_emd,
+           CAST(t_emd > 0.2 AS INT) AS t_violates
+    FROM emd
+    """,
+)
+def t_closeness_audit(spark, sf_dir):
+    """t-closeness audit — the attribute-disclosure companion completing the
+    k-anonymity (`k_anonymity_audit`) / l-diversity (`l_diversity_audit`)
+    triad: l-diversity counts distinct sensitive values but a class can be
+    "diverse" while still skewed far from the population (a class that is
+    90% top-balance-band leaks wealth regardless of l). Per equivalence
+    class (nation, market segment), measure the Earth Mover's Distance
+    between the class's distribution over the ORDERED sensitive attribute
+    (account-balance band) and the global distribution — the Li/Li/
+    Venkatasubramanian ordered-value EMD, (1/(m-1))·Σ_i |Σ_{j<=i}(p_j-q_j)|
+    — and flag classes beyond the conventional t=0.2 bar.
+
+    Determinism: the band domain is the literal {-1..9} (see _T_BANDS), so
+    the EMD numerator Σ|cum(cnt·N − g·class_n)| is pure int64 arithmetic —
+    identical cross-engine — and the only float is ONE final division whose
+    operands are exactly-representable int64 products (class_n·N ≤ 2.25e8 at
+    sf0.1, far under 2^53), rounded 9. Scale: ONE corpus shuffle (the
+    groupBy on the class×band tuple, map-side combined to ≤ |QI domain|·m
+    rows); everything after operates on ≤ 125·11 rows — the dense
+    class×band grid comes from exploding an 11-element literal array (no
+    join, no cross product), the global band histogram and N are window
+    sums over that grid, and the int64 products would swap to decimal(38,0)
+    only past N ≈ 3e8 rows per the docring bound. The nation dim is
+    broadcast. Rows out = |present classes| ≤ 125.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cb = (
+        c.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(
+            "n_name",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # Dense class×band grid from ONE aggregate: per class, an 11-slot
+    # conditional-count histogram (map-side combined), then posexplode.
+    hist = F.array(
+        *[
+            F.sum(F.when(F.col("bal_band") == b, F.col("cnt")).otherwise(0))
+            for b in _T_BANDS
+        ]
+    )
+    classes = cb.groupBy("n_name", "c_mktsegment").agg(
+        F.sum("cnt").alias("class_n"), hist.alias("hist")
+    )
+    dense = classes.select(
+        "n_name",
+        "c_mktsegment",
+        "class_n",
+        F.posexplode("hist").alias("band_idx", "cnt"),
+    )
+    w_band = W.partitionBy("band_idx")
+    w_all = W.partitionBy(F.lit(1))
+    w_cum = (
+        W.partitionBy("n_name", "c_mktsegment")
+        .orderBy("band_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = dense.select(
+        "n_name",
+        "c_mktsegment",
+        "class_n",
+        F.sum("cnt").over(w_all).alias("n_total"),
+        F.sum(
+            F.col("cnt") * F.sum("cnt").over(w_all)
+            - F.sum("cnt").over(w_band) * F.col("class_n")
+        )
+        .over(w_cum)
+        .alias("cum_diff"),
+    )
+    emd = cum.groupBy("n_name", "c_mktsegment", "class_n").agg(
+        F.sum(F.abs(F.col("cum_diff"))).alias("emd_num"),
+        F.round(
+            F.sum(F.abs(F.col("cum_diff"))).cast(_D)
+            / (
+                F.col("class_n").cast(_D)
+                * F.max("n_total").cast(_D)
+                * F.lit(float(_T_M1))
+            ),
+            9,
+        ).alias("t_emd"),
+    )
+    return emd.select(
+        "n_name",
+        "c_mktsegment",
+        "class_n",
+        "emd_num",
+        "t_emd",
+        (F.col("t_emd") > 0.2).cast("int").alias("t_violates"),
     )

@@ -1,0 +1,214 @@
+"""Hand-computed pins for the round-11 session-2 additions.
+
+- `t_closeness_audit` (operators/privacy.py): the ordered-value EMD is
+  pinned on a synthetic corpus small enough to compute by hand, covering
+  a moderate class (emd well under t), an extreme class (mass at the far
+  band ends -> t violation), and the exact integer numerator.
+- `attribution_last_touch` (operators/events.py): the (ts, event_id)
+  tie rule (a touch at the purchase's exact timestamp counts only when
+  its event_id is smaller), the 7-day lookback boundary, last-touch-wins
+  over earlier touches, and the 'direct' fallback.
+Both are additionally cross-checked against their DuckDB oracle SQL on
+the same synthetic parquet (the oracle-parity harness only runs the
+shipped corpus; these shapes are rarer there).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+_ORACLES = entry_mod.oracle_sql()
+
+
+def _write_nation(root):
+    pd.DataFrame(
+        {"n_nationkey": [0], "n_name": ["ALPHA"], "n_regionkey": [0]}
+    ).to_parquet(root / "nation.parquet")
+
+
+def _oracle_rows(sf_dir: str, name: str, order_cols: list[str]):
+    con = duckdb.connect()
+    for t in ("customer", "nation", "events"):
+        try:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        except duckdb.IOException:
+            pass  # fixture dirs only carry the tables their query reads
+    df = con.execute(_ORACLES[name]).df()
+    con.close()
+    return df.sort_values(order_cols).to_dict("records")
+
+
+@pytest.fixture(scope="module")
+def tcloseness_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("tclose")
+    _write_nation(root)
+    # class MID-A: 2 customers in band 0; class MID-B: 2 in band 1
+    #   global: band0=2, band1=2 plus the extremes below
+    # class EXTREME-LO: 1 customer in band -1; EXTREME-HI: 1 in band 9
+    rows = [
+        (1, "MIDA", 500.0),
+        (2, "MIDA", 600.0),
+        (3, "MIDB", 1500.0),
+        (4, "MIDB", 1600.0),
+        (5, "EXLO", -500.0),
+        (6, "EXHI", 9500.0),
+    ]
+    pd.DataFrame(
+        {
+            "c_custkey": [r[0] for r in rows],
+            "c_name": [f"Customer#{r[0]}" for r in rows],
+            "c_nationkey": [0] * len(rows),
+            "c_acctbal": [r[2] for r in rows],
+            "c_mktsegment": [r[1] for r in rows],
+        }
+    ).to_parquet(root / "customer.parquet")
+    return str(root)
+
+
+def test_t_closeness_hand_computed(spark, tcloseness_dir):
+    from data_to_parquet_spark.operators.privacy import t_closeness_audit
+
+    rows = {
+        r["c_mktsegment"]: r
+        for r in t_closeness_audit(spark, tcloseness_dir).collect()
+    }
+    assert set(rows) == {"MIDA", "MIDB", "EXLO", "EXHI"}
+    # N = 6, m - 1 = 10. Global band counts: {-1:1, 0:2, 1:2, 9:1}.
+    # MIDA (n=2, all band 0): diffs cnt*6 - g*2 = {-1:-2, 0:+8, 1:-4, 9:-2}
+    #   cums: -2, 6, 2, 2 (bands 2..8), 0  -> |sum| = 2 + 6 + 2*8 = 24
+    assert rows["MIDA"]["class_n"] == 2
+    assert rows["MIDA"]["emd_num"] == 24
+    assert rows["MIDA"]["t_emd"] == pytest.approx(24 / (2 * 6 * 10), abs=0)
+    assert rows["MIDA"]["t_violates"] == 0
+    # EXLO (n=1, all band -1): diffs cnt*6 - g*1 = {-1:+5, 0:-2, 1:-2, 9:-1}
+    #   cums: 5, 3, 1 (bands 1..8), 0 -> 5 + 3 + 1*8 = 16
+    #   t_emd = 16/60 ~= 0.2667 > 0.2 -> violation
+    assert rows["EXLO"]["emd_num"] == 16
+    assert rows["EXLO"]["t_violates"] == 1
+    # EXHI (n=1, all band 9): cums: -1,-3,-5,... all negative until band 9
+    #   |cum| = 1 + 3 + 5*8 = 44; t_emd = 44/60 ~= 0.733 -> violation
+    assert rows["EXHI"]["emd_num"] == 44
+    assert rows["EXHI"]["t_violates"] == 1
+
+
+def test_t_closeness_oracle_agrees_on_fixture(spark, tcloseness_dir):
+    from data_to_parquet_spark.operators.privacy import t_closeness_audit
+
+    got = sorted(
+        (
+            (r["c_mktsegment"], r["class_n"], r["emd_num"], r["t_emd"])
+            for r in t_closeness_audit(spark, tcloseness_dir).collect()
+        )
+    )
+    want = sorted(
+        (r["c_mktsegment"], r["class_n"], r["emd_num"], r["t_emd"])
+        for r in _oracle_rows(
+            tcloseness_dir, "t_closeness_audit", ["c_mktsegment"]
+        )
+    )
+    assert got == want
+
+
+def test_t_closeness_uniform_class_is_zero(spark, tmp_path_factory):
+    # a class distributed exactly like the population has EMD 0
+    root = tmp_path_factory.mktemp("tclose0")
+    _write_nation(root)
+    bals = [500.0, 1500.0]  # bands 0 and 1, one each, in BOTH classes
+    pd.DataFrame(
+        {
+            "c_custkey": [1, 2, 3, 4],
+            "c_name": ["a", "b", "c", "d"],
+            "c_nationkey": [0] * 4,
+            "c_acctbal": bals * 2,
+            "c_mktsegment": ["S1", "S1", "S2", "S2"],
+        }
+    ).to_parquet(root / "customer.parquet")
+    from data_to_parquet_spark.operators.privacy import t_closeness_audit
+
+    for r in t_closeness_audit(spark, str(root)).collect():
+        assert r["emd_num"] == 0
+        assert r["t_emd"] == 0.0
+        assert r["t_violates"] == 0
+
+
+@pytest.fixture(scope="module")
+def attribution_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("attrib")
+    t0 = datetime.datetime(2024, 1, 10)
+
+    def ev(eid, uid, kind, days, value=10.0):
+        return {
+            "event_id": eid,
+            "ts": t0 + datetime.timedelta(days=days),
+            "user_id": uid,
+            "event_type": kind,
+            "value": value,
+            "props": "{}",
+        }
+
+    events = [
+        # user 1: view d0, click d1, purchase d2 -> last touch = click
+        ev(0, 1, "view", 0),
+        ev(1, 1, "click", 1),
+        ev(2, 1, "purchase", 2),
+        # user 2: touch 8 days before purchase -> outside lookback, direct
+        ev(10, 2, "view", 0),
+        ev(11, 2, "purchase", 8),
+        # user 3: touch exactly 7 days before -> inside (>= boundary)
+        ev(20, 3, "click", 0),
+        ev(21, 3, "purchase", 7),
+        # user 4: purchase with no prior touch ever -> direct
+        ev(30, 4, "purchase", 2),
+        # user 5: tie timestamps — touch shares the purchase's ts;
+        #   event_id 40 < 41 so the view counts (strictly precedes in the
+        #   (ts, event_id) total order)
+        ev(40, 5, "view", 3),
+        ev(41, 5, "purchase", 3),
+        # user 6: same shape but the touch's event_id is LARGER -> the
+        #   purchase precedes it, so it must NOT be attributed
+        ev(51, 6, "purchase", 3),
+        ev(52, 6, "view", 3),
+    ]
+    pd.DataFrame(events).to_parquet(root / "events.parquet")
+    return str(root)
+
+
+def test_attribution_semantics(spark, attribution_dir):
+    from data_to_parquet_spark.operators.events import attribution_last_touch
+
+    rows = attribution_last_touch(spark, attribution_dir).collect()
+    got = {(r["day"], r["touch_type"]): r["n_purchases"] for r in rows}
+    assert got == {
+        ("2024-01-12", "click"): 1,  # user 1 (click beats the earlier view)
+        ("2024-01-18", "direct"): 1,  # user 2 (8 days > lookback)
+        ("2024-01-17", "click"): 1,  # user 3 (exactly 7 days: inside)
+        ("2024-01-12", "direct"): 1,  # user 4 (no touch at all)
+        ("2024-01-13", "view"): 1,  # user 5 (tie ts, smaller event_id)
+        ("2024-01-13", "direct"): 1,  # user 6 (tie ts, larger event_id)
+    }
+    vals = {(r["day"], r["touch_type"]): r["attributed_value"] for r in rows}
+    assert all(v == 10.0 for v in vals.values())
+
+
+def test_attribution_oracle_agrees_on_fixture(spark, attribution_dir):
+    from data_to_parquet_spark.operators.events import attribution_last_touch
+
+    got = sorted(
+        (r["day"], r["touch_type"], r["n_purchases"], r["attributed_value"])
+        for r in attribution_last_touch(spark, attribution_dir).collect()
+    )
+    want = sorted(
+        (r["day"], r["touch_type"], r["n_purchases"], r["attributed_value"])
+        for r in _oracle_rows(
+            attribution_dir, "attribution_last_touch", ["day", "touch_type"]
+        )
+    )
+    assert got == want

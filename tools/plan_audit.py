@@ -139,6 +139,11 @@ AUDITED = [
     "embedding_generate_hashed",
     "generated_embedding_topk",
     "similarity_ann_ivfpq",
+    # round 11 (session 2): t-closeness (one corpus shuffle, then
+    # |classes|x|bands| grid work) + last-touch attribution (one window
+    # shuffle on user_id, no self-join)
+    "t_closeness_audit",
+    "attribution_last_touch",
 ]
 
 
