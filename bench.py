@@ -172,9 +172,11 @@ BENCH_QUERIES = [
     "similarity_ann_ivfpq",
     "ivfpq_selectivity_audit",
     # added round 11 (session 2): the t-closeness audit completing the
-    # privacy triad + last-touch attribution over events
+    # privacy triad + last-touch attribution over events + windowed audio
+    # energy features (the content-verified audio extraction stage)
     "t_closeness_audit",
     "attribution_last_touch",
+    "audio_energy_windows",
     # Three registry/driver-checked queries are deliberately NOT benched.
     # als_one_sweep_factors (and its round-10 sibling
     # als_convergence_report, which re-runs the same sweep): the one-sweep

@@ -33,6 +33,8 @@ from pyspark.sql import types as T
 
 from .base import Registry, load_table
 
+_D = "double"
+
 MM = Registry()
 
 _MANIFEST_SCHEMA = T.StructType(
@@ -1097,4 +1099,126 @@ def image_dhash_neardup(spark, sf_dir):
             F.min("doc_id").alias("canonical_doc"),
         )
         .filter(F.col("n_images") >= 2)
+    )
+
+
+# Audio feature-extraction synthesis: integer quadratic-residue samples so
+# the DuckDB oracle can replay every sample arithmetically (the sine-tone
+# synth above is float and libm-dependent, which is why the wav manifest
+# oracles geometry only). Samples span ±10000, well inside int16.
+_AUDIO_WIN = 1000  # samples per analysis window (62.5 ms at 16 kHz)
+
+
+def synth_audio_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: doc_id → real 16-bit PCM WAV whose samples are
+    the integer formula ((i*i*7 + doc_id*13) % 20001) - 10000."""
+    import numpy as np
+
+    from ..functions.wav import encode_wav
+
+    def synth(doc_id: int) -> bytes:
+        n = 4000 + doc_id % 4000
+        i = np.arange(n, dtype=np.int64)
+        s = ((i * i * 7 + doc_id * 13) % 20001 - 10000).astype(np.int16)
+        return encode_wav(s, _WAV_RATE)
+
+    for pdf in it:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "payload": [synth(int(d)) for d in pdf["doc_id"]],
+            }
+        )
+
+
+@MM.register(
+    "audio_energy_windows",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, 4000 + doc_id % 4000 AS n FROM documents
+    ), idx AS (
+      SELECT doc_id, unnest(generate_series(0, n - 1)) AS i FROM dims
+    ), v AS (
+      SELECT doc_id, i // {_AUDIO_WIN} AS window_idx,
+             (i * i * 7 + doc_id * 13) % 20001 - 10000 AS s
+      FROM idx
+    )
+    SELECT doc_id, CAST(window_idx AS INT) AS window_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_in_window,
+           CAST(SUM(s * s) AS BIGINT) AS energy,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+           sqrt(CAST(SUM(s * s) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE)) AS rms
+    FROM v GROUP BY doc_id, window_idx
+    """,
+)
+def audio_energy_windows(spark, sf_dir):
+    """Audio feature extraction with CONTENT verification — the audio
+    analog of `multimodal_pixel_stats`, and the stage the wav manifest
+    leaves undemonstrated: synthesize integer PCM per document, encode it
+    as a real WAV (``functions/wav.py``), fully decode the PCM, and emit
+    per-window energy (sum of squares), peak amplitude, and RMS — the
+    windowed loudness/VAD-style features an audio training pipeline
+    computes corpus-wide. The DuckDB oracle recomputes every sample from
+    the synthesis formula, so a hash match proves each of the ~6k samples
+    per doc survives the RIFF encode→decode round trip AND the windowed
+    reduction is right.
+
+    Determinism: samples, energies, and peaks are pure int64 (window sums
+    ≤ 1e11); RMS ships UNROUNDED — its whole chain (exact int64→double
+    casts, one division, one sqrt) is IEEE correctly-rounded, so the raw
+    double is bit-identical cross-engine, whereas a decimal rounding step
+    would re-introduce the boundary-flake risk the r10 ADVICE documented
+    for pca_variance_report (and did, once, at sf0.1 pre-fix). Scale:
+    two chained narrow Arrow maps (synth → decode+reduce, numpy reduceat
+    inside the kernel, ~4-8 window rows out per doc) with no shuffle —
+    the exact shape a real loudness scan takes over a 100 TB audio corpus
+    with the synth stage swapped for a binary-column read.
+    """
+    import numpy as np
+
+    from ..functions.wav import decode_wav
+
+    def feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {
+                k: []
+                for k in ("doc_id", "window_idx", "n_in_window", "energy", "peak")
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, _rate = decode_wav(bytes(payload))
+                s = samples.astype(np.int64)
+                n = len(s)
+                bounds = np.arange(0, n, _AUDIO_WIN)
+                sq = s * s
+                energies = np.add.reduceat(sq, bounds)
+                peaks = np.maximum.reduceat(np.abs(s), bounds)
+                counts = np.diff(np.append(bounds, n))
+                k = len(bounds)
+                rows["doc_id"].extend([doc_id] * k)
+                rows["window_idx"].extend(range(k))
+                rows["n_in_window"].extend(counts.tolist())
+                rows["energy"].extend(energies.tolist())
+                rows["peak"].extend(peaks.tolist())
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("window_idx", T.IntegerType()),
+            T.StructField("n_in_window", T.LongType()),
+            T.StructField("energy", T.LongType()),
+            T.StructField("peak", T.LongType()),
+        ]
+    )
+    d = load_table(spark, sf_dir, "documents")
+    feats = (
+        d.select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(synth_audio_batches, _PNG_PAYLOAD_SCHEMA)
+        .mapInPandas(feature_batches, schema)
+    )
+    return feats.withColumn(
+        "rms",
+        F.sqrt(F.col("energy").cast(_D) / F.col("n_in_window").cast(_D)),
     )

@@ -212,3 +212,54 @@ def test_attribution_oracle_agrees_on_fixture(spark, attribution_dir):
         )
     )
     assert got == want
+
+
+@pytest.fixture(scope="module")
+def audio_docs_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("audio")
+    # doc 3 -> n = 4003: four full windows plus a 3-sample partial window
+    pd.DataFrame(
+        {
+            "doc_id": [0, 3, 1501],
+            "text": ["x", "y", "z"],
+            "lang": ["en"] * 3,
+            "source": ["s0"] * 3,
+            "n_chars": [1] * 3,
+        }
+    ).to_parquet(root / "documents.parquet")
+    return str(root)
+
+
+def test_audio_energy_windows_matches_numpy_replay(spark, audio_docs_dir):
+    """Replay the synthesis formula in numpy (no codec involved) and pin
+    every window's energy/peak/count — proves the WAV encode->decode round
+    trip and the reduceat windowing, including the partial tail window."""
+    import numpy as np
+
+    from data_to_parquet_spark.operators.multimodal import (
+        _AUDIO_WIN,
+        audio_energy_windows,
+    )
+
+    got = {
+        (r["doc_id"], r["window_idx"]): r
+        for r in audio_energy_windows(spark, audio_docs_dir).collect()
+    }
+    n_rows = 0
+    for doc_id in (0, 3, 1501):
+        n = 4000 + doc_id % 4000
+        i = np.arange(n, dtype=np.int64)
+        s = (i * i * 7 + doc_id * 13) % 20001 - 10000
+        for w in range((n + _AUDIO_WIN - 1) // _AUDIO_WIN):
+            seg = s[w * _AUDIO_WIN : (w + 1) * _AUDIO_WIN]
+            r = got[(doc_id, w)]
+            n_rows += 1
+            assert r["n_in_window"] == len(seg)
+            assert r["energy"] == int((seg * seg).sum())
+            assert r["peak"] == int(np.abs(seg).max())
+            assert r["rms"] == pytest.approx(
+                float(np.sqrt((seg * seg).sum() / len(seg))), abs=0
+            )
+    assert n_rows == len(got)
+    # the partial tail: doc 3 has 4003 samples -> last window holds 3
+    assert got[(3, 4)]["n_in_window"] == 3

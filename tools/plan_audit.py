@@ -144,6 +144,8 @@ AUDITED = [
     # shuffle on user_id, no self-join)
     "t_closeness_audit",
     "attribution_last_touch",
+    # audio feature extraction: two chained narrow maps, no shuffle
+    "audio_energy_windows",
 ]
 
 
