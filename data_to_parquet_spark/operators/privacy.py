@@ -525,9 +525,9 @@ _T_M1 = len(_T_BANDS) - 1  # the (m - 1) EMD normalizer for ordered values
     ), emd AS (
       SELECT n_name, c_mktsegment, class_n,
              CAST(SUM(ABS(cum_diff)) AS BIGINT) AS emd_num,
-             round(CAST(SUM(ABS(cum_diff)) AS DOUBLE)
-                   / (CAST(class_n AS DOUBLE) * CAST(MAX(n_total) AS DOUBLE)
-                      * {float(_T_M1)}), 9) AS t_emd
+             CAST(SUM(ABS(cum_diff)) AS DOUBLE)
+               / (CAST(class_n AS DOUBLE) * CAST(MAX(n_total) AS DOUBLE)
+                  * {float(_T_M1)}) AS t_emd
       FROM cum GROUP BY n_name, c_mktsegment, class_n
     )
     SELECT n_name, c_mktsegment, class_n, emd_num, t_emd,
@@ -551,13 +551,19 @@ def t_closeness_audit(spark, sf_dir):
     the EMD numerator Σ|cum(cnt·N − g·class_n)| is pure int64 arithmetic —
     identical cross-engine — and the only float is ONE final division whose
     operands are exactly-representable int64 products (class_n·N ≤ 2.25e8 at
-    sf0.1, far under 2^53), rounded 9. Scale: ONE corpus shuffle (the
+    sf0.1, far under 2^53). t_emd ships UNROUNDED: the exact-operand
+    IEEE division is bit-identical cross-engine, where a decimal rounding
+    step would re-open the digit-boundary flake channel
+    (`audio_energy_windows` hit it once at sf0.1 pre-fix). Scale: ONE
+    corpus shuffle (the
     groupBy on the class×band tuple, map-side combined to ≤ |QI domain|·m
     rows); everything after operates on ≤ 125·11 rows — the dense
     class×band grid comes from exploding an 11-element literal array (no
     join, no cross product), the global band histogram and N are window
-    sums over that grid, and the int64 products would swap to decimal(38,0)
-    only past N ≈ 3e8 rows per the docring bound. The nation dim is
+    sums over that grid, and the int64 numerator stays overflow-safe up to
+    N ≈ 3e8 rows (swap the counts to decimal(38,0) beyond; past N ≈ 3e7
+    the final division's double products round, but identically so in both
+    engines — IEEE multiply is deterministic). The nation dim is
     broadcast. Rows out = |present classes| ≤ 125.
     """
     c = load_table(spark, sf_dir, "customer")
@@ -609,14 +615,13 @@ def t_closeness_audit(spark, sf_dir):
     )
     emd = cum.groupBy("n_name", "c_mktsegment", "class_n").agg(
         F.sum(F.abs(F.col("cum_diff"))).alias("emd_num"),
-        F.round(
+        (
             F.sum(F.abs(F.col("cum_diff"))).cast(_D)
             / (
                 F.col("class_n").cast(_D)
                 * F.max("n_total").cast(_D)
                 * F.lit(float(_T_M1))
-            ),
-            9,
+            )
         ).alias("t_emd"),
     )
     return emd.select(
