@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "t_closeness_audit",
     "attribution_last_touch",
     "audio_energy_windows",
+    "training_shard_manifest",
     # Three registry/driver-checked queries are deliberately NOT benched.
     # als_one_sweep_factors (and its round-10 sibling
     # als_convergence_report, which re-runs the same sweep): the one-sweep

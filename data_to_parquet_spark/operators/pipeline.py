@@ -1654,3 +1654,71 @@ import dataclasses as _dc  # noqa: E402
 PIPE._queries["generated_embedding_topk"] = _dc.replace(
     PIPE._queries["generated_embedding_topk"], oracle=_gen_topk_oracle()
 )
+
+
+_SHARD_N = 16  # training shards; a power of two like real shard fan-outs
+
+
+@PIPE.register(
+    "training_shard_manifest",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             {md5_bucket_sql('doc_id', _SHARD_N)} AS shard_id,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '')) AS n_tokens,
+             n_chars,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS h
+      FROM documents
+    )
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(h) AS BIGINT) AS checksum,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM t GROUP BY shard_id
+    """,
+)
+def training_shard_manifest(spark, sf_dir):
+    """Dataset-publication manifest — the stage after curation: assign every
+    document to one of 16 training shards by content-stable hash
+    and emit the per-shard manifest a consumer validates against (doc
+    count, token count, char count, an integrity checksum, and doc_id
+    fences). The checksum is the SUM of each member's md5-derived int —
+    order-INSENSITIVE and associative, so it map-side combines and never
+    depends on row order, unlike a concat-then-hash digest which would
+    need a per-shard global sort and a full collect_list (a scale hazard
+    at 100 TB). A reader re-deriving any shard can recompute all five
+    numbers and detect a missing/duplicated/foreign document.
+
+    Determinism: the md5 bucket and per-doc hash are the repo's standard
+    cross-engine pair (`md5_bucket` / `md5_bucket_sql`); every output is
+    an integer. The 8-hex per-doc hash (< 2^32) keeps the int64 checksum
+    exact up to ~2e9 docs per shard — past that, fold mod 2^61 in both
+    engines. Scale: ONE map-side-combined groupBy on the shard id (16
+    groups), reading only (doc_id, text, n_chars); tokenization is the
+    shared JVM-side `tokens()` expression, no Python in the path.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        md5_bucket(F.col("doc_id"), _SHARD_N).alias("shard_id"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        "n_chars",
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    return t.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("h").alias("checksum"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )

@@ -263,3 +263,38 @@ def test_audio_energy_windows_matches_numpy_replay(spark, audio_docs_dir):
     assert n_rows == len(got)
     # the partial tail: doc 3 has 4003 samples -> last window holds 3
     assert got[(3, 4)]["n_in_window"] == 3
+
+
+def test_shard_manifest_detects_membership_drift(spark, audio_docs_dir):
+    """The manifest's consumer contract: a reader re-deriving a shard's
+    members recomputes every manifest number — and a dropped document
+    changes the checksum, not just the count. Verified by an independent
+    pure-Python re-derivation on a tiny corpus."""
+    import hashlib
+
+    from data_to_parquet_spark.operators.pipeline import (
+        _SHARD_N,
+        training_shard_manifest,
+    )
+
+    got = {
+        r["shard_id"]: r
+        for r in training_shard_manifest(spark, audio_docs_dir).collect()
+    }
+
+    def h8(v: int) -> int:
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+
+    shards: dict[int, list[int]] = {}
+    for doc_id in (0, 3, 1501):
+        shards.setdefault(h8(doc_id) % _SHARD_N, []).append(doc_id)
+    assert set(got) == set(shards)
+    for sid, members in shards.items():
+        r = got[sid]
+        assert r["n_docs"] == len(members)
+        assert r["checksum"] == sum(h8(d) for d in members)
+        assert r["min_doc_id"] == min(members)
+        assert r["max_doc_id"] == max(members)
+        # dropping any member changes the checksum (h8 is never 0)
+        for d in members:
+            assert r["checksum"] != sum(h8(x) for x in members if x != d)

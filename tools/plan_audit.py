@@ -146,6 +146,8 @@ AUDITED = [
     "attribution_last_touch",
     # audio feature extraction: two chained narrow maps, no shuffle
     "audio_energy_windows",
+    # shard manifest: one map-side-combined groupBy into 16 groups
+    "training_shard_manifest",
 ]
 
 
