@@ -313,6 +313,28 @@ def memo_warm_prior_queries() -> set[str]:
     return warm - _MEMO_SELF_CACHED
 
 
+def memo_family_predecessors(name: str) -> list[str]:
+    """The benched family members that run BEFORE ``name`` in
+    BENCH_QUERIES order — i.e., the queries whose execution left the
+    shared memo warm when ``name``'s bench prior was recorded. An idle
+    re-measure that runs these first (unmeasured) reproduces the
+    bench-comparable regime for a _MEMO_SELF_CACHED query: shared memo
+    warm, its own cache cold, so its FIRST timed rep measures the same
+    work its prior did (the r11 dedup_connected_components manual-
+    adjudication hole). Empty for non-family and first-of-family
+    queries."""
+    pos = {n: i for i, n in enumerate(BENCH_QUERIES)}
+    if name not in pos:
+        return []
+    before: set[str] = set()
+    for fam in _MEMO_FAMILIES:
+        if name in fam:
+            before.update(
+                q for q in fam if q in pos and pos[q] < pos[name]
+            )
+    return sorted(before, key=pos.__getitem__)
+
+
 _EXCEL_ROWS = 100_000  # conversion-throughput workload size
 
 

@@ -389,3 +389,50 @@ def test_adjudicate_carries_voluntary_entries_forward(tmp_path, monkeypatch):
     assert out["dedup_simhash_pairs"]["verdict"] == "noise"
     assert "token_budget_sample" not in out  # stale flag entries drop
     assert out["q1_pricing_summary"]["verdict"] == "noise"
+
+
+def test_memo_family_predecessors_order_and_edges():
+    """The family members that left the shared memo warm for a target's
+    bench prior, in bench order — the warm-up list idle_remeasure runs
+    before timing a self-cached query (r11 s2)."""
+    from bench import BENCH_QUERIES, memo_family_predecessors
+
+    preds = memo_family_predecessors("dedup_connected_components")
+    assert "neardup_jaccard_pairs" in preds
+    pos = {n: i for i, n in enumerate(BENCH_QUERIES)}
+    assert all(pos[p] < pos["dedup_connected_components"] for p in preds)
+    assert preds == sorted(preds, key=pos.__getitem__)
+    # first-of-family builder has nothing before it
+    assert memo_family_predecessors("neardup_jaccard_pairs") == []
+    # non-memo queries have no family at all
+    assert memo_family_predecessors("q1_pricing_summary") == []
+    assert memo_family_predecessors("not_a_query") == []
+
+
+def test_verdict_self_cached_with_family_warm_adjudicates_both_ways():
+    """r11 s2: when idle_remeasure warmed the family predecessors first
+    (family_warmed in the measurement), a self-cached query's FIRST rep
+    ran in the bench-comparable regime (shared memo warm, own cache
+    cold) — so it adjudicates noise AND regressed automatically,
+    closing the dedup_connected_components manual-adjudication hole."""
+    flags = {"dedup_connected_components": "2.7s -> 4.3s (1.6x)"}
+    measured = {
+        "dedup_connected_components": {
+            "min_s": 0.05,
+            "median_s": 0.05,
+            "all_s": [2.6, 0.05, 0.05],
+            "family_warmed": ["neardup_jaccard_pairs"],
+        }
+    }
+    out = _verdicts(flags, measured)["dedup_connected_components"]
+    assert out["basis_s"] == 2.6
+    assert "family warm" in out["basis"]
+    assert out["verdict"] == "noise"
+    # same regime, genuinely slower -> real regression, no manual step
+    measured["dedup_connected_components"]["all_s"] = [4.4, 0.05, 0.05]
+    out = _verdicts(flags, measured)["dedup_connected_components"]
+    assert out["verdict"] == "regressed"
+    # without the family warm-up the old conservative manual branch holds
+    del measured["dedup_connected_components"]["family_warmed"]
+    out = _verdicts(flags, measured)["dedup_connected_components"]
+    assert out["verdict"].startswith("memo_cold_exceeds_prior")

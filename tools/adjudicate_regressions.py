@@ -60,11 +60,18 @@ def _verdicts(flags: dict[str, str], measured: dict[str, dict]) -> dict:
       earlier in bench order built their shared memo —
       bench.memo_warm_prior_queries()): the warm reps (all_s[1:]) are
       the same regime, so min over them adjudicates both directions;
+    * SELF-CACHED memo queries whose re-measure ran their family
+      predecessors first (``family_warmed`` in the measurement, written
+      by idle_remeasure since r11): the first rep ran with the shared
+      memo warm and its own cache cold — the exact regime its bench
+      prior recorded — so it adjudicates BOTH directions;
     * memo-backed queries whose prior paid the memo BUILD (first of
-      family in bench order): the fresh-subprocess first rep is the
-      only cold number, but it also pays session ramp the deep-warm
-      bench prior never paid — so it can prove noise (cold at-or-below
-      prior) but never auto-"regressed"; that residue stays manual.
+      family in bench order), or self-cached queries measured without
+      the family warm-up: the fresh-subprocess first rep is the only
+      cold number, but it also pays memo build + session ramp the
+      deep-warm bench prior never paid — so it can prove noise (cold
+      at-or-below prior) but never auto-"regressed"; that residue
+      stays manual.
     """
     from bench import _MEMO_BACKED, memo_warm_prior_queries
 
@@ -80,6 +87,12 @@ def _verdicts(flags: dict[str, str], measured: dict[str, dict]) -> dict:
         elif name in warm_prior and len(idle["all_s"]) > 1:
             basis = min(idle["all_s"][1:])
             basis_label = "min over warm reps (memo-warm prior)"
+        elif idle.get("family_warmed"):
+            basis = idle["all_s"][0]
+            basis_label = (
+                "all_s[0] after family warm (shared memo warm, self-cache "
+                "cold — bench-comparable regime)"
+            )
         else:
             # memo builders, self-cached queries (their warm reps are
             # pure cache reads), and single-rep runs: only the cold rep
