@@ -1401,7 +1401,7 @@ _EMB_SQL_CTES = f"""
     SELECT n.doc_id,
            CAST(len(t.t) AS BIGINT) AS n_tokens,
            array_to_string(n.emb_sums, ',') AS emb_sums_csv,
-           round(sqrt(n.norm2), 9) AS l2_norm
+           sqrt(n.norm2) AS l2_norm
     FROM normed n JOIN tok t USING (doc_id)
     """,
 )
@@ -1429,13 +1429,15 @@ def embedding_generate_hashed(spark, sf_dir):
     precedent); the per-doc dim sums are EXACT int64 counts in both
     engines regardless of accumulation order; the only float ops are
     one sqrt and one division per element — IEEE-correctly-rounded on
-    identical int64 inputs in both engines — with round-9 on top.
+    identical int64 inputs in both engines — so l2_norm ships UNROUNDED
+    (a round-9 on top would re-open the digit-boundary flake channel
+    fixed in round 11 s2).
     Zero-token docs yield the zero vector (norm 0) by the same CASE in
     both engines.
 
     The registered output is FLAT (the driver canonicalizer hashes
     scalar cells only): the exact int64 dim sums serialize as a CSV
-    string (int-to-string is engine-identical) next to the round-9 L2
+    string (int-to-string is engine-identical) next to the unrounded L2
     norm — together they pin the generated vector exactly, since the
     unit vector is sums/norm by construction. Consumers get the actual
     array<double> vectors from `generated_embeddings()` below, the
@@ -1458,7 +1460,7 @@ def embedding_generate_hashed(spark, sf_dir):
         F.array_join(
             F.transform("emb_sums", lambda x: x.cast("string")), ","
         ).alias("emb_sums_csv"),
-        F.round(F.sqrt(norm2.cast(_D)), 9).alias("l2_norm"),
+        F.sqrt(norm2.cast(_D)).alias("l2_norm"),
     )
 
 

@@ -50,8 +50,10 @@ def test_kernel_matches_naive_encoder(spark, sf_dir):
         n, sums = _naive_embed(text)
         assert got[doc_id]["n_tokens"] == n
         assert got[doc_id]["emb_sums_csv"] == ",".join(map(str, sums))
+        # l2_norm ships unrounded (r11 s2): sqrt of an exact int64 is
+        # IEEE-identical across engines AND in this python replay
         expect_norm = math.sqrt(sum(x * x for x in sums))
-        assert abs(got[doc_id]["l2_norm"] - round(expect_norm, 9)) < 1e-12
+        assert got[doc_id]["l2_norm"] == expect_norm
 
 
 def test_generated_vectors_are_unit_norm(spark, sf_dir):
