@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "attribution_last_touch",
     "audio_energy_windows",
     "training_shard_manifest",
+    "dedup_chain_depth_report",
     # Three registry/driver-checked queries are deliberately NOT benched.
     # als_one_sweep_factors (and its round-10 sibling
     # als_convergence_report, which re-runs the same sweep): the one-sweep
@@ -205,6 +206,7 @@ _MEMO_BACKED = {
     "neardup_graph_pagerank",
     "neardup_graph_assortativity",
     "neardup_cluster_modularity",
+    "dedup_chain_depth_report",  # reads the pair memo + CC label memo
     # Lloyd-centroid memo (similarity._LLOYD_CENTROID_CACHE): a re-run
     # reuses the session's trained quantizer, so re-measures would time a
     # cache hit, not the workload.
@@ -254,6 +256,7 @@ _MEMO_FAMILIES = [
         "neardup_graph_pagerank",
         "neardup_graph_assortativity",
         "neardup_cluster_modularity",
+        "dedup_chain_depth_report",  # BFS over the memoized pairs+labels
     },
     {  # Lloyd centroid memo (operators/similarity.py); ivfpq (r11)
         # reads the shared IVF centroids AND holds its own residual

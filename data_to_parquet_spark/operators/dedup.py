@@ -1913,3 +1913,120 @@ def neardup_cluster_modularity(spark, sf_dir):
             9,
         ).alias("modularity"),
     )
+
+
+_CHAIN_MAX_HOPS = 6  # BFS depth cap; members deeper than this -> level -1
+
+
+@DEDUP.register(
+    "dedup_chain_depth_report",
+    # same tok/pairs/edges/reach CTE chain as _CC_ORACLE (bit-identical
+    # edge definition), extended by a level-synchronous BFS from every
+    # cluster canonical
+    oracle=f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, lang,
+         list_sort(list_distinct(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS toks
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM tok a JOIN tok b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9
+), edges AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+), reach(u, v) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), labels AS (
+  SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+), bfs(doc_id, lvl) AS (
+  SELECT doc_id, 0 FROM labels WHERE doc_id = cluster_id
+  UNION
+  SELECT e.v, b.lvl + 1
+  FROM bfs b JOIN edges e ON e.u = b.doc_id
+  WHERE b.lvl < {_CHAIN_MAX_HOPS}
+), lev AS (
+  SELECT doc_id, CAST(MIN(lvl) AS INT) AS level FROM bfs GROUP BY doc_id
+)
+SELECT level, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM lev GROUP BY level
+UNION ALL
+SELECT -1, CAST(COUNT(*) AS BIGINT), MIN(d.doc_id), MAX(d.doc_id)
+FROM documents d LEFT JOIN lev l ON l.doc_id = d.doc_id
+WHERE l.doc_id IS NULL
+HAVING COUNT(*) > 0
+""",
+)
+def dedup_chain_depth_report(spark, sf_dir):
+    """Transitive-chaining drift audit over the near-dup clusters: BFS
+    level of every document from ITS cluster's canonical (the min-id
+    survivor `dedup_keep_canonical` retains). Near-dup clustering is
+    transitive (A~B and B~C cluster A with C even when Jaccard(A,C) is
+    below threshold), so chain depth measures how far a dropped member
+    can drift from the document that "represents" it — level 1 members
+    are direct near-dups of their survivor, level 3+ members survive only
+    by chaining, and members beyond the 6-hop cap (level -1) are the
+    pathological drift a curation pipeline reviews before trusting the
+    keep/drop decision. Level 0 count = number of clusters = survivor
+    count (singletons included).
+
+    Scale: reuses the memoized pair table and CC label table (zero cost
+    after any dedup query), then 6 frontier rounds — each ONE join
+    of the (shrinking) frontier against the edge list plus an anti-join
+    against visited, lineage truncated per round with the lazy
+    localCheckpoint the CC/pagerank loops use; no per-round driver jobs.
+    Multi-source BFS cannot cross clusters (no inter-cluster edges by
+    CC's definition), so per-round work is bounded by |edges|. Every
+    output is an integer. Oracle: the _CC_ORACLE closure chain extended
+    by a level-synchronous recursive BFS whose UNION dedup bounds the
+    working set at |docs|x6 rows; MIN(lvl) per doc equals the
+    frontier BFS's first-reach level.
+    """
+    labels = _cc_label_table(spark, sf_dir)
+    pairs = neardup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    seeds = labels.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id"
+    )
+    visited = seeds.withColumn("level", F.lit(0))
+    frontier = seeds
+    for k in range(1, _CHAIN_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier["doc_id"] == edges["src"])
+            .select(F.col("dst").alias("doc_id"))
+            .distinct()
+            .join(visited.select("doc_id"), "doc_id", "left_anti")
+            .withColumn("level", F.lit(k))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("doc_id")
+    d = load_table(spark, sf_dir, "documents")
+    reached = visited.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+    unreached = (
+        d.select("doc_id")
+        .join(visited.select("doc_id"), "doc_id", "left_anti")
+        .groupBy(F.lit(-1).alias("level"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+    return reached.unionByName(unreached)

@@ -298,3 +298,90 @@ def test_shard_manifest_detects_membership_drift(spark, audio_docs_dir):
         # dropping any member changes the checksum (h8 is never 0)
         for d in members:
             assert r["checksum"] != sum(h8(x) for x in members if x != d)
+
+
+@pytest.fixture(scope="module")
+def chain_docs_dir(tmp_path_factory):
+    """A 9-doc transitive near-dup CHAIN: doc i holds the 20-token window
+    [i, i+20) over a 28-token sequence, so adjacent docs share 19 of 21
+    distinct tokens (Jaccard ~0.905 >= 0.9) while skip-pairs fall to
+    18/22 (~0.818 < 0.9) — one cluster whose members sit 1..8 hops from
+    the canonical doc 0."""
+    root = tmp_path_factory.mktemp("chain")
+    toks = [f"tok{i:02d}" for i in range(28)]
+    texts = [" ".join(toks[i : i + 20]) for i in range(9)]
+    pd.DataFrame(
+        {
+            "doc_id": range(9),
+            "text": texts,
+            "lang": ["en"] * 9,
+            "source": ["s0"] * 9,
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(root / "documents.parquet")
+    return str(root)
+
+
+def test_chain_depth_levels_and_beyond_cap(spark, chain_docs_dir):
+    from data_to_parquet_spark.operators.dedup import (
+        _CHAIN_MAX_HOPS,
+        dedup_chain_depth_report,
+    )
+
+    rows = {
+        r["level"]: r
+        for r in dedup_chain_depth_report(spark, chain_docs_dir).collect()
+    }
+    # canonical doc 0 at level 0; docs 1..6 at their chain distance;
+    # docs 7 and 8 exceed the 6-hop cap -> the -1 bucket
+    assert set(rows) == set(range(0, _CHAIN_MAX_HOPS + 1)) | {-1}
+    for lvl in range(0, _CHAIN_MAX_HOPS + 1):
+        r = rows[lvl]
+        assert (r["n_docs"], r["min_doc_id"], r["max_doc_id"]) == (1, lvl, lvl)
+    assert (
+        rows[-1]["n_docs"],
+        rows[-1]["min_doc_id"],
+        rows[-1]["max_doc_id"],
+    ) == (2, _CHAIN_MAX_HOPS + 1, _CHAIN_MAX_HOPS + 2)
+
+
+def test_chain_depth_oracle_agrees_on_fixture(spark, chain_docs_dir):
+    import duckdb as _dd
+
+    from data_to_parquet_spark.operators.dedup import dedup_chain_depth_report
+
+    got = sorted(
+        (r["level"], r["n_docs"], r["min_doc_id"], r["max_doc_id"])
+        for r in dedup_chain_depth_report(spark, chain_docs_dir).collect()
+    )
+    con = _dd.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{chain_docs_dir}/documents.parquet'"
+    )
+    want = sorted(
+        (r[0], r[1], r[2], r[3])
+        for r in con.execute(_ORACLES["dedup_chain_depth_report"]).fetchall()
+    )
+    con.close()
+    assert got == want
+
+
+def test_chain_depth_no_edges_all_canonical(spark, tmp_path):
+    # zero near-dup pairs -> every doc is its own canonical at level 0,
+    # no deeper levels, no -1 bucket
+    from data_to_parquet_spark.operators.dedup import dedup_chain_depth_report
+
+    pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": [f"tok{i}a tok{i}b tok{i}c" for i in range(8)],
+            "lang": ["en"] * 8,
+            "source": ["s0"] * 8,
+            "n_chars": [17] * 8,
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = dedup_chain_depth_report(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0]["level"] == 0
+    assert rows[0]["n_docs"] == 8

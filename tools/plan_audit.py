@@ -148,6 +148,9 @@ AUDITED = [
     "audio_energy_windows",
     # shard manifest: one map-side-combined groupBy into 16 groups
     "training_shard_manifest",
+    # chain-depth BFS: memoized inputs (0-scan plan like pagerank),
+    # 6 frontier join rounds, no cartesian
+    "dedup_chain_depth_report",
 ]
 
 
