@@ -8,6 +8,8 @@ import json
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
 from _md_sections import replace_section
@@ -436,3 +438,23 @@ def test_verdict_self_cached_with_family_warm_adjudicates_both_ways():
     del measured["dedup_connected_components"]["family_warmed"]
     out = _verdicts(flags, measured)["dedup_connected_components"]
     assert out["verdict"].startswith("memo_cold_exceeds_prior")
+
+
+def test_host_probe_steal_math_and_shape():
+    """r11 s2: the adjudication gate records hypervisor steal next to its
+    verdicts (wide stages degrade 2-4x under co-tenant steal while
+    loadavg reads calm — measured the day the jaccard build flagged)."""
+    from host_probe import measure_steal, steal_fraction
+
+    # fields: user nice system idle iowait irq softirq steal
+    before = [100, 0, 50, 800, 10, 0, 0, 40]
+    after = [200, 0, 70, 880, 10, 0, 0, 140]
+    # deltas: 100+0+20+80+0+0+0+100 = 300 total, 100 steal
+    assert steal_fraction(before, after) == pytest.approx(100 / 300)
+    assert steal_fraction(before, before) == 0.0
+
+    out = measure_steal(seconds=0.2, procs=2)
+    assert set(out) == {"steal_pct", "throughput_spread", "procs"}
+    assert out["procs"] == 2
+    assert 0.0 <= out["steal_pct"] <= 100.0
+    assert out["throughput_spread"] >= 1.0

@@ -268,6 +268,20 @@ def main(argv: list[str]) -> int:
         ):
             adjudicated[name] = entry
 
+    # Host-contention context: loadavg is VM-local and reads calm even
+    # while the hypervisor reclaims cores from co-tenants, which degrades
+    # WIDE stages 2-4x while narrow queries barely move (r11 s2: measured
+    # 9.8% steal / 1.44x per-core spread under a 32-process burn on a
+    # loadavg-0.2 box while the jaccard AllPairs build read 2-4x its
+    # prior). Record steal next to the verdicts so a "regressed" reading
+    # on a wide workload can be discounted against the host state.
+    try:
+        from host_probe import measure_steal
+
+        host = measure_steal()
+    except Exception as exc:  # noqa: BLE001 — the probe must not kill the gate
+        host = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+
     doc["regression_adjudication"] = {
         "date": date,
         "method": "tools/idle_remeasure.py, reps="
@@ -276,6 +290,7 @@ def main(argv: list[str]) -> int:
         "loadavg_at_start": measured["loadavg_at_start"],
         "loadavg_at_end": measured["loadavg_at_end"],
         "batch_loadavgs": batch_loads,
+        "host_steal_after": host,
         "queries": adjudicated,
     }
     with open(full_path, "w") as f:
