@@ -385,3 +385,126 @@ def test_chain_depth_no_edges_all_canonical(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["level"] == 0
     assert rows[0]["n_docs"] == 8
+
+
+def test_t_closeness_matches_bruteforce_on_random_corpus(
+    spark, tmp_path_factory
+):
+    """Randomized pin: a seeded 300-customer corpus, EMD recomputed by a
+    pure-Python brute force over the literal band domain — every output
+    column compared exactly (the int64 numerator makes exact equality
+    meaningful; t_emd is one exact-operand IEEE division both sides)."""
+    import numpy as np
+
+    rng = np.random.default_rng(1137)
+    n = 300
+    nations = rng.integers(0, 3, n)
+    segs = [f"SEG{j}" for j in rng.integers(0, 4, n)]
+    bals = np.round(rng.uniform(-999.0, 9999.0, n), 2)
+    root = tmp_path_factory.mktemp("tcl_rand")
+    pd.DataFrame(
+        {
+            "n_nationkey": [0, 1, 2],
+            "n_name": ["NA", "NB", "NC"],
+            "n_regionkey": [0, 0, 0],
+        }
+    ).to_parquet(root / "nation.parquet")
+    pd.DataFrame(
+        {
+            "c_custkey": range(n),
+            "c_name": [f"c{i}" for i in range(n)],
+            "c_nationkey": nations,
+            "c_acctbal": bals,
+            "c_mktsegment": segs,
+        }
+    ).to_parquet(root / "customer.parquet")
+
+    from data_to_parquet_spark.operators.privacy import (
+        _T_BANDS,
+        _T_M1,
+        t_closeness_audit,
+    )
+
+    name_of = {0: "NA", 1: "NB", 2: "NC"}
+    band = [int(np.floor(b / 1000.0)) for b in bals]
+    glob = {b: 0 for b in _T_BANDS}
+    classes: dict = {}
+    for i in range(n):
+        key = (name_of[int(nations[i])], segs[i])
+        cls = classes.setdefault(key, {b: 0 for b in _T_BANDS})
+        cls[band[i]] += 1
+        glob[band[i]] += 1
+    expect = {}
+    for key, cls in classes.items():
+        cn = sum(cls.values())
+        cum, acc = 0, 0
+        for b in _T_BANDS:
+            cum += cls[b] * n - glob[b] * cn
+            acc += abs(cum)
+        t_emd = acc / (float(cn) * float(n) * float(_T_M1))
+        expect[key] = (cn, acc, t_emd, int(t_emd > 0.2))
+
+    got = {
+        (r["n_name"], r["c_mktsegment"]): (
+            r["class_n"],
+            r["emd_num"],
+            r["t_emd"],
+            r["t_violates"],
+        )
+        for r in t_closeness_audit(spark, str(root)).collect()
+    }
+    assert got == expect
+
+
+def test_attribution_invariant_to_input_row_order(
+    spark, attribution_dir, tmp_path_factory
+):
+    """The window's (ts, event_id) total order, not parquet row order,
+    must decide attribution — rewrite the same events shuffled and
+    demand identical output."""
+    import numpy as np
+
+    from data_to_parquet_spark.operators.events import attribution_last_touch
+
+    base = sorted(
+        (r["day"], r["touch_type"], r["n_purchases"], r["attributed_value"])
+        for r in attribution_last_touch(spark, attribution_dir).collect()
+    )
+    df = pd.read_parquet(f"{attribution_dir}/events.parquet")
+    shuffled_dir = tmp_path_factory.mktemp("attrib_shuffled")
+    df.sample(frac=1.0, random_state=7).reset_index(drop=True).to_parquet(
+        shuffled_dir / "events.parquet"
+    )
+    got = sorted(
+        (r["day"], r["touch_type"], r["n_purchases"], r["attributed_value"])
+        for r in attribution_last_touch(spark, str(shuffled_dir)).collect()
+    )
+    assert got == base
+
+
+def test_chain_depth_conserves_docs_and_matches_cc(spark, sf_dir):
+    """Cross-operator invariants on the real corpus: every document lands
+    in exactly one level bucket (conservation), and the level-0 count
+    equals the cluster count dedup_connected_components reports."""
+    import duckdb as _dd
+
+    from data_to_parquet_spark.operators.dedup import (
+        dedup_chain_depth_report,
+        dedup_connected_components,
+    )
+
+    rows = dedup_chain_depth_report(spark, sf_dir).collect()
+    con = _dd.connect()
+    n_docs = con.execute(
+        f"SELECT COUNT(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    con.close()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    n_clusters = (
+        dedup_connected_components(spark, sf_dir)
+        .select("cluster_id")
+        .distinct()
+        .count()
+    )
+    level0 = {r["level"]: r["n_docs"] for r in rows}[0]
+    assert level0 == n_clusters
