@@ -382,6 +382,17 @@ def main() -> None:
     # captured before the JVM spins up, so it reflects co-tenant load, not
     # the bench's own 32 threads
     load_at_start = [round(x, 2) for x in os.getloadavg()]
+    # hypervisor steal under a brief all-cores burn: loadavg reads calm
+    # even while the host reclaims cores from co-tenants, which degrades
+    # WIDE stages 2-4x (r11 s2, tools/host_probe.py) — the record carries
+    # the reading so a slow total is interpretable without re-measuring
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from host_probe import measure_steal
+
+        host_at_start = measure_steal()
+    except Exception as exc:  # noqa: BLE001 — context, never a bench failure
+        host_at_start = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from data_to_parquet_spark.api import convert, convert_many
     from data_to_parquet_spark.session import get_spark
@@ -528,6 +539,7 @@ def main() -> None:
         # reader separate real drift from a noisy-neighbor window
         "loadavg_at_start": load_at_start,
         "loadavg_at_end": [round(x, 2) for x in os.getloadavg()],
+        "host_steal_at_start": host_at_start,
     }
     regressions = _vs_previous_round(times, current_sf=line["sf"])
     # One-off-blip filter: a sub-second query can read 2-7x slow from a
@@ -591,6 +603,7 @@ def main() -> None:
         "sf": line["sf"],
         "loadavg_at_start": load_at_start,
         "loadavg_at_end": line["loadavg_at_end"],
+        "host_steal_at_start": host_at_start,
         "n_regressions": len(regressions),
         "n_errors": len(errors),
     }
