@@ -541,6 +541,15 @@ def main() -> None:
         "loadavg_at_end": [round(x, 2) for x in os.getloadavg()],
         "host_steal_at_start": host_at_start,
     }
+    # ...and again at the end: a quiet start does not mean a quiet run
+    # (observed same-day: steal 0.4% at start, total still +17% — the
+    # co-tenant burst hit mid-run), so the record brackets the window
+    try:
+        from host_probe import measure_steal as _ms_end
+
+        line["host_steal_at_end"] = _ms_end()
+    except Exception as exc:  # noqa: BLE001
+        line["host_steal_at_end"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     regressions = _vs_previous_round(times, current_sf=line["sf"])
     # One-off-blip filter: a sub-second query can read 2-7x slow from a
     # single GC pause or co-tenant burst (observed same-code, same-day:
@@ -604,6 +613,7 @@ def main() -> None:
         "loadavg_at_start": load_at_start,
         "loadavg_at_end": line["loadavg_at_end"],
         "host_steal_at_start": host_at_start,
+        "host_steal_at_end": line.get("host_steal_at_end"),
         "n_regressions": len(regressions),
         "n_errors": len(errors),
     }
