@@ -483,7 +483,12 @@ def dp_noisy_counts(spark, sf_dir):
 # floor(c_acctbal / 1000) has the FIXED literal domain {-1, ..., 9}. Baking
 # the domain in (instead of collecting the observed bands) keeps the query a
 # single scan with no driver action; absent bands contribute zero mass on
-# both sides of the EMD and change nothing.
+# both sides of the EMD and change nothing. Both engines CLAMP the band
+# into this domain (greatest/least, r11 ADVICE): on in-domain data the
+# clamp is the identity, and an out-of-domain balance lands in the nearest
+# edge band IDENTICALLY cross-engine instead of silently diverging (the
+# unclamped Spark histogram dropped such rows from n_total while the
+# oracle counted them).
 _T_BANDS = tuple(range(-1, 10))
 _T_M1 = len(_T_BANDS) - 1  # the (m - 1) EMD normalizer for ordered values
 
@@ -493,7 +498,8 @@ _T_M1 = len(_T_BANDS) - 1  # the (m - 1) EMD normalizer for ordered values
     oracle=f"""
     WITH base AS (
       SELECT n_name, c_mktsegment,
-             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+             GREATEST(LEAST(CAST(floor(c_acctbal / 1000) AS BIGINT),
+                            {_T_BANDS[-1]}), {_T_BANDS[0]}) AS bal_band
       FROM customer JOIN nation ON n_nationkey = c_nationkey
     ), cb AS (
       SELECT n_name, c_mktsegment, bal_band, COUNT(*) AS cnt
@@ -573,7 +579,13 @@ def t_closeness_audit(spark, sf_dir):
         .groupBy(
             "n_name",
             "c_mktsegment",
-            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+            F.greatest(
+                F.least(
+                    F.floor(F.col("c_acctbal") / 1000).cast("long"),
+                    F.lit(_T_BANDS[-1]).cast("long"),
+                ),
+                F.lit(_T_BANDS[0]).cast("long"),
+            ).alias("bal_band"),
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -117,6 +117,62 @@ def test_t_closeness_oracle_agrees_on_fixture(spark, tcloseness_dir):
     assert got == want
 
 
+def test_t_closeness_out_of_domain_band_clamps_identically(
+    spark, tmp_path_factory
+):
+    """r11 ADVICE: a c_acctbal outside [-999.99, 9999.99] used to be
+    silently dropped from the Spark histogram (and n_total) while the
+    oracle counted it. Both engines now CLAMP the band into the literal
+    domain — this corpus has one balance in band 25 and one in band -5,
+    which must land in the edge bands 9 / -1 and be counted everywhere,
+    with the two engines in exact agreement."""
+    root = tmp_path_factory.mktemp("tclose_oob")
+    _write_nation(root)
+    rows = [
+        (1, "INDOM", 500.0),  # band 0
+        (2, "INDOM", 1500.0),  # band 1
+        (3, "OOBHI", 25000.0),  # band 25 -> clamps to 9
+        (4, "OOBLO", -5000.0),  # band -5 -> clamps to -1
+    ]
+    pd.DataFrame(
+        {
+            "c_custkey": [r[0] for r in rows],
+            "c_name": [f"c{r[0]}" for r in rows],
+            "c_nationkey": [0] * len(rows),
+            "c_acctbal": [r[2] for r in rows],
+            "c_mktsegment": [r[1] for r in rows],
+        }
+    ).to_parquet(root / "customer.parquet")
+    from data_to_parquet_spark.operators.privacy import t_closeness_audit
+
+    got = {
+        r["c_mktsegment"]: r
+        for r in t_closeness_audit(spark, str(root)).collect()
+    }
+    # every row counted: class_n sums to 4 (nothing silently dropped)
+    assert {k: v["class_n"] for k, v in got.items()} == {
+        "INDOM": 2,
+        "OOBHI": 1,
+        "OOBLO": 1,
+    }
+    # N = 4, m - 1 = 10; global bands {-1:1, 0:1, 1:1, 9:1}.
+    # OOBHI (n=1, mass at band 9): cum diffs -1,-2,-3,...,-3,0
+    #   |cum| = 1 + 2 + 3*8 = 27
+    assert got["OOBHI"]["emd_num"] == 27
+    # OOBLO (n=1, mass at band -1): cum diffs +3,+2,+1,...,+1,0
+    #   |cum| = 3 + 2 + 1*8 = 13
+    assert got["OOBLO"]["emd_num"] == 13
+    want = sorted(
+        (r["c_mktsegment"], r["class_n"], r["emd_num"], r["t_emd"])
+        for r in _oracle_rows(
+            str(root), "t_closeness_audit", ["c_mktsegment"]
+        )
+    )
+    assert want == sorted(
+        (k, v["class_n"], v["emd_num"], v["t_emd"]) for k, v in got.items()
+    )
+
+
 def test_t_closeness_uniform_class_is_zero(spark, tmp_path_factory):
     # a class distributed exactly like the population has EMD 0
     root = tmp_path_factory.mktemp("tclose0")

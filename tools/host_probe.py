@@ -48,7 +48,11 @@ def measure_steal(seconds: float = 2.0, procs: int | None = None) -> dict:
     and bench numbers on wide workloads are host-noise-dominated."""
     n = procs or os.cpu_count() or 1
     before = _cpu_times()
-    with mp.Pool(n) as pool:
+    # spawn, not fork: the probe is called from inside bench/adjudicate
+    # processes holding a live JVM/py4j with many threads, and forking a
+    # heavily multithreaded process can deadlock the child (r11 ADVICE).
+    # _burn is module-level, so spawn pickles cleanly.
+    with mp.get_context("spawn").Pool(n) as pool:
         counts = pool.map(_burn, [seconds] * n)
     after = _cpu_times()
     return {
