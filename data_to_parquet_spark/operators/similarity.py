@@ -1033,6 +1033,62 @@ def _ivfpq_fit(spark, sf_dir):
     return hit
 
 
+def _ivfpq_index_frame(spark, sf_dir, source=None):
+    """The coded IVF-PQ index frame (vec_id, cell, codes, xnorm) for
+    ``source`` (default: the full embeddings table) under the session's
+    FROZEN quantizer (`_ivfpq_fit` memo): one narrow Arrow-batched pass
+    that assigns each vector its nearest IVF cell, PQ-encodes the
+    residual, and stores the exact norm. Factored out of
+    `similarity_ann_ivfpq` (r12) so the streaming index-growth path
+    (`streaming_ivfpq_index_growth`) encodes arriving batches with the
+    IDENTICAL kernel the batch build uses — the equality of the two is
+    that query's driver-checked claim."""
+    e = (
+        source
+        if source is not None
+        else load_table(spark, sf_dir, "embeddings")
+    )
+    centroids, codebooks, cb_norm2, dim, dsub = _ivfpq_fit(spark, sf_dir)
+    m_sub = _PQ_M
+    cent_norm2 = (centroids ** 2).sum(axis=1)
+
+    def index_kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+            n = len(mat)
+            d2 = (
+                (mat ** 2).sum(axis=1, keepdims=True)
+                - 2 * mat @ centroids.T
+                + cent_norm2[None, :]
+            )
+            cells = d2.argmin(axis=1)
+            resid = mat - centroids[cells]
+            codes = np.empty((n, m_sub), dtype="int32")
+            for j in range(m_sub):
+                sub = resid[:, j * dsub : (j + 1) * dsub]
+                dd = (
+                    (sub ** 2).sum(axis=1, keepdims=True)
+                    - 2 * sub @ codebooks[j].T
+                    + cb_norm2[j][None, :]
+                )
+                codes[:, j] = dd.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": cells.astype("int32"),
+                    "codes": list(codes),
+                    "xnorm": np.sqrt((mat ** 2).sum(axis=1)),
+                }
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        index_kernel,
+        "vec_id long, cell int, codes array<int>, xnorm double",
+    )
+
+
 @SIM.register("similarity_ann_ivfpq", oracle=None)
 def similarity_ann_ivfpq(spark, sf_dir):
     """ANN via IVF-PQ — the composition of `similarity_ann_ivf`'s coarse
@@ -1070,40 +1126,7 @@ def similarity_ann_ivfpq(spark, sf_dir):
     centroids, codebooks, cb_norm2, dim, dsub = _ivfpq_fit(spark, sf_dir)
     m_sub, nprobe = _PQ_M, _IVF_NPROBE
     cent_norm2 = (centroids ** 2).sum(axis=1)
-
-    def index_kernel(batches):
-        for pdf in batches:
-            mat = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
-            n = len(mat)
-            d2 = (
-                (mat ** 2).sum(axis=1, keepdims=True)
-                - 2 * mat @ centroids.T
-                + cent_norm2[None, :]
-            )
-            cells = d2.argmin(axis=1)
-            resid = mat - centroids[cells]
-            codes = np.empty((n, m_sub), dtype="int32")
-            for j in range(m_sub):
-                sub = resid[:, j * dsub : (j + 1) * dsub]
-                dd = (
-                    (sub ** 2).sum(axis=1, keepdims=True)
-                    - 2 * sub @ codebooks[j].T
-                    + cb_norm2[j][None, :]
-                )
-                codes[:, j] = dd.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "cell": cells.astype("int32"),
-                    "codes": list(codes),
-                    "xnorm": np.sqrt((mat ** 2).sum(axis=1)),
-                }
-            )
-
-    coded = e.select("vec_id", "embedding").mapInPandas(
-        index_kernel,
-        "vec_id long, cell int, codes array<int>, xnorm double",
-    )
+    coded = _ivfpq_index_frame(spark, sf_dir)
 
     qrows = sorted(
         e.filter(F.col("vec_id") < _N_QUERIES)

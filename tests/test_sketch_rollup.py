@@ -1,0 +1,156 @@
+"""Pins for shard_sketch_rollup (operators/pipeline.py): the mergeable
+HLL shard rollup.
+
+- The raw per-shard and merged-union estimates must stay inside the 5%
+  envelope the registered query's bucket claims (the oracle carries the
+  bucket as literal TRUE, so these asserts are the early warning before
+  a driver hash goes red — the `_sketch_report_full` pattern).
+- On a tiny corpus the lg_k=12 sketch is in exact (sparse) mode, so the
+  estimates — including the merged union — must equal the exact counts
+  EXACTLY, pinned against a hand-derived shingle vocabulary.
+- Short docs (< 3 tokens) emit no shingles (`strict_shingles`); a corpus
+  made only of those must yield all-zero counts with TRUE buckets in
+  both engines.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+import __spark_entry__ as entry_mod
+from data_to_parquet_spark.operators.pipeline import (
+    _SHARD_N,
+    _SKROLL_ERR,
+    _shard_sketch_full,
+    shard_sketch_rollup,
+)
+
+_ORACLE = entry_mod.oracle_sql()["shard_sketch_rollup"]
+
+
+def _write_docs(root, texts):
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s0"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(root / "documents.parquet")
+    return str(root)
+
+
+def test_raw_estimates_inside_envelope(spark, sf_dir):
+    rows = _shard_sketch_full(spark, sf_dir).collect()
+    assert len(rows) == _SHARD_N + 1
+    assert sorted(r["shard_id"] for r in rows) == list(range(-1, _SHARD_N))
+    for r in rows:
+        assert r["exact_distinct_shingles"] > 0
+        rel = (
+            abs(r["estimate"] - r["exact_distinct_shingles"])
+            / r["exact_distinct_shingles"]
+        )
+        assert rel <= _SKROLL_ERR, (
+            f"shard {r['shard_id']}: estimate {r['estimate']} vs exact "
+            f"{r['exact_distinct_shingles']} — rel error {rel:.4f}"
+        )
+
+
+def test_bucketed_query_agrees_with_full_frame(spark, sf_dir):
+    full = {
+        r["shard_id"]: r for r in _shard_sketch_full(spark, sf_dir).collect()
+    }
+    for r in shard_sketch_rollup(spark, sf_dir).collect():
+        f = full[r["shard_id"]]
+        assert r["n_docs"] == f["n_docs"]
+        assert r["exact_distinct_shingles"] == f["exact_distinct_shingles"]
+        assert r["est_within_5pct"] is True
+
+
+def test_sparse_mode_exact_on_tiny_corpus(spark, tmp_path):
+    # 6 docs over a tiny token space: every shard's cardinality is far
+    # under the sketch's sparse-mode capacity, so per-shard estimates AND
+    # the merged union must be exactly the hand-derived distinct counts
+    texts = [f"a{i} b{i} c{i} d{i}" for i in range(6)]
+    sf_dir = _write_docs(tmp_path, texts)
+
+    def h_shard(doc_id: int) -> int:
+        import hashlib
+
+        return (
+            int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+            % _SHARD_N
+        )
+
+    shards: dict[int, set] = {}
+    corpus = set()
+    for i, t in enumerate(texts):
+        toks = t.split()
+        sh = {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+        shards.setdefault(h_shard(i), set()).update(sh)
+        corpus |= sh
+    rows = {
+        r["shard_id"]: r for r in _shard_sketch_full(spark, sf_dir).collect()
+    }
+    assert len(rows) == len(shards) + 1
+    for sid, sset in shards.items():
+        assert rows[sid]["exact_distinct_shingles"] == len(sset)
+        assert rows[sid]["estimate"] == len(sset)  # sparse mode: exact
+    assert rows[-1]["exact_distinct_shingles"] == len(corpus)
+    assert rows[-1]["estimate"] == len(corpus)  # union of sparse: exact
+
+
+def test_short_docs_zero_shingles_matches_oracle(spark, tmp_path):
+    # every doc under 3 tokens -> strict_shingles emits nothing; exact
+    # counts are 0 everywhere, buckets stay TRUE, and Spark agrees with
+    # the DuckDB oracle row-for-row (the LEFT JOIN / COALESCE(0) path)
+    sf_dir = _write_docs(tmp_path, ["one two", "x", "y z", "w"])
+    got = sorted(
+        (
+            r["shard_id"],
+            r["n_docs"],
+            r["exact_distinct_shingles"],
+            r["est_within_5pct"],
+        )
+        for r in shard_sketch_rollup(spark, sf_dir).collect()
+    )
+    assert all(g[2] == 0 and g[3] for g in got)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        (r[0], r[1], r[2], bool(r[3]))
+        for r in con.execute(_ORACLE).fetchall()
+    )
+    con.close()
+    assert got == want
+
+
+def test_merged_union_close_to_direct_exact(spark, sf_dir):
+    """The corpus row's estimate comes from FOLDING 16 fixed-size shard
+    states, not from a corpus re-scan — pin that this two-level path
+    stays within half the envelope of the exact corpus vocabulary on the
+    shipped corpus (measured <=1.5% at every sf)."""
+    rows = {
+        r["shard_id"]: r for r in _shard_sketch_full(spark, sf_dir).collect()
+    }
+    corpus = rows[-1]
+    rel = (
+        abs(corpus["estimate"] - corpus["exact_distinct_shingles"])
+        / corpus["exact_distinct_shingles"]
+    )
+    assert rel <= _SKROLL_ERR / 2
+    # conservation: per-shard exacts are disjoint unions of the corpus
+    # vocabulary only if no shingle crosses shards — generally they
+    # overlap, so the sum must be >= the corpus exact
+    assert (
+        sum(
+            r["exact_distinct_shingles"]
+            for sid, r in rows.items()
+            if sid >= 0
+        )
+        >= corpus["exact_distinct_shingles"]
+    )
