@@ -179,7 +179,10 @@ BENCH_QUERIES = [
     "audio_energy_windows",
     "training_shard_manifest",
     "dedup_chain_depth_report",
-    # Three registry/driver-checked queries are deliberately NOT benched.
+    # added round 12: the manifest's mergeable-sketch companion (per-shard
+    # HLL states folded into the corpus vocabulary estimate)
+    "shard_sketch_rollup",
+    # Four registry/driver-checked queries are deliberately NOT benched.
     # als_one_sweep_factors (and its round-10 sibling
     # als_convergence_report, which re-runs the same sweep): the one-sweep
     # ALS is ~6 s of multi-stage driver-coordinated linear algebra,
@@ -188,6 +191,9 @@ BENCH_QUERIES = [
     # ~20 s of fixed per-epoch stage overhead at sf0.1 — it would be 15%
     # of the bench line while measuring scheduler latency, not operator
     # throughput.
+    # streaming_ivfpq_index_growth (round 12): the same 5-epoch
+    # foreachBatch shape — per-epoch stage overhead dominates at sf0.1,
+    # and its encode kernel is already benched via similarity_ann_ivfpq.
 ]
 
 # Queries that populate or read the cross-query dedup memos
@@ -235,6 +241,11 @@ _MEMO_BACKED = {
     # can't recur silently.
     "als_one_sweep_factors",
     "als_convergence_report",
+    # Streaming IVF-PQ accumulator memo (streaming._IVFPQ_STREAM_CACHE,
+    # r12) on top of the shared Lloyd-centroid + residual-codebook memos.
+    # Not benched (see BENCH_QUERIES comment) — listed for the family
+    # invariant, like the ALS pair.
+    "streaming_ivfpq_index_growth",
 }
 
 # Memo FAMILIES — queries sharing one session cache, used to classify
@@ -267,6 +278,7 @@ _MEMO_FAMILIES = [
         "similarity_recall_report",
         "similarity_ann_ivfpq",
         "ivfpq_selectivity_audit",
+        "streaming_ivfpq_index_growth",  # frozen quantizer = same memos
     },
     {  # BM25 frame memo (operators/text.py)
         "bm25_rank_queries",
@@ -298,6 +310,7 @@ _MEMO_SELF_CACHED = {
     "neardup_jaccard_pairs",  # _JACCARD_PAIRS_CACHE holds its output
     "dedup_connected_components",  # _CC_LABEL_CACHE holds its output
     "dedup_keep_canonical",  # thin projection of _CC_LABEL_CACHE
+    "streaming_ivfpq_index_growth",  # _IVFPQ_STREAM_CACHE holds its output
 }
 
 

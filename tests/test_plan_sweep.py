@@ -45,6 +45,8 @@ ALLOW_BNLJ = {
     "holt_linear_weekly_orders",  # same 1-row (wk0, wk1) domain agg as SES
     "psi_drift_orders",  # 1-row (t_ref, t_cur) total joined back to 10 bins
     "quality_decile_schedule",  # 1-row exact-quantile thresholds joined back
+    "shard_sketch_rollup",  # corpus row: three 1-row aggs joined (the
+    # graph_triangle_count shape); shard rows join <=16-row aggregates
 }
 
 # Streaming queries execute a real streaming run when built (availableNow to

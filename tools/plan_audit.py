@@ -151,6 +151,13 @@ AUDITED = [
     # chain-depth BFS: memoized inputs (0-scan plan like pagerank),
     # 6 frontier join rounds, no cartesian
     "dedup_chain_depth_report",
+    # round 12: mergeable-sketch rollup — one corpus-scale distinct on
+    # (shard, shingle), then <=17-row sketch/union work.
+    # streaming_ivfpq_index_growth is deliberately NOT audited: its plan
+    # reads the session's temp parquet accumulator (a multi-job streaming
+    # artifact, not single-plan auditable — the pq_reconstruction_audit
+    # precedent at the comment above).
+    "shard_sketch_rollup",
 ]
 
 
