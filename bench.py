@@ -179,9 +179,11 @@ BENCH_QUERIES = [
     "audio_energy_windows",
     "training_shard_manifest",
     "dedup_chain_depth_report",
-    # added round 12: the manifest's mergeable-sketch companion (per-shard
-    # HLL states folded into the corpus vocabulary estimate)
+    # added round 12: the manifest's mergeable-sketch companions (per-shard
+    # HLL / KLL states folded into corpus-wide vocabulary and quantile
+    # estimates)
     "shard_sketch_rollup",
+    "shard_quantile_rollup",
     # Four registry/driver-checked queries are deliberately NOT benched.
     # als_one_sweep_factors (and its round-10 sibling
     # als_convergence_report, which re-runs the same sweep): the one-sweep

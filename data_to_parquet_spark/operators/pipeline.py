@@ -1886,3 +1886,143 @@ def shard_sketch_rollup(spark, sf_dir):
             F.col("estimate"), F.col("exact_distinct_shingles")
         ).alias("est_within_5pct"),
     )
+
+
+#: shard_quantile_rollup envelope — >=2x the worst rank deviation measured
+#: on the shipped corpora (max 0.042 at sf0.001, where ~31-doc shards make
+#: the deviation DISCRETENESS of the tied integer median, not sketch error;
+#: at sf0.1 the measured max is 0.012, within the k=200 KLL's ~1.65% rank
+#: guarantee). The merged-union estimate measures <=0.002 at every sf.
+_SKQ_RANK_ERR = 0.10
+
+
+def _shard_quantile_full(spark, sf_dir):
+    """(shard_id, n_docs, exact_p50_tokens, est_p50, rank_err) — the raw
+    rollup frame with the real KLL estimates and their midpoint-rank
+    deviations (per-shard rows plus the merged-union corpus row at
+    shard_id = -1); the registered query buckets rank_err, and the raw
+    bound is pinned on THIS frame in tests/test_sketch_rollup.py."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        md5_bucket(F.col("doc_id"), _SHARD_N).alias("shard_id"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    ).localCheckpoint(eager=False)  # feeds the sketch agg + two rank scans
+    per = t.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile("n_tokens", 0.5).alias("exact_p50_tokens"),
+        F.kll_sketch_agg_bigint("n_tokens").alias("sk"),
+    )
+    est = per.select(
+        "shard_id",
+        "n_docs",
+        "exact_p50_tokens",
+        F.kll_sketch_get_quantile_bigint("sk", F.lit(0.5)).alias("est_p50"),
+    )
+
+    def midpoint_rank_err(grouped):
+        less = F.sum((F.col("n_tokens") < F.col("est_p50")).cast("long"))
+        ties = F.sum((F.col("n_tokens") == F.col("est_p50")).cast("long"))
+        rank = (less.cast(_D) + ties.cast(_D) / F.lit(2.0)) / F.count(
+            F.lit(1)
+        )
+        return grouped.agg(F.abs(rank - F.lit(0.5)).alias("rank_err"))
+
+    shard_rows = est.join(
+        midpoint_rank_err(
+            t.join(F.broadcast(est.select("shard_id", "est_p50")), "shard_id")
+            .groupBy("shard_id")
+        ),
+        "shard_id",
+    ).select(
+        F.col("shard_id").cast("long").alias("shard_id"),
+        "n_docs",
+        "exact_p50_tokens",
+        F.col("est_p50").cast("long").alias("est_p50"),
+        "rank_err",
+    )
+    key = F.lit(-1).cast("long").alias("shard_id")
+    merged = per.agg(F.kll_merge_agg_bigint("sk").alias("sk")).select(
+        key,
+        F.kll_sketch_get_quantile_bigint("sk", F.lit(0.5)).alias("est_p50"),
+    )
+    corp = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile("n_tokens", 0.5).alias("exact_p50_tokens"),
+    ).select(key, "n_docs", "exact_p50_tokens")
+    corp_rank = midpoint_rank_err(
+        t.join(F.broadcast(merged), F.lit(True)).groupBy()
+    ).select(key, "rank_err")
+    corpus_row = (
+        corp.join(merged, "shard_id")
+        .join(corp_rank, "shard_id")
+        .select(
+            "shard_id",
+            "n_docs",
+            "exact_p50_tokens",
+            F.col("est_p50").cast("long").alias("est_p50"),
+            "rank_err",
+        )
+    )
+    return shard_rows.unionByName(corpus_row)
+
+
+@PIPE.register(
+    "shard_quantile_rollup",
+    oracle=f"""
+    WITH t AS (
+      SELECT {md5_bucket_sql('doc_id', _SHARD_N)} AS shard_id,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    )
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           quantile_cont(n_tokens, 0.5) AS exact_p50_tokens,
+           TRUE AS rank_err_le_10pct
+    FROM t GROUP BY shard_id
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           quantile_cont(n_tokens, 0.5), TRUE
+    FROM t
+    """,
+)
+def shard_quantile_rollup(spark, sf_dir):
+    """Mergeable-quantile shard rollup — the KLL sibling of
+    `shard_sketch_rollup`, completing the two-level-aggregation pair
+    (HLL answers "how many distinct", KLL answers "how is it
+    distributed"): each of the 16 md5-bucketed training shards sketches
+    its per-doc token-count distribution with a DataSketches KLL
+    (`kll_sketch_agg_bigint`, fixed-size mergeable state), and the
+    corpus-wide median estimate comes from MERGING the 16 shard states
+    (`kll_merge_agg_bigint`) — never from re-sorting the corpus. The
+    corpus row ships as shard_id = -1.
+
+    Envelope-audited in the `quantile_sketch_report` tradition: the
+    driver hash checks the exact per-shard doc counts and interpolated
+    medians (Spark `percentile` ≡ DuckDB `quantile_cont`, the
+    `percentile_prices_by_flag` precedent) AND the claim that each
+    sketch estimate's MIDPOINT rank (strictly-less + half the ties — the
+    tie-robust form the r9 ADVICE mandated) deviates from 0.5 by at most
+    10% (`_SKQ_RANK_ERR`, >=2x the worst measured deviation; at sf0.001
+    the deviation is tied-integer-median discreteness over ~31-doc
+    shards, not sketch error — the k=200 KLL guarantees ~1.65% rank
+    error and measures 0.012 at sf0.1, with the merged estimate at
+    <=0.002 everywhere). The oracle carries the bucket as literal TRUE;
+    raw estimates and deviations stay pinned in
+    tests/test_sketch_rollup.py.
+
+    Scale: ONE map-side-combined sketch aggregate over a two-column
+    projection (the exact medians are the audit's ground truth — at
+    100 TB the rollup's point is that the fixed-size merged states make
+    the exact sort optional), plus two bounded rank-verification scans
+    against <=17 broadcast estimate rows.
+    """
+    full = _shard_quantile_full(spark, sf_dir)
+    return full.select(
+        "shard_id",
+        "n_docs",
+        "exact_p50_tokens",
+        (F.col("rank_err") <= F.lit(_SKQ_RANK_ERR)).alias(
+            "rank_err_le_10pct"
+        ),
+    )

@@ -47,6 +47,8 @@ ALLOW_BNLJ = {
     "quality_decile_schedule",  # 1-row exact-quantile thresholds joined back
     "shard_sketch_rollup",  # corpus row: three 1-row aggs joined (the
     # graph_triangle_count shape); shard rows join <=16-row aggregates
+    "shard_quantile_rollup",  # merged 1-row KLL estimate broadcast back
+    # for the rank scan + the same three-1-row-agg corpus row
 }
 
 # Streaming queries execute a real streaming run when built (availableNow to

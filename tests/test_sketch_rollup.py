@@ -1,5 +1,5 @@
-"""Pins for shard_sketch_rollup (operators/pipeline.py): the mergeable
-HLL shard rollup.
+"""Pins for shard_sketch_rollup and shard_quantile_rollup
+(operators/pipeline.py): the mergeable HLL / KLL shard rollup pair.
 
 - The raw per-shard and merged-union estimates must stay inside the 5%
   envelope the registered query's bucket claims (the oracle carries the
@@ -154,3 +154,85 @@ def test_merged_union_close_to_direct_exact(spark, sf_dir):
         )
         >= corpus["exact_distinct_shingles"]
     )
+
+
+def test_quantile_raw_deviations_inside_envelope(spark, sf_dir):
+    from data_to_parquet_spark.operators.pipeline import (
+        _SKQ_RANK_ERR,
+        _shard_quantile_full,
+    )
+
+    rows = _shard_quantile_full(spark, sf_dir).collect()
+    assert sorted(r["shard_id"] for r in rows) == list(range(-1, _SHARD_N))
+    for r in rows:
+        assert r["rank_err"] <= _SKQ_RANK_ERR, (
+            f"shard {r['shard_id']}: KLL p50 {r['est_p50']} has midpoint "
+            f"rank deviation {r['rank_err']:.4f}"
+        )
+    # the merged-union estimate is far better than the shard envelope
+    # (measured <=0.002 at every sf): pin half the envelope
+    assert {r["shard_id"]: r for r in rows}[-1]["rank_err"] <= (
+        _SKQ_RANK_ERR / 2
+    )
+
+
+def test_quantile_bucketed_query_agrees_with_full_frame(spark, sf_dir):
+    from data_to_parquet_spark.operators.pipeline import (
+        _SKQ_RANK_ERR,
+        _shard_quantile_full,
+        shard_quantile_rollup,
+    )
+
+    full = {
+        r["shard_id"]: r
+        for r in _shard_quantile_full(spark, sf_dir).collect()
+    }
+    for r in shard_quantile_rollup(spark, sf_dir).collect():
+        f = full[r["shard_id"]]
+        assert r["n_docs"] == f["n_docs"]
+        assert r["exact_p50_tokens"] == f["exact_p50_tokens"]
+        assert r["rank_err_le_10pct"] == (f["rank_err"] <= _SKQ_RANK_ERR)
+        assert r["rank_err_le_10pct"] is True
+
+
+def test_quantile_sparse_mode_exact_on_tiny_corpus(spark, tmp_path):
+    # 5 docs with token counts 3..7: every shard holds < k=200 values, so
+    # the KLL is in exact mode; the corpus row's estimate must be the true
+    # discrete median (5) with midpoint rank exactly 0.5, and the exact
+    # interpolated median must agree with DuckDB's quantile_cont
+    texts = [" ".join(f"w{i}x{j}" for j in range(n)) for i, n in
+             enumerate([3, 4, 5, 6, 7])]
+    sf_dir = _write_docs(tmp_path, texts)
+    from data_to_parquet_spark.operators.pipeline import (
+        _shard_quantile_full,
+    )
+
+    rows = {
+        r["shard_id"]: r for r in _shard_quantile_full(spark, sf_dir).collect()
+    }
+    corp = rows[-1]
+    assert corp["n_docs"] == 5
+    assert corp["exact_p50_tokens"] == 5.0
+    assert corp["est_p50"] == 5
+    assert corp["rank_err"] == 0.0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    oracle = entry_mod.oracle_sql()["shard_quantile_rollup"]
+    want = sorted(
+        (r[0], r[1], r[2], bool(r[3])) for r in con.execute(oracle).fetchall()
+    )
+    con.close()
+    from data_to_parquet_spark.operators.pipeline import shard_quantile_rollup
+
+    got = sorted(
+        (
+            r["shard_id"],
+            r["n_docs"],
+            r["exact_p50_tokens"],
+            r["rank_err_le_10pct"],
+        )
+        for r in shard_quantile_rollup(spark, sf_dir).collect()
+    )
+    assert got == want

@@ -158,6 +158,8 @@ AUDITED = [
     # artifact, not single-plan auditable — the pq_reconstruction_audit
     # precedent at the comment above).
     "shard_sketch_rollup",
+    # the KLL sibling: one map-side sketch agg + two bounded rank scans
+    "shard_quantile_rollup",
 ]
 
 
