@@ -184,7 +184,7 @@ BENCH_QUERIES = [
     # estimates)
     "shard_sketch_rollup",
     "shard_quantile_rollup",
-    # Four registry/driver-checked queries are deliberately NOT benched.
+    # Five registry/driver-checked queries are deliberately NOT benched.
     # als_one_sweep_factors (and its round-10 sibling
     # als_convergence_report, which re-runs the same sweep): the one-sweep
     # ALS is ~6 s of multi-stage driver-coordinated linear algebra,
@@ -196,6 +196,8 @@ BENCH_QUERIES = [
     # streaming_ivfpq_index_growth (round 12): the same 5-epoch
     # foreachBatch shape — per-epoch stage overhead dominates at sf0.1,
     # and its encode kernel is already benched via similarity_ann_ivfpq.
+    # streaming_shard_manifest_growth (round 12): likewise; its aggregate
+    # is already benched via training_shard_manifest.
 ]
 
 # Queries that populate or read the cross-query dedup memos
@@ -248,6 +250,10 @@ _MEMO_BACKED = {
     # Not benched (see BENCH_QUERIES comment) — listed for the family
     # invariant, like the ALS pair.
     "streaming_ivfpq_index_growth",
+    # Streaming manifest accumulator memo (_MANIFEST_STREAM_CACHE, r12);
+    # not benched, shares no cache with any benched query (singleton
+    # family below).
+    "streaming_shard_manifest_growth",
 }
 
 # Memo FAMILIES — queries sharing one session cache, used to classify
@@ -293,6 +299,10 @@ _MEMO_FAMILIES = [
         "similarity_ann_pq",
         "pq_reconstruction_audit",
     },
+    {  # Streaming manifest accumulator memo (streaming/windows.py, r12);
+        # singleton: the partials cache is this query's own output store
+        "streaming_shard_manifest_growth",
+    },
     {  # ALS sweep memo (operators/similarity.py, r11); neither member
         # is benched today — listed so the family invariant holds and a
         # future benching inherits the right adjudication regime
@@ -313,6 +323,7 @@ _MEMO_SELF_CACHED = {
     "dedup_connected_components",  # _CC_LABEL_CACHE holds its output
     "dedup_keep_canonical",  # thin projection of _CC_LABEL_CACHE
     "streaming_ivfpq_index_growth",  # _IVFPQ_STREAM_CACHE holds its output
+    "streaming_shard_manifest_growth",  # _MANIFEST_STREAM_CACHE likewise
 }
 
 

@@ -1660,10 +1660,11 @@ PIPE._queries["generated_embedding_topk"] = _dc.replace(
 
 _SHARD_N = 16  # training shards; a power of two like real shard fan-outs
 
-
-@PIPE.register(
-    "training_shard_manifest",
-    oracle=f"""
+#: shared by `training_shard_manifest` and its streaming twin
+#: `streaming_shard_manifest_growth` (streaming/windows.py): the two are
+#: REQUIRED to produce identical results (the checksum's associativity
+#: claim), so they share one oracle verbatim.
+_SHARD_MANIFEST_ORACLE = f"""
     WITH t AS (
       SELECT doc_id,
              {md5_bucket_sql('doc_id', _SHARD_N)} AS shard_id,
@@ -1682,8 +1683,38 @@ _SHARD_N = 16  # training shards; a power of two like real shard fan-outs
            MIN(doc_id) AS min_doc_id,
            MAX(doc_id) AS max_doc_id
     FROM t GROUP BY shard_id
-    """,
-)
+    """
+
+
+def _shard_manifest_frame(d):
+    """The per-shard manifest aggregate over a documents DataFrame —
+    factored out of `training_shard_manifest` (r12) so the streaming
+    growth path (`streaming_shard_manifest_growth`) aggregates each
+    arriving batch with the IDENTICAL expressions; because every output
+    is a sum/min/max, per-batch partials fold into exactly the batch
+    manifest (the associativity the checksum was designed for)."""
+    t = d.select(
+        "doc_id",
+        md5_bucket(F.col("doc_id"), _SHARD_N).alias("shard_id"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        "n_chars",
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    return t.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("h").alias("checksum"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+@PIPE.register("training_shard_manifest", oracle=_SHARD_MANIFEST_ORACLE)
 def training_shard_manifest(spark, sf_dir):
     """Dataset-publication manifest — the stage after curation: assign every
     document to one of 16 training shards by content-stable hash
@@ -1704,26 +1735,7 @@ def training_shard_manifest(spark, sf_dir):
     groups), reading only (doc_id, text, n_chars); tokenization is the
     shared JVM-side `tokens()` expression, no Python in the path.
     """
-    d = load_table(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id",
-        md5_bucket(F.col("doc_id"), _SHARD_N).alias("shard_id"),
-        F.size(tokens(F.col("text"))).alias("n_tokens"),
-        "n_chars",
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-        )
-        .cast("bigint")
-        .alias("h"),
-    )
-    return t.groupBy("shard_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("n_tokens"),
-        F.sum("n_chars").alias("n_chars"),
-        F.sum("h").alias("checksum"),
-        F.min("doc_id").alias("min_doc_id"),
-        F.max("doc_id").alias("max_doc_id"),
-    )
+    return _shard_manifest_frame(load_table(spark, sf_dir, "documents"))
 
 
 #: shard_sketch_rollup envelope — >=2x bounds around the r12 measurements

@@ -1113,3 +1113,107 @@ def streaming_ivfpq_index_growth(spark, sf_dir):
             "n_codes_valid",
         )
     )
+
+
+_MANIFEST_STREAM_CACHE: dict = {}
+
+
+def _manifest_stream_accumulate(spark, sf_dir):
+    """The epoch-partitioned per-batch manifest partials (epoch,
+    shard_id, n_docs, n_tokens, n_chars, checksum, min_doc_id,
+    max_doc_id) accumulated by the streaming manifest build — exposed
+    with the epoch column for the pytest pins; the registered query
+    folds the epochs away."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.base import memo_get, memo_put, path_fingerprint
+    from ..operators.pipeline import _shard_manifest_frame
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    fp = path_fingerprint(doc_path)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = memo_get(_MANIFEST_STREAM_CACHE, key, fp)
+    if cached is not None:
+        return cached
+
+    root = tempfile.mkdtemp(prefix="manifest_stream_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    in_dir = os.path.join(root, "in")
+    part_dir = os.path.join(root, "partials")
+    ckpt = os.path.join(root, "ckpt")
+
+    spark.read.parquet(doc_path).select(
+        "doc_id", "text", "n_chars"
+    ).repartitionByRange(_IVFPQ_STREAM_FILES, "doc_id").write.parquet(
+        in_dir
+    )
+
+    def process(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # epoch-keyed overwrite: replays re-materialize identical partials
+        _shard_manifest_frame(batch_df).write.mode("overwrite").parquet(
+            f"{part_dir}/epoch={epoch_id}"
+        )
+
+    q = (
+        spark.readStream.schema("doc_id long, text string, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(part_dir)
+    memo_put(_MANIFEST_STREAM_CACHE, key, fp, out)
+    return out
+
+
+from ..operators.pipeline import _SHARD_MANIFEST_ORACLE
+
+
+@STREAMING.register(
+    "streaming_shard_manifest_growth", oracle=_SHARD_MANIFEST_ORACLE
+)
+def streaming_shard_manifest_growth(spark, sf_dir):
+    """Incremental manifest maintenance — the streaming twin of
+    `training_shard_manifest`, and the end-to-end demonstration of the
+    property that manifest was DESIGNED around: every manifest statistic
+    is a sum/min/max, so per-batch partials fold into exactly the batch
+    manifest, no matter how arrival slices the corpus. Documents arrive
+    as a parquet-file stream; each `foreachBatch` epoch aggregates ONLY
+    its batch (the identical `_shard_manifest_frame` expressions — one
+    map-side-combined groupBy over the arriving slice) and appends the
+    16-row partial to an epoch-keyed idempotent accumulator; the
+    published manifest is one fold over the tiny partials table
+    (sum counts/checksums, min/max fences). A concat-then-hash digest
+    would make this impossible — it cannot be updated without re-reading
+    every document ever ingested, which is precisely why the checksum is
+    an order-insensitive sum.
+
+    The oracle is `training_shard_manifest`'s oracle VERBATIM (shared
+    constant): the driver value-hashes that the streamed composition
+    equals the batch manifest on the union corpus, column for column —
+    the `streaming_incremental_neardup` design, but with a fully exact
+    integer surface (no envelope needed).
+
+    Scale: per-epoch cost is one narrow scan of the arriving batch into
+    16 combined rows; accumulated state is 16 rows x epochs of integers
+    in parquet, not executor memory; the fold is over that tiny table.
+    A year of ingest updates the manifest at per-batch cost with no
+    corpus re-read.
+    """
+    acc = _manifest_stream_accumulate(spark, sf_dir).drop("epoch")
+    return acc.groupBy("shard_id").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("checksum").alias("checksum"),
+        F.min("min_doc_id").alias("min_doc_id"),
+        F.max("max_doc_id").alias("max_doc_id"),
+    )

@@ -13,6 +13,8 @@ incremental IVF-PQ index build.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from data_to_parquet_spark.streaming.windows import (
     _IVFPQ_STREAM_FILES,
     _ivfpq_stream_accumulate,
@@ -64,3 +66,52 @@ def test_accumulated_equals_batch_build_row_for_row(spark, sf_dir):
     got = canon(_ivfpq_stream_accumulate(spark, sf_dir).drop("epoch"))
     want = canon(_ivfpq_index_frame(spark, sf_dir))
     assert got == want  # bit-identical, including the float norms
+
+
+def test_manifest_growth_equals_batch_manifest(spark, sf_dir):
+    """The associativity claim end-to-end: folding the per-epoch
+    partials must reproduce the batch manifest column for column."""
+    from data_to_parquet_spark.operators.pipeline import (
+        training_shard_manifest,
+    )
+    from data_to_parquet_spark.streaming.windows import (
+        streaming_shard_manifest_growth,
+    )
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    got = canon(streaming_shard_manifest_growth(spark, sf_dir))
+    want = canon(training_shard_manifest(spark, sf_dir))
+    assert got == want
+
+
+def test_manifest_partials_are_multi_epoch_and_bounded(spark, sf_dir):
+    from data_to_parquet_spark.streaming.windows import (
+        _IVFPQ_STREAM_FILES,
+        _manifest_stream_accumulate,
+    )
+
+    acc = _manifest_stream_accumulate(spark, sf_dir)
+    epochs = [r["epoch"] for r in acc.select("epoch").distinct().collect()]
+    assert len(epochs) == _IVFPQ_STREAM_FILES
+    # each partial is at most 16 rows (one per shard present in the batch)
+    per_epoch = {
+        r["epoch"]: r["count"] for r in acc.groupBy("epoch").count().collect()
+    }
+    assert all(1 <= n <= 16 for n in per_epoch.values())
+    # doc counts across partials conserve the corpus
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert acc.groupBy().sum("n_docs").collect()[0][0] == n
+    # range-partitioned arrival: epoch doc_id fences must not overlap,
+    # so per-epoch min/max fences order consistently with epochs' ranges
+    fences = sorted(
+        (r["lo"], r["hi"])
+        for r in acc.groupBy("epoch")
+        .agg(
+            F.min("min_doc_id").alias("lo"), F.max("max_doc_id").alias("hi")
+        )
+        .collect()
+    )
+    for (lo1, hi1), (lo2, _hi2) in zip(fences, fences[1:]):
+        assert hi1 < lo2
