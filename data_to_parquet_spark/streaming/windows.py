@@ -1030,7 +1030,14 @@ def streaming_ivfpq_index_growth(spark, sf_dir):
     `_ivfpq_index_frame` output on the union corpus EXACTLY — same cells,
     same residual codes, same IEEE-exact norms (both paths run the
     identical Arrow kernel under the identical frozen quantizer, so
-    float equality is bit-for-bit). The audit row reports six facts that
+    float equality is bit-for-bit). The equality is batch-SHAPE
+    independent by the kernel's structure: every output row depends only
+    on its own 64-float vector and the broadcast constants — xnorm is a
+    per-row reduction, and the cell/code argmins consume per-row GEMM
+    outputs whose k=64 contraction is never split by the BLAS at these
+    shapes — so slicing the corpus into 5 stream files vs 32 batch
+    partitions cannot move a bit (pinned by the row-for-row equality
+    test at three scale factors). The audit row reports six facts that
     all equal COUNT(*) of the embeddings table iff the claim holds —
     total indexed rows, distinct vec_ids (no replay duplicates), rows
     whose (cell, codes, xnorm) match the batch build, cells inside
