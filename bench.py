@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     # estimates)
     "shard_sketch_rollup",
     "shard_quantile_rollup",
+    "source_overlap_sketch_audit",
     # Five registry/driver-checked queries are deliberately NOT benched.
     # als_one_sweep_factors (and its round-10 sibling
     # als_convergence_report, which re-runs the same sweep): the one-sweep

@@ -49,6 +49,8 @@ ALLOW_BNLJ = {
     # graph_triangle_count shape); shard rows join <=16-row aggregates
     "shard_quantile_rollup",  # merged 1-row KLL estimate broadcast back
     # for the rank scan + the same three-1-row-agg corpus row
+    "source_overlap_sketch_audit",  # inequality pairing of the 20-row
+    # per-source sketch-state frame with itself (bounded by |sources|^2)
 }
 
 # Streaming queries execute a real streaming run when built (availableNow to

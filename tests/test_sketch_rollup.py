@@ -236,3 +236,77 @@ def test_quantile_sparse_mode_exact_on_tiny_corpus(spark, tmp_path):
         for r in shard_quantile_rollup(spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_theta_overlap_exact_mode_and_envelope(spark, sf_dir):
+    """At the default test scale every source vocabulary fits the theta
+    sketch's 4096 nominal entries, so intersection estimates are EXACT;
+    at any scale they must sit inside the 10% envelope the registered
+    bucket claims."""
+    from data_to_parquet_spark.operators.pipeline import (
+        _THETA_INTER_ERR,
+        _source_overlap_full,
+    )
+
+    rows = _source_overlap_full(spark, sf_dir).collect()
+    n_sources = len({r["source_a"] for r in rows} | {r["source_b"] for r in rows})
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    for r in rows:
+        if r["vocab_a"] < 4096 and r["vocab_b"] < 4096:
+            assert r["est_inter"] == r["exact_overlap"]  # exact mode
+        if r["exact_overlap"]:
+            assert (
+                abs(r["est_inter"] - r["exact_overlap"]) / r["exact_overlap"]
+                <= _THETA_INTER_ERR
+            )
+        else:
+            assert r["est_inter"] == 0
+
+
+def test_theta_overlap_disjoint_sources_matches_oracle(spark, tmp_path):
+    # two sources with fully disjoint vocabularies: exact overlap 0,
+    # theta intersection structurally 0, jaccard 0.0, bucket TRUE —
+    # and Spark agrees with the DuckDB oracle row-for-row
+    import pandas as pd
+
+    texts = ["alpha beta gamma delta", "epsilon zeta eta theta"]
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": texts,
+            "lang": ["en", "en"],
+            "source": ["sA", "sB"],
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from data_to_parquet_spark.operators.pipeline import (
+        source_overlap_sketch_audit,
+    )
+
+    rows = source_overlap_sketch_audit(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["source_a"], r["source_b"]) == ("sA", "sB")
+    assert (r["vocab_a"], r["vocab_b"]) == (2, 2)  # 4 tokens -> 2 shingles
+    assert r["exact_overlap"] == 0
+    assert r["exact_jaccard"] == 0.0
+    assert r["inter_est_within_10pct"] is True
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet'"
+    )
+    oracle = entry_mod.oracle_sql()["source_overlap_sketch_audit"]
+    want = con.execute(oracle).fetchall()
+    con.close()
+    assert [
+        (
+            r["source_a"],
+            r["source_b"],
+            r["vocab_a"],
+            r["vocab_b"],
+            r["exact_overlap"],
+            r["exact_jaccard"],
+            r["inter_est_within_10pct"],
+        )
+    ] == [tuple(w[:6]) + (bool(w[6]),) for w in want]

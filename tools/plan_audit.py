@@ -160,6 +160,9 @@ AUDITED = [
     "shard_sketch_rollup",
     # the KLL sibling: one map-side sketch agg + two bounded rank scans
     "shard_quantile_rollup",
+    # theta set-ops: one (source, shingle) distinct, then 20-row sketch
+    # states and a |sources|^2 pair frame
+    "source_overlap_sketch_audit",
 ]
 
 
