@@ -310,3 +310,83 @@ def test_theta_overlap_disjoint_sources_matches_oracle(spark, tmp_path):
             r["inter_est_within_10pct"],
         )
     ] == [tuple(w[:6]) + (bool(w[6]),) for w in want]
+
+
+def test_rollups_agree_with_manifest_on_shared_facts(spark, sf_dir):
+    """Cross-operator consistency: the three shard-level publications
+    (manifest, HLL rollup, KLL rollup) must agree on every fact they
+    share — same shard partition, same per-shard doc counts."""
+    from data_to_parquet_spark.operators.pipeline import (
+        shard_quantile_rollup,
+        shard_sketch_rollup,
+        training_shard_manifest,
+    )
+
+    manifest = {
+        r["shard_id"]: r["n_docs"]
+        for r in training_shard_manifest(spark, sf_dir).collect()
+    }
+    hll = {
+        r["shard_id"]: r["n_docs"]
+        for r in shard_sketch_rollup(spark, sf_dir).collect()
+        if r["shard_id"] >= 0
+    }
+    kll = {
+        r["shard_id"]: r["n_docs"]
+        for r in shard_quantile_rollup(spark, sf_dir).collect()
+        if r["shard_id"] >= 0
+    }
+    assert hll == manifest
+    assert kll == manifest
+
+
+def test_overlap_audit_bounds_and_symmetry(spark, sf_dir, tmp_path_factory):
+    """Structural invariants: overlap <= min vocab, jaccard in [0, 1],
+    and the result is invariant to input row order."""
+    import pandas as pd
+
+    from data_to_parquet_spark.operators.pipeline import (
+        source_overlap_sketch_audit,
+    )
+
+    rows = source_overlap_sketch_audit(spark, sf_dir).collect()
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0 <= r["exact_overlap"] <= min(r["vocab_a"], r["vocab_b"])
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+    base = sorted(
+        (r["source_a"], r["source_b"], r["exact_overlap"], r["exact_jaccard"])
+        for r in rows
+    )
+    df = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    shuffled = tmp_path_factory.mktemp("overlap_shuffled")
+    df.sample(frac=1.0, random_state=11).reset_index(drop=True).to_parquet(
+        shuffled / "documents.parquet"
+    )
+    got = sorted(
+        (r["source_a"], r["source_b"], r["exact_overlap"], r["exact_jaccard"])
+        for r in source_overlap_sketch_audit(spark, str(shuffled)).collect()
+    )
+    assert got == base
+
+
+def test_hll_corpus_vocab_consistent_with_overlap_audit(spark, sf_dir):
+    """The HLL rollup's exact corpus vocabulary (shard_id = -1) and the
+    overlap audit's per-source vocabularies describe the same shingle
+    universe: inclusion-exclusion bounds must hold — the corpus distinct
+    count can be at most the sum of per-source vocabularies and at least
+    the largest single source."""
+    from data_to_parquet_spark.operators.pipeline import (
+        _shard_sketch_full,
+        _source_overlap_full,
+    )
+
+    corpus_exact = {
+        r["shard_id"]: r["exact_distinct_shingles"]
+        for r in _shard_sketch_full(spark, sf_dir).collect()
+    }[-1]
+    per_source = {}
+    for r in _source_overlap_full(spark, sf_dir).collect():
+        per_source[r["source_a"]] = r["vocab_a"]
+        per_source[r["source_b"]] = r["vocab_b"]
+    assert max(per_source.values()) <= corpus_exact <= sum(per_source.values())
