@@ -1,13 +1,14 @@
-"""2x weak-scaling steps for the round-12 mergeable-sketch rollups
-(`shard_sketch_rollup`, `shard_quantile_rollup`).
+"""2x weak-scaling steps for the round-12 mergeable-sketch queries
+(`shard_sketch_rollup`, `shard_quantile_rollup`,
+`source_overlap_sketch_audit`).
 
 Corpus doubling reuses the disjoint-token construction of
 tools/dedup_scale_probe.py: the `qv9`-suffixed copy's tokens (hence its
 3-shingles) are disjoint from the originals, so the shingle vocabulary
 and the doc count both double exactly — the same weak-scaling step a
 cluster sees adding a second equal shard. Each rep re-runs the full
-query (the rollups hold no session memo), timed to `.collect()` of the
-<=17-row result.
+query (none of the three holds a session memo), timed to `.collect()`
+of the bounded (<=17 or <=190 row) result.
 
 Run: ``python tools/rollup_scale_probe.py``.
 """
@@ -61,6 +62,7 @@ def main() -> None:
     from data_to_parquet_spark.operators.pipeline import (
         shard_quantile_rollup,
         shard_sketch_rollup,
+        source_overlap_sketch_audit,
     )
 
     spark = get_spark()
@@ -72,6 +74,7 @@ def main() -> None:
     for label, fn in (
         ("shard_sketch_rollup", shard_sketch_rollup),
         ("shard_quantile_rollup", shard_quantile_rollup),
+        ("source_overlap_sketch_audit", source_overlap_sketch_audit),
     ):
         # untimed warmup: the plan template's one-time codegen/JIT would
         # otherwise land entirely in the 1x reps and fake a negative
