@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "shard_sketch_rollup",
     "shard_quantile_rollup",
     "source_overlap_sketch_audit",
+    "mannwhitney_source_drift",
     # Five registry/driver-checked queries are deliberately NOT benched.
     # als_one_sweep_factors (and its round-10 sibling
     # als_convergence_report, which re-runs the same sweep): the one-sweep

@@ -2202,3 +2202,139 @@ def source_overlap_sketch_audit(spark, sf_dir):
         ).alias("exact_jaccard"),
         est_ok.alias("inter_est_within_10pct"),
     )
+
+
+@PIPE.register(
+    "mannwhitney_source_drift",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '')) AS v
+      FROM documents
+    ), hist AS (
+      SELECT v, COUNT(*) AS c FROM t GROUP BY v
+    ), ranked AS (
+      SELECT v, 2*(SUM(c) OVER (ORDER BY v) - c) + c + 1 AS r2 FROM hist
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t
+    ), ties AS (
+      SELECT CAST(SUM(c*c*c - c) AS BIGINT) AS tie3 FROM hist
+    ), sv AS (
+      SELECT source, v, COUNT(*) AS sc FROM t GROUP BY 1, 2
+    ), per AS (
+      SELECT source, CAST(SUM(sc) AS BIGINT) AS n_docs,
+             CAST(SUM(sc * r2) AS BIGINT) AS rank_sum_x2
+      FROM sv JOIN ranked USING (v) GROUP BY source
+    )
+    SELECT source, n_docs, rank_sum_x2,
+           CAST(rank_sum_x2 - n_docs*(n_docs+1) AS DOUBLE)/2 AS u_stat,
+           CASE WHEN n > 1 AND
+                (CAST(n_docs*(n-n_docs) AS DOUBLE)/12.0 *
+                 (CAST(n+1 AS DOUBLE)
+                  - CAST(tie3 AS DOUBLE)/CAST(n*(n-1) AS DOUBLE))) > 0
+           THEN CAST(rank_sum_x2 - n_docs*(n_docs+1)
+                     - n_docs*(n-n_docs) AS DOUBLE)
+                / (2.0 * sqrt(CAST(n_docs*(n-n_docs) AS DOUBLE)/12.0 *
+                   (CAST(n+1 AS DOUBLE)
+                    - CAST(tie3 AS DOUBLE)/CAST(n*(n-1) AS DOUBLE))))
+           ELSE 0.0 END AS z_value,
+           CASE WHEN n > 1 AND
+                (CAST(n_docs*(n-n_docs) AS DOUBLE)/12.0 *
+                 (CAST(n+1 AS DOUBLE)
+                  - CAST(tie3 AS DOUBLE)/CAST(n*(n-1) AS DOUBLE))) > 0
+                AND abs(CAST(rank_sum_x2 - n_docs*(n_docs+1)
+                             - n_docs*(n-n_docs) AS DOUBLE)
+                        / (2.0 * sqrt(CAST(n_docs*(n-n_docs) AS DOUBLE)/12.0
+                           * (CAST(n+1 AS DOUBLE)
+                              - CAST(tie3 AS DOUBLE)
+                                / CAST(n*(n-1) AS DOUBLE))))) > 1.959964
+           THEN 1 ELSE 0 END AS drifted_5pct
+    FROM per, tot, ties
+    """,
+)
+def mannwhitney_source_drift(spark, sf_dir):
+    """Per-source distribution-drift test — Mann-Whitney U of each
+    source's per-doc token-count distribution against the rest of the
+    corpus, the rank-based nonparametric companion to the parametric
+    `ab_conversion_ztest`: quality/length distributions are skewed and
+    tied, so a means test misses exactly the drift (one crawl suddenly
+    shipping short docs) this catches. Uses the normal approximation
+    with the standard tie correction; |z| > 1.96 flags the source for
+    mixture review at the 5% level.
+
+    The scale design is the point: NO global per-row sort. Average ranks
+    come from the VALUE HISTOGRAM — rank2x(v) = 2·F(v) + t(v) + 1 (F =
+    rows strictly below, t = ties at v), a window over the ~60-row
+    histogram — and each source's rank sum is then Σ count(source, v) ·
+    rank2x(v), a map-side-combinable aggregate over the (source, value)
+    counts. Everything before the final z is INT64 in half-units
+    (rank_sum_x2; u_stat is an exact half -> the /2 double is exact):
+    overflow-safe to ~3e9 docs (n² terms; swap to decimal beyond, per
+    the l_diversity precedent). For continuous metrics, bucket first —
+    the histogram rank trick needs bounded distinct values.
+
+    Determinism: z is a pure IEEE chain on exact int64 operands —
+    divisions, one multiply, one sqrt, written as the TEXTUALLY
+    identical expression tree in both engines — so it ships UNROUNDED
+    (bit-identical, the CLAUDE.md rule); degenerate variance (all values
+    tied, or n <= 1) short-circuits to 0.0 identically in both engines.
+    The drifted_5pct flag derives from the same bits. Scale: one scan,
+    two map-side-combined aggregates (histogram + per-source-value
+    counts), a ~60-row broadcast rank table, and 1-row total/tie
+    aggregates joined back (bounded BNLJ, allowlisted).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source", F.size(tokens(F.col("text"))).cast("long").alias("v")
+    ).localCheckpoint(eager=False)  # histogram + per-source counts
+    hist = t.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ranked = hist.select(
+        "v",
+        (
+            2 * (F.sum("c").over(w) - F.col("c")) + F.col("c") + 1
+        ).alias("r2"),
+    )
+    sv = t.groupBy("source", "v").agg(F.count(F.lit(1)).alias("sc"))
+    per = (
+        sv.join(F.broadcast(ranked), "v")
+        .groupBy("source")
+        .agg(
+            F.sum("sc").alias("n_docs"),
+            F.sum(F.col("sc") * F.col("r2")).alias("rank_sum_x2"),
+        )
+    )
+    key = F.lit(0).alias("k")
+    tot = t.agg(F.count(F.lit(1)).alias("n")).select(key, "n")
+    ties = hist.agg(
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias(
+            "tie3"
+        )
+    ).select(key, "tie3")
+    j = per.select(key, "*").join(tot, "k").join(ties, "k")
+    n, n1 = F.col("n"), F.col("n_docs")
+    var = (
+        (n1 * (n - n1)).cast(_D)
+        / F.lit(12.0)
+        * (
+            (n + 1).cast(_D)
+            - F.col("tie3").cast(_D) / (n * (n - 1)).cast(_D)
+        )
+    )
+    num = (
+        F.col("rank_sum_x2") - n1 * (n1 + 1) - n1 * (n - n1)
+    ).cast(_D)
+    z = F.when((n > 1) & (var > 0), num / (F.lit(2.0) * F.sqrt(var))).otherwise(
+        F.lit(0.0)
+    )
+    return j.select(
+        "source",
+        "n_docs",
+        "rank_sum_x2",
+        ((F.col("rank_sum_x2") - n1 * (n1 + 1)).cast(_D) / 2).alias(
+            "u_stat"
+        ),
+        z.alias("z_value"),
+        (F.abs(z) > F.lit(1.959964)).cast("int").alias("drifted_5pct"),
+    )

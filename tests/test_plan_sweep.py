@@ -51,6 +51,7 @@ ALLOW_BNLJ = {
     # for the rank scan + the same three-1-row-agg corpus row
     "source_overlap_sketch_audit",  # inequality pairing of the 20-row
     # per-source sketch-state frame with itself (bounded by |sources|^2)
+    "mannwhitney_source_drift",  # 1-row total/tie aggregates joined back
 }
 
 # Streaming queries execute a real streaming run when built (availableNow to

@@ -163,6 +163,9 @@ AUDITED = [
     # theta set-ops: one (source, shingle) distinct, then 20-row sketch
     # states and a |sources|^2 pair frame
     "source_overlap_sketch_audit",
+    # histogram-ranked Mann-Whitney: two map-side aggregates, a ~60-row
+    # broadcast rank table, 1-row totals joined back
+    "mannwhitney_source_drift",
 ]
 
 
