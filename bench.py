@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "shard_quantile_rollup",
     "source_overlap_sketch_audit",
     "mannwhitney_source_drift",
+    "neardup_cluster_purity",
     # Five registry/driver-checked queries are deliberately NOT benched.
     # als_one_sweep_factors (and its round-10 sibling
     # als_convergence_report, which re-runs the same sweep): the one-sweep
@@ -219,6 +220,7 @@ _MEMO_BACKED = {
     "neardup_graph_assortativity",
     "neardup_cluster_modularity",
     "dedup_chain_depth_report",  # reads the pair memo + CC label memo
+    "neardup_cluster_purity",  # reads the CC label memo
     # Lloyd-centroid memo (similarity._LLOYD_CENTROID_CACHE): a re-run
     # reuses the session's trained quantizer, so re-measures would time a
     # cache hit, not the workload.
@@ -278,6 +280,7 @@ _MEMO_FAMILIES = [
         "neardup_graph_assortativity",
         "neardup_cluster_modularity",
         "dedup_chain_depth_report",  # BFS over the memoized pairs+labels
+        "neardup_cluster_purity",  # composition over the memoized labels
     },
     {  # Lloyd centroid memo (operators/similarity.py); ivfpq (r11)
         # reads the shared IVF centroids AND holds its own residual

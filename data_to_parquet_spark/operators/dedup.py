@@ -2030,3 +2030,89 @@ def dedup_chain_depth_report(spark, sf_dir):
         )
     )
     return reached.unionByName(unreached)
+
+
+@DEDUP.register(
+    "neardup_cluster_purity",
+    # the _CC_ORACLE closure chain extended by per-cluster composition
+    oracle="""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, lang,
+         list_sort(list_distinct(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS toks
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM tok a JOIN tok b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9
+), edges AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+), reach(u, v) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), labels AS (
+  SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+), pc AS (
+  SELECT l.cluster_id, COUNT(*) AS n_members,
+         COUNT(DISTINCT d.lang) AS n_langs,
+         COUNT(DISTINCT d.source) AS n_sources
+  FROM labels l JOIN documents d USING (doc_id) GROUP BY 1
+)
+SELECT CAST(LEAST(n_members, 4) AS BIGINT) AS size_bucket,
+       CAST(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END AS INT) AS cross_source,
+       CAST(CASE WHEN n_langs > 1 THEN 1 ELSE 0 END AS INT) AS cross_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(n_members) AS BIGINT) AS n_docs,
+       CAST(MAX(n_members) AS BIGINT) AS max_cluster_size
+FROM pc GROUP BY 1, 2, 3
+""",
+)
+def neardup_cluster_purity(spark, sf_dir):
+    """Cluster-composition audit over the near-dup clusters: for each
+    (size bucket, cross-source?, cross-lang?) cell, how many clusters and
+    documents it holds — the diagnostic that tells a curator WHAT KIND of
+    duplication dominates before choosing a policy. Within-source
+    same-lang clusters are reposts (drop-all-but-one is safe);
+    cross-source clusters are mirrors (drop, but fix the crawl overlap
+    upstream — see `cross_source_overlap` for which pairs); cross-LANG
+    clusters are usually tokenizer artifacts worth review before any doc
+    is dropped (here structurally rare: the pair graph blocks on lang, so
+    a cluster can only cross languages if... it cannot — the column is
+    the audit's proof, pinned always-0 on lang-blocked pairs). Size
+    buckets cap at 4+ (`LEAST(n, 4)`).
+
+    Scale: rides the memoized pair + CC label tables (zero marginal cost
+    after any dedup query); one groupBy on cluster_id whose per-cluster
+    distinct lang/source sets are collect_set-combined map-side (bounded
+    by the tiny lang/source domains, never by cluster size), then a
+    <=16-cell report aggregate. Every output is an integer. Oracle: the
+    _CC_ORACLE recursive-closure chain plus the same two aggregates —
+    quadratic in DuckDB, so sf0.1 parity rides the 1500-doc slice like
+    the other pair-join oracles.
+    """
+    labels = _cc_label_table(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    pc = (
+        labels.join(d, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.size(F.collect_set("lang")).alias("n_langs"),
+            F.size(F.collect_set("source")).alias("n_sources"),
+        )
+    )
+    return pc.groupBy(
+        F.least(F.col("n_members"), F.lit(4)).cast("long").alias(
+            "size_bucket"
+        ),
+        (F.col("n_sources") > 1).cast("int").alias("cross_source"),
+        (F.col("n_langs") > 1).cast("int").alias("cross_lang"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("n_members").alias("n_docs"),
+        F.max("n_members").alias("max_cluster_size"),
+    )

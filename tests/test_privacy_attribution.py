@@ -564,3 +564,85 @@ def test_chain_depth_conserves_docs_and_matches_cc(spark, sf_dir):
     )
     level0 = {r["level"]: r["n_docs"] for r in rows}[0]
     assert level0 == n_clusters
+
+
+def test_cluster_purity_on_chain_fixture(spark, chain_docs_dir):
+    # the 9-doc chain is ONE within-source, within-lang cluster
+    from data_to_parquet_spark.operators.dedup import neardup_cluster_purity
+
+    rows = neardup_cluster_purity(spark, chain_docs_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (
+        r["size_bucket"],
+        r["cross_source"],
+        r["cross_lang"],
+        r["n_clusters"],
+        r["n_docs"],
+        r["max_cluster_size"],
+    ) == (4, 0, 0, 1, 9, 9)
+
+
+def test_cluster_purity_cross_source_and_singletons(spark, tmp_path):
+    # docs 0/1: identical text from DIFFERENT sources -> one 2-member
+    # cross-source cluster; docs 2/3: unique -> two singleton clusters
+    texts = [
+        "tok0 tok1 tok2 tok3 tok4",
+        "tok0 tok1 tok2 tok3 tok4",
+        "aaa bbb ccc ddd eee",
+        "fff ggg hhh iii jjj",
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "text": texts,
+            "lang": ["en"] * 4,
+            "source": ["s0", "s1", "s0", "s0"],
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from data_to_parquet_spark.operators.dedup import neardup_cluster_purity
+
+    got = {
+        (r["size_bucket"], r["cross_source"], r["cross_lang"]): (
+            r["n_clusters"],
+            r["n_docs"],
+            r["max_cluster_size"],
+        )
+        for r in neardup_cluster_purity(spark, str(tmp_path)).collect()
+    }
+    assert got == {(2, 1, 0): (1, 2, 2), (1, 0, 0): (2, 2, 1)}
+    # conservation against the oracle on the same fixture
+    import duckdb as _dd
+
+    con = _dd.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet'"
+    )
+    want = {
+        (r[0], r[1], r[2]): (r[3], r[4], r[5])
+        for r in con.execute(
+            _ORACLES["neardup_cluster_purity"]
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
+
+
+def test_cluster_purity_cross_lang_structurally_zero(spark, sf_dir):
+    # the pair graph blocks on lang, so no cluster can span languages —
+    # the cross_lang column must be 0 in every cell on any corpus
+    from data_to_parquet_spark.operators.dedup import neardup_cluster_purity
+
+    rows = neardup_cluster_purity(spark, sf_dir).collect()
+    assert rows and all(r["cross_lang"] == 0 for r in rows)
+    # conservation: every document lands in exactly one cell
+    import duckdb as _dd
+
+    con = _dd.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    con.close()
+    assert sum(r["n_docs"] for r in rows) == n

@@ -166,6 +166,8 @@ AUDITED = [
     # histogram-ranked Mann-Whitney: two map-side aggregates, a ~60-row
     # broadcast rank table, 1-row totals joined back
     "mannwhitney_source_drift",
+    # cluster purity: memoized labels (0-scan like pagerank) + two aggs
+    "neardup_cluster_purity",
 ]
 
 
