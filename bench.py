@@ -187,7 +187,7 @@ BENCH_QUERIES = [
     "source_overlap_sketch_audit",
     "mannwhitney_source_drift",
     "neardup_cluster_purity",
-    # Five registry/driver-checked queries are deliberately NOT benched.
+    # Six registry/driver-checked queries are deliberately NOT benched.
     # als_one_sweep_factors (and its round-10 sibling
     # als_convergence_report, which re-runs the same sweep): the one-sweep
     # ALS is ~6 s of multi-stage driver-coordinated linear algebra,
@@ -201,6 +201,8 @@ BENCH_QUERIES = [
     # and its encode kernel is already benched via similarity_ann_ivfpq.
     # streaming_shard_manifest_growth (round 12): likewise; its aggregate
     # is already benched via training_shard_manifest.
+    # streaming_upsert_latest_state (round 12): likewise; the keyed fold
+    # is a window/agg shape the batch suite already measures.
 ]
 
 # Queries that populate or read the cross-query dedup memos
@@ -258,6 +260,8 @@ _MEMO_BACKED = {
     # not benched, shares no cache with any benched query (singleton
     # family below).
     "streaming_shard_manifest_growth",
+    # Streaming upsert state memo (_UPSERT_STREAM_CACHE, r12); likewise.
+    "streaming_upsert_latest_state",
 }
 
 # Memo FAMILIES — queries sharing one session cache, used to classify
@@ -308,6 +312,9 @@ _MEMO_FAMILIES = [
         # singleton: the partials cache is this query's own output store
         "streaming_shard_manifest_growth",
     },
+    {  # Streaming upsert state memo (streaming/windows.py, r12); singleton
+        "streaming_upsert_latest_state",
+    },
     {  # ALS sweep memo (operators/similarity.py, r11); neither member
         # is benched today — listed so the family invariant holds and a
         # future benching inherits the right adjudication regime
@@ -329,6 +336,7 @@ _MEMO_SELF_CACHED = {
     "dedup_keep_canonical",  # thin projection of _CC_LABEL_CACHE
     "streaming_ivfpq_index_growth",  # _IVFPQ_STREAM_CACHE holds its output
     "streaming_shard_manifest_growth",  # _MANIFEST_STREAM_CACHE likewise
+    "streaming_upsert_latest_state",  # _UPSERT_STREAM_CACHE likewise
 }
 
 

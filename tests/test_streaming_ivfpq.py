@@ -115,3 +115,62 @@ def test_manifest_partials_are_multi_epoch_and_bounded(spark, sf_dir):
     )
     for (lo1, hi1), (lo2, _hi2) in zip(fences, fences[1:]):
         assert hi1 < lo2
+
+
+def test_upsert_state_tie_rule_and_counts(spark, tmp_path):
+    """The (ts, event_id) total order decides 'latest' — a same-ts pair
+    resolves to the larger event_id; counts accumulate across epochs."""
+    import datetime
+
+    import pandas as pd
+
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = [
+        # user 1: later ts wins regardless of event_id order
+        (10, t0, 1, "view", 1.5),
+        (5, t0 + datetime.timedelta(minutes=9), 1, "purchase", 9.25),
+        # user 2: tie ts -> larger event_id wins
+        (20, t0, 2, "view", 2.0),
+        (21, t0, 2, "click", 3.0),
+        # user 3: single event
+        (30, t0, 3, "view", 7.0),
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    ).assign(props="{}").to_parquet(tmp_path / "events.parquet")
+    from data_to_parquet_spark.streaming.windows import (
+        streaming_upsert_latest_state,
+    )
+
+    got = {
+        r["user_id"]: r
+        for r in streaming_upsert_latest_state(spark, str(tmp_path)).collect()
+    }
+    assert got[1]["last_event_id"] == 5
+    assert got[1]["last_event_type"] == "purchase"
+    assert got[1]["last_value"] == 9.25
+    assert got[1]["n_events"] == 2
+    assert got[2]["last_event_id"] == 21  # tie ts: larger event_id
+    assert got[2]["n_events"] == 2
+    assert got[3]["last_event_id"] == 30
+    assert got[3]["n_events"] == 1
+
+
+def test_upsert_state_folded_across_multiple_snapshots(spark, sf_dir):
+    from data_to_parquet_spark.streaming.windows import (
+        _IVFPQ_STREAM_FILES,
+        _upsert_stream_state,
+    )
+
+    state, n_epochs = _upsert_stream_state(spark, sf_dir)
+    assert n_epochs == _IVFPQ_STREAM_FILES  # the fold really ran 5 times
+    # counts conserve the corpus
+    n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert state.groupBy().sum("n_events").collect()[0][0] == n
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert state.count() == n_users
