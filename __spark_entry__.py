@@ -84,6 +84,11 @@ _REVERIFY_PINS = {
     # fix) — behavior-adjusted after its r9 contact, parity-green
     # locally; satisfied by any driver contact in round >= 10.
     "quantile_sketch_report": 10,
+    # r13: last_ts now emitted via the seconds-level date_format/strftime
+    # convention instead of a raw TIMESTAMP (r12 ADVICE — raw stringify
+    # could diverge on a TIMESTAMP(NANOS) fixture). Parity-green locally;
+    # satisfied by any driver contact in round >= 13.
+    "streaming_upsert_latest_state": 13,
 }
 
 #: Rounds a rows-only (un-oracle-able) query may go without driver

@@ -1884,7 +1884,12 @@ def shard_sketch_rollup(spark, sf_dir):
     cannot flap across shuffles; the sketch is fed the DEDUPED (shard,
     shingle) frame, which leaves HLL output unchanged (duplicate inserts
     are no-ops) while letting the exact count and the sketch share one
-    shuffle. Scale: ONE corpus-scale exchange (the map-side-combined
+    shuffle. That shuffle-invariance argument is SPECIFIC to HLL (r12
+    ADVICE): the KLL and theta members of this trilogy are merge-order-
+    dependent once in estimation mode (KLL compaction and theta
+    downsampling depend on arrival order), so THEIR estimates carry
+    run-to-run wobble on top of the measured error — see the sibling
+    docstrings and the multi-run envelope rule at `_THETA_INTER_ERR`. Scale: ONE corpus-scale exchange (the map-side-combined
     distinct on (shard, shingle)); everything after operates on <=16 rows
     plus one distinct over the deduped vocabulary. At 100 TB the exact
     side is the expensive half and exists as ground truth — the rollup's
@@ -1905,6 +1910,10 @@ def shard_sketch_rollup(spark, sf_dir):
 #: the deviation DISCRETENESS of the tied integer median, not sketch error;
 #: at sf0.1 the measured max is 0.012, within the k=200 KLL's ~1.65% rank
 #: guarantee). The merged-union estimate measures <=0.002 at every sf.
+#: KLL compaction is merge-order-dependent once a shard exceeds k (r12
+#: ADVICE) — measured maxima wobble run-to-run, so revalidating this
+#: envelope at a new scale factor needs multi-run maxima (rule at
+#: `_THETA_INTER_ERR`).
 _SKQ_RANK_ERR = 0.10
 
 
@@ -2045,6 +2054,16 @@ def shard_quantile_rollup(spark, sf_dir):
 #: where ~10k-shingle source vocabularies exceed the theta sketch's 4096
 #: nominal entries; at sf<=0.01 the sketches are in exact mode and the
 #: error is identically 0).
+#:
+#: Merge-order caveat (r12 ADVICE): unlike HLL's register maxima, a theta
+#: sketch in ESTIMATION mode is merge-order-dependent (downsampling keeps
+#: a theta-dependent subset, and theta depends on what merged first), and
+#: KLL compaction is likewise order-sensitive — so at sf0.1 the measured
+#: worst error has run-to-run wobble on top of it. The >=2x-headroom rule
+#: therefore binds against MULTI-RUN measured maxima, never a single
+#: run's, whenever these envelopes are revalidated at a larger scale
+#: factor (tests/test_sketch_rollup.py pins the shipped corpora; a new sf
+#: needs fresh multi-run maxima before reusing the 2x rule).
 _THETA_INTER_ERR = 0.10
 
 

@@ -1037,7 +1037,16 @@ def streaming_ivfpq_index_growth(spark, sf_dir):
     outputs whose k=64 contraction is never split by the BLAS at these
     shapes — so slicing the corpus into 5 stream files vs 32 batch
     partitions cannot move a bit (pinned by the row-for-row equality
-    test at three scale factors). The audit row reports six facts that
+    test at three scale factors). CAVEAT (r12 ADVICE): "the BLAS never
+    reorders the k=64 contraction across batch shapes" is an EMPIRICAL
+    pin, not a structural guarantee — a BLAS/threading upgrade that
+    blocks or reorders the tiny contraction could flip n_match_batch
+    red without any code change (a flaky red, never silent wrongness:
+    cells/codes are integer argmins with deterministic tie-break, only
+    the xnorm float could move ulps). Triage a red n_match_batch as
+    environment drift FIRST — rerun tests/test_streaming_ivfpq.py's
+    row-for-row equality; if the only diff is xnorm ulps, the BLAS
+    assumption broke, not the operator (round-close checklist item). The audit row reports six facts that
     all equal COUNT(*) of the embeddings table iff the claim holds —
     total indexed rows, distinct vec_ids (no replay duplicates), rows
     whose (cell, codes, xnorm) match the batch build, cells inside
@@ -1348,7 +1357,8 @@ def _upsert_stream_state(spark, sf_dir):
              COUNT(*) OVER (PARTITION BY user_id) AS n_events
       FROM events
     )
-    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           event_id AS last_event_id,
            event_type AS last_event_type, value AS last_value,
            CAST(n_events AS BIGINT) AS n_events
     FROM latest WHERE rn = 1
@@ -1375,7 +1385,13 @@ def streaming_upsert_latest_state(spark, sf_dir):
     (ts, event_id) order per user — so the driver value-hashes that the
     incrementally-folded state equals the batch recomputation exactly
     (last_value is the raw double carried verbatim through struct max,
-    not arithmetic — bit-exact cross-engine).
+    not arithmetic — bit-exact cross-engine). last_ts is emitted through
+    the repo's seconds-level date_format/strftime convention, NOT as a
+    raw TIMESTAMP (r12 ADVICE): on a TIMESTAMP(NANOS) parquet layout
+    Spark truncates ns->us while a TIMESTAMP_NS-reading DuckDB keeps
+    nanos, so raw-timestamp stringify could diverge below the second;
+    truncating to the second is identical in both engines on every
+    layout, and the ORDER BY that PICKS the row still uses the raw ts.
 
     Scale: per-epoch cost is one map-side-combined aggregate over the
     arriving batch plus a |keys|-bounded merge with the prior snapshot;
@@ -1389,7 +1405,7 @@ def streaming_upsert_latest_state(spark, sf_dir):
     state, _ = _upsert_stream_state(spark, sf_dir)
     return state.select(
         "user_id",
-        F.col("s.ts").alias("last_ts"),
+        F.date_format(F.col("s.ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
         F.col("s.event_id").alias("last_event_id"),
         F.col("s.event_type").alias("last_event_type"),
         F.col("s.value").alias("last_value"),
