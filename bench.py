@@ -199,6 +199,9 @@ BENCH_QUERIES = [
     # streaming_ivfpq_index_growth (round 12): the same 5-epoch
     # foreachBatch shape — per-epoch stage overhead dominates at sf0.1,
     # and its encode kernel is already benched via similarity_ann_ivfpq.
+    # streaming_ivfpq_index_serving (round 13): runs the growth stream
+    # then two ADC searches — the searches are already benched via
+    # similarity_ann_ivfpq; the rest is the same per-epoch overhead.
     # streaming_shard_manifest_growth (round 12): likewise; its aggregate
     # is already benched via training_shard_manifest.
     # streaming_upsert_latest_state (round 12): likewise; the keyed fold
@@ -256,6 +259,8 @@ _MEMO_BACKED = {
     # Not benched (see BENCH_QUERIES comment) — listed for the family
     # invariant, like the ALS pair.
     "streaming_ivfpq_index_growth",
+    # r13: serves top-k from the same accumulator memo; not benched.
+    "streaming_ivfpq_index_serving",
     # Streaming manifest accumulator memo (_MANIFEST_STREAM_CACHE, r12);
     # not benched, shares no cache with any benched query (singleton
     # family below).
@@ -296,6 +301,7 @@ _MEMO_FAMILIES = [
         "similarity_ann_ivfpq",
         "ivfpq_selectivity_audit",
         "streaming_ivfpq_index_growth",  # frozen quantizer = same memos
+        "streaming_ivfpq_index_serving",  # searches the same accumulator
     },
     {  # BM25 frame memo (operators/text.py)
         "bm25_rank_queries",

@@ -1122,11 +1122,25 @@ def similarity_ann_ivfpq(spark, sf_dir):
     joins, no shuffle before the final window; centroids, codebooks,
     and the per-query LUTs ship broadcast as closure literals.
     """
+    return _ivfpq_search_frame(spark, sf_dir, _ivfpq_index_frame(spark, sf_dir))
+
+
+def _ivfpq_search_frame(spark, sf_dir, coded):
+    """ADC top-k search over an arbitrary coded IVF-PQ frame (vec_id,
+    cell, codes, xnorm) under the session's frozen quantizer — the
+    search half of `similarity_ann_ivfpq`, factored out (r13) so the
+    streaming index-serving proof (`streaming_ivfpq_index_serving`) can
+    run the IDENTICAL search against the streamed accumulator and the
+    batch build. Per-candidate arithmetic is row-local (LUT gathers +
+    elementwise adds in fixed subspace order, one divide), so the scores
+    are bit-identical for bit-identical coded rows regardless of how the
+    frame is batched — the property the serving-equality facts rest on.
+    Returns (query_id, neighbor_id, approx_cos, rank), rank <= _TOP_K
+    per query, ties broken by neighbor_id."""
     e = load_table(spark, sf_dir, "embeddings")
     centroids, codebooks, cb_norm2, dim, dsub = _ivfpq_fit(spark, sf_dir)
     m_sub, nprobe = _PQ_M, _IVF_NPROBE
     cent_norm2 = (centroids ** 2).sum(axis=1)
-    coded = _ivfpq_index_frame(spark, sf_dir)
 
     qrows = sorted(
         e.filter(F.col("vec_id") < _N_QUERIES)
@@ -1208,10 +1222,13 @@ _IVFPQ_ADC_ERR_MAX_BOUND = 0.5
 _IVFPQ_ADC_ERR_MEAN_BOUND = 0.15
 
 
-@SIM.register(
-    "ivfpq_selectivity_audit",
-    oracle=f"""
-    WITH RECURSIVE {_km_cte_sql(_IVF_K, _IVF_ITERS)},
+#: Shared oracle prefix: DuckDB replay of the IVF coarse quantizer (the
+#: recursive-CTE Lloyd fold) down to the per-query CANDIDATE counts —
+#: ``cand(query_id, n_cand)`` = the probed cells' populations minus the
+#: query itself. Consumed by ``ivfpq_selectivity_audit`` and (r13) the
+#: streamed-index serving proof ``streaming_ivfpq_index_serving``, whose
+#: expected pair counts are Σ min(k, n_cand).
+_IVFPQ_CAND_CTES = f"""WITH RECURSIVE {_km_cte_sql(_IVF_K, _IVF_ITERS)},
     dists AS (
       SELECT e.vec_id,
              list_transform((SELECT cents FROM fin), c ->
@@ -1243,7 +1260,13 @@ _IVFPQ_ADC_ERR_MEAN_BOUND = 0.15
       SELECT q.query_id, SUM(cnt) - 1 AS n_cand
       FROM qprobe q JOIN cellcounts cc ON cc.cell = q.cell
       GROUP BY q.query_id
-    )
+    )"""
+
+
+@SIM.register(
+    "ivfpq_selectivity_audit",
+    oracle=f"""
+    {_IVFPQ_CAND_CTES}
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vectors,
            CAST({_N_QUERIES * _TOP_K} AS BIGINT) AS n_report_pairs,
            (SELECT CAST(SUM(n_cand) AS BIGINT) FROM cand) AS n_candidates,

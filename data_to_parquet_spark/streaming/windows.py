@@ -1131,6 +1131,122 @@ def streaming_ivfpq_index_growth(spark, sf_dir):
     )
 
 
+# Oracle facts for the serving proof come from DuckDB's independent
+# coarse-quantizer replay down to per-query candidate counts
+# (`_IVFPQ_CAND_CTES`, the hash-green ivfpq_selectivity_audit machinery):
+# expected pairs per query = min(k, n_cand), because the ADC scan scores
+# EXACTLY the probed cells' populations minus self and the window keeps k.
+from ..operators.similarity import _IVFPQ_CAND_CTES as _SERVE_CTES  # noqa: E402
+from ..operators.similarity import _TOP_K as _SERVE_K  # noqa: E402
+
+
+@STREAMING.register(
+    "streaming_ivfpq_index_serving",
+    oracle=f"""
+    {_SERVE_CTES}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand WHERE n_cand >= 1)
+             AS n_queries_served,
+           (SELECT CAST(SUM(LEAST({_SERVE_K}, n_cand)) AS BIGINT) FROM cand)
+             AS n_batch_pairs,
+           (SELECT CAST(SUM(LEAST({_SERVE_K}, n_cand)) AS BIGINT) FROM cand)
+             AS n_stream_pairs,
+           (SELECT CAST(SUM(LEAST({_SERVE_K}, n_cand)) AS BIGINT) FROM cand)
+             AS n_rank_agree
+    """,
+)
+def streaming_ivfpq_index_serving(spark, sf_dir):
+    """Search the STREAMED index — the serving proof
+    `streaming_ivfpq_index_growth` leaves open (r12 VERDICT item 3):
+    that query audits the grown accumulator's ROWS against the batch
+    build; this one runs the full IVF-PQ ADC top-k search
+    (`_ivfpq_search_frame`, the identical kernel `similarity_ann_ivfpq`
+    serves with) against BOTH the streaming accumulator and the batch
+    index and proves the result sets equal — the grown index answers
+    queries, not just stores matching rows.
+
+    Facts (one row, all cross-checked against DuckDB's independent
+    coarse-quantizer replay): `n_queries_served` = queries with >= 1
+    candidate in the streamed search; `n_batch_pairs` / `n_stream_pairs`
+    = top-k rows from each index, both equal to Σ_q min(k, n_cand_q)
+    because the scan scores exactly the probed cells' populations minus
+    self; `n_rank_agree` = (query, rank) positions where BOTH paths
+    report the same neighbor with bit-equal approx_cos — equal to the
+    pair count iff the streamed index serves identically. Determinism:
+    per-candidate ADC arithmetic is row-local (LUT gathers + fixed-order
+    subspace adds + one divide), so scores are bit-identical for
+    bit-identical coded rows regardless of batch shape; rank ties break
+    by neighbor_id in both paths. The coded-row equality itself is the
+    empirically-pinned BLAS property of the growth audit — triage a red
+    here exactly like a red n_match_batch (environment drift first; see
+    the growth docstring and CLAUDE.md round-close notes).
+
+    Scale: the search against the accumulator IS the production serving
+    path — one narrow pass over the coded frame scoring each row only
+    against queries probing its cell (nprobe/k of the corpus per query),
+    one bounded top-k window; the equality join is the AUDIT's cost,
+    bounded by N_QUERIES * k rows per side. Nothing re-encodes or
+    re-scans raw vectors. Top-k id equality per query vector is also
+    pinned in tests/test_streaming_ivfpq.py.
+    """
+    from ..operators.similarity import (
+        _ivfpq_index_frame,
+        _ivfpq_search_frame,
+    )
+
+    acc = _ivfpq_stream_accumulate(spark, sf_dir).drop("epoch")
+    s_hits = _ivfpq_search_frame(spark, sf_dir, acc).localCheckpoint()
+    b_hits = _ivfpq_search_frame(
+        spark, sf_dir, _ivfpq_index_frame(spark, sf_dir)
+    ).localCheckpoint()
+    key = F.lit(0).alias("k")
+    s_stats = s_hits.agg(
+        F.count_distinct("query_id").alias("n_queries_served"),
+        F.count(F.lit(1)).alias("n_stream_pairs"),
+    ).select(key, "*")
+    b_stats = b_hits.agg(
+        F.count(F.lit(1)).alias("n_batch_pairs")
+    ).select(key, "*")
+    agree = (
+        b_hits.select(
+            "query_id",
+            "rank",
+            F.col("neighbor_id").alias("b_neighbor"),
+            F.col("approx_cos").alias("b_cos"),
+        )
+        .join(
+            s_hits.select(
+                "query_id",
+                "rank",
+                F.col("neighbor_id").alias("s_neighbor"),
+                F.col("approx_cos").alias("s_cos"),
+            ),
+            ["query_id", "rank"],
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    (
+                        (F.col("b_neighbor") == F.col("s_neighbor"))
+                        & (F.col("b_cos") == F.col("s_cos"))
+                    ).cast("long")
+                ),
+                F.lit(0),
+            ).alias("n_rank_agree")
+        )
+        .select(key, "n_rank_agree")
+    )
+    return (
+        s_stats.join(b_stats, "k")
+        .join(agree, "k")
+        .select(
+            "n_queries_served",
+            "n_batch_pairs",
+            "n_stream_pairs",
+            "n_rank_agree",
+        )
+    )
+
+
 _MANIFEST_STREAM_CACHE: dict = {}
 
 

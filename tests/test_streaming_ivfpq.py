@@ -68,6 +68,47 @@ def test_accumulated_equals_batch_build_row_for_row(spark, sf_dir):
     assert got == want  # bit-identical, including the float norms
 
 
+def test_streamed_index_serves_identical_topk(spark, sf_dir):
+    """The serving proof behind streaming_ivfpq_index_serving: the ADC
+    top-k search run against the streamed accumulator returns the SAME
+    ranked neighbor list per query vector as the search against the
+    batch index — ids, ranks, and bit-identical approx_cos."""
+    from data_to_parquet_spark.operators.similarity import (
+        _TOP_K,
+        _ivfpq_index_frame,
+        _ivfpq_search_frame,
+    )
+    from data_to_parquet_spark.streaming.windows import (
+        streaming_ivfpq_index_serving,
+    )
+
+    def ranked(df):
+        out: dict[int, list[tuple[int, int, float]]] = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], []).append(
+                (r["rank"], r["neighbor_id"], r["approx_cos"])
+            )
+        return {q: sorted(v) for q, v in out.items()}
+
+    acc = _ivfpq_stream_accumulate(spark, sf_dir).drop("epoch")
+    s = ranked(_ivfpq_search_frame(spark, sf_dir, acc))
+    b = ranked(_ivfpq_search_frame(spark, sf_dir, _ivfpq_index_frame(spark, sf_dir)))
+    assert s.keys() == b.keys() and len(s) > 0
+    for q in s:
+        assert s[q] == b[q]  # per-query top-k identical, cos bit-equal
+        assert len(s[q]) <= _TOP_K
+
+    # and the registered audit row states exactly that
+    row = streaming_ivfpq_index_serving(spark, sf_dir).collect()[0].asDict()
+    n_pairs = sum(len(v) for v in s.values())
+    assert row == {
+        "n_queries_served": len(s),
+        "n_batch_pairs": n_pairs,
+        "n_stream_pairs": n_pairs,
+        "n_rank_agree": n_pairs,
+    }
+
+
 def test_manifest_growth_equals_batch_manifest(spark, sf_dir):
     """The associativity claim end-to-end: folding the per-epoch
     partials must reproduce the batch manifest column for column."""

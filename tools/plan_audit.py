@@ -156,7 +156,9 @@ AUDITED = [
     # streaming_ivfpq_index_growth is deliberately NOT audited: its plan
     # reads the session's temp parquet accumulator (a multi-job streaming
     # artifact, not single-plan auditable — the pq_reconstruction_audit
-    # precedent at the comment above).
+    # precedent at the comment above). streaming_ivfpq_index_serving
+    # (r13) likewise — it searches that same accumulator; its search
+    # kernel's plan is audited via similarity_ann_ivfpq.
     "shard_sketch_rollup",
     # the KLL sibling: one map-side sketch agg + two bounded rank scans
     "shard_quantile_rollup",
