@@ -206,6 +206,8 @@ BENCH_QUERIES = [
     # is already benched via training_shard_manifest.
     # streaming_upsert_latest_state (round 12): likewise; the keyed fold
     # is a window/agg shape the batch suite already measures.
+    # compact_upsert_snapshot (round 13): the log-structured twin — same
+    # 5-epoch foreachBatch shape; its compaction fold is one tiny groupBy.
 ]
 
 # Queries that populate or read the cross-query dedup memos
@@ -267,6 +269,8 @@ _MEMO_BACKED = {
     "streaming_shard_manifest_growth",
     # Streaming upsert state memo (_UPSERT_STREAM_CACHE, r12); likewise.
     "streaming_upsert_latest_state",
+    # Delta-chain memo (_UPSERT_DELTA_CACHE, r13); likewise not benched.
+    "compact_upsert_snapshot",
 }
 
 # Memo FAMILIES — queries sharing one session cache, used to classify
@@ -320,6 +324,11 @@ _MEMO_FAMILIES = [
     },
     {  # Streaming upsert state memo (streaming/windows.py, r12); singleton
         "streaming_upsert_latest_state",
+    },
+    {  # Upsert delta-chain memo (streaming/windows.py, r13); singleton —
+        # a separate cache from the snapshot variant by design (the two
+        # maintenance policies must not share materialized state)
+        "compact_upsert_snapshot",
     },
     {  # ALS sweep memo (operators/similarity.py, r11); neither member
         # is benched today — listed so the family invariant holds and a

@@ -215,3 +215,39 @@ def test_upsert_state_folded_across_multiple_snapshots(spark, sf_dir):
         .count()
     )
     assert state.count() == n_users
+
+
+def test_delta_chain_fold_equals_every_epoch_rewrite(spark, sf_dir):
+    """The compaction claim behind compact_upsert_snapshot: folding the
+    never-combined per-epoch delta chain reproduces the every-epoch-
+    rewrite policy's final snapshot exactly — same keys, same latest
+    record (float payload bit-equal), same lifetime counts."""
+    from data_to_parquet_spark.streaming.windows import (
+        _IVFPQ_STREAM_FILES,
+        _upsert_batch_fold,
+        _upsert_delta_chain,
+        _upsert_project,
+        _upsert_stream_state,
+    )
+
+    deltas, n_epochs, _ = _upsert_delta_chain(spark, sf_dir)
+    state, _ = _upsert_stream_state(spark, sf_dir)
+
+    def canon(df):
+        return sorted(tuple(r) for r in _upsert_project(df).collect())
+
+    assert canon(_upsert_batch_fold(deltas)) == canon(state)
+
+    # the chain is a real log: one delta per arrival epoch, counts
+    # conserve the corpus, and (users recurring across epochs) the chain
+    # holds at least as many rows as the folded snapshot
+    assert n_epochs == _IVFPQ_STREAM_FILES
+    n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert deltas.groupBy().sum("n_events").collect()[0][0] == n
+    assert deltas.count() >= state.count()
+    per_epoch = {
+        r["epoch"]: r["count"]
+        for r in deltas.groupBy("epoch").count().collect()
+    }
+    assert len(per_epoch) == _IVFPQ_STREAM_FILES
+    assert all(c > 0 for c in per_epoch.values())
