@@ -433,6 +433,18 @@ def _excel_fleet_fixture(tmp_root: str = "/tmp/d2p_bench", n_files: int = 16) ->
 
 
 def main() -> None:
+    # Refuse unrecognized arguments instead of silently running the full
+    # ~3-minute sf0.1 bench AND overwriting BENCH_FULL.json: a stray
+    # `python bench.py --help` did exactly that mid-round (r13), clobbering
+    # the drift-guard priors with a contaminated record. This script takes
+    # no flags — configuration is SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS.
+    if len(sys.argv) > 1:
+        sys.stderr.write(
+            "bench.py takes no arguments (env: SPARK_GRAFT_SF_DIR, "
+            "SPARK_GRAFT_CPUS); refusing to run with: "
+            f"{sys.argv[1:]!r}\n"
+        )
+        raise SystemExit(2)
     # captured before the JVM spins up, so it reflects co-tenant load, not
     # the bench's own 32 threads
     load_at_start = [round(x, 2) for x in os.getloadavg()]
