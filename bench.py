@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     # is a window/agg shape the batch suite already measures.
     # compact_upsert_snapshot (round 13): the log-structured twin — same
     # 5-epoch foreachBatch shape; its compaction fold is one tiny groupBy.
+    # compact_upsert_incremental (round 13): likewise; base-plus-tail fold.
 ]
 
 # Queries that populate or read the cross-query dedup memos
@@ -271,6 +272,7 @@ _MEMO_BACKED = {
     "streaming_upsert_latest_state",
     # Delta-chain memo (_UPSERT_DELTA_CACHE, r13); likewise not benched.
     "compact_upsert_snapshot",
+    "compact_upsert_incremental",
 }
 
 # Memo FAMILIES — queries sharing one session cache, used to classify
@@ -325,10 +327,12 @@ _MEMO_FAMILIES = [
     {  # Streaming upsert state memo (streaming/windows.py, r12); singleton
         "streaming_upsert_latest_state",
     },
-    {  # Upsert delta-chain memo (streaming/windows.py, r13); singleton —
-        # a separate cache from the snapshot variant by design (the two
-        # maintenance policies must not share materialized state)
+    {  # Upsert delta-chain memo (streaming/windows.py, r13) — a
+        # separate cache from the snapshot variant by design (the two
+        # maintenance policies must not share materialized state); the
+        # incremental compaction folds the same chain
         "compact_upsert_snapshot",
+        "compact_upsert_incremental",
     },
     {  # ALS sweep memo (operators/similarity.py, r11); neither member
         # is benched today — listed so the family invariant holds and a

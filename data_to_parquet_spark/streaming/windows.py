@@ -1681,3 +1681,51 @@ def compact_upsert_snapshot(spark, sf_dir):
     compacted_dir = os.path.join(os.path.dirname(delta_dir), "compacted")
     snap.coalesce(1).write.mode("overwrite").parquet(compacted_dir)
     return _upsert_project(spark.read.parquet(compacted_dir))
+
+
+@STREAMING.register(
+    "compact_upsert_incremental", oracle=_UPSERT_BATCH_ORACLE
+)
+def compact_upsert_incremental(spark, sf_dir):
+    """Incremental compaction — the property that makes the
+    log-structured policy (`compact_upsert_snapshot`) viable FOREVER: a
+    scheduled compaction never re-folds the whole history, it folds the
+    PREVIOUS compacted snapshot with only the deltas appended since.
+    Demonstrated literally: the delta chain is split at its midpoint,
+    the older half folded and MATERIALIZED to parquet (the artifact the
+    previous OPTIMIZE run left on disk), then the serving snapshot is
+    one fold over that |keys|-row base plus the newer deltas — cost
+    O(|keys| + |new deltas|), independent of how many epochs the base
+    already absorbed. Associativity is what licenses the split: fold
+    (fold(old), new) == fold(old ++ new) for the lexicographic
+    struct-max and the count sum, so ANY compaction schedule yields the
+    same state.
+
+    Oracle: the batch ROW_NUMBER window a third time (shared
+    `_UPSERT_BATCH_ORACLE`) — rewrite-every-epoch, full-chain fold, and
+    incremental fold all hash against the same ground truth, which is
+    the whole point. The three-way equality (incremental == full fold ==
+    rewrite) is pinned in tests/test_streaming_ivfpq.py.
+
+    Scale: this is the LSM/lakehouse amortization argument in one
+    operator — at 100 TB the OPTIMIZE job's cost is bounded by the live
+    key set plus the uncompacted tail, never by ingest history; without
+    this property the chain fold of `compact_upsert_snapshot` would
+    grow linearly with epochs and compaction would eventually cost more
+    than the re-scan it exists to avoid.
+    """
+    import os
+
+    deltas, n_epochs, delta_dir = _upsert_delta_chain(spark, sf_dir)
+    cut = n_epochs // 2  # where the "previous scheduled compaction" ran
+    cols = ["user_id", "s", "n_events"]
+    base = _upsert_batch_fold(
+        deltas.filter(F.col("epoch") <= cut).select(*cols)
+    )
+    base_dir = os.path.join(os.path.dirname(delta_dir), "compact_base")
+    base.coalesce(1).write.mode("overwrite").parquet(base_dir)
+    tail = deltas.filter(F.col("epoch") > cut).select(*cols)
+    snap = _upsert_batch_fold(
+        spark.read.parquet(base_dir).select(*cols).unionByName(tail)
+    )
+    return _upsert_project(snap)

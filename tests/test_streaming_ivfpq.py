@@ -251,3 +251,31 @@ def test_delta_chain_fold_equals_every_epoch_rewrite(spark, sf_dir):
     }
     assert len(per_epoch) == _IVFPQ_STREAM_FILES
     assert all(c > 0 for c in per_epoch.values())
+
+
+def test_incremental_compaction_three_way_equality(spark, sf_dir):
+    """compact_upsert_incremental's associativity claim: folding a
+    materialized base snapshot with only the newer deltas equals the
+    full-chain fold equals the every-epoch-rewrite snapshot."""
+    from data_to_parquet_spark.streaming.windows import (
+        _upsert_batch_fold,
+        _upsert_delta_chain,
+        _upsert_project,
+        _upsert_stream_state,
+        compact_upsert_incremental,
+        compact_upsert_snapshot,
+    )
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    inc = canon(compact_upsert_incremental(spark, sf_dir))
+    full = canon(compact_upsert_snapshot(spark, sf_dir))
+    deltas, _, _ = _upsert_delta_chain(spark, sf_dir)
+    chain = canon(_upsert_project(_upsert_batch_fold(
+        deltas.select("user_id", "s", "n_events")
+    )))
+    state, _ = _upsert_stream_state(spark, sf_dir)
+    rewrite = canon(_upsert_project(state))
+    assert inc == full == chain == rewrite
+    assert len(inc) > 0

@@ -159,9 +159,9 @@ AUDITED = [
     # precedent at the comment above). streaming_ivfpq_index_serving
     # (r13) likewise — it searches that same accumulator; its search
     # kernel's plan is audited via similarity_ann_ivfpq.
-    # compact_upsert_snapshot (r13) likewise — a multi-job foreachBatch
-    # delta chain plus one tiny fold; the fold's groupBy shape is the
-    # batch suite's bread and butter.
+    # compact_upsert_snapshot / compact_upsert_incremental (r13)
+    # likewise — a multi-job foreachBatch delta chain plus tiny folds;
+    # the folds' groupBy shape is the batch suite's bread and butter.
     "shard_sketch_rollup",
     # the KLL sibling: one map-side sketch agg + two bounded rank scans
     "shard_quantile_rollup",
