@@ -209,6 +209,10 @@ BENCH_QUERIES = [
     # compact_upsert_snapshot (round 13): the log-structured twin — same
     # 5-epoch foreachBatch shape; its compaction fold is one tiny groupBy.
     # compact_upsert_incremental (round 13): likewise; base-plus-tail fold.
+    # streaming_cc_label_maintenance (round 13): replays the incremental
+    # neardup stream's accumulators then a per-epoch label fold — the pair
+    # production is already benched via neardup_jaccard_pairs and the CC
+    # fixpoint via dedup_connected_components.
 ]
 
 # Queries that populate or read the cross-query dedup memos
@@ -273,6 +277,12 @@ _MEMO_BACKED = {
     # Delta-chain memo (_UPSERT_DELTA_CACHE, r13); likewise not benched.
     "compact_upsert_snapshot",
     "compact_upsert_incremental",
+    # Incremental-neardup stream accumulators (_INC_NEARDUP_CACHE): the
+    # stream query holds its own pair/arrival output; the r13 label
+    # maintenance replays those accumulators. Neither is benched —
+    # listed for the family invariant.
+    "streaming_incremental_neardup",
+    "streaming_cc_label_maintenance",
 }
 
 # Memo FAMILIES — queries sharing one session cache, used to classify
@@ -339,6 +349,12 @@ _MEMO_FAMILIES = [
         # future benching inherits the right adjudication regime
         "als_one_sweep_factors",
         "als_convergence_report",
+    },
+    {  # Incremental-neardup stream accumulators (_INC_NEARDUP_CACHE,
+        # streaming/windows.py); the r13 label maintenance reads the same
+        # memoized pair/arrival frames. Neither member is benched.
+        "streaming_incremental_neardup",
+        "streaming_cc_label_maintenance",
     },
 ]
 

@@ -827,6 +827,18 @@ def streaming_incremental_neardup(spark, sf_dir):
     against itself; state lives in the parquet accumulator, not executor
     memory.
     """
+    pairs, _ = _inc_neardup_accumulate(spark, sf_dir)
+    return pairs.drop("epoch")
+
+
+def _inc_neardup_accumulate(spark, sf_dir):
+    """The epoch-carrying artifacts of the incremental near-dup stream:
+    (pairs(epoch, doc_a, doc_b, jaccard), arrivals(epoch, doc_id)) —
+    exposed (r13) so the label-maintenance query
+    (`streaming_cc_label_maintenance`) can replay WHICH docs and pairs
+    arrived in each epoch; `streaming_incremental_neardup` drops the
+    epoch (its oracle must not depend on arrival batching). Memoized per
+    (applicationId, sf_dir, content fingerprint)."""
     import atexit
     import os
     import shutil
@@ -920,9 +932,105 @@ def streaming_incremental_neardup(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    out = spark.read.parquet(pairs_dir).select("doc_a", "doc_b", "jaccard")
+    out = (
+        spark.read.parquet(pairs_dir).select(
+            "epoch", "doc_a", "doc_b", "jaccard"
+        ),
+        spark.read.parquet(corpus_dir).select("epoch", "doc_id"),
+    )
     memo_put(_INC_NEARDUP_CACHE, key, fp, out)
     return out
+
+
+from ..operators.dedup import _CC_ORACLE  # noqa: E402
+
+
+@STREAMING.register(
+    "streaming_cc_label_maintenance", oracle=_CC_ORACLE
+)
+def streaming_cc_label_maintenance(spark, sf_dir):
+    """Incremental connected-components maintenance — the dedup STATE
+    counterpart of `streaming_incremental_neardup`: that query proves the
+    pair stream composes to the batch pair set; this one proves the
+    CLUSTER LABELS (the artifact keep/drop decisions actually read) can
+    be maintained epoch by epoch without ever re-running the batch CC
+    fixpoint over the full graph. Per arrival epoch: new docs enter as
+    their own singleton labels, the epoch's new pairs are CONTRACTED
+    through the current labels (an edge between two docs becomes an edge
+    between their cluster representatives), connected components run on
+    that tiny label graph only, and the |docs| label table takes one
+    left-join relabel. Correct because edges are only ever ADDED —
+    components merge and never split, so the contracted min-label merge
+    preserves the invariant label == min member doc_id inductively
+    (`ops.connected_components` returns component = min node id).
+
+    The oracle is `dedup_connected_components`' recursive-closure CTE
+    VERBATIM (shared `_CC_ORACLE`): the incrementally-maintained table
+    must hash-equal the from-scratch batch clustering; label-table
+    equality is also pinned in tests/test_streaming_ivfpq.py.
+
+    Scale: per-epoch cost is O(|new pairs| + |affected labels|) for the
+    contracted CC (the label graph is EDGES-sized, not corpus-sized;
+    near-dup graphs at 0.9 Jaccard are sparse and mostly settled, so the
+    fixpoint runs on a few rows) plus one |docs| map-side relabel join —
+    never a corpus-scale re-pairing and never the multi-round full-graph
+    fixpoint. The epoch loop is driver-orchestrated over the bounded
+    epoch count (the scheduled-maintenance-job shape), with a
+    localCheckpoint per epoch to truncate lineage; arrival/pair state
+    lives in the stream's parquet accumulators.
+    """
+    from ..ops import connected_components
+
+    pairs, arrivals = _inc_neardup_accumulate(spark, sf_dir)
+    epochs = sorted(
+        r["epoch"] for r in arrivals.select("epoch").distinct().collect()
+    )  # bounded: one row per arrival file
+    labels = None  # (doc_id, label); label == min doc_id of its cluster
+    for e in epochs:
+        fresh = (
+            arrivals.filter(F.col("epoch") == e)
+            .select("doc_id")
+            .withColumn("label", F.col("doc_id"))
+        )
+        labels = (
+            fresh if labels is None else labels.unionByName(fresh)
+        )
+        contracted = (
+            pairs.filter(F.col("epoch") == e)
+            .select("doc_a", "doc_b")
+            .join(
+                labels.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("label").alias("la"),
+                ),
+                "doc_a",
+            )
+            .join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("label").alias("lb"),
+                ),
+                "doc_b",
+            )
+            .select("la", "lb")
+            .filter(F.col("la") != F.col("lb"))
+            .distinct()
+        )
+        mapping = connected_components(contracted, "la", "lb").select(
+            F.col("node").alias("label"),
+            F.col("component").alias("new_label"),
+        )
+        labels = (
+            labels.join(mapping, "label", "left")
+            .select(
+                "doc_id",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint()  # truncate the per-epoch lineage
+        )
+    return labels.select(
+        "doc_id", F.col("label").alias("cluster_id")
+    )
 
 
 _IVFPQ_STREAM_CACHE: dict = {}

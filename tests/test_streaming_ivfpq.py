@@ -253,6 +253,35 @@ def test_delta_chain_fold_equals_every_epoch_rewrite(spark, sf_dir):
     assert all(c > 0 for c in per_epoch.values())
 
 
+def test_cc_label_maintenance_equals_batch_clustering(spark, sf_dir):
+    """streaming_cc_label_maintenance's claim: folding each epoch's new
+    docs and pairs into the label table (contract -> tiny CC -> relabel)
+    yields exactly the from-scratch batch clustering, including the
+    label == min-member-doc_id invariant."""
+    from data_to_parquet_spark.operators.dedup import (
+        dedup_connected_components,
+    )
+    from data_to_parquet_spark.streaming.windows import (
+        streaming_cc_label_maintenance,
+    )
+
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in streaming_cc_label_maintenance(spark, sf_dir).collect()
+    }
+    want = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_connected_components(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+    # the invariant the incremental merge must preserve: every cluster id
+    # is the minimum doc_id of its members
+    by_cluster: dict[int, list[int]] = {}
+    for doc, c in got.items():
+        by_cluster.setdefault(c, []).append(doc)
+    assert all(c == min(m) for c, m in by_cluster.items())
+
+
 def test_incremental_compaction_three_way_equality(spark, sf_dir):
     """compact_upsert_incremental's associativity claim: folding a
     materialized base snapshot with only the newer deltas equals the

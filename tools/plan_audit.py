@@ -162,6 +162,9 @@ AUDITED = [
     # compact_upsert_snapshot / compact_upsert_incremental (r13)
     # likewise — a multi-job foreachBatch delta chain plus tiny folds;
     # the folds' groupBy shape is the batch suite's bread and butter.
+    # streaming_cc_label_maintenance (r13) likewise — an epoch loop of
+    # eager CC jobs over the stream's accumulators; the batch CC plan is
+    # audited via dedup_connected_components.
     "shard_sketch_rollup",
     # the KLL sibling: one map-side sketch agg + two bounded rank scans
     "shard_quantile_rollup",
