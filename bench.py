@@ -187,6 +187,10 @@ BENCH_QUERIES = [
     "source_overlap_sketch_audit",
     "mannwhitney_source_drift",
     "neardup_cluster_purity",
+    # added round 13: per-doc repetition signals (narrow, shuffle-free
+    # top-bigram fold) + the exact Hamilton token-budget apportionment
+    "doc_repetition_metrics",
+    "mixture_token_allocation",
     # Six registry/driver-checked queries are deliberately NOT benched.
     # als_one_sweep_factors (and its round-10 sibling
     # als_convergence_report, which re-runs the same sweep): the one-sweep

@@ -2357,3 +2357,108 @@ def mannwhitney_source_drift(spark, sf_dir):
         z.alias("z_value"),
         (F.abs(z) > F.lit(1.959964)).cast("int").alias("drifted_5pct"),
     )
+
+
+#: mixture_token_allocation's training-mix budget: how many tokens the
+#: next training run draws across sources. Apportionment is exact
+#: integer arithmetic, so the only magnitude constraint is
+#: budget * max(per-source tokens) < 2^63 — at this budget that allows
+#: ~9.2e12 tokens per source; a 100 TB deployment lifts the products
+#: into DECIMAL(38,0) (DuckDB folds to HUGEINT automatically).
+_MIX_BUDGET = 1_000_000
+
+
+@PIPE.register(
+    "mixture_token_allocation",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             SUM(len(list_filter(string_split_regex(lower(text),
+                   '[^a-z0-9]+'), x -> x <> ''))) AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(n_tokens) AS total FROM tok
+    ), base AS (
+      SELECT t.source, t.n_docs, t.n_tokens,
+             CAST(({_MIX_BUDGET}::BIGINT * t.n_tokens) // tot.total
+                  AS BIGINT) AS base_alloc,
+             CAST(({_MIX_BUDGET}::BIGINT * t.n_tokens) % tot.total
+                  AS BIGINT) AS remainder
+      FROM tok t, tot
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY remainder DESC, source) AS rn,
+             {_MIX_BUDGET} - SUM(base_alloc) OVER () AS k
+      FROM base
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           base_alloc,
+           CAST(CASE WHEN rn <= k THEN 1 ELSE 0 END AS BIGINT) AS bonus,
+           CAST(base_alloc + CASE WHEN rn <= k THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens
+    FROM ranked
+    """,
+)
+def mixture_token_allocation(spark, sf_dir):
+    """Training-mix apportionment: split a fixed token budget across
+    sources exactly proportionally to their corpus mass, with the
+    largest-remainder (Hamilton) method breaking the rounding — the
+    data-mixing step every multi-source training run performs before
+    `token_budget_sample` draws the actual documents. Floor allocations
+    under-spend the budget by k < |sources| tokens; the k largest
+    remainders (ties to the lexicographically smaller source, both
+    engines) each take one bonus token, so the allocations sum to the
+    budget EXACTLY — conservation is pinned in
+    tests/test_mixture_allocation.py.
+
+    Determinism: apportionment is pure int64 arithmetic end to end —
+    budget*n_tokens products, one integer division and modulus, an
+    integer window sum, a ROW_NUMBER with a total tie-break — no float
+    ever exists, so the hash cannot move (the temperature-weighted
+    variant (n^tau) was deliberately NOT used: pow() is libm-dependent
+    and a 20-term float denominator is shuffle-order-dependent; at
+    tau=1 the exact-rational form IS the apportionment). Magnitude
+    ceiling documented at `_MIX_BUDGET`.
+
+    Scale: one map-side-combined groupBy(source) over a two-column
+    projection (the corpus-scale pass), then all window work happens on
+    the |sources|=20-row frame — at 100 TB the apportionment costs the
+    same 20-row sort it costs here.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text"))).cast("long")).alias(
+            "n_tokens"
+        ),
+    )
+    wall = W.partitionBy()
+    budget = F.lit(_MIX_BUDGET).cast("long")
+    # exact integer division/modulus against the window total (the 20-row
+    # frame — the corpus-scale work ended at the groupBy above)
+    enriched = tok.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr(f"CAST(({_MIX_BUDGET}L * n_tokens) DIV SUM(n_tokens) OVER () AS BIGINT)").alias("base_alloc"),
+        F.expr(f"CAST(({_MIX_BUDGET}L * n_tokens) % SUM(n_tokens) OVER () AS BIGINT)").alias("remainder"),
+    )
+    ranked = enriched.select(
+        "*",
+        F.row_number()
+        .over(W.orderBy(F.desc("remainder"), F.asc("source")))
+        .alias("rn"),
+        (budget - F.sum("base_alloc").over(wall)).alias("k"),
+    )
+    bonus = (F.col("rn") <= F.col("k")).cast("long")
+    return ranked.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_tokens",
+        "base_alloc",
+        bonus.alias("bonus"),
+        (F.col("base_alloc") + bonus).alias("alloc_tokens"),
+    )

@@ -1794,3 +1794,100 @@ def word_cooccurrence_pmi(spark, sf_dir):
         .filter(F.col("rank") <= _PMI_TOPK)
         .select("w1", "w2", "c_ab", "pmi", "rank")
     )
+
+
+@TXT.register(
+    "doc_repetition_metrics",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), base AS (
+      SELECT doc_id, lang, toks,
+             list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+      FROM tok WHERE len(toks) >= 2
+    ), big AS (
+      SELECT doc_id, unnest(bigrams) AS bg FROM base
+    ), cnt AS (
+      SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg
+    ), top AS (
+      SELECT doc_id, MAX(c) AS top_bigram_count FROM cnt GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.lang,
+           CAST(len(b.toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(b.toks)) AS BIGINT) AS n_distinct_tokens,
+           CAST(len(b.toks) - len(list_distinct(b.toks)) AS DOUBLE)
+             / len(b.toks) AS dup_token_frac,
+           CAST(len(b.toks) - 1 AS BIGINT) AS n_bigrams,
+           CAST(t.top_bigram_count AS BIGINT) AS top_bigram_count,
+           CAST(t.top_bigram_count AS DOUBLE) / (len(b.toks) - 1)
+             AS top_bigram_mass
+    FROM base b JOIN top t USING (doc_id)
+    """,
+)
+def doc_repetition_metrics(spark, sf_dir):
+    """Intra-document repetition signals — the Gopher-rules family
+    (Rae et al. 2021, Table A1) the quality gate samples but never
+    exposes as raw per-document metrics: duplicate-token fraction
+    (1 - distinct/total) and the mass of the single most repeated
+    bigram. Boilerplate, keyboard-mash and template spam light up both;
+    a pipeline thresholds them next to `text_quality_stats` and
+    `gopher_quality_gate`.
+
+    Determinism: every count is int64; the two fractions are ONE divide
+    on exact int64 operands each (IEEE-exact, bit-identical cross-engine
+    per the repo rule) and ship unrounded.
+
+    Scale: the Spark side never shuffles — the top-bigram count comes
+    from a per-document `array_sort` + `aggregate` longest-equal-run
+    fold over the (bounded) bigram array, a pure narrow map; the
+    unnest→GROUP BY in the DuckDB oracle is the same computation stated
+    relationally. Docs under 2 tokens are excluded in both engines
+    (no bigram exists; the md5-twin shingle rule's precedent).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= 2)
+    bigrams_sorted = F.array_sort(
+        F.transform(
+            F.slice(F.col("toks"), 1, F.size("toks") - 1),
+            lambda x, i: F.concat_ws(
+                " ", x, F.element_at(F.col("toks"), i + F.lit(2))
+            ),
+        )
+    )
+    run = lambda acc, x: F.when(  # noqa: E731 — longest-equal-run step
+        x == acc["prev"], acc["run"] + F.lit(1)
+    ).otherwise(F.lit(1))
+    top_count = F.aggregate(
+        bigrams_sorted,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_tok = F.size("toks").cast("long")
+    n_dis = F.size(F.array_distinct("toks")).cast("long")
+    return t.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        n_dis.alias("n_distinct_tokens"),
+        ((n_tok - n_dis).cast("double") / n_tok).alias("dup_token_frac"),
+        (n_tok - F.lit(1)).alias("n_bigrams"),
+        top_count.cast("long").alias("top_bigram_count"),
+        (top_count.cast("double") / (n_tok - F.lit(1)).cast("double")).alias(
+            "top_bigram_mass"
+        ),
+    )

@@ -176,6 +176,12 @@ AUDITED = [
     "mannwhitney_source_drift",
     # cluster purity: memoized labels (0-scan like pagerank) + two aggs
     "neardup_cluster_purity",
+    # round 13: repetition metrics must stay a pure narrow map (the
+    # longest-equal-run fold happens inside the project, no exchange);
+    # the apportionment is one map-side-combined groupBy then 20-row
+    # window work
+    "doc_repetition_metrics",
+    "mixture_token_allocation",
 ]
 
 
