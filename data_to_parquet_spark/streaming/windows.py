@@ -979,9 +979,18 @@ def streaming_cc_label_maintenance(spark, sf_dir):
     localCheckpoint per epoch to truncate lineage; arrival/pair state
     lives in the stream's parquet accumulators.
     """
+    pairs, arrivals = _inc_neardup_accumulate(spark, sf_dir)
+    return _cc_fold_epochs(spark, pairs, arrivals)
+
+
+def _cc_fold_epochs(spark, pairs, arrivals):
+    """The per-epoch label fold of `streaming_cc_label_maintenance`,
+    factored out (r13) so the weak-scaling probe
+    (tools/cc_fold_scale_probe.py) times the literal production loop on
+    synthetic epoch-partitioned inputs. ``pairs``: (epoch, doc_a, doc_b,
+    ...); ``arrivals``: (epoch, doc_id). Returns (doc_id, cluster_id)."""
     from ..ops import connected_components
 
-    pairs, arrivals = _inc_neardup_accumulate(spark, sf_dir)
     epochs = sorted(
         r["epoch"] for r in arrivals.select("epoch").distinct().collect()
     )  # bounded: one row per arrival file
