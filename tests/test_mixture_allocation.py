@@ -105,3 +105,65 @@ def test_repetition_metrics_hand_computed(spark, rep_docs_dir):
     assert r1["dup_token_frac"] == 0.0
     assert r1["top_bigram_count"] == 1
     assert r1["top_bigram_mass"] == 1.0 / 3.0
+
+
+@pytest.fixture(scope="module")
+def tie_docs_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("tiedocs")
+    # three sources with 1 token each: B*1/3 = 333333 rem 1 for ALL of
+    # them, k = 1 -> exactly one bonus, broken lexicographically
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["x", "y", "z"],
+            "lang": ["en"] * 3,
+            "source": ["s_b", "s_a", "s_c"],  # arrival order != lex order
+            "n_chars": [1, 1, 1],
+        }
+    )
+    docs.to_parquet(root / "documents.parquet")
+    return str(root)
+
+
+def test_remainder_tie_breaks_to_lexicographically_smaller_source(
+    spark, tie_docs_dir
+):
+    rows = {
+        r["source"]: r
+        for r in mixture_token_allocation(spark, tie_docs_dir).collect()
+    }
+    assert all(r["base_alloc"] == 333333 for r in rows.values())
+    assert (
+        rows["s_a"]["bonus"],
+        rows["s_b"]["bonus"],
+        rows["s_c"]["bonus"],
+    ) == (1, 0, 0)
+    assert sum(r["alloc_tokens"] for r in rows.values()) == _MIX_BUDGET
+
+
+@pytest.fixture(scope="module")
+def single_source_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("onesource")
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["a b c", "d e"],
+            "lang": ["en"] * 2,
+            "source": ["only"] * 2,
+            "n_chars": [5, 3],
+        }
+    )
+    docs.to_parquet(root / "documents.parquet")
+    return str(root)
+
+
+def test_single_source_takes_whole_budget_without_bonus(
+    spark, single_source_dir
+):
+    rows = mixture_token_allocation(spark, single_source_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # B*n/n = B exactly: zero remainder, zero bonus, full budget
+    assert r["base_alloc"] == _MIX_BUDGET
+    assert r["bonus"] == 0
+    assert r["alloc_tokens"] == _MIX_BUDGET
