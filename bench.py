@@ -641,6 +641,14 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         line["host_steal_at_end"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     regressions = _vs_previous_round(times, current_sf=line["sf"])
+    # All-time-band check (r13: the last-record ratio is structurally
+    # blind to monotone climbs — multimodal_resize_digest walked
+    # 2.15 -> 8.46 s across four committed records in sub-1.5x steps,
+    # never flagged, and idle-re-measured at 1.35 s). Band flags only
+    # ADD names the ratio check missed; a ratio flag string wins when
+    # both fire (its prior is the more recent regime).
+    for name, flag in _vs_alltime_band(times, current_sf=line["sf"]).items():
+        regressions.setdefault(name, flag)
     # One-off-blip filter: a sub-second query can read 2-7x slow from a
     # single GC pause or co-tenant burst (observed same-code, same-day:
     # 0.40 s -> 2.84 s -> 0.40 s). Re-measure each flagged registry query
@@ -676,6 +684,13 @@ def main() -> None:
         if re_t < times[name]:
             times[name] = re_t
         retry = _vs_previous_round({name: times[name]}, current_sf=line["sf"])
+        if name not in retry:
+            # a band-flagged query must clear the BAND on re-measure, not
+            # just the last-record ratio (else a band flag always clears
+            # itself here and the all-time check is dead code)
+            retry = _vs_alltime_band(
+                {name: times[name]}, current_sf=line["sf"]
+            )
         if name in retry:
             regressions[name] = retry[name] + " (reproduced on re-measure)"
         else:
@@ -780,6 +795,56 @@ def _write_full_record(line: dict, full_path: str) -> None:
         pass
     with open(full_path, "w") as f:
         json.dump(line, f, indent=1)
+
+
+def _vs_alltime_band(
+    times: dict[str, float],
+    root: str | None = None,
+    current_sf: float | str | None = None,
+) -> dict[str, str]:
+    """All-time-band drift guard (r13 VERDICT item 1): compare per-query
+    wall time against the committed git-history band in BANDS.json
+    (generated by tools/bench_bands.py at round close) and flag
+
+    * readings above 1.5x the all-time MAX — beyond anything ever
+      committed for the query, regardless of the last record's value;
+    * readings above 2.5x the all-time MEDIAN — the monotone-climb
+      catcher: a burst-polluted max ratchets, but a handful of burst
+      records cannot move the median (multimodal_resize_digest's
+      committed 8.46 s was 2.76x its history median while only 1.44x
+      the prior record).
+
+    Guards mirror _vs_previous_round: both sides must be large enough
+    for the ratio to mean anything, the band needs >=5 readings, and a
+    BANDS.json recorded at another sf (or absent/unparseable) disables
+    the check rather than producing nonsense flags. Flag strings keep
+    the "PRIORs -> NOWs" shape tools/adjudicate_regressions.py parses.
+    """
+    here = root or os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BANDS.json")) as f:
+            bands = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    if current_sf is not None and bands.get("sf") != current_sf:
+        return {}
+    out: dict[str, str] = {}
+    for name, now in times.items():
+        b = bands.get("queries", {}).get(name)
+        if not b or b.get("n", 0) < 5 or now < 0.5:
+            continue
+        bmax, bmed = b.get("max", 0), b.get("median", 0)
+        if bmax >= 0.2 and now > bmax * 1.5:
+            out[name] = (
+                f"{bmax}s -> {now}s ({now / bmax:.1f}x vs all-time band "
+                f"max, n={b['n']}, BANDS.json)"
+            )
+        elif bmed >= 0.2 and now > bmed * 2.5:
+            out[name] = (
+                f"{bmed}s -> {now}s ({now / bmed:.1f}x vs all-time band "
+                f"median, n={b['n']}, BANDS.json)"
+            )
+    return out
 
 
 def _vs_previous_round(

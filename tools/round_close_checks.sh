@@ -72,6 +72,12 @@ EOF
 SPARK_GRAFT_TEST_SF_DIR=/tmp/d2p_sf_mid \
   python -m pytest tests/test_oracle_parity.py -q -k "$SELECT"
 
+echo "== regenerate all-time bench bands from committed history =="
+# bench.py's _vs_alltime_band reads BANDS.json; regenerating first means
+# this run flags against bands that include every committed record
+# (r13 VERDICT items 1+7). Commit the regenerated file with the round.
+python tools/bench_bands.py
+
 echo "== bench @ sf0.1 =="
 python bench.py
 
