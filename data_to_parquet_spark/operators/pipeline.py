@@ -2367,6 +2367,38 @@ def mannwhitney_source_drift(spark, sf_dir):
 #: into DECIMAL(38,0) (DuckDB folds to HUGEINT automatically).
 _MIX_BUDGET = 1_000_000
 
+#: Largest per-source token count whose budget product stays in int64.
+_MIX_TOKEN_CEILING = (2**63 - 1) // _MIX_BUDGET
+
+
+def _mix_guarded_tokens(tok):
+    """Overflow guard on the apportionment inputs (r13 ADVICE): Spark's
+    ``_MIX_BUDGET * n_tokens`` wraps silently past int64 while the
+    DuckDB oracle promotes SUM to HUGEINT, so a too-large corpus would
+    surface as a silent cross-engine hash divergence. assert_true makes
+    it fail LOUDLY instead — the driver records an error, not a wrong
+    answer. Runs on the |sources|-row aggregate, so the check is free;
+    schema is unchanged (assert_true is NULL whenever it doesn't raise).
+    A corpus that actually trips this lifts the products into
+    DECIMAL(38,0) in BOTH engines (see ``_MIX_BUDGET``'s note)."""
+    guard = F.assert_true(
+        F.col("n_tokens") <= F.lit(_MIX_TOKEN_CEILING),
+        F.concat(
+            F.lit("mixture_token_allocation: n_tokens "),
+            F.col("n_tokens").cast("string"),
+            F.lit(
+                f" exceeds the int64-safe ceiling {_MIX_TOKEN_CEILING} "
+                f"for budget {_MIX_BUDGET}; fold the products into "
+                f"DECIMAL(38,0) in both engines"
+            ),
+        ),
+    )
+    return tok.select(
+        "source",
+        "n_docs",
+        F.when(guard.isNull(), F.col("n_tokens")).alias("n_tokens"),
+    )
+
 
 @PIPE.register(
     "mixture_token_allocation",
@@ -2421,7 +2453,10 @@ def mixture_token_allocation(spark, sf_dir):
     variant (n^tau) was deliberately NOT used: pow() is libm-dependent
     and a 20-term float denominator is shuffle-order-dependent; at
     tau=1 the exact-rational form IS the apportionment). Magnitude
-    ceiling documented at `_MIX_BUDGET`.
+    ceiling documented at `_MIX_BUDGET` and ENFORCED by
+    `_mix_guarded_tokens` (assert_true — a too-large corpus errors
+    loudly instead of wrapping int64 into a silent hash divergence;
+    r13 ADVICE).
 
     Scale: one map-side-combined groupBy(source) over a two-column
     projection (the corpus-scale pass), then all window work happens on
@@ -2429,11 +2464,13 @@ def mixture_token_allocation(spark, sf_dir):
     same 20-row sort it costs here.
     """
     d = load_table(spark, sf_dir, "documents")
-    tok = d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(tokens(F.col("text"))).cast("long")).alias(
-            "n_tokens"
-        ),
+    tok = _mix_guarded_tokens(
+        d.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens(F.col("text"))).cast("long")).alias(
+                "n_tokens"
+            ),
+        )
     )
     wall = W.partitionBy()
     budget = F.lit(_MIX_BUDGET).cast("long")

@@ -167,3 +167,31 @@ def test_single_source_takes_whole_budget_without_bonus(
     assert r["base_alloc"] == _MIX_BUDGET
     assert r["bonus"] == 0
     assert r["alloc_tokens"] == _MIX_BUDGET
+
+
+def test_overflow_guard_raises_loudly(spark):
+    """r13 ADVICE: past ~9.2e12 tokens per source the Spark-side
+    budget*n_tokens product would wrap int64 while DuckDB promotes to
+    HUGEINT — a silent cross-engine divergence. `_mix_guarded_tokens`
+    must turn that into a loud error instead, and pass clean inputs
+    through unchanged."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from data_to_parquet_spark.operators.pipeline import (
+        _MIX_TOKEN_CEILING,
+        _mix_guarded_tokens,
+    )
+
+    ok = spark.createDataFrame(
+        [("s", 1, _MIX_TOKEN_CEILING)], "source string, n_docs long, n_tokens long"
+    )
+    assert _mix_guarded_tokens(ok).collect()[0]["n_tokens"] == _MIX_TOKEN_CEILING
+
+    bad = spark.createDataFrame(
+        [("s", 1, _MIX_TOKEN_CEILING + 1)],
+        "source string, n_docs long, n_tokens long",
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)) as exc:
+        _mix_guarded_tokens(bad).collect()
+    assert "int64-safe ceiling" in str(exc.value)
