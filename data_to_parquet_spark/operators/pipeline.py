@@ -2499,3 +2499,202 @@ def mixture_token_allocation(spark, sf_dir):
         bonus.alias("bonus"),
         (F.col("base_alloc") + bonus).alias("alloc_tokens"),
     )
+
+
+# --- URL/domain-level curation (r13 VERDICT item 5) -------------------------
+# Web-corpus pipelines curate at the DOMAIN level before any doc-level
+# dedup: a handful of hosts contribute most of the crawl, and per-domain
+# caps/mix reports are the first lever against that concentration. The
+# documents fixture has no URL column, so one is SYNTHESIZED
+# deterministically from doc_id (the pii_mask_profiles precedent:
+# synthesis is part of the operator contract, identical in both
+# engines) with a skewed host distribution; two hosts share one
+# registrable domain so the host->domain rollup actually groups.
+
+#: (cumulative doc_id%100 upper bound, host) — ~30/20/12/10/8/6/5/4/2/
+#: 1/1/1% of docs per host, Zipf-ish like a real crawl.
+_DOMAIN_HOSTS = [
+    (30, "pages.commoncrawl.example"),
+    (50, "en.encyclopedia.example"),
+    (62, "forum.discussions.example"),
+    (72, "blog.hosting.example"),
+    (80, "news.daily.example"),
+    (86, "code.repos.example"),
+    (91, "docs.reference.example"),
+    (95, "recipes.cooking.example"),
+    (97, "papers.scholar.example"),
+    (98, "shop.products.example"),
+    (99, "reviews.products.example"),
+    (100, "weather.report.example"),
+]
+
+_DOMAIN_CAP = 25  # max docs kept per registrable domain
+
+#: Host extraction regexes — [.] instead of \. so the pattern survives
+#: both engines' string-literal escaping untouched.
+_URL_HOST_RE = "https://([^/]+)/"
+_REG_DOMAIN_RE = "([^.]+[.][^.]+)$"
+
+
+def _url_synth_sql() -> str:
+    """The synthesized URL column as ONE SQL fragment valid verbatim in
+    both Spark SQL and DuckDB (CASE/concat/CAST-AS-STRING are
+    dialect-shared), so the two engines cannot drift: Spark evaluates it
+    via F.expr, the oracles inline the same string."""
+    arms = " ".join(
+        f"WHEN doc_id % 100 < {ub} THEN '{host}'"
+        for ub, host in _DOMAIN_HOSTS[:-1]
+    )
+    case = f"CASE {arms} ELSE '{_DOMAIN_HOSTS[-1][1]}' END"
+    return f"concat('https://', {case}, '/doc/', CAST(doc_id AS STRING))"
+
+
+_DOMAIN_FRAME_SQL = f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9]+'), x -> x <> '')) AS n_tok,
+             {_url_synth_sql()} AS url
+      FROM documents
+    ), h AS (
+      SELECT doc_id, n_tok,
+             regexp_extract(url, '{_URL_HOST_RE}', 1) AS host,
+             regexp_extract(regexp_extract(url, '{_URL_HOST_RE}', 1),
+                            '{_REG_DOMAIN_RE}', 1) AS domain
+      FROM d
+    )
+"""
+
+
+def _domain_frame(spark, sf_dir):
+    """(doc_id, n_tok, host, domain): synthesized URL parsed back into
+    host and registrable domain — shared by the mix report and the cap.
+    The parse is the demonstrated operation (a real pipeline reads url
+    from the crawl and starts at the regexp_extract)."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.expr(_url_synth_sql())
+    host = F.regexp_extract(url, _URL_HOST_RE, 1)
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        host.alias("host"),
+        F.regexp_extract(host, _REG_DOMAIN_RE, 1).alias("domain"),
+    )
+
+
+@PIPE.register(
+    "domain_mix_report",
+    oracle=_DOMAIN_FRAME_SQL
+    + """
+    , g AS (
+      SELECT domain, COUNT(DISTINCT host) AS n_hosts,
+             COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+      FROM h GROUP BY domain
+    )
+    SELECT domain,
+           CAST(n_hosts AS BIGINT) AS n_hosts,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS doc_share,
+           CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()
+             AS token_share,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_tokens DESC, domain)
+                AS BIGINT) AS token_rank
+    FROM g
+    """,
+)
+def domain_mix_report(spark, sf_dir):
+    """Domain-mix report — the corpus-composition table every web-crawl
+    curation run reads first: per registrable domain (host collapsed by
+    `_REG_DOMAIN_RE`, so shop./reviews.products.example roll up
+    together), the host count, document and token mass, the share of
+    each, and a deterministic rank by token mass. Downstream, the
+    shares drive per-domain caps (`domain_cap_docs`) and mixture
+    weights (`source_mix_weights`' shape, keyed by domain).
+
+    Determinism: counts and token sums are exact integers; each share
+    is one int64->double divide against the window total (IEEE-exact on
+    identical inputs, shipped unrounded per the repo rule); the rank
+    tie-breaks on the domain text. The URL synthesis itself is one
+    shared SQL fragment evaluated verbatim by both engines
+    (`_url_synth_sql`).
+
+    Scale: one narrow projection (synthesize + two regexp_extract, all
+    codegen) into a map-side-combined groupBy(domain) — the corpus-
+    scale pass collapses to |domains| rows before the window math, so
+    at 100 TB the report costs one scan plus a ~registrable-domains-
+    sized shuffle (tens of millions of rows at web scale — still one
+    aggregate, and the same plan).
+    """
+    g = _domain_frame(spark, sf_dir).groupBy("domain").agg(
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    wall = W.partitionBy()
+    return g.select(
+        "domain",
+        "n_hosts",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_docs").cast(_D) / F.sum("n_docs").over(wall)).alias(
+            "doc_share"
+        ),
+        (F.col("n_tokens").cast(_D) / F.sum("n_tokens").over(wall)).alias(
+            "token_share"
+        ),
+        F.row_number()
+        .over(W.orderBy(F.desc("n_tokens"), F.asc("domain")))
+        .cast("long")
+        .alias("token_rank"),
+    )
+
+
+@PIPE.register(
+    "domain_cap_docs",
+    oracle=_DOMAIN_FRAME_SQL
+    + f"""
+    , r AS (
+      SELECT doc_id, host, domain,
+             ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id)
+               AS rn
+      FROM h
+    )
+    SELECT doc_id, host, domain,
+           CAST(rn AS BIGINT) AS rank_in_domain
+    FROM r WHERE rn <= {_DOMAIN_CAP}
+    """,
+)
+def domain_cap_docs(spark, sf_dir):
+    """Per-domain document cap — `source_cap_docs`' rule keyed by
+    registrable domain instead of the source label: keep the first
+    {25} documents per domain in doc_id order (deterministic — a real
+    run would order by a quality score; the rule, not the key, is the
+    operator) and drop the rest. This is the standard anti-
+    concentration lever run before doc-level dedup: without it the
+    head domains dominate every downstream sample.
+
+    Determinism: pure integer ROW_NUMBER with a total order
+    (domain, doc_id) — no floats anywhere.
+
+    Scale: one hash shuffle on domain for the window rank, then the
+    filter. Skew caution at 100 TB: a head domain holds ~30% of the
+    corpus, so a naive full-sort-per-domain window would hotspot one
+    partition — but a cap-k rank only ever needs the first k rows per
+    domain, so the production variant pre-aggregates candidate doc_ids
+    per (domain, salt) and ranks the k·|salts| survivors (the
+    `window_top3_suppliers_per_nation` salted two-stage precedent,
+    demonstrated at this registry's scale by `weighted_sample_topk`).
+    At test scale the single window IS that plan's final stage.
+    """
+    w = W.partitionBy("domain").orderBy("doc_id")
+    return (
+        _domain_frame(spark, sf_dir)
+        .select(
+            "doc_id",
+            "host",
+            "domain",
+            F.row_number().over(w).cast("long").alias("rank_in_domain"),
+        )
+        .filter(F.col("rank_in_domain") <= _DOMAIN_CAP)
+    )

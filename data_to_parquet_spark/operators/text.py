@@ -1891,3 +1891,133 @@ def doc_repetition_metrics(spark, sf_dir):
             "top_bigram_mass"
         ),
     )
+
+
+#: Learned BPE merge table, in rank order (rank = creation order, so a
+#: later merge's components always exist before it applies — the
+#: invariant that makes one pass per merge in rank order equivalent to
+#: the usual lowest-rank-first iterative apply). A real pipeline loads
+#: this from a tokenizer artifact (the table IS the tokenizer); the
+#: literal here plays the broadcast/plan-literal role those artifacts
+#: take at scale, like the classifier weights in quality_model_score.
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "r"), ("e", "n"),
+    ("a", "t"), ("o", "u"), ("s", "t"), ("t", "i"), ("ti", "on"),
+    ("in", "g"),
+]
+
+
+def _bpe_encode_expr(col: str, engine: str) -> str:
+    """The merge-application chain over token column ``col``, as a SQL
+    expression valid in ``engine`` ('spark' | 'duckdb') — kept in
+    lockstep by construction (one generator, two regexp_replace
+    spellings; the replace() chain itself is dialect-identical).
+
+    Encoding: the symbol sequence is a string with every symbol flanked
+    by double separators, e.g. 'the' -> '||t||h||e||'. Applying merge
+    (a, b) is then ONE leftmost-first non-overlapping string replace of
+    '|a||b|' with '|ab|': the outer pipes of each neighbour boundary
+    survive the replacement, so consecutive occurrences both merge
+    ('inin' -> 'in','in'), while the pattern can never match inside a
+    longer symbol ('xa','b' does not merge as (a, b)). This is exactly
+    the greedy left-to-right scan of the sequential BPE fold — verified
+    symbol-for-symbol against a reference fold in
+    tests/test_bpe_apply.py — and it stays entirely inside whole-stage
+    codegen (16 chained replaces; no lambda, no UDF).
+    """
+    if engine == "spark":
+        e = f"concat('||', regexp_replace({col}, '(.)', '$1||'))"
+    else:
+        e = "'||' || regexp_replace(" + col + r", '(.)', '\1||', 'g')"
+    for a, b in _BPE_MERGES:
+        e = f"replace({e}, '|{a}||{b}|', '|{a}{b}|')"
+    return e
+
+
+_BPE_APPLY_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text),
+                    '[^a-z0-9]+'), x -> x <> '')) AS t
+      FROM documents
+    ), enc AS (
+      SELECT doc_id, t, {_bpe_encode_expr("t", "duckdb")} AS e FROM tok
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_word_tokens,
+           CAST(SUM(length(t)) AS BIGINT) AS n_token_chars,
+           CAST(SUM((length(e) - length(t)) // 2 - 1) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(CAST(SUM(length(t)) AS BIGINT) AS DOUBLE)
+             / CAST(SUM((length(e) - length(t)) // 2 - 1) AS BIGINT)
+             AS chars_per_bpe_token
+    FROM enc GROUP BY doc_id
+    """
+
+
+@TXT.register("bpe_apply_merges", oracle=_BPE_APPLY_ORACLE)
+def bpe_apply_merges(spark, sf_dir):
+    """Full BPE ENCODING — applying a learned merge table to the corpus,
+    the step every real pipeline runs before token counts feed
+    `sequence_packing` / `mixture_token_allocation` (the family so far
+    had induction — `bpe_first_merges` — and a regex approximation —
+    `token_count_bpe` — but could not APPLY a vocabulary; r13 VERDICT
+    item 4). Each word token is encoded against the rank-ordered
+    literal merge table `_BPE_MERGES`; the output is the per-document
+    token accounting a packing stage consumes: word tokens, characters,
+    post-merge BPE tokens, and the compression ratio.
+
+    Algorithm: one pass per merge in rank order over a double-separator
+    symbol string ('||t||h||e||'; see `_bpe_encode_expr`). Rank order
+    makes single passes complete — a merge's components are created
+    only by LOWER-ranked merges, and within one pass the merged symbol
+    can never re-form its own pattern (a+b == a or a+b == b is
+    impossible) — so the chained replaces compute the same encoding as
+    the iterative lowest-rank-first loop. Verified against a reference
+    Python fold AND DuckDB symbol-for-symbol on adversarial tokens
+    (overlaps, chained merges: 'tition' -> ti,tion) in
+    tests/test_bpe_apply.py.
+
+    Determinism: string ops and integer arithmetic end to end; the one
+    float is a single int64->double divide (IEEE-exact on identical
+    inputs, shipped unrounded per the repo rule). Symbol counting needs
+    no re-parse: every symbol boundary is exactly two pipes and symbols
+    are pipe-free, so n_symbols = (len(encoded) - len(token))/2 - 1.
+
+    Scale: a narrow map — tokenize, explode (`exploded_rows`, codegen'd
+    position explode), 16 chained replaces, one map-side-combined
+    groupBy(doc_id). No join, no broadcast state beyond the plan
+    literal; a 100k-merge production table swaps the literal chain for
+    a Pandas-UDF trie encoder in the same slot, with the identical
+    explode/agg shape around it.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = exploded_rows(d, ["doc_id"], tokens(F.col("text")), "t")
+    enc = toks.select(
+        "doc_id",
+        F.length("t").alias("n_chars"),
+        (
+            (
+                F.length(F.expr(_bpe_encode_expr("t", "spark")))
+                - F.length("t")
+            )
+            .cast("long")
+            / 2
+            - 1
+        ).cast("long").alias("n_sym"),
+    )
+    g = enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_word_tokens"),
+        F.sum(F.col("n_chars").cast("long")).alias("n_token_chars"),
+        F.sum("n_sym").alias("n_bpe_tokens"),
+    )
+    return g.select(
+        "doc_id",
+        "n_word_tokens",
+        "n_token_chars",
+        "n_bpe_tokens",
+        (
+            F.col("n_token_chars").cast("double") / F.col("n_bpe_tokens")
+        ).alias("chars_per_bpe_token"),
+    )
