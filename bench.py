@@ -191,6 +191,12 @@ BENCH_QUERIES = [
     # top-bigram fold) + the exact Hamilton token-budget apportionment
     "doc_repetition_metrics",
     "mixture_token_allocation",
+    # added round 14: full BPE encoding (16 chained codegen replaces,
+    # one groupBy) + the URL/domain curation pair (synthesize + parse +
+    # one groupBy / one window)
+    "bpe_apply_merges",
+    "domain_mix_report",
+    "domain_cap_docs",
     # Six registry/driver-checked queries are deliberately NOT benched.
     # als_one_sweep_factors (and its round-10 sibling
     # als_convergence_report, which re-runs the same sweep): the one-sweep
@@ -217,6 +223,9 @@ BENCH_QUERIES = [
     # neardup stream's accumulators then a per-epoch label fold — the pair
     # production is already benched via neardup_jaccard_pairs and the CC
     # fixpoint via dedup_connected_components.
+    # streaming_contamination_probe (round 14): the same 5-epoch
+    # foreachBatch shape; its shingle+bloom probe kernel is already
+    # benched via contamination_bloom_audit / contamination_bloom_flags.
 ]
 
 # Queries that populate or read the cross-query dedup memos
@@ -287,6 +296,9 @@ _MEMO_BACKED = {
     # listed for the family invariant.
     "streaming_incremental_neardup",
     "streaming_cc_label_maintenance",
+    # Decontamination stream partials (_DECON_STREAM_CACHE, r14);
+    # not benched — listed for the family invariant.
+    "streaming_contamination_probe",
 }
 
 # Memo FAMILIES — queries sharing one session cache, used to classify
@@ -360,6 +372,11 @@ _MEMO_FAMILIES = [
         "streaming_incremental_neardup",
         "streaming_cc_label_maintenance",
     },
+    {  # Decontamination stream partials (_DECON_STREAM_CACHE,
+        # streaming/windows.py, r14); singleton: the partials cache is
+        # this query's own output store. Not benched.
+        "streaming_contamination_probe",
+    },
 ]
 
 
@@ -376,6 +393,7 @@ _MEMO_SELF_CACHED = {
     "streaming_ivfpq_index_growth",  # _IVFPQ_STREAM_CACHE holds its output
     "streaming_shard_manifest_growth",  # _MANIFEST_STREAM_CACHE likewise
     "streaming_upsert_latest_state",  # _UPSERT_STREAM_CACHE likewise
+    "streaming_contamination_probe",  # _DECON_STREAM_CACHE likewise
 }
 
 

@@ -149,7 +149,15 @@ _BENCH_MOD = 97  # doc_id % _BENCH_MOD == 0 → doc belongs to the benchmark set
 
 def _shingle_frame(spark, sf_dir):
     """(doc_id, s) with s = the doc's DISTINCT word 5-gram shingles
-    (n = _SHINGLE_N) — shared by the three contamination queries.
+    (n = _SHINGLE_N) — shared by the three contamination queries."""
+    return _shingles_of(load_table(spark, sf_dir, "documents"))
+
+
+def _shingles_of(d):
+    """Shingle an arbitrary documents frame (needs doc_id, text) —
+    factored from `_shingle_frame` (r14) so the streaming
+    decontamination probe can shingle each ARRIVING batch with the
+    byte-identical expression the batch queries use on the corpus.
 
     The index list is slice(sequence(1, max(n-4, 1)), 1, max(n-4, 0)):
     Spark's sequence(1, 0) is the DESCENDING [1, 0] — not empty like
@@ -160,7 +168,6 @@ def _shingle_frame(spark, sf_dir):
     both alternatives fall out of whole-stage codegen here and measured
     1.4× and 7× slower respectively on the full query.
     """
-    d = load_table(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
     shingles = F.expr(
         f"array_distinct(transform("
@@ -245,11 +252,7 @@ def _bloom_probe_frame(sh, bench=None):
     benchmark-shingle frame (column ``g``); the audit passes the one it
     already built for its exact join so the filter+explode+distinct over
     the benchmark slice runs once, not twice (r10 second-pass review).
-
-    Build: k bit positions per benchmark shingle, OR'd into m bits. The
-    position set is collected driver-side — it is bounded by k·|benchmark
-    shingles| (and at true scale this is a one-time fold into 16 KiB,
-    exactly what e.g. spark.util.sketch.BloomFilter materializes).
+    Bitmap build: see `_bloom_words_literal`.
     """
     if bench is None:
         bench = exploded_rows(
@@ -258,6 +261,30 @@ def _bloom_probe_frame(sh, bench=None):
             F.col("s"),
             "g",
         ).distinct()
+    wlits = _bloom_words_literal(bench)
+    return exploded_rows(
+        sh.filter(F.col("doc_id") % _BENCH_MOD != 0),
+        ["doc_id"],
+        F.col("s"),
+        "g",
+    ).withColumn("__w", wlits)
+
+
+def _bloom_words_literal(bench):
+    """Fold the DISTINCT benchmark-shingle frame into the 2^17-bit bloom
+    bitmap and return it as ONE signed-long-array literal column —
+    factored from `_bloom_probe_frame` (r14) so the streaming probe can
+    build the deny-set bitmap once, up front, and bind the same literal
+    into every arriving batch's plan.
+
+    Build: k bit positions per benchmark shingle, OR'd into m bits. The
+    position set is collected driver-side — it is bounded by k·|benchmark
+    shingles| (and at true scale this is a one-time fold into 16 KiB,
+    exactly what e.g. spark.util.sketch.BloomFilter materializes).
+    Signed-long array because Spark longs are signed (bit 63 wraps); ONE
+    Literal node (F.lit on the whole list) — a CreateArray of 2048
+    elements is not constant-folded and measured 6× slower end to end.
+    """
     bench_pos = (
         bench
         .select(
@@ -278,18 +305,9 @@ def _bloom_probe_frame(sh, bench=None):
     words = [0] * (_BLOOM_BITS // 64)
     for (pos,) in bench_pos.collect():
         words[pos // 64] |= 1 << (pos % 64)
-    # signed-long literal array (Spark longs are signed; bit 63 wraps).
-    # ONE Literal node (F.lit on the whole list) — a CreateArray of 2048
-    # elements is not constant-folded and measured 6× slower end to end.
-    wlits = F.lit(
+    return F.lit(
         [w - (1 << 64) if w >= (1 << 63) else w for w in words]
     )
-    return exploded_rows(
-        sh.filter(F.col("doc_id") % _BENCH_MOD != 0),
-        ["doc_id"],
-        F.col("s"),
-        "g",
-    ).withColumn("__w", wlits)
 
 
 def _bloom_hit_expr():
@@ -357,9 +375,13 @@ def contamination_bloom_flags(spark, sf_dir):
     )
 
 
-@PIPE.register(
-    "contamination_bloom_audit",
-    oracle=f"""
+#: The bloom-audit ground truth — exact probe/contamination counts plus
+#: the two pre-verified one-sided-error buckets. Shared VERBATIM with
+#: `streaming_contamination_probe` (streaming/windows.py, r14): the
+#: availableNow stream drains the whole corpus, so the per-epoch fold
+#: must reproduce exactly this batch answer (the
+#: `streaming_shard_manifest_growth` shared-oracle precedent).
+_BLOOM_AUDIT_ORACLE = f"""
     WITH tok AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -382,8 +404,47 @@ def contamination_bloom_flags(spark, sf_dir):
            TRUE AS no_false_negatives,
            TRUE AS fp_rate_lt_1pct
     FROM ex LEFT JOIN bench ON ex.g = bench.g
-    """,
-)
+    """
+
+
+def _bloom_audit_counts(probes):
+    """The audit's raw-count aggregate over an exploded probe frame that
+    carries ``g``, ``__w`` (bitmap literal) and ``bg`` (the exact-join
+    match column): probe count, exact contaminated count, false
+    negatives, false positives. One map-side-combinable row — factored
+    (r14) so the streaming probe folds per-batch rows that are
+    DEFINITIONALLY the same expressions as the batch audit's."""
+    exact = F.col("bg").isNotNull()
+    bloom = _bloom_hit_expr()
+    return probes.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.coalesce(F.sum(exact.cast("long")), F.lit(0)).alias("n_cont"),
+        F.coalesce(
+            F.sum((exact & ~bloom).cast("long")), F.lit(0)
+        ).alias("n_fn"),
+        F.coalesce(
+            F.sum((~exact & bloom).cast("long")), F.lit(0)
+        ).alias("n_fp"),
+    )
+
+
+def _bloom_audit_project(agg):
+    """Final audit surface from the (n_probes, n_cont, n_fn, n_fp)
+    counts: the exact facts plus the two one-sided-error buckets —
+    shared by the batch audit and the streaming fold so the two ship
+    byte-identical columns against the one oracle."""
+    clean = F.col("n_probes") - F.col("n_cont")
+    return agg.select(
+        "n_probes",
+        F.col("n_cont").alias("n_contaminated_probes"),
+        (F.col("n_fn") == 0).alias("no_false_negatives"),
+        F.when(
+            clean > 0, F.col("n_fp").cast(_D) / clean < 0.01
+        ).otherwise(F.lit(True)).alias("fp_rate_lt_1pct"),
+    )
+
+
+@PIPE.register("contamination_bloom_audit", oracle=_BLOOM_AUDIT_ORACLE)
 def contamination_bloom_audit(spark, sf_dir):
     """Bloom decontamination AUDIT (round-10 oracle upgrade for the bloom
     family): probe every non-benchmark shingle through BOTH the exact
@@ -417,27 +478,7 @@ def contamination_bloom_audit(spark, sf_dir):
         F.col("g") == F.col("bg"),
         "left_outer",
     )
-    exact = F.col("bg").isNotNull()
-    bloom = _bloom_hit_expr()
-    agg = probes.agg(
-        F.count(F.lit(1)).alias("n_probes"),
-        F.coalesce(F.sum(exact.cast("long")), F.lit(0)).alias("n_cont"),
-        F.coalesce(
-            F.sum((exact & ~bloom).cast("long")), F.lit(0)
-        ).alias("n_fn"),
-        F.coalesce(
-            F.sum((~exact & bloom).cast("long")), F.lit(0)
-        ).alias("n_fp"),
-    )
-    clean = F.col("n_probes") - F.col("n_cont")
-    return agg.select(
-        "n_probes",
-        F.col("n_cont").alias("n_contaminated_probes"),
-        (F.col("n_fn") == 0).alias("no_false_negatives"),
-        F.when(
-            clean > 0, F.col("n_fp").cast(_D) / clean < 0.01
-        ).otherwise(F.lit(True)).alias("fp_rate_lt_1pct"),
-    )
+    return _bloom_audit_project(_bloom_audit_counts(probes))
 
 
 _CTX = 512  # tokens per packed training sequence

@@ -1888,3 +1888,154 @@ def compact_upsert_incremental(spark, sf_dir):
         spark.read.parquet(base_dir).select(*cols).unionByName(tail)
     )
     return _upsert_project(snap)
+
+
+from ..operators.pipeline import _BLOOM_AUDIT_ORACLE  # noqa: E402
+
+_DECON_STREAM_CACHE: dict = {}
+
+
+def _decon_stream_partials(spark, sf_dir):
+    """The per-epoch decontamination-audit partials (epoch, n_probes,
+    n_cont, n_fn, n_fp) accumulated by the streaming probe — exposed
+    with the epoch column for the pytest pins; the registered query
+    folds the epochs away. Memoized per (applicationId, sf_dir).
+
+    Setup mirrors production: the BENCHMARK deny-set is known before
+    the stream starts (an eval suite is a fixed artifact), so the exact
+    benchmark-shingle frame and the 16 KiB bloom bitmap literal are
+    built ONCE from the static benchmark slice; each arriving batch is
+    probed against both.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions.exprs import exploded_rows
+    from ..operators.base import memo_get, memo_put, path_fingerprint
+    from ..operators.pipeline import (
+        _BENCH_MOD,
+        _bloom_audit_counts,
+        _bloom_words_literal,
+        _shingle_frame,
+        _shingles_of,
+    )
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    fp = path_fingerprint(doc_path)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = memo_get(_DECON_STREAM_CACHE, key, fp)
+    if cached is not None:
+        return cached
+
+    # deny-set state, built up front from the benchmark slice: the
+    # DISTINCT shingle frame for the exact side (localCheckpoint — it
+    # joins into every epoch and must not re-scan the corpus 5x) and
+    # the bitmap literal for the bloom side
+    bench = (
+        exploded_rows(
+            _shingle_frame(spark, sf_dir).filter(
+                F.col("doc_id") % _BENCH_MOD == 0
+            ),
+            [],
+            F.col("s"),
+            "g",
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    wlits = _bloom_words_literal(bench)
+    bench_bg = F.broadcast(bench.withColumnRenamed("g", "bg"))
+
+    root = tempfile.mkdtemp(prefix="decon_stream_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    in_dir = os.path.join(root, "in")
+    part_dir = os.path.join(root, "partials")
+    ckpt = os.path.join(root, "ckpt")
+
+    spark.read.parquet(doc_path).select(
+        "doc_id", "text"
+    ).repartitionByRange(_IVFPQ_STREAM_FILES, "doc_id").write.parquet(
+        in_dir
+    )
+
+    def process(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        probes = exploded_rows(
+            _shingles_of(batch_df).filter(
+                F.col("doc_id") % _BENCH_MOD != 0
+            ),
+            ["doc_id"],
+            F.col("s"),
+            "g",
+        ).withColumn("__w", wlits).join(
+            bench_bg, F.col("g") == F.col("bg"), "left_outer"
+        )
+        # epoch-keyed overwrite: an at-least-once replay of epoch N
+        # re-materializes the identical 1-row partial (a pure function
+        # of the batch), never double-counts
+        _bloom_audit_counts(probes).write.mode("overwrite").parquet(
+            f"{part_dir}/epoch={epoch_id}"
+        )
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(part_dir)
+    memo_put(_DECON_STREAM_CACHE, key, fp, out)
+    return out
+
+
+@STREAMING.register(
+    "streaming_contamination_probe", oracle=_BLOOM_AUDIT_ORACLE
+)
+def streaming_contamination_probe(spark, sf_dir):
+    """Streaming decontamination — the ingest-time shape of the bloom
+    deny-set check (r13 VERDICT item 6): documents arrive as a parquet
+    file stream and every `foreachBatch` epoch probes ONLY its batch's
+    shingles against the pre-built eval-suite state (the exact
+    benchmark-shingle broadcast AND the 16 KiB bloom bitmap plan
+    literal — `contamination_bloom_audit`'s two sides), appending one
+    1-row count partial to an epoch-keyed idempotent accumulator. The
+    published audit is one sum over the partials: every audit fact is a
+    count, counts are associative, so ANY arrival slicing folds to the
+    batch answer — the `streaming_shard_manifest_growth` argument
+    applied to decontamination.
+
+    The oracle is `contamination_bloom_audit`'s VERBATIM (shared
+    `_BLOOM_AUDIT_ORACLE`): the availableNow stream drains the whole
+    corpus, so the streamed fold must hash-equal the batch audit —
+    exact counts exactly, and the two one-sided-error buckets
+    (`no_false_negatives` is even STRONGER here: it sums false
+    negatives across epochs, so one missed shingle in any batch flips
+    the bucket). Streamed-equals-batch and multi-epoch are pinned in
+    tests/test_streaming_decon.py.
+
+    Scale: per-epoch cost is one narrow shingle+probe pass over the
+    arriving batch (bloom side is pure JVM bit arithmetic on a plan
+    literal; exact side broadcasts the eval-suite dictionary — tiny by
+    definition) into ONE combined row; accumulated state is one row per
+    epoch of integers in parquet. A year of ingest keeps the
+    decontamination report current at per-batch cost with no corpus
+    re-read — and a quarantine variant would write the flagged doc_ids
+    per epoch with the same idempotence story.
+    """
+    from ..operators.pipeline import _bloom_audit_project
+
+    acc = _decon_stream_partials(spark, sf_dir)
+    agg = acc.agg(
+        F.sum("n_probes").alias("n_probes"),
+        F.sum("n_cont").alias("n_cont"),
+        F.sum("n_fn").alias("n_fn"),
+        F.sum("n_fp").alias("n_fp"),
+    )
+    return _bloom_audit_project(agg)

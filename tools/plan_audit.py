@@ -182,6 +182,13 @@ AUDITED = [
     # window work
     "doc_repetition_metrics",
     "mixture_token_allocation",
+    # round 14: BPE encoding must stay a pure narrow map into one
+    # map-side-combined groupBy (the 16-replace chain lives inside the
+    # project); the domain pair is one groupBy + window-on-|domains|
+    # (mix report) and one hash shuffle on domain for the cap rank
+    "bpe_apply_merges",
+    "domain_mix_report",
+    "domain_cap_docs",
 ]
 
 
