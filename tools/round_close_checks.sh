@@ -78,6 +78,15 @@ echo "== regenerate all-time bench bands from committed history =="
 # (r13 VERDICT items 1+7). Commit the regenerated file with the round.
 python tools/bench_bands.py
 
+echo "== settle-wait: let the gate's own load dissipate before timing =="
+# The parity stages above run all cores for ~40 minutes; benching on
+# their stale load produced a flag-churn record in BOTH r13 and r14
+# (r14: 219 s / 16 flags immediately after the gate vs 157 s / 2 flags
+# on the same code twenty minutes later). Wait for loadavg + steal to
+# clear (up to 10 min, then proceed anyway — the record carries its
+# brackets either way).
+python tools/wait_for_idle.py
+
 echo "== bench @ sf0.1 =="
 python bench.py
 
