@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     # one groupBy) + the URL/domain curation pair (synthesize + parse +
     # one groupBy / one window)
     "bpe_apply_merges",
+    "bpe_fertility_by_lang",
     "domain_mix_report",
     "domain_cap_docs",
     # Six registry/driver-checked queries are deliberately NOT benched.

@@ -2021,3 +2021,88 @@ def bpe_apply_merges(spark, sf_dir):
             F.col("n_token_chars").cast("double") / F.col("n_bpe_tokens")
         ).alias("chars_per_bpe_token"),
     )
+
+
+@TXT.register(
+    "bpe_fertility_by_lang",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split_regex(lower(text),
+                    '[^a-z0-9]+'), x -> x <> '')) AS t
+      FROM documents
+    ), enc AS (
+      SELECT doc_id, lang, t, {_bpe_encode_expr("t", "duckdb")} AS e
+      FROM tok
+    )
+    SELECT lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_word_tokens,
+           CAST(SUM((length(e) - length(t)) // 2 - 1) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(CAST(SUM((length(e) - length(t)) // 2 - 1) AS BIGINT)
+                AS DOUBLE) / CAST(COUNT(*) AS BIGINT) AS fertility,
+           CAST(CAST(SUM(length(t)) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS BIGINT) AS avg_token_chars
+    FROM enc GROUP BY lang
+    """,
+)
+def bpe_fertility_by_lang(spark, sf_dir):
+    """Tokenizer FERTILITY by language — BPE tokens emitted per word
+    token, the standard multilingual tokenizer-evaluation metric (a
+    vocabulary trained on one language fragments the others; fertility
+    is how that cost is measured and how per-language token budgets are
+    corrected before `mixture_token_allocation` apportions them). The
+    consumer view of `bpe_apply_merges`: same `_BPE_MERGES` table, same
+    `_bpe_encode_expr` replace chain, aggregated per corpus language
+    instead of per document.
+
+    Determinism: int64 counts and sums end to end; fertility and
+    avg_token_chars are single int64->double divides on exact operands
+    (unrounded per the repo rule). Zero-token documents drop from
+    n_docs in both engines (explode/unnest emit no rows).
+
+    Scale: one narrow tokenize+encode scan into a map-side-combined
+    groupBy(lang) — the distinct-doc count shuffles (lang, doc_id)
+    partials, everything else collapses to |langs| rows before the
+    exchange. The per-language fertility table is what a 100 TB
+    multilingual run reads to set sampling temperatures; it costs one
+    scan here and there.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = exploded_rows(
+        d, ["doc_id", "lang"], tokens(F.col("text")), "t"
+    )
+    enc = toks.select(
+        "lang",
+        "doc_id",
+        F.length("t").cast("long").alias("n_chars"),
+        (
+            (
+                F.length(F.expr(_bpe_encode_expr("t", "spark")))
+                - F.length("t")
+            ).cast("long")
+            / 2
+            - 1
+        ).cast("long").alias("n_sym"),
+    )
+    g = enc.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_word_tokens"),
+        F.sum("n_sym").alias("n_bpe_tokens"),
+        F.sum("n_chars").alias("n_token_chars"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_word_tokens",
+        "n_bpe_tokens",
+        (
+            F.col("n_bpe_tokens").cast("double")
+            / F.col("n_word_tokens")
+        ).alias("fertility"),
+        (
+            F.col("n_token_chars").cast("double")
+            / F.col("n_word_tokens")
+        ).alias("avg_token_chars"),
+    )

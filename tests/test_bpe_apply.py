@@ -122,3 +122,39 @@ def test_corpus_invariants(spark, sf_dir):
     ).count()
     assert bad == 0
     assert out.count() > 0
+
+
+@pytest.fixture(scope="module")
+def fert_docs_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("fertdocs")
+    # en: the(1) thin(2) / and(1) -> 3 word tokens, 4 BPE symbols
+    # xx: qqq(3) www(3)          -> 2 word tokens, 6 BPE symbols
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["the thin", "and", "qqq www"],
+            "lang": ["en", "en", "xx"],
+            "source": ["s"] * 3,
+            "n_chars": [8, 3, 7],
+        }
+    )
+    docs.to_parquet(root / "documents.parquet")
+    return str(root)
+
+
+def test_fertility_hand_computed(spark, fert_docs_dir):
+    from data_to_parquet_spark.operators.text import bpe_fertility_by_lang
+
+    rows = {
+        r["lang"]: r
+        for r in bpe_fertility_by_lang(spark, fert_docs_dir).collect()
+    }
+    en, xx = rows["en"], rows["xx"]
+    # en: the->the(1), thin->th,in(2), and->and(1): 4 symbols / 3 words
+    assert (en["n_docs"], en["n_word_tokens"], en["n_bpe_tokens"]) == (2, 3, 4)
+    assert en["fertility"] == 4 / 3
+    assert en["avg_token_chars"] == (3 + 4 + 3) / 3
+    # xx: no merges apply to q/w runs -> fully fragmented, fertility 3.0
+    # (the vocabulary-mismatch signal the metric exists to expose)
+    assert (xx["n_docs"], xx["n_word_tokens"], xx["n_bpe_tokens"]) == (1, 2, 6)
+    assert xx["fertility"] == 3.0

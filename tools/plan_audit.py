@@ -187,6 +187,7 @@ AUDITED = [
     # project); the domain pair is one groupBy + window-on-|domains|
     # (mix report) and one hash shuffle on domain for the cap rank
     "bpe_apply_merges",
+    "bpe_fertility_by_lang",
     "domain_mix_report",
     "domain_cap_docs",
 ]
