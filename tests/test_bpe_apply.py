@@ -158,3 +158,43 @@ def test_fertility_hand_computed(spark, fert_docs_dir):
     # (the vocabulary-mismatch signal the metric exists to expose)
     assert (xx["n_docs"], xx["n_word_tokens"], xx["n_bpe_tokens"]) == (1, 2, 6)
     assert xx["fertility"] == 3.0
+
+
+def test_fuzz_500_random_tokens_all_three_engines_agree(spark):
+    """Seeded fuzz across the token space the tokenizer can emit
+    ([a-z0-9]+, lengths 1..14, alphabet skewed toward merge-table
+    letters so merges actually fire): the Spark replace chain, the
+    DuckDB twin, and the reference Python fold must agree
+    symbol-for-symbol on every token — one batched job per engine."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(0xB9E)
+    alphabet = "thineorandgsou" + "abcdefghijklmnopqrstuvwxyz0123456789"
+    words = sorted(
+        {
+            "".join(
+                rng.choice(alphabet) for _ in range(rng.randint(1, 14))
+            )
+            for _ in range(500)
+        }
+    )
+
+    expected = {w: _reference_fold(w) for w in words}
+
+    got_spark = {
+        r["t"]: [x for x in r["e"].split("|") if x]
+        for r in spark.createDataFrame([(w,) for w in words], "t string")
+        .select("t", F.expr(_bpe_encode_expr("t", "spark")).alias("e"))
+        .collect()
+    }
+    assert got_spark == expected
+
+    rel = duckdb.sql(
+        "SELECT t, " + _bpe_encode_expr("t", "duckdb") + " AS e "
+        "FROM (SELECT unnest(?) AS t)",
+        params=[words],
+    ).fetchall()
+    got_duck = {t: [x for x in e.split("|") if x] for t, e in rel}
+    assert got_duck == expected
