@@ -2421,9 +2421,15 @@ def _mix_guarded_tokens(tok):
     answer. Runs on the |sources|-row aggregate, so the check is free;
     schema is unchanged (assert_true is NULL whenever it doesn't raise).
     A corpus that actually trips this lifts the products into
-    DECIMAL(38,0) in BOTH engines (see ``_MIX_BUDGET``'s note)."""
+    DECIMAL(38,0) in BOTH engines (see ``_MIX_BUDGET``'s note).
+
+    NULL n_tokens (a source whose texts are all NULL) must NOT trip the
+    guard (r14 ADVICE): both engines agree the row's allocation is NULL,
+    and ``x <= ceiling`` is NULL for NULL x, which assert_true raises on
+    with a misleading overflow message — so the condition coalesces NULL
+    to 0 (trivially under the ceiling) and the row passes through."""
     guard = F.assert_true(
-        F.col("n_tokens") <= F.lit(_MIX_TOKEN_CEILING),
+        F.coalesce(F.col("n_tokens"), F.lit(0)) <= F.lit(_MIX_TOKEN_CEILING),
         F.concat(
             F.lit("mixture_token_allocation: n_tokens "),
             F.col("n_tokens").cast("string"),
@@ -2709,7 +2715,8 @@ def domain_mix_report(spark, sf_dir):
 def domain_cap_docs(spark, sf_dir):
     """Per-domain document cap — `source_cap_docs`' rule keyed by
     registrable domain instead of the source label: keep the first
-    {25} documents per domain in doc_id order (deterministic — a real
+    25 (``_DOMAIN_CAP``) documents per domain in doc_id order
+    (deterministic — a real
     run would order by a quality score; the rule, not the key, is the
     operator) and drop the rest. This is the standard anti-
     concentration lever run before doc-level dedup: without it the

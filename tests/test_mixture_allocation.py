@@ -195,3 +195,18 @@ def test_overflow_guard_raises_loudly(spark):
     with pytest.raises((SparkRuntimeException, Py4JJavaError)) as exc:
         _mix_guarded_tokens(bad).collect()
     assert "int64-safe ceiling" in str(exc.value)
+
+
+def test_overflow_guard_passes_null_tokens_through(spark):
+    """r14 ADVICE: a source whose texts are all NULL aggregates to a
+    NULL n_tokens; `x <= ceiling` is NULL for NULL x and assert_true
+    used to raise on it with the misleading overflow message. The
+    coalesce'd guard must instead pass the row through with n_tokens
+    NULL — the same answer DuckDB gives."""
+    from data_to_parquet_spark.operators.pipeline import _mix_guarded_tokens
+
+    nul = spark.createDataFrame(
+        [("s_null", 2, None)], "source string, n_docs long, n_tokens long"
+    )
+    row = _mix_guarded_tokens(nul).collect()[0]
+    assert row["n_tokens"] is None and row["n_docs"] == 2

@@ -84,6 +84,41 @@ def test_high_load_skips_burn_and_resets_streak(wfi, monkeypatch, capsys):
     assert len(out["attempts"]) == 4
 
 
+def test_own_burn_residual_does_not_reset_streak(wfi, monkeypatch, capsys):
+    # r14 ADVICE: the steal probe's own 2 s all-core burn adds ~1.0 to
+    # the 1-min loadavg; near the threshold the gate's probing used to
+    # reset its own streak. The second probe's load1 of 1.2 is the
+    # first burn's residual on a 0.2 base — the discount must let it
+    # count as clean (1.2 - ~1.0 < 1.0) instead of restarting.
+    monkeypatch.setattr(wfi, "_BURN_JUMP", 1.05)
+    out = _run(
+        wfi,
+        monkeypatch,
+        capsys,
+        loads=[0.3, 1.2],
+        steals=[0.1, 0.1],
+    )
+    assert out["idle"] is True and len(out["attempts"]) == 2
+    assert out["attempts"][0]["burn_residual"] == 0.0  # no burn yet
+    assert out["attempts"][1]["burn_residual"] > 0.9
+
+
+def test_residual_discount_is_capped_at_the_burn_jump(wfi, monkeypatch, capsys):
+    # a genuinely loaded box cannot ride the discount: load 2.5 minus
+    # the full ~1.05 residual is still over the 1.0 bar, so the streak
+    # resets and the gate only clears on the later sustained window
+    monkeypatch.setattr(wfi, "_BURN_JUMP", 1.05)
+    out = _run(
+        wfi,
+        monkeypatch,
+        capsys,
+        loads=[0.3, 2.5, 0.3, 0.3],
+        steals=[0.1, 0.1, 0.1],  # probe 2 skips the burn (load too high)
+    )
+    assert out["idle"] is True and len(out["attempts"]) == 4
+    assert out["attempts"][1]["steal_pct"] is None
+
+
 def test_timeout_proceeds_with_note(wfi, monkeypatch, capsys):
     clock = iter([0.0] + [i * 100.0 for i in range(1, 50)])
     monkeypatch.setattr(wfi.time, "monotonic", lambda: next(clock))

@@ -49,7 +49,10 @@ def _median_runs(fn, spark, sf_dir):
 
 
 def _build_doc_corpora(spark) -> dict[int, str]:
-    """{multiple: sf_dir} for 1x/2x/4x doc_id-shifted document unions."""
+    """{multiple: sf_dir} for 1x/16x/64x/256x doc_id-shifted document
+    unions (steps raised from the usual 1x/2x/4x after the first attempt
+    came back flat — the encoder's marginal cost was under timer noise
+    at 4x)."""
     from pyspark.sql import functions as F
 
     d = spark.read.parquet(f"{SRC}/documents.parquet")

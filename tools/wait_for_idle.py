@@ -25,6 +25,7 @@ D2P_IDLE_LOAD_MAX / D2P_IDLE_STEAL_MAX / D2P_IDLE_TIMEOUT_S).
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -42,6 +43,23 @@ TIMEOUT_S = float(os.environ.get("D2P_IDLE_TIMEOUT_S", "600"))
 CONSECUTIVE_OK = int(os.environ.get("D2P_IDLE_CONSECUTIVE_OK", "2"))
 PROBE_GAP_S = 45  # between probes: the burn itself loads the box
 
+#: The steal probe's own all-core burn (host_probe.measure_steal default)
+#: adds ~ncpu*(1-exp(-burn/60)) ≈ 1.05 to the 1-min loadavg on a 32-core
+#: box, decaying to ~0.5 by the next probe 45 s later — near the 1.0
+#: threshold the gate's own probing could keep resetting the streak and
+#: drive an otherwise-quiet box to the timeout (r14 ADVICE). Each probe
+#: therefore subtracts the expected residual of OUR last burn before
+#: comparing to LOAD_MAX. The residual is capped at _BURN_JUMP (~1.05),
+#: so a genuinely loaded box cannot ride the discount past the bar.
+BURN_S = 2.0  # host_probe.measure_steal's default burn duration
+_BURN_JUMP = (os.cpu_count() or 1) * (1.0 - math.exp(-BURN_S / 60.0))
+
+
+def _burn_residual(elapsed_s: float) -> float:
+    """1-min loadavg still attributable to our own last steal burn,
+    ``elapsed_s`` seconds after it ended (exponential 60 s decay)."""
+    return _BURN_JUMP * math.exp(-elapsed_s / 60.0)
+
 
 def main() -> int:
     from host_probe import measure_steal
@@ -49,14 +67,27 @@ def main() -> int:
     t0 = time.monotonic()
     attempts = []
     ok_streak = 0
+    last_burn_end: float | None = None
     while True:
-        load1 = os.getloadavg()[0]
-        # only pay the all-core burn when loadavg already qualifies
-        steal = (
-            measure_steal().get("steal_pct") if load1 < LOAD_MAX else None
+        residual = (
+            _burn_residual(time.monotonic() - last_burn_end)
+            if last_burn_end is not None
+            else 0.0
         )
-        attempts.append({"load1": round(load1, 2), "steal_pct": steal})
-        if load1 < LOAD_MAX and steal is not None and steal < STEAL_MAX:
+        load1 = os.getloadavg()[0]
+        load_ok = load1 - residual < LOAD_MAX
+        # only pay the all-core burn when loadavg already qualifies
+        steal = measure_steal().get("steal_pct") if load_ok else None
+        if steal is not None:
+            last_burn_end = time.monotonic()
+        attempts.append(
+            {
+                "load1": round(load1, 2),
+                "burn_residual": round(residual, 2),
+                "steal_pct": steal,
+            }
+        )
+        if load_ok and steal is not None and steal < STEAL_MAX:
             ok_streak += 1
         else:
             ok_streak = 0
