@@ -119,6 +119,56 @@ def test_verdict_unparseable_flag():
     assert out["q"]["verdict"] == "unparseable_flag"
 
 
+def test_verdict_band_min_prior_downgrades_to_lucky_prior():
+    """r14 VERDICT item 1: a prior at/near the all-time band minimum
+    cannot anchor a regression claim — when the idle basis sits inside
+    the band envelope the auto-"regressed" becomes noise_lucky_prior
+    (the exact shape of both r14 driver flags: freshly re-based minimum
+    priors, readings at/below the band median)."""
+    flags = {"q": "1.124s -> 1.799s (1.6x vs BENCH_FULL.json)"}
+    measured = {"q": {"min_s": 1.7, "median_s": 1.8, "all_s": [1.8, 1.7]}}
+    bands = {"q": {"n": 24, "min": 1.124, "median": 3.091, "max": 8.46}}
+    out = _verdicts(flags, measured, bands=bands)["q"]
+    assert out["verdict"] == "noise_lucky_prior"
+    assert out["history_band_s"] == [1.124, 8.46]
+    assert out["history_band_n_records"] == 24
+    assert "band min" in out["band_note"]
+
+
+def test_verdict_band_rule_needs_prior_near_min():
+    # prior well above the band min -> the lucky-prior excuse does not
+    # apply; the reading stays regressed (band evidence still recorded)
+    flags = {"q": "2.0s -> 4.0s (2.0x)"}
+    measured = {"q": {"min_s": 3.8, "median_s": 3.9, "all_s": [3.9, 3.8]}}
+    bands = {"q": {"n": 24, "min": 1.124, "median": 3.091, "max": 8.46}}
+    out = _verdicts(flags, measured, bands=bands)["q"]
+    assert out["verdict"] == "regressed"
+    assert out["history_band_s"] == [1.124, 8.46]
+    assert "band_note" not in out
+
+
+def test_verdict_band_rule_needs_basis_inside_band():
+    # a band-min prior does NOT excuse a basis beyond the all-time max
+    # (or beyond 2.5x the median) — that is new territory, keep the flag
+    flags = {"q": "1.124s -> 9.5s (8.5x)"}
+    measured = {"q": {"min_s": 9.0, "median_s": 9.2, "all_s": [9.2, 9.0]}}
+    bands = {"q": {"n": 24, "min": 1.124, "median": 3.091, "max": 8.46}}
+    assert _verdicts(flags, measured, bands=bands)["q"]["verdict"] == "regressed"
+    # 2.5x-median arm: inside max but far over the median ceiling
+    bands2 = {"q": {"n": 24, "min": 1.124, "median": 3.0, "max": 20.0}}
+    measured2 = {"q": {"min_s": 9.0, "median_s": 9.2, "all_s": [9.2, 9.0]}}
+    assert (
+        _verdicts(flags, measured2, bands=bands2)["q"]["verdict"] == "regressed"
+    )
+
+
+def test_verdict_band_rule_absent_bands_is_noop():
+    flags = {"q": "1.0s -> 2.0s (2.0x)"}
+    measured = {"q": {"min_s": 1.9, "median_s": 2.0, "all_s": [2.0, 1.9]}}
+    out = _verdicts(flags, measured, bands=None)["q"]
+    assert out["verdict"] == "regressed" and "history_band_s" not in out
+
+
 def test_remeasure_sf_matches_bench_derivation():
     assert _remeasure_sf("/root/testdata/sf0.1") == 0.1
     assert _remeasure_sf("/root/testdata/sf0.01/") == 0.01

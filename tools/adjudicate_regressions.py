@@ -49,7 +49,26 @@ def _recorded_prior(flag: str) -> float | None:
     return float(m.group(1)) if m else None
 
 
-def _verdicts(flags: dict[str, str], measured: dict[str, dict]) -> dict:
+def _load_bands(sf: float | None) -> dict[str, dict]:
+    """BANDS.json per-query bands when they exist AND were generated at
+    the flagged record's scale factor (cross-sf bands adjudicate
+    nothing). Missing/unparseable file -> empty dict: the band arm is
+    an extra exculpatory check, never a gate dependency."""
+    try:
+        with open(os.path.join(REPO, "BANDS.json")) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    if sf is not None and doc.get("sf") != sf:
+        return {}
+    return doc.get("queries") or {}
+
+
+def _verdicts(
+    flags: dict[str, str],
+    measured: dict[str, dict],
+    bands: dict[str, dict] | None = None,
+) -> dict:
     """Per-query adjudication records from the flags and idle re-measures.
 
     The basis must match the REGIME the bench prior was recorded in
@@ -109,7 +128,7 @@ def _verdicts(flags: dict[str, str], measured: dict[str, dict]) -> dict:
                 verdict = "memo_cold_exceeds_prior: manual adjudication required"
             else:
                 verdict = "regressed"
-        adjudicated[name] = {
+        entry = {
             "flag": flags[name],
             "recorded_prior_s": prior,
             "idle_min_s": idle["min_s"],
@@ -118,6 +137,39 @@ def _verdicts(flags: dict[str, str], measured: dict[str, dict]) -> dict:
             "basis_s": basis,
             "verdict": verdict,
         }
+        # Lucky-prior band rule (r14 VERDICT item 1, generalizing the
+        # r12 manual regime): a prior at/near the query's ALL-TIME band
+        # minimum cannot anchor a regression claim — it records the
+        # luckiest draw ever observed, so the first normal reading
+        # after it trips the ratio guard on identical code (both r14
+        # driver flags had exactly this shape after the r13 burst
+        # re-base). When the auto-verdict would be "regressed" but the
+        # prior sits within NOISE_TOLERANCE of the band min AND the
+        # idle basis is inside the band envelope (<= all-time max and
+        # <= 2.5x median, bench.py's own band-acceptance thresholds),
+        # the verdict becomes noise_lucky_prior with the band recorded.
+        band = (bands or {}).get(name)
+        if band and prior is not None:
+            entry["history_band_s"] = [band["min"], band["max"]]
+            entry["history_band_median_s"] = band["median"]
+            entry["history_band_n_records"] = band["n"]
+            if (
+                verdict == "regressed"
+                and prior <= band["min"] * NOISE_TOLERANCE
+                and basis <= band["max"]
+                and basis <= 2.5 * band["median"]
+            ):
+                entry["verdict"] = "noise_lucky_prior"
+                entry["band_note"] = (
+                    f"prior {prior}s is within {NOISE_TOLERANCE}x of the "
+                    f"all-time band min {band['min']}s over "
+                    f"{band['n']} records while the idle basis {basis}s "
+                    f"sits inside the band (max {band['max']}, median "
+                    f"{band['median']}) — a band-minimum prior records "
+                    f"the luckiest draw ever observed and cannot anchor "
+                    f"a regression claim"
+                )
+        adjudicated[name] = entry
     return adjudicated
 
 
@@ -247,7 +299,9 @@ def main(argv: list[str]) -> int:
             measured["queries"].update(batch_measured["queries"])
             measured["loadavg_at_end"] = batch_measured["loadavg_at_end"]
 
-    adjudicated = _verdicts(flags, measured["queries"])
+    adjudicated = _verdicts(
+        flags, measured["queries"], bands=_load_bands(doc.get("sf"))
+    )
 
     # Carry forward VOLUNTARY entries (manual family adjudications not
     # driven by a flag, marked "voluntary": true) from the prior block:
