@@ -2746,3 +2746,327 @@ def domain_cap_docs(spark, sf_dir):
         )
         .filter(F.col("rank_in_domain") <= _DOMAIN_CAP)
     )
+
+
+# --- URL deny-list filtering (r14 VERDICT item 6) ---------------------------
+# The blocklist rule every crawl runs alongside the mix report:
+# priority-ordered regex deny rules over the URL, first match wins, docs
+# matching no rule are kept. The rule table is a plan literal (the
+# bloom-filter / classifier-weights precedent — a production list of
+# ~100k patterns ships as a broadcast or a compiled RE2 set in the same
+# slot); the output is the audit a curation run reads: one row per rule
+# plus the 'kept' row, with doc/token counts and shares.
+
+#: (rule_name, regex) in PRIORITY order — first match wins. Patterns
+#: use [.] for literal dots (dialect-safe, the _URL_HOST_RE precedent)
+#: and anchor on the synthesized URL shape. The rules are chosen to hit
+#: every arm of the fixture's host distribution: commerce hosts match
+#: by domain suffix, the forum by host prefix, and the doc-id spam rule
+#: exercises a PATH pattern (ids ending in 7 — a stand-in for the
+#: session-id/tracking-path rules real lists carry).
+_URL_DENY_RULES = [
+    ("commerce_domains", "https://[^/]*products[.]example/"),
+    ("forum_hosts", "https://forum[.]"),
+    ("spam_path_ids", "/doc/[0-9]*7$"),
+]
+
+
+def _deny_rule_expr(engine: str) -> str:
+    """First-match-wins rule CASE over column ``url``, as a SQL
+    expression valid in ``engine`` ('spark' | 'duckdb') — one
+    generator, two regex-match spellings (`regexp_like` vs
+    `regexp_matches`), so the rule semantics cannot drift between the
+    query and its oracle."""
+    match = "regexp_like" if engine == "spark" else "regexp_matches"
+    arms = " ".join(
+        f"WHEN {match}(url, '{pat}') THEN '{name}'"
+        for name, pat in _URL_DENY_RULES
+    )
+    return f"CASE {arms} ELSE 'kept' END"
+
+
+def _deny_priority_sql() -> str:
+    """Rule name -> priority (1-based list order; kept = 0) as a CASE
+    over column ``rule`` — dialect-shared."""
+    arms = " ".join(
+        f"WHEN rule = '{name}' THEN {i + 1}"
+        for i, (name, _) in enumerate(_URL_DENY_RULES)
+    )
+    return f"CAST(CASE {arms} ELSE 0 END AS BIGINT)"
+
+
+@PIPE.register(
+    "url_denylist_filter",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9]+'), x -> x <> '')) AS n_tok,
+             {_url_synth_sql()} AS url
+      FROM documents
+    ), v AS (
+      SELECT doc_id, n_tok, {_deny_rule_expr("duckdb")} AS rule
+      FROM d
+    ), g AS (
+      SELECT rule, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+      FROM v GROUP BY rule
+    )
+    SELECT rule,
+           {_deny_priority_sql()} AS priority,
+           CAST(rule <> 'kept' AS BIGINT) AS dropped,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS doc_share
+    FROM g
+    """,
+)
+def url_denylist_filter(spark, sf_dir):
+    """URL DENY-LIST filtering audit — priority-ordered regex rules
+    over the (synthesized) URL column, first match wins, unmatched docs
+    are kept: one row per rule plus the 'kept' row with doc/token
+    counts and the doc share. This is the report a crawl-curation run
+    reads before committing a blocklist change — which rules fire, how
+    much token mass each drops, and what survives (the keep-rate).
+    Pattern-keyed URL rejection is the stage every web pipeline runs
+    between the crawl and `gopher_quality_gate`; `domain_cap_docs`
+    caps what this filter keeps.
+
+    Determinism: the rule CASE is generated once with two regex-match
+    spellings (`_deny_rule_expr` — the `_bpe_encode_expr` lockstep
+    precedent); counts are int64, the one float is a single int64
+    divide (IEEE-exact, unrounded per the repo rule). First-match-wins
+    makes the per-doc verdict unique, so shares sum to exactly 1.
+
+    Scale: one scan — synthesize/parse the URL, one CASE with |rules|
+    RE2 matches per doc (a 100k-rule production list compiles to one
+    set-matching automaton in the same slot; the CASE is the |rules|
+    small case), then a map-side-combined groupBy collapsing to
+    |rules|+1 rows before the single exchange. The share window runs
+    on |rules|+1 rows — free. No join, no broadcast state beyond the
+    plan-literal rule table.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    v = d.select(
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        F.expr(_url_synth_sql()).alias("url"),
+    ).select("n_tok", F.expr(_deny_rule_expr("spark")).alias("rule"))
+    g = v.groupBy("rule").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    return g.select(
+        "rule",
+        F.expr(_deny_priority_sql()).alias("priority"),
+        (F.col("rule") != F.lit("kept")).cast("long").alias("dropped"),
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(W.partitionBy())
+        ).alias("doc_share"),
+    )
+
+
+# --- HTML/boilerplate extraction (r14 VERDICT item 4) -----------------------
+# The standard web-pipeline stage between the crawl and
+# `gopher_quality_gate`: strip script/markup, drop boilerplate blocks
+# (nav / footer / ad inserts), extract the main text, and emit the
+# boilerplate SIGNALS quality gates consume (markup fraction, link
+# density). The documents fixture stores clean text, so markup is
+# SYNTHESIZED deterministically around it from doc_id (the
+# _url_synth_sql / pii profile-synthesis precedent: synthesis is part
+# of the operator contract, identical in both engines) — the
+# extraction chain then has to EARN the text back out.
+
+#: Deterministic markup arms: every 5th doc carries an ad block, every
+#: 3rd doc closes with a related-links paragraph — so link density and
+#: markup fraction vary across docs and every CASE arm occurs in any
+#: 15-doc window.
+_ADS_DIV = '<div class="ads"><a href="/buy">buy now</a><a href="/deal">deal</a></div>'
+
+
+def _html_synth_sql() -> str:
+    """The synthesized page for each document as ONE dialect-shared SQL
+    fragment (concat/CASE/CAST only): head with a script block, nav
+    boilerplate, the real document text in the content paragraph,
+    doc_id-keyed ad/related-links arms, and a footer."""
+    return (
+        "concat('<html><head><title>Doc ', CAST(doc_id AS STRING),"
+        " '</title><script>var docId=', CAST(doc_id AS STRING),"
+        " ';track();</script></head><body>',"
+        " '<nav><a href=\"/\">home</a><a href=\"/about\">about</a></nav>',"
+        f" CASE WHEN doc_id % 5 = 0 THEN '{_ADS_DIV}' ELSE '' END,"
+        # coalesce: DuckDB's concat skips NULL args while Spark's
+        # returns NULL — a NULL text row would silently diverge
+        " '<p>', coalesce(text, ''), '</p>',"
+        " CASE WHEN doc_id % 3 = 0 THEN concat("
+        "'<p>See <a href=\"/doc/', CAST(doc_id + 1 AS STRING),"
+        " '\">next</a> and <a href=\"/doc/', CAST(doc_id + 2 AS STRING),"
+        " '\">related</a>.</p>') ELSE '' END,"
+        " '<footer><a href=\"/terms\">terms</a></footer></body></html>')"
+    )
+
+
+#: Boilerplate blocks removed before tag stripping — script bodies plus
+#: the structural nav/footer/ads containers (non-greedy spans; none of
+#: the synthesized blocks nest). Kept as one alternation so both
+#: engines run the identical pattern.
+_BOILER_RE = (
+    "<script>.*?</script>|<nav>.*?</nav>|<footer>.*?</footer>"
+    '|<div class="ads">.*?</div>'
+)
+_TAG_RE = "<[^>]*>"
+
+
+def _re_replace(engine: str, expr: str, pat: str, rep: str) -> str:
+    """Global regexp_replace in either dialect (Spark's 3-arg form is
+    global; DuckDB needs the 'g' flag) — the `_bpe_encode_expr`
+    lockstep pattern."""
+    if engine == "spark":
+        return f"regexp_replace({expr}, '{pat}', '{rep}')"
+    return f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+
+
+def _html_main_sql(engine: str, html: str = "html") -> str:
+    """Main-content text of ``html``: boilerplate blocks removed, then
+    every remaining tag replaced by a space (so adjacent text runs
+    don't fuse into one token)."""
+    return _re_replace(
+        engine, _re_replace(engine, html, _BOILER_RE, ""), _TAG_RE, " "
+    )
+
+
+def _count_occurrences_sql(engine: str, expr: str, pat: str) -> str:
+    """Occurrence count of regex ``pat`` in ``expr`` — the shared
+    len(regexp_extract_all(..)) idiom (`token_count_bpe` precedent)."""
+    if engine == "spark":
+        return f"size(regexp_extract_all({expr}, '{pat}', 0))"
+    return f"len(regexp_extract_all({expr}, '{pat}'))"
+
+
+def _alnum_chars_sql(engine: str, expr: str) -> str:
+    """Count of [a-z0-9] characters in lower(expr) — the markup-free
+    character mass, dialect-lockstep."""
+    return (
+        "length("
+        + _re_replace(engine, f"lower({expr})", "[^a-z0-9]", "")
+        + ")"
+    )
+
+
+def _html_metrics_sql(engine: str) -> str:
+    """The per-document extraction + signal block over a relation ``d``
+    holding (doc_id, html) — the oracle's CTE body. The Spark build
+    assembles the SAME generated fragments column-by-column (no temp
+    view), so both engines run identical regex chains; the 'spark' arm
+    exists so a test can diff the two dialect renderings."""
+    main = _html_main_sql(engine)
+    return f"""
+      SELECT doc_id,
+             CAST(length(html) AS BIGINT) AS html_chars,
+             CAST({_count_occurrences_sql(engine, "html", "<a href")}
+                  AS BIGINT) AS n_links_total,
+             CAST({_count_occurrences_sql(
+                 engine,
+                 _re_replace(engine, "html", _BOILER_RE, ""),
+                 "<a href",
+             )} AS BIGINT) AS n_links_main,
+             CAST({_count_occurrences_sql(
+                 engine, main, "[a-zA-Z0-9]+"
+             )} AS BIGINT) AS n_main_tokens,
+             CAST({_alnum_chars_sql(engine, main)} AS BIGINT)
+               AS main_alnum_chars,
+             CAST({_count_occurrences_sql(
+                 engine, "html", 'class="ads"'
+             )} AS BIGINT) AS has_ads_block
+      FROM d
+    """
+
+
+@PIPE.register(
+    "html_boilerplate_extract",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_html_synth_sql()} AS html FROM documents
+    ), m AS (
+      {_html_metrics_sql("duckdb")}
+    )
+    SELECT doc_id, html_chars, n_links_total, n_links_main,
+           n_main_tokens, main_alnum_chars, has_ads_block,
+           CAST(html_chars - main_alnum_chars AS DOUBLE) / html_chars
+             AS markup_fraction,
+           CAST(n_links_main AS DOUBLE) / NULLIF(n_main_tokens, 0)
+             AS link_density
+    FROM m
+    """,
+)
+def html_boilerplate_extract(spark, sf_dir):
+    """HTML/BOILERPLATE extraction — the crawl-to-text stage the
+    pipeline surface still lacked (r14 VERDICT item 4): each document
+    is wrapped in deterministic doc_id-keyed markup (script block, nav,
+    ad inserts on every 5th doc, related-links paragraph on every 3rd,
+    footer — `_html_synth_sql`), and the extraction chain strips
+    boilerplate blocks then tags to recover the main text, emitting the
+    per-doc boilerplate SIGNALS a quality gate consumes: markup
+    fraction (non-text share of the page), main-content link counts,
+    token/char mass of the extracted text, and link density.
+
+    Determinism: the synthesis fragment is dialect-shared (concat/CASE
+    only); the extraction regexes run through one generator with two
+    regexp_replace spellings (`_re_replace`, the `_bpe_encode_expr`
+    lockstep precedent); every count is int64; the two floats are
+    single int64 divides on exact operands (IEEE-exact, shipped
+    unrounded per the repo rule), with NULLIF guarding the zero-token
+    page in both engines identically.
+
+    Scale: a pure narrow map — no shuffle AT ALL (per-doc metrics, no
+    aggregation); the scan prunes to (doc_id, text). Each doc pays a
+    bounded number of RE2/Java-regex passes proportional to page size —
+    exactly the per-record cost profile of a production
+    trafilatura/jusText stage, whose fancier scoring slots into the
+    same map. At 100 TB this runs as the ingest pass that writes the
+    extracted-text column + signals next to the raw page, and every
+    downstream gate (`gopher_quality_gate`, `quality_model_score`)
+    filters on these columns without touching markup again.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_html_synth_sql()).alias("html")
+    )
+    boiler_free = _re_replace("spark", "html", _BOILER_RE, "")
+    main = _html_main_sql("spark")
+    m = d.select(
+        "doc_id",
+        F.length("html").cast("long").alias("html_chars"),
+        F.expr(_count_occurrences_sql("spark", "html", "<a href"))
+        .cast("long")
+        .alias("n_links_total"),
+        F.expr(_count_occurrences_sql("spark", boiler_free, "<a href"))
+        .cast("long")
+        .alias("n_links_main"),
+        F.expr(_count_occurrences_sql("spark", main, "[a-zA-Z0-9]+"))
+        .cast("long")
+        .alias("n_main_tokens"),
+        F.expr(_alnum_chars_sql("spark", main))
+        .cast("long")
+        .alias("main_alnum_chars"),
+        F.expr(_count_occurrences_sql("spark", "html", 'class="ads"'))
+        .cast("long")
+        .alias("has_ads_block"),
+    )
+    return m.select(
+        "doc_id",
+        "html_chars",
+        "n_links_total",
+        "n_links_main",
+        "n_main_tokens",
+        "main_alnum_chars",
+        "has_ads_block",
+        (
+            (F.col("html_chars") - F.col("main_alnum_chars")).cast("double")
+            / F.col("html_chars")
+        ).alias("markup_fraction"),
+        (
+            F.col("n_links_main").cast("double")
+            / F.nullif(F.col("n_main_tokens"), F.lit(0))
+        ).alias("link_density"),
+    )
