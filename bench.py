@@ -198,6 +198,13 @@ BENCH_QUERIES = [
     "bpe_fertility_by_lang",
     "domain_mix_report",
     "domain_cap_docs",
+    # added round 15: the production-BPE cross-encoder audit (replace
+    # chain + Arrow-batched Pandas-UDF trie over every token), the URL
+    # deny-list CASE filter (one scan, |rules|+1-row agg), and the HTML
+    # synthesize+extract chain (pure narrow map, regex-bound)
+    "bpe_trie_encoder_agreement",
+    "url_denylist_filter",
+    "html_boilerplate_extract",
     # Six registry/driver-checked queries are deliberately NOT benched.
     # als_one_sweep_factors (and its round-10 sibling
     # als_convergence_report, which re-runs the same sweep): the one-sweep

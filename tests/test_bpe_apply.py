@@ -113,6 +113,39 @@ def test_hand_computed_document_accounting(spark, bpe_docs_dir):
     assert rows[2]["n_bpe_tokens"] == 5
 
 
+def test_encode_decode_roundtrip_corpus(spark, sf_dir):
+    """BPE DECODE (r14 VERDICT item 5): the double-separator encoding
+    is a verified bijection — stripping the separators inverts the
+    encoding back to the original token ('||t||h||e||' -> 'the'; merges
+    only ever move pipes, never characters), so detokenization is one
+    replace and packing consumers get a corpus-wide integrity check.
+    Proved over EVERY corpus token in both engines: zero mismatches."""
+    import duckdb
+
+    from data_to_parquet_spark.functions.exprs import exploded_rows, tokens
+    from data_to_parquet_spark.operators.base import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = exploded_rows(d, [], tokens(F.col("text")), "t")
+    dec = F.expr(
+        f"replace({_bpe_encode_expr('t', 'spark')}, '|', '')"
+    )
+    assert toks.filter(dec != F.col("t")).count() == 0
+
+    n_bad = duckdb.sql(
+        f"""
+        WITH tok AS (
+          SELECT unnest(list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9]+'), x -> x <> '')) AS t
+          FROM '{sf_dir}/documents.parquet'
+        )
+        SELECT COUNT(*) FROM tok
+        WHERE replace({_bpe_encode_expr("t", "duckdb")}, '|', '') <> t
+        """
+    ).fetchone()[0]
+    assert n_bad == 0
+
+
 def test_corpus_invariants(spark, sf_dir):
     out = bpe_apply_merges(spark, sf_dir)
     bad = out.filter(

@@ -127,6 +127,22 @@ def test_priority_encoder_matches_fold_on_trained_table(trained_table):
         ), w
 
 
+def test_priority_encoder_is_lossless(trained_table):
+    """Decode round-trip for the production encoder: concatenating the
+    emitted symbols reproduces the token exactly (merges only regroup
+    characters, never alter them) — the detokenization integrity
+    guarantee, on both the literal and the trained table."""
+    rng = random.Random(0xDEC0)
+    alphabet = "etaoinshrdlucmfwypvbgkjqxz0123456789"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 16)))
+        for _ in range(300)
+    ] + ADVERSARIAL
+    for ranks in (merge_ranks(_BPE_MERGES), merge_ranks(trained_table)):
+        for w in words:
+            assert "".join(encode_token(w, ranks)) == w, w
+
+
 def test_encode_unique_memoizes_and_maps():
     import pandas as pd
 

@@ -190,6 +190,15 @@ AUDITED = [
     "bpe_fertility_by_lang",
     "domain_mix_report",
     "domain_cap_docs",
+    # round 15: the trie-agreement audit must read as one scan + one
+    # ArrowEvalPython stage + a 1-row global agg (no join — both
+    # encoders run in the SAME project over the exploded tokens); the
+    # deny-list filter is one scan into a |rules|+1-row agg + tiny
+    # window; the HTML extractor must be a pure narrow map with zero
+    # exchanges and a (doc_id, text)-pruned scan
+    "bpe_trie_encoder_agreement",
+    "url_denylist_filter",
+    "html_boilerplate_extract",
 ]
 
 
