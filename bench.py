@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "bpe_trie_encoder_agreement",
     "url_denylist_filter",
     "html_boilerplate_extract",
+    "html_outlink_graph",
     # Six registry/driver-checked queries are deliberately NOT benched.
     # als_one_sweep_factors (and its round-10 sibling
     # als_convergence_report, which re-runs the same sweep): the one-sweep

@@ -3070,3 +3070,81 @@ def html_boilerplate_extract(spark, sf_dir):
             / F.nullif(F.col("n_main_tokens"), F.lit(0))
         ).alias("link_density"),
     )
+
+
+@PIPE.register(
+    "html_outlink_graph",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_html_synth_sql()} AS html FROM documents
+    ), e AS (
+      SELECT doc_id AS src,
+             CAST(unnest(regexp_extract_all(html, '/doc/([0-9]+)', 1))
+                  AS BIGINT) AS dst
+      FROM d
+    ), outd AS (
+      SELECT src, COUNT(*) AS n_out FROM e GROUP BY src
+    ), ind AS (
+      SELECT dst, COUNT(*) AS n_in FROM e GROUP BY dst
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(outd.n_out, 0) AS BIGINT) AS outdegree,
+           CAST(COALESCE(ind.n_in, 0) AS BIGINT) AS indegree
+    FROM d
+    LEFT JOIN outd ON d.doc_id = outd.src
+    LEFT JOIN ind ON d.doc_id = ind.dst
+    """,
+)
+def html_outlink_graph(spark, sf_dir):
+    """OUTLINK-GRAPH extraction from the crawled pages — the stage after
+    `html_boilerplate_extract` in every web pipeline: parse the
+    document-to-document hrefs out of the (synthesized) markup and emit
+    each page's out- and in-degree, the raw material of link-based
+    quality priors (PageRank-style scores over exactly this edge list —
+    `neardup_graph_pagerank` demonstrates the iteration at this
+    registry's scale). Links come from the related-links CASE arm
+    (every 3rd doc links to doc_id+1 and doc_id+2), so the graph has
+    known structure the tests pin: outdegree 2 on the %3 arm, indegree
+    1 off it, and DANGLING links at the corpus tail (targets past the
+    last doc_id) that count in outdegree but give nobody indegree —
+    exactly how a real crawl's frontier edges behave.
+
+    Determinism: one shared '/doc/([0-9]+)' extraction regex verbatim
+    in both engines; pure integer degrees, no floats at all.
+
+    Scale: extract + explode is the narrow map; indegree is ONE
+    map-side-combined groupBy on the edge list (the canonical web-graph
+    shuffle — |edges| rows keyed by target); degrees re-join the doc
+    spine on doc_id. At 100 TB this is the standard two-shuffle
+    edge-list aggregation every link-graph build runs; the explode
+    never materializes more than the page's own hrefs, and AQE
+    coalesces the tiny degree tables' partitions.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_html_synth_sql()).alias("html")
+    )
+    links = d.select(
+        "doc_id",
+        F.expr("regexp_extract_all(html, '/doc/([0-9]+)', 1)").alias(
+            "targets"
+        ),
+    )
+    outd = links.select(
+        "doc_id", F.size("targets").cast("long").alias("outdegree")
+    )
+    edges = links.select(
+        F.explode("targets").alias("dst_s")
+    ).select(F.col("dst_s").cast("long").alias("dst"))
+    ind = edges.groupBy("dst").agg(
+        F.count(F.lit(1)).alias("n_in")
+    )
+    return (
+        outd.join(ind, outd.doc_id == ind.dst, "left")
+        .select(
+            "doc_id",
+            "outdegree",
+            F.coalesce(F.col("n_in"), F.lit(0)).cast("long").alias(
+                "indegree"
+            ),
+        )
+    )

@@ -199,3 +199,56 @@ def test_html_extract_corpus_invariants(spark, sf_dir):
     assert bad.count() == 0
     # every doc carries nav+footer markup: the fraction is never tiny
     assert out.agg(F.min("markup_fraction")).first()[0] > 0.1
+
+
+# -- html_outlink_graph ------------------------------------------------------
+
+
+def test_outlink_graph_hand_computed(spark, html_docs_dir):
+    from data_to_parquet_spark.operators.pipeline import html_outlink_graph
+
+    rows = {
+        r["doc_id"]: r
+        for r in html_outlink_graph(spark, html_docs_dir).collect()
+    }
+    # fixture docs: 1, 3, 5, 15 — the %3 docs (3, 15) each link to
+    # doc_id+1 / doc_id+2; every target here is ABSENT from the corpus
+    # (4, 16, 17) or present (5 <- 3+2), so dangling links are covered
+    assert rows[1]["outdegree"] == 0 and rows[1]["indegree"] == 0
+    assert rows[3]["outdegree"] == 2 and rows[3]["indegree"] == 0
+    assert rows[15]["outdegree"] == 2 and rows[15]["indegree"] == 0
+    # doc 5 is linked by doc 3 (3+2); doc 4 / 16 / 17 don't exist, so
+    # those links are dangling (counted in outdegree only)
+    assert rows[5]["outdegree"] == 0 and rows[5]["indegree"] == 1
+
+
+def test_outlink_graph_corpus_structure(spark, sf_dir):
+    """On the dense shipped corpus the synthesized structure is exact:
+    outdegree 2 iff doc_id % 3 == 0; indegree 1 iff doc_id % 3 != 0
+    (each non-arm doc is the +1 or +2 target of exactly one arm doc),
+    except where the source would be negative. Edge conservation:
+    sum(outdegree) - sum(indegree) = dangling links past the tail."""
+    from data_to_parquet_spark.operators.pipeline import html_outlink_graph
+
+    out = html_outlink_graph(spark, sf_dir)
+    bad = out.filter(
+        (F.col("outdegree") != F.when(F.col("doc_id") % 3 == 0, 2).otherwise(0))
+        | (
+            F.col("indegree")
+            != F.when(F.col("doc_id") % 3 == 0, 0).otherwise(1)
+        )
+    )
+    assert bad.count() == 0
+    tot = out.agg(
+        F.sum("outdegree").alias("o"), F.sum("indegree").alias("i")
+    ).first()
+    n = out.count()
+    # docs are 0..n-1 dense; the last arm doc is n-2 if (n-2)%3==0 etc.
+    dangling = sum(
+        1
+        for s in range(n - 2, n)
+        if s >= 0 and s % 3 == 0
+        for t in (s + 1, s + 2)
+        if t >= n
+    )
+    assert tot["o"] - tot["i"] == dangling and tot["o"] == 2 * ((n + 2) // 3)

@@ -199,6 +199,10 @@ AUDITED = [
     "bpe_trie_encoder_agreement",
     "url_denylist_filter",
     "html_boilerplate_extract",
+    # the outlink graph is the canonical two-shuffle edge-list build:
+    # explode + map-side-combined groupBy(dst), degrees re-joined on
+    # doc_id — no broadcast of anything corpus-sized, pruned scan
+    "html_outlink_graph",
 ]
 
 
