@@ -252,3 +252,68 @@ def test_outlink_graph_corpus_structure(spark, sf_dir):
         if t >= n
     )
     assert tot["o"] - tot["i"] == dangling and tot["o"] == 2 * ((n + 2) // 3)
+
+
+# -- adversarial-text cross-engine fuzz --------------------------------------
+# The driver's hash gate only ever sees the shipped corpus, whose texts
+# are clean prose. The html/url operators interpolate `text` into
+# markup and then regex it back out, so the latent oracle risk is a
+# text that the two engines' regex/concat semantics treat differently
+# (angle brackets that eat into tags, pipes, quotes, backslashes,
+# unicode, emoji). This fixture runs the REGISTERED oracle SQL against
+# the Spark build on exactly those texts — a divergence here is a
+# future driver red caught early.
+
+_NASTY_TEXTS = [
+    "plain words here",
+    "angle <brackets> inside",        # fake tag swallowed by strip
+    "a <script>not real</script> b",  # fake script block
+    "lt < alone and gt > alone",
+    'quotes "double" and \'single\'',
+    "pipe | and double || pipes",
+    "back\\slash and slash/forward",
+    "unicode café naïve über",
+    "emoji \U0001f600 and cjk 漢字",
+    "ends with open angle <",
+    "> starts with close angle",
+    "",                               # empty text
+    "a" * 500,                        # one long token
+]
+
+
+@pytest.fixture(scope="module")
+def nasty_docs_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("nastydocs")
+    # doc_ids 0..N-1: dense so every synthesis arm occurs
+    _docs(list(enumerate(_NASTY_TEXTS))).to_parquet(
+        root / "documents.parquet"
+    )
+    return str(root)
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["html_boilerplate_extract", "html_outlink_graph", "url_denylist_filter"],
+)
+def test_web_ops_cross_engine_on_adversarial_texts(
+    spark, nasty_docs_dir, qname
+):
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    sdf = entry_mod.queries()[qname](spark, nasty_docs_dir)
+    cols = sorted(sdf.columns)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{nasty_docs_dir}/documents.parquet'"
+    )
+    res = con.execute(entry_mod.oracle_sql()[qname])
+    names = [d[0] for d in res.description]
+    duck = sorted(
+        tuple(row[names.index(c)] for c in cols) for row in res.fetchall()
+    )
+    con.close()
+    got = sorted(tuple(r[c] for c in cols) for r in sdf.collect())
+    assert got == duck
