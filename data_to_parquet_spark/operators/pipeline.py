@@ -1505,13 +1505,28 @@ def embedding_generate_hashed(spark, sf_dir):
     )
 
 
+#: (applicationId, sf_dir) -> the FULL-corpus (doc_id, n_tokens,
+#: emb_sums) frame from `_hashed_embedding_sums(doc_filter=None)`. Two
+#: benched operators run the identical full-corpus Arrow encode kernel —
+#: `embedding_generate_hashed` (the registered audit) and
+#: `generated_embedding_topk`'s corpus side — and a 100 TB pipeline
+#: materializes the embed stage exactly once (r15 optimization round;
+#: the `_JACCARD_PAIRS_CACHE` / `_SIG_CACHE` precedent). Filtered
+#: subsets (the query side's pushed-filter scan) stay un-memoized: they
+#: are a handful of rows and each filter is its own plan.
+_EMB_SUMS_CACHE: dict = {}
+
+
 def _hashed_embedding_sums(spark, sf_dir, doc_filter=None):
     """(doc_id, n_tokens, emb_sums array<bigint>) — the exact integer
     core of `embedding_generate_hashed`, shared by the registered flat
     audit and the `generated_embeddings` library form. ``doc_filter``
     (a Column predicate on the documents table) encodes a SUBSET with a
     pushed-down scan filter — the encoder is per-doc deterministic and
-    batch-independent, so subset vectors equal their full-corpus twins."""
+    batch-independent, so subset vectors equal their full-corpus twins.
+
+    The full-corpus (doc_filter=None) frame is session-memoized as a
+    lazily-materialized localCheckpoint (see `_EMB_SUMS_CACHE`)."""
     import pandas as pd
 
     def embed(it):
@@ -1566,12 +1581,26 @@ def _hashed_embedding_sums(spark, sf_dir, doc_filter=None):
                 }
             )
 
+    if doc_filter is None:
+        from .base import memo_get
+        from .dedup import _docs_memo_key
+
+        key, fp = _docs_memo_key(spark, sf_dir)
+        cached = memo_get(_EMB_SUMS_CACHE, key, fp)
+        if cached is not None:
+            return cached
     d = load_table(spark, sf_dir, "documents")
     if doc_filter is not None:
         d = d.filter(doc_filter)
-    return d.select(
+    out = d.select(
         "doc_id", tokens(F.col("text")).alias("toks")
     ).mapInPandas(embed, "doc_id long, n_tokens long, emb_sums array<bigint>")
+    if doc_filter is None:
+        from .base import memo_put
+
+        out = out.localCheckpoint(eager=False)
+        memo_put(_EMB_SUMS_CACHE, key, fp, out)
+    return out
 
 
 def generated_embeddings(spark, sf_dir):

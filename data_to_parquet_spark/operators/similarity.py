@@ -60,6 +60,27 @@ def _corpus_centroids(spark, sf_dir: str, k: int, iterations: int):
         memo_put(_LLOYD_CENTROID_CACHE, key, fp, hit)
     return hit
 
+#: (applicationId, sf_dir) -> the verified (vec_a, vec_b, cos_sim)
+#: eps-graph (sign-LSH banded candidates, exact-cosine verified at
+#: _ND_THRESHOLD). Two operators consume the identical banded self-join —
+#: `embedding_neardup_pairs` itself and `dbscan_embedding_clusters`'s
+#: density graph — and without this memo each re-ran it from the scan
+#: (r15 optimization round; the `_JACCARD_PAIRS_CACHE` precedent from
+#: operators/dedup.py, same lazily-materialized localCheckpoint shape,
+#: same content-fingerprint invalidation).
+_EPS_PAIRS_CACHE: dict = {}
+
+
+def _emb_memo_key(spark, sf_dir):
+    """((applicationId, sf_dir), embeddings fingerprint) for the
+    fingerprint-validated session memos over the embeddings table (the
+    dedup._docs_memo_key pattern)."""
+    import os
+
+    fp = path_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    return (spark.sparkContext.applicationId, sf_dir), fp
+
+
 _N_QUERIES = 5  # query set = vec_id < 5
 _TOP_K = 10
 
@@ -268,7 +289,18 @@ def embedding_neardup_pairs(spark, sf_dir):
     cos 0.9 — high recall exactly where near-dups live; the low verify
     threshold here only keeps the verified set non-empty on this
     synthetic corpus (which has no pairs above cos 0.8).
+
+    The verified eps-graph is session-memoized (r15, the
+    `_JACCARD_PAIRS_CACHE` precedent): `dbscan_embedding_clusters`
+    consumes the IDENTICAL banded self-join + cosine verify, and without
+    the memo each consumer re-ran the most expensive embedding-side join
+    in the repo. At 100 TB this is the "materialize the eps-graph once"
+    stage every density-clustering pipeline has.
     """
+    key, fp = _emb_memo_key(spark, sf_dir)
+    cached = memo_get(_EPS_PAIRS_CACHE, key, fp)
+    if cached is not None:
+        return cached
     e = load_table(spark, sf_dir, "embeddings")
     # checkpointed: the band self-join reads this twice (plus the corpus
     # frame below twice) — without the shares one plan scanned embeddings
@@ -295,7 +327,7 @@ def embedding_neardup_pairs(spark, sf_dir):
     corpus = e.select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     ).localCheckpoint(eager=False)
-    return (
+    out = (
         cand.join(
             corpus.select(
                 F.col("vec_id").alias("vec_a"),
@@ -322,7 +354,10 @@ def embedding_neardup_pairs(spark, sf_dir):
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= _ND_THRESHOLD)
+        .localCheckpoint(eager=False)
     )
+    memo_put(_EPS_PAIRS_CACHE, key, fp, out)
+    return out
 
 
 _ANN_TABLES, _ANN_BITS = 8, 4  # L tables x k sign bits per table
