@@ -51,8 +51,35 @@ def quantize_332(arr: np.ndarray) -> np.ndarray:
 # --- LZW ------------------------------------------------------------------
 
 
+def _palette_and_inverse(flat: np.ndarray):
+    """``np.unique(flat, axis=0, return_inverse=True)`` for (N, 3) uint8
+    pixel rows, via a packed 24-bit integer key. Ascending key order IS
+    lexicographic (r, g, b) order — r occupies the high byte — so both the
+    palette and the inverse indices are IDENTICAL to the axis=0 form; the
+    1-D integer sort just skips numpy's structured-view comparison, which
+    profiled as ~45% of whole-GIF encode time (r15)."""
+    key = (
+        (flat[:, 0].astype(np.int32) << 16)
+        | (flat[:, 1].astype(np.int32) << 8)
+        | flat[:, 2].astype(np.int32)
+    )
+    uk, inv = np.unique(key, return_inverse=True)
+    palette = np.stack(
+        [(uk >> 16) & 0xFF, (uk >> 8) & 0xFF, uk & 0xFF], axis=-1
+    ).astype(np.uint8)
+    return palette, inv
+
+
 def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
-    """GIF variable-code-size LZW over a flat palette-index array."""
+    """GIF variable-code-size LZW over a flat palette-index array.
+
+    The dictionary is keyed by ``(prefix_code << 8) | next_byte`` ints
+    instead of growing byte strings (r15): every multi-byte string the
+    classic formulation builds is reachable only by extending an
+    already-tabled prefix, so its code stands in for the prefix bytes —
+    the emitted code stream (and thus the GIF bytes) is identical, with
+    no per-pixel bytes allocation/hash. Single-byte strings need no
+    table: a palette index IS its own literal code (< clear)."""
     # the byte-wise walk below reads raw buffer bytes — a wider dtype
     # (e.g. an int array from arithmetic promotion) would interleave
     # zero bytes silently
@@ -61,7 +88,7 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
     eoi = clear + 1
     next_code = eoi + 1
     code_size = min_code_size + 1
-    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    table: dict[int, int] = {}
 
     out = bytearray()
     acc = 0
@@ -77,25 +104,29 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
             nbits -= 8
 
     emit(clear)
-    prev = b""
-    for v in indices.tobytes():  # iterate raw uint8 values as ints
-        cur = prev + bytes([v])
-        if cur in table:
-            prev = cur
-            continue
-        emit(table[prev])
-        table[cur] = next_code
-        next_code += 1
-        if next_code == (1 << code_size) + 1:
-            code_size += 1
-        if next_code >= 4096:
-            emit(clear)
-            table = {bytes([i]): i for i in range(clear)}
-            next_code = eoi + 1
-            code_size = min_code_size + 1
-        prev = bytes([v])
-    if prev:
-        emit(table[prev])
+    data = indices.tobytes()
+    if data:
+        prev = data[0]  # literal code == palette index
+        table_get = table.get
+        for v in data[1:]:
+            k = (prev << 8) | v
+            e = table_get(k)
+            if e is not None:
+                prev = e
+                continue
+            emit(prev)
+            table[k] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1:
+                code_size += 1
+            if next_code >= 4096:
+                emit(clear)
+                table = {}
+                table_get = table.get
+                next_code = eoi + 1
+                code_size = min_code_size + 1
+            prev = v
+        emit(prev)
     emit(eoi)
     if nbits:
         out.append(acc & 0xFF)
@@ -173,7 +204,7 @@ def encode_gif(arr: np.ndarray) -> bytes:
         raise ValueError("encode_gif expects an (H, W, 3) uint8 array")
     h, w = a.shape[:2]
     flat = a.reshape(-1, 3)
-    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+    palette, indices = _palette_and_inverse(flat)
     n_colors = len(palette)
     if n_colors > 256:
         raise ValueError(f"{n_colors} colors > 256; quantize first")
@@ -224,7 +255,7 @@ def encode_gif_frames(
             raise ValueError("all frames must be identical (H, W, 3)")
         stack.append(a)
     allpx = np.concatenate([a.reshape(-1, 3) for a in stack])
-    palette, inv = np.unique(allpx, axis=0, return_inverse=True)
+    palette, inv = _palette_and_inverse(allpx)
     if len(palette) > 256:
         raise ValueError(f"{len(palette)} colors > 256; quantize first")
     pal_bits = max(1, int(len(palette) - 1).bit_length())

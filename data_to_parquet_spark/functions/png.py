@@ -100,6 +100,12 @@ def decode_png(data: bytes) -> np.ndarray:
     stride = w * bpp
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     raw = raw.reshape(h, stride + 1)
+    # all-None-filter fast path: this encoder always writes filter 0, so
+    # its own output reconstructs as one slice copy instead of a per-row
+    # Python loop (r15; foreign PNGs with real filters take the loop below)
+    if not raw[:, 0].any():
+        out = raw[:, 1:].copy()
+        return out if color_type == 0 else out.reshape(h, w, 3)
     out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
         f, line = raw[y, 0], raw[y, 1:].astype(np.int32)
