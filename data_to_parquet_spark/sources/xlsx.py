@@ -189,6 +189,83 @@ def _unescape(s: str) -> str:
     return s
 
 
+#: Strict single-pass cell tokenizer for the three machine-written cell
+#: shapes (r15 optimization): self-closing, ``<v>`` scalar without XML
+#: escapes, and single-run ``<t xml:space="preserve">`` inline string
+#: without escapes. A row parses on this tier ONLY when consecutive
+#: matches tile its entire body (checked below) — any other attribute,
+#: attribute order, escape, or element form leaves a gap and the row
+#: falls back to the generic find-based decoder, so this tier can never
+#: be silently wrong: per cell it either proves one of the three shapes
+#: or defers.
+_STRICT_CELL_RE = re.compile(
+    r'<c r="([A-Z]{1,3})\d*"(?: t="([a-zA-Z]+)")?'
+    r'(?:/>'
+    r"|><v>([^<&]*)</v></c>"
+    r'|><is><t xml:space="preserve">([^<&]*)</t></is></c>)'
+)
+
+
+def _decode_strict_cells(
+    body: str, sst: list[str], format_float
+) -> list[tuple[int, str]] | None:
+    """Decode a ``<row>`` body via :data:`_STRICT_CELL_RE`; None when the
+    matches do not tile the body exactly (caller falls back). The decode
+    branches mirror the generic walker's t-dispatch verbatim."""
+    out: list[tuple[int, str]] = []
+    pos = 0
+    err_tokens = _XLSX_ERR_TOKENS
+    for m in _STRICT_CELL_RE.finditer(body):
+        if m.start() != pos:
+            return None
+        pos = m.end()
+        letters, t, v, istext = m.groups()
+        acc = 0
+        for ch in letters:
+            acc = acc * 26 + (ord(ch) - 64)
+        col = acc - 1
+        if istext is not None:
+            out.append((col, istext))
+            continue
+        if not v:  # self-closing or empty <v> → present-but-empty
+            out.append((col, ""))
+            continue
+        if t is None or t == "n":
+            digits = v[1:] if v[0] == "-" else v
+            if digits.isdigit():
+                if (
+                    len(digits) <= 18
+                    and (digits == "0" or digits[0] != "0")
+                    and v != "-0"
+                ):
+                    out.append((col, v))
+                    continue
+                iv = int(v)
+                if -(2**63) <= iv < 2**63:
+                    out.append((col, str(iv)))
+                    continue
+            try:
+                out.append((col, format_float(float(v))))
+            except ValueError:
+                out.append((col, v))
+        elif t == "s":
+            try:
+                out.append((col, sst[int(v)]))
+            except (ValueError, IndexError):
+                out.append((col, v))
+        elif t == "b":
+            out.append(
+                (col, "false" if v in ("0", "false", "FALSE") else "true")
+            )
+        elif t == "e":
+            out.append((col, err_tokens.get(v, v)))
+        else:  # "str", "d", unknown → literal text
+            out.append((col, v))
+    if pos != len(body):
+        return None
+    return out
+
+
 def walk_rows_fast(data: bytes, sst: list[str]):
     """Regex row walker over a whole sheet-part buffer. Same contract as
     :func:`walk_rows`; only called when ``_fast_path_eligible`` proved the
@@ -227,6 +304,11 @@ def walk_rows_fast(data: bytes, sst: list[str]):
             if k < 0:
                 return
             body = text[j + 1 : k]
+            strict = _decode_strict_cells(body, sst, format_float)
+            if strict is not None:
+                yield row_counter, strict
+                pos = k + 6
+                continue
             out: list[tuple[int, str]] = []
             col = -1
             # inside <row>, schema-valid children are only <c> (extLst is
