@@ -437,7 +437,13 @@ _MEMO_SELF_CACHED = {
     "streaming_contamination_probe",  # _DECON_STREAM_CACHE likewise
     "embedding_neardup_pairs",  # _EPS_PAIRS_CACHE holds its output (r15)
     # _EMB_SUMS_CACHE holds the frame embedding_generate_hashed merely
-    # re-projects (the dedup_keep_canonical thin-projection precedent)
+    # re-projects (the dedup_keep_canonical thin-projection precedent).
+    # Its warm reps still run a per-row norm fold + sqrt + array_join
+    # over the cached frame — more than a pure cache read — so this
+    # exclusion is deliberately CONSERVATIVE (r15 ADVICE): warm reps may
+    # in fact be bench-comparable, but excluding them can only make the
+    # drift guard keep a flag a warm re-measure might have cleared,
+    # never silently clear a real regression.
     "embedding_generate_hashed",
 }
 
@@ -786,6 +792,24 @@ def main() -> None:
         "n_errors": len(errors),
     }
     print(json.dumps(summary))
+    # FINAL line: the driver-parseable bounded per-query record (r15
+    # VERDICT item 1). The full per-query map outgrew the driver's ~2.5 kB
+    # stdout tail in round 5, so the driver's per-round PERF grading has
+    # had an empty per_query map ever since — totals parsed, per-query
+    # didn't. This line restores the original one-line contract
+    # ({metric, value, unit, queries, sf}) with a BOUNDED queries map:
+    # the <=25 queries that moved >10% vs the committed prior record
+    # (largest movers first) plus any queries with no prior, 2-decimal
+    # floats — small enough that any reasonable tail capture ends in one
+    # complete, parseable JSON object carrying real round-over-round
+    # deltas. The full map still prints above and persists in
+    # BENCH_FULL.json; the "queries_bounded" marker tells
+    # _vs_previous_round's tail recovery to skip this line when mining a
+    # driver wrapper for priors (25 entries would blind the drift guard).
+    try:
+        print(json.dumps(_bounded_line(times, summary)))
+    except Exception:  # noqa: BLE001 — never break the bench on reporting
+        pass
     # Persist the complete per-query record next to the script: the
     # driver's 2000-char tail can no longer hold the >120-entry map, so
     # this committed file is what the next round's drift guard (and a
@@ -820,6 +844,57 @@ def main() -> None:
         _write_full_record(line, full_path)
     except OSError:
         pass
+
+
+_BOUNDED_MAX = 25  # changed-query entries on the bounded driver line
+
+
+def _bounded_line(
+    times: dict[str, float], summary: dict, root: str | None = None
+) -> dict:
+    """The bounded final-stdout record: every summary field plus a
+    ``queries`` map holding (a) queries absent from the committed prior
+    record (first bench contact — always included) and (b) up to
+    ``_BOUNDED_MAX`` queries whose time moved >10% vs that prior,
+    largest |log ratio| first. Prior = BENCH_FULL.json when its sf
+    matches; with no usable prior, the slowest ``_BOUNDED_MAX`` queries
+    stand in so the driver still sees real numbers. Values are rounded
+    to 2 decimals to keep the line short."""
+    here = root or os.path.dirname(os.path.abspath(__file__))
+    prior: dict[str, float] = {}
+    try:
+        with open(os.path.join(here, "BENCH_FULL.json")) as f:
+            full_doc = json.load(f)
+        if full_doc.get("sf") == summary.get("sf"):
+            prior = full_doc.get("queries", {}) or {}
+    except (OSError, ValueError):
+        pass
+    if prior:
+        new = [n for n in times if n not in prior]
+        import math
+
+        changed = sorted(
+            (
+                n
+                for n in times
+                if n in prior
+                and prior[n] > 0
+                and abs(times[n] / prior[n] - 1.0) > 0.10
+            ),
+            key=lambda n: -abs(math.log(max(times[n], 1e-3) / prior[n])),
+        )
+        kept = new + changed[: max(0, _BOUNDED_MAX - len(new))]
+    else:
+        kept = sorted(times, key=times.__getitem__, reverse=True)[
+            :_BOUNDED_MAX
+        ]
+    out = dict(summary)
+    out["queries"] = {n: round(times[n], 2) for n in kept}
+    out["queries_bounded"] = (
+        f"changed >10% vs prior + first-contact; all {len(times)} in "
+        "BENCH_FULL.json"
+    )
+    return out
 
 
 def _write_full_record(line: dict, full_path: str) -> None:
@@ -950,6 +1025,13 @@ def _vs_previous_round(
                     try:
                         parsed = json.loads(line)
                     except ValueError:
+                        continue
+                    # the bounded driver line (final stdout line since
+                    # r16) carries <=25 entries — using it as the prior
+                    # would blind the drift guard for every other query;
+                    # keep scanning for the full line, else fall through
+                    # to BENCH_FULL.json
+                    if "queries_bounded" in parsed:
                         continue
                     # same sf-mismatch guard as the BENCH_FULL fallback:
                     # a tail recorded at another sf is not a valid prior —

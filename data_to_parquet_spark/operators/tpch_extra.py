@@ -620,7 +620,18 @@ def _order_brand_sets(spark, sf_dir):
     ≤|brands|-element arrays)."""
     import os
 
-    fp = path_fingerprint(os.path.join(sf_dir, "lineitem.parquet"))
+    from .base import UNREADABLE_FINGERPRINT
+
+    # the memoized frame joins BOTH tables, so the fingerprint must cover
+    # both (the _als_memo_key contract): a part-only regeneration under
+    # the same path must invalidate, and any unreadable component
+    # collapses the whole fingerprint so memo_get/memo_put fail safe
+    # instead of caching under a partial key (r15 ADVICE).
+    parts = tuple(
+        path_fingerprint(os.path.join(sf_dir, f"{t}.parquet"))
+        for t in ("lineitem", "part")
+    )
+    fp = UNREADABLE_FINGERPRINT if UNREADABLE_FINGERPRINT in parts else parts
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = memo_get(_ORDER_BRANDS_CACHE, key, fp)
     if cached is not None:

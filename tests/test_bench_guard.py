@@ -152,3 +152,62 @@ def test_full_record_carries_adjudication_forward(tmp_path):
     full.unlink()
     _write_full_record({"queries": {"q": 0.5}}, str(full))
     assert json.loads(full.read_text())["queries"] == {"q": 0.5}
+
+
+def test_bounded_line_selects_changed_and_new(tmp_path):
+    """r16 (r15 VERDICT item 1): the final stdout line must be a complete
+    contract line whose queries map is bounded — first-contact queries
+    always included, then the largest >10% movers vs the committed prior,
+    capped at _BOUNDED_MAX, 2-decimal values — so the driver's ~2.5 kB
+    tail capture always ends in one parseable JSON object with real
+    round-over-round deltas."""
+    from bench import _BOUNDED_MAX, _bounded_line
+
+    prior = {f"q{i:03d}": 1.0 for i in range(150)}
+    _write(tmp_path, "BENCH_FULL.json", {"sf": 0.1, "queries": prior})
+    times = {f"q{i:03d}": 1.0 for i in range(150)}
+    times["q000"] = 3.0  # 3.0x — biggest mover
+    times["q001"] = 0.5  # 0.5x — improvement, still a mover
+    times["q002"] = 1.05  # 5% — under the 10% gate, excluded
+    times["brand_new"] = 0.4  # no prior — always included
+    summary = {"metric": "total_query_wall_time", "value": 1.0, "sf": 0.1}
+    out = _bounded_line(times, summary, root=str(tmp_path))
+    assert out["metric"] == "total_query_wall_time"  # summary fields kept
+    assert set(out["queries"]) == {"q000", "q001", "brand_new"}
+    assert out["queries"]["q000"] == 3.0 and out["queries"]["brand_new"] == 0.4
+    assert "queries_bounded" in out
+    # many movers: the cap holds and the biggest |log ratio| wins a slot
+    times = {f"q{i:03d}": 2.0 for i in range(150)}
+    out = _bounded_line(times, summary, root=str(tmp_path))
+    assert len(out["queries"]) == _BOUNDED_MAX
+    # sf-mismatched prior -> slowest-N fallback (driver still sees numbers)
+    out = _bounded_line(
+        {"a": 5.0, "b": 1.0}, {"metric": "t", "sf": 0.01}, root=str(tmp_path)
+    )
+    assert list(out["queries"]) == ["a", "b"]
+
+
+def test_tail_recovery_skips_bounded_line(tmp_path):
+    """The bounded final line must NOT become the drift-guard prior — 25
+    entries would blind the guard for every other query. Recovery skips
+    it (marker field) and falls through to the full line / BENCH_FULL."""
+    full_line = json.dumps({"metric": "t", "queries": {"q": 0.5, "r": 1.0}})
+    bounded = json.dumps(
+        {"metric": "t", "queries": {"q": 0.5}, "queries_bounded": "..."}
+    )
+    _write(
+        tmp_path,
+        "BENCH_r07.json",
+        {"n": 7, "rc": 0, "tail": f"{full_line}\nsummary noise\n{bounded}\n"},
+    )
+    out = _vs_previous_round({"r": 9.0}, root=str(tmp_path))
+    assert set(out) == {"r"}  # r's prior came from the FULL line
+    # truncated full line + bounded final line -> BENCH_FULL fallback
+    _write(
+        tmp_path,
+        "BENCH_r08.json",
+        {"n": 8, "rc": 0, "tail": f'{full_line[:30]}\n{bounded}\n'},
+    )
+    _write(tmp_path, "BENCH_FULL.json", {"queries": {"r": 1.0}})
+    out = _vs_previous_round({"r": 9.0}, root=str(tmp_path))
+    assert "BENCH_FULL.json" in out["r"]

@@ -67,6 +67,20 @@ def test_order_brands_memo_reuses_and_invalidates(spark, tmp_path):
     rows3 = {r["l_orderkey"]: list(r["bs"]) for r in f3.collect()}
     assert rows3 != rows1
     assert len(tx._ORDER_BRANDS_CACHE) == 1  # replaced, not accumulated
+    # part-ONLY regeneration must also invalidate (r15 ADVICE: the memo
+    # joins part.parquet for p_brand, so a fingerprint that only covered
+    # lineitem served stale brand sets when part alone regenerated)
+    time.sleep(0.05)
+    p2 = spark.createDataFrame(
+        [(k, f"Brand#{k + 10}") for k in range(1, 6)],
+        "p_partkey long, p_brand string",
+    )
+    _write(spark, root, "part", p2)
+    f4 = tx._order_brand_sets(spark, root)
+    assert f4 is not f3  # stale-part memo must miss
+    rows4 = {r["l_orderkey"]: list(r["bs"]) for r in f4.collect()}
+    assert rows4 != rows3  # new brand names visible
+    assert len(tx._ORDER_BRANDS_CACHE) == 1
 
 
 def test_eps_pairs_memo_reuses_and_invalidates(spark, tmp_path):
