@@ -207,6 +207,172 @@ def _magnitude(v: int) -> tuple[int, int]:
     return s, v if v > 0 else v + (1 << s) - 1
 
 
+def _code_arrays(codes: dict) -> tuple[np.ndarray, np.ndarray]:
+    """(code, length) lookup arrays indexed by symbol, for the
+    vectorized entropy coder."""
+    c = np.zeros(256, dtype=np.int64)
+    ln = np.zeros(256, dtype=np.int64)
+    for sym, (code, length) in codes.items():
+        c[sym] = code
+        ln[sym] = length
+    return c, ln
+
+
+_DC_CODE_ARRS = [
+    _code_arrays(_canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)),
+    _code_arrays(_canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)),
+]
+_AC_CODE_ARRS = [
+    _code_arrays(_canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)),
+    _code_arrays(_canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)),
+]
+
+
+def _bitlen(a: np.ndarray) -> np.ndarray:
+    """Element-wise bit_length of non-negative int64 (exact: frexp's
+    exponent of an integer IS its bit length; values here are bounded by
+    the 15-bit JPEG coefficient range, far inside float64 exactness)."""
+    return np.frexp(a.astype(np.float64))[1].astype(np.int64)
+
+
+def _pack_bits(values: np.ndarray, lengths: np.ndarray) -> bytes:
+    """MSB-first concatenation of variable-width bitfields with JPEG
+    byte stuffing (0x00 after every emitted 0xFF) and 1-fill padding to
+    a byte boundary — the vectorized equivalent of ``_BitWriter``:
+    identical (value, length) input produces identical bytes
+    (tests/test_jpeg_differential.py fuzzes the equivalence)."""
+    lengths = lengths.astype(np.int64)
+    keep = lengths > 0
+    values = values[keep].astype(np.int64)
+    lengths = lengths[keep]
+    total = int(lengths.sum())
+    pad = (-total) % 8
+    if pad:
+        values = np.append(values, (1 << pad) - 1)
+        lengths = np.append(lengths, pad)
+        total += pad
+    if total == 0:
+        return b""
+    values &= (np.int64(1) << lengths) - 1  # _BitWriter.put's mask
+    item = np.repeat(np.arange(len(values)), lengths)
+    starts = np.repeat(np.cumsum(lengths) - lengths, lengths)
+    j = np.arange(total, dtype=np.int64) - starts
+    bits = (values[item] >> (lengths[item] - 1 - j)) & 1
+    packed = np.packbits(bits.astype(np.uint8))
+    ff = np.flatnonzero(packed == 0xFF)
+    if len(ff):
+        packed = np.insert(packed, ff + 1, 0)
+    return packed.tobytes()
+
+
+def _entropy_encode(quantized: list, comp_q: list) -> bytes:
+    """Vectorized baseline entropy coder over per-component zigzag
+    coefficient tables (n_mcus, 64). Emits the IDENTICAL
+    (value, length) stream the per-symbol loop did — DC diff coding,
+    run-length AC with ZRL expansion and EOB — with the MCU-major
+    component-minor interleave reconstructed by ONE argsort over a
+    composite (block, zigzag-pos, sub-order) key, then packs it with
+    ``_pack_bits``. All components are processed in a single stacked
+    pass (per-image numpy constant cost is what competes with the old
+    serial loop on sparse, EOB-heavy corpus images). Byte equality with
+    the serial writer is pinned by the differential fuzz suite."""
+    nc = len(quantized)
+    n = quantized[0].shape[0]
+    z = np.concatenate(quantized, axis=0).astype(np.int64)  # (nc*n, 64)
+    # global block index g = ci*n + m; emission order is (m, ci) so the
+    # sort key's block term is m*nc + ci
+    g_order = np.concatenate(
+        [np.arange(n, dtype=np.int64) * nc + ci for ci in range(nc)]
+    )
+    # per-symbol code tables gathered per block's component class
+    tcls = np.repeat(np.asarray(comp_q, dtype=np.int64), n)
+    dc_c = np.stack([_DC_CODE_ARRS[t][0] for t in (0, 1)])
+    dc_l = np.stack([_DC_CODE_ARRS[t][1] for t in (0, 1)])
+    ac_c = np.stack([_AC_CODE_ARRS[t][0] for t in (0, 1)])
+    ac_l = np.stack([_AC_CODE_ARRS[t][1] for t in (0, 1)])
+
+    # --- DC: diff vs previous block of the SAME component ---
+    dc = z[:, 0]
+    prev = np.empty_like(dc)
+    prev[0] = 0
+    prev[1:] = dc[:-1]
+    prev[np.arange(nc) * n] = 0  # stripe starts: predictor resets to 0
+    diff = dc - prev
+    s_dc = _bitlen(np.abs(diff))
+    bits_dc = np.where(diff >= 0, diff, diff + (np.int64(1) << s_dc) - 1)
+
+    # --- AC: run-length over nonzeros (row-major nonzero is already
+    # (block, k)-sorted) ---
+    b, kk = np.nonzero(z[:, 1:])
+    k = kk + 1
+    v = z[b, k]
+    if len(b):
+        first = np.empty(len(b), dtype=bool)
+        first[0] = True
+        np.not_equal(b[1:], b[:-1], out=first[1:])
+        prev_k = np.empty_like(k)
+        prev_k[0] = 0
+        prev_k[1:] = k[:-1]
+        prev_k[first] = 0
+        run = k - prev_k - 1
+        zrl_n = run >> 4
+        sym = ((run & 15) << 4) | _bitlen(np.abs(v))
+    else:
+        zrl_n = k
+        sym = k
+    s_ac = sym & 15
+    bits_ac = np.where(v > 0, v, v + (np.int64(1) << s_ac) - 1)
+    # EOB wherever the block's last nonzero AC is before k=63
+    last_nz = np.zeros(nc * n, dtype=np.int64)
+    if len(b):
+        np.maximum.at(last_nz, b, k)
+    eob_b = np.flatnonzero(last_nz < 63)
+
+    # --- assemble (key, value, length) records; key = block-in-emission-
+    # order * 2^12 | zigzag-pos * 2^5 | sub (pos<=64 -> 7 bits; sub: DC
+    # huff 0 / DC bits 1, AC ZRLs 0..3, AC huff 16, AC bits 17 -> 5 bits)
+    n_zrl = int(zrl_n.sum())
+    n_rec = 4 * nc * n + 2 * len(b) + n_zrl  # DC pairs + EOB upper bound
+    key = np.empty(n_rec, dtype=np.int64)
+    val = np.empty(n_rec, dtype=np.int64)
+    ln = np.empty(n_rec, dtype=np.int64)
+    blocks = nc * n
+
+    key[:blocks] = g_order << 12
+    val[:blocks] = dc_c[tcls, s_dc]
+    ln[:blocks] = dc_l[tcls, s_dc]
+    key[blocks : 2 * blocks] = (g_order << 12) | 1
+    val[blocks : 2 * blocks] = bits_dc
+    ln[blocks : 2 * blocks] = s_dc
+    at = 2 * blocks
+    if n_zrl:
+        zi = np.repeat(np.arange(len(b)), zrl_n)
+        sub = np.arange(n_zrl, dtype=np.int64) - np.repeat(
+            np.cumsum(zrl_n) - zrl_n, zrl_n
+        )
+        key[at : at + n_zrl] = (g_order[b[zi]] << 12) | (k[zi] << 5) | sub
+        val[at : at + n_zrl] = ac_c[tcls[b[zi]], 0xF0]
+        ln[at : at + n_zrl] = ac_l[tcls[b[zi]], 0xF0]
+        at += n_zrl
+    if len(b):
+        gk = (g_order[b] << 12) | (k << 5)
+        key[at : at + len(b)] = gk | 16
+        val[at : at + len(b)] = ac_c[tcls[b], sym]
+        ln[at : at + len(b)] = ac_l[tcls[b], sym]
+        at += len(b)
+        key[at : at + len(b)] = gk | 17
+        val[at : at + len(b)] = bits_ac
+        ln[at : at + len(b)] = s_ac
+        at += len(b)
+    key[at : at + len(eob_b)] = (g_order[eob_b] << 12) | (64 << 5)
+    val[at : at + len(eob_b)] = ac_c[tcls[eob_b], 0]
+    ln[at : at + len(eob_b)] = ac_l[tcls[eob_b], 0]
+    at += len(eob_b)
+
+    order = np.argsort(key[:at])  # keys are unique: plain sort suffices
+    return _pack_bits(val[:at][order], ln[:at][order])
+
+
 def _rgb_to_ycbcr(a: np.ndarray) -> np.ndarray:
     r, g, b = a[..., 0], a[..., 1], a[..., 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -227,11 +393,21 @@ def _ycbcr_to_rgb(y, cb, cr) -> np.ndarray:
 
 
 def _blockify(plane: np.ndarray) -> np.ndarray:
-    """(H, W) -> (n_blocks, 8, 8) in MCU raster order, edge-replicated pad."""
+    """(H, W) -> (n_blocks, 8, 8) in MCU raster order, edge-replicated pad
+    (manual slice fill: same bytes as np.pad(mode="edge") at a fraction of
+    its per-call overhead — this runs three times per encoded image)."""
     h, w = plane.shape
     ph = (h + 7) // 8 * 8
     pw = (w + 7) // 8 * 8
-    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    if ph != h or pw != w:
+        padded = np.empty((ph, pw), dtype=plane.dtype)
+        padded[:h, :w] = plane
+        if pw != w:
+            padded[:h, w:] = plane[:, -1:]
+        if ph != h:
+            padded[h:, :] = padded[h - 1, :]
+    else:
+        padded = plane
     return (
         padded.reshape(ph // 8, 8, pw // 8, 8)
         .transpose(0, 2, 1, 3)
@@ -267,15 +443,6 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     qtabs = [qluma] + ([] if gray else [qchroma])
     comp_q = [0] if gray else [0, 1, 1]
 
-    dc_codes = [
-        _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
-        _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
-    ]
-    ac_codes = [
-        _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS),
-        _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS),
-    ]
-
     # forward DCT + quantize, all blocks at once per component
     quantized = []
     for ci, plane in enumerate(planes):
@@ -286,42 +453,9 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
             np.round(coef / q).astype(np.int32).reshape(-1, 64)[:, _ZIGZAG]
         )
 
-    bw = _BitWriter()
-    n_mcus = ((h + 7) // 8) * ((w + 7) // 8)
-    pred = [0] * len(planes)
-    for m in range(n_mcus):
-        for ci in range(len(planes)):
-            t = comp_q[ci]
-            zz = quantized[ci][m]
-            diff = int(zz[0]) - pred[ci]
-            pred[ci] = int(zz[0])
-            s, bits = _magnitude(diff)
-            code, ln = dc_codes[t][s]
-            bw.put(code, ln)
-            if s:
-                bw.put(bits, s)
-            run = 0
-            last_nz = 0
-            nz = np.nonzero(zz[1:])[0]
-            last_nz = nz[-1] + 1 if len(nz) else 0
-            for k in range(1, last_nz + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[t][0xF0]  # ZRL
-                    bw.put(code, ln)
-                    run -= 16
-                s, bits = _magnitude(v)
-                code, ln = ac_codes[t][(run << 4) | s]
-                bw.put(code, ln)
-                bw.put(bits, s)
-                run = 0
-            if last_nz < 63:
-                code, ln = ac_codes[t][0x00]  # EOB
-                bw.put(code, ln)
-    scan = bw.flush()
+    # vectorized entropy coding (r16): identical bytes to the previous
+    # per-symbol _BitWriter loop, pinned by the differential fuzz suite
+    scan = _entropy_encode(quantized, comp_q)
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
@@ -426,6 +560,79 @@ def _extend(bits: int, s: int) -> int:
     return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
 
 
+#: (BITS bytes, HUFFVAL bytes) -> 65536-entry flat-prefix decode table
+#: ((length << 8) | symbol per 16-bit window, 0 = no code). Keyed by the
+#: table definition itself so own-encoder files share one cached build;
+#: foreign tables add at most a few hundred KB per distinct definition
+#: for the worker's lifetime.
+_HUFF_LUT_CACHE: dict = {}
+
+
+def _huff_lut(bits, vals) -> list:
+    """Table-driven Huffman: every 16-bit window maps directly to its
+    unique prefix code's (length << 8) | symbol — one list index per
+    symbol instead of up to 16 dict probes (prefix property guarantees
+    the first matching code is THE code, so this is exactly
+    ``_read_symbol``'s answer)."""
+    key = (bytes(bits), bytes(vals))
+    lut = _HUFF_LUT_CACHE.get(key)
+    if lut is None:
+        arr = np.zeros(1 << 16, dtype=np.uint16)
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                lo = code << (16 - length)
+                arr[lo : lo + (1 << (16 - length))] = (length << 8) | vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        lut = arr.tolist()
+        _HUFF_LUT_CACHE[key] = lut
+    return lut
+
+
+def _entropy_segments(data: bytes, start: int) -> list[bytes]:
+    """Split the entropy-coded data at RSTn markers and unstuff each
+    segment (FF 00 -> FF); scanning stops at the first non-RST marker
+    (EOI / next segment / truncated FF at end-of-data), mirroring
+    ``_BitReader._fill``'s stop conditions."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    p = start
+    n = len(data)
+    while p < n:
+        nxt = data.find(b"\xff", p)
+        if nxt == -1:
+            cur += data[p:]
+            break
+        cur += data[p:nxt]
+        mk = data[nxt + 1] if nxt + 1 < n else 0xD9
+        if mk == 0x00:
+            cur.append(0xFF)
+            p = nxt + 2
+        elif 0xD0 <= mk <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            p = nxt + 2
+        else:
+            break
+    segs.append(bytes(cur))
+    return segs
+
+
+def _seg_windows(seg: bytes) -> tuple[list, int]:
+    """(per-byte 32-bit big-endian windows, total bits) for a segment:
+    window[i] holds bytes i..i+3, so any <=16-bit read at bit position p
+    is one index + shift + mask on window[p >> 3]. Zero padding only
+    backs reads the bounds checks already allow."""
+    b = np.frombuffer(seg + b"\x00\x00\x00", dtype=np.uint8).astype(
+        np.uint32
+    )
+    w = (b[:-3] << 24) | (b[1:-2] << 16) | (b[2:-1] << 8) | b[3:]
+    return w.tolist(), 8 * len(seg)
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes → (H, W, 3) RGB (or (H, W) gray) uint8 array.
 
@@ -480,7 +687,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(body[b + 1 : b + 17])
                 nvals = sum(bits)
                 vals = list(body[b + 17 : b + 17 + nvals])
-                huff[(tc, th)] = _decode_table(bits, vals)
+                huff[(tc, th)] = _huff_lut(bits, vals)
                 b += 17 + nvals
         elif marker == 0xDD:
             restart_interval = struct.unpack(">H", body[:2])[0]
@@ -499,34 +706,89 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     nc = len(comps)
     n_mcus = ((h + 7) // 8) * ((w + 7) // 8)
     coeffs = [np.zeros((n_mcus, 64), dtype=np.int32) for _ in range(nc)]
-    br = _BitReader(data, pos)
-    pred = [0] * nc
     comp_tq = {cid: tq for cid, tq in comps}
+    # Table-driven entropy decode (r16): RST-segmented unstuffed bytes,
+    # one flat-LUT index per Huffman symbol and one 32-bit-window shift
+    # per magnitude read, in place of the per-bit dict-probe reader —
+    # identical coefficients by the prefix property (differential fuzz:
+    # tests/test_jpeg_differential.py). Coefficients accumulate in
+    # Python lists and land in ONE fancy-index write per component.
+    segs = _entropy_segments(data, pos)
+    seg_i = 0
+    w32, nbits = _seg_windows(segs[0])
+    bp = 0
+    pred = [0] * nc
+    luts = [(huff[(0, td)], huff[(1, ta)]) for (_cid, td, ta) in scan_comps]
+    acc = [([], [], []) for _ in range(nc)]  # (mcu, zigzag-k, value)
+    exhausted = ValueError("entropy segment exhausted")
     for m in range(n_mcus):
         if restart_interval and m and m % restart_interval == 0:
-            # flush to byte boundary, consume RSTn, reset predictors
-            br.skip_restart()
+            # skip_restart semantics: drop partial-byte bits; an RSTn at
+            # the byte boundary ended the current segment, so advance
+            bp = (bp + 7) & ~7
+            if bp >= nbits and seg_i + 1 < len(segs):
+                seg_i += 1
+                w32, nbits = _seg_windows(segs[seg_i])
+                bp = 0
             pred = [0] * nc
-        for ci, (cid, td, ta) in enumerate(scan_comps):
-            s = _read_symbol(br, huff[(0, td)])
-            diff = _extend(br.bits(s), s) if s else 0
-            pred[ci] += diff
-            zz = coeffs[ci][m]
-            zz[0] = pred[ci]
+        for ci in range(len(scan_comps)):
+            dlut, alut = luts[ci]
+            if bp >= nbits:
+                raise exhausted
+            v = dlut[(w32[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF]
+            ln = v >> 8
+            if ln == 0 or bp + ln > nbits:
+                if ln == 0 and nbits - bp >= 16:
+                    raise ValueError("invalid Huffman code")
+                raise exhausted
+            bp += ln
+            s = v & 0xFF
+            if s:
+                if bp + s > nbits:
+                    raise exhausted
+                bits = (w32[bp >> 3] >> (32 - (bp & 7) - s)) & ((1 << s) - 1)
+                bp += s
+                pred[ci] += (
+                    bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+                )
+            ms, ks, vs = acc[ci]
+            ms.append(m)
+            ks.append(0)
+            vs.append(pred[ci])
             k = 1
             while k <= 63:
-                rs = _read_symbol(br, huff[(1, ta)])
-                r, s = rs >> 4, rs & 0x0F
+                if bp >= nbits:
+                    raise exhausted
+                v = alut[(w32[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF]
+                ln = v >> 8
+                if ln == 0 or bp + ln > nbits:
+                    if ln == 0 and nbits - bp >= 16:
+                        raise ValueError("invalid Huffman code")
+                    raise exhausted
+                bp += ln
+                rs = v & 0xFF
+                s = rs & 0x0F
                 if s == 0:
-                    if r == 15:
+                    if rs == 0xF0:  # ZRL
                         k += 16
                         continue
                     break  # EOB
-                k += r
+                k += rs >> 4
                 if k > 63:
                     raise ValueError("AC run past end of block")
-                zz[k] = _extend(br.bits(s), s)
+                if bp + s > nbits:
+                    raise exhausted
+                bits = (w32[bp >> 3] >> (32 - (bp & 7) - s)) & ((1 << s) - 1)
+                bp += s
+                ms.append(m)
+                ks.append(k)
+                vs.append(
+                    bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+                )
                 k += 1
+    for ci in range(len(scan_comps)):
+        ms, ks, vs = acc[ci]
+        coeffs[ci][ms, ks] = vs
 
     planes = []
     for ci, (cid, td, ta) in enumerate(scan_comps):

@@ -66,8 +66,11 @@ def main() -> None:
     queries = entry_mod.queries()
     _warmup(spark, queries)
 
-    plans_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r15")
+    plans_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("OPT_PLANS_ROUND", "r16"),
+    )
     os.makedirs(plans_dir, exist_ok=True)
 
     results: dict[str, list[float]] = {}
