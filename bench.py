@@ -324,6 +324,13 @@ _MEMO_BACKED = {
     # audit and the end-to-end top-k search's corpus side.
     "embedding_generate_hashed",
     "generated_embedding_topk",
+    # Corpus shingle-frame memo (_SHINGLE_CACHE, pipeline.py, r16): the
+    # (doc_id, distinct word 5-grams) build shared by the three
+    # decontamination queries (and computed 2-3x inside each consumer's
+    # own plan before the memo).
+    "contamination_ngram_overlap",
+    "contamination_bloom_flags",
+    "contamination_bloom_audit",
 }
 
 # Memo FAMILIES — queries sharing one session cache, used to classify
@@ -417,6 +424,19 @@ _MEMO_FAMILIES = [
         # runs first and pays the full-corpus Arrow encode
         "embedding_generate_hashed",
         "generated_embedding_topk",
+    },
+    {  # Corpus shingle-frame memo (_SHINGLE_CACHE, r16): the exact
+        # ngram-overlap query runs first in BENCH_QUERIES order and pays
+        # the checkpointed shingle build; the two bloom queries read it
+        # warm. The streaming probe's corpus side reads the same memo
+        # (it already sits in the _DECON_STREAM_CACHE singleton family
+        # for its OWN output store; membership here adds the shingle
+        # predecessors — memo_family_predecessors unions across
+        # families). Not benched, listed for the family invariant.
+        "contamination_ngram_overlap",
+        "contamination_bloom_flags",
+        "contamination_bloom_audit",
+        "streaming_contamination_probe",
     },
 ]
 

@@ -23,7 +23,7 @@ from ..functions.exprs import (
     md5_bucket_sql,
     tokens,
 )
-from .base import Registry, load_table
+from .base import Registry, load_table, memo_get, memo_put
 
 PIPE = Registry()
 
@@ -147,10 +147,36 @@ _SHINGLE_N = 5  # word n-gram width for contamination checks
 _BENCH_MOD = 97  # doc_id % _BENCH_MOD == 0 → doc belongs to the benchmark set
 
 
+#: (applicationId, sf_dir) -> the (doc_id, s) corpus shingle frame.
+#: THREE benched decontamination queries consume it
+#: (contamination_ngram_overlap, contamination_bloom_flags,
+#: contamination_bloom_audit — plus the streaming probe's corpus side),
+#: and each consumer's plan additionally computes it 2-3x internally
+#: (the benchmark slice is collected across a broadcast/driver boundary,
+#: so Spark cannot reuse the scan between it and the probe side).
+#: Measured r16 (noop sink, guide §1.4): the build alone is ~1.1 s at
+#: sf0.1 vs 1.9-2.6 s whole queries — the dominant shared stage. Same
+#: lazily-checkpointed, content-fingerprinted session-memo contract as
+#: _EMB_SUMS_CACHE below (the r15 pattern): first consumer pays the
+#: build, a regenerated documents table invalidates.
+_SHINGLE_CACHE: dict = {}
+
+
 def _shingle_frame(spark, sf_dir):
     """(doc_id, s) with s = the doc's DISTINCT word 5-gram shingles
-    (n = _SHINGLE_N) — shared by the three contamination queries."""
-    return _shingles_of(load_table(spark, sf_dir, "documents"))
+    (n = _SHINGLE_N) — shared by the three contamination queries via a
+    session memo (see ``_SHINGLE_CACHE``)."""
+    from .dedup import _docs_memo_key
+
+    key, fp = _docs_memo_key(spark, sf_dir)
+    cached = memo_get(_SHINGLE_CACHE, key, fp)
+    if cached is not None:
+        return cached
+    sh = _shingles_of(load_table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
+    memo_put(_SHINGLE_CACHE, key, fp, sh)
+    return sh
 
 
 def _shingles_of(d):

@@ -126,6 +126,46 @@ def test_eps_pairs_memo_reuses_and_invalidates(spark, tmp_path):
     assert len(sim._EPS_PAIRS_CACHE) == 1
 
 
+def test_shingle_frame_memo_reuses_and_invalidates(spark, tmp_path):
+    """r16: the corpus shingle frame is session-memoized (first consumer
+    pays the checkpointed build), invalidates on documents regeneration,
+    and serves values identical to an uncached rebuild."""
+    root = str(tmp_path)
+
+    def write_docs(suffix: str) -> None:
+        rows = [
+            (i, "en", f"alpha beta gamma delta epsilon zeta{suffix} t{i % 3}")
+            for i in range(10)
+        ]
+        _write(
+            spark,
+            root,
+            "documents",
+            spark.createDataFrame(rows, "doc_id long, lang string, text string"),
+        )
+
+    write_docs("")
+    pipe._SHINGLE_CACHE.clear()
+    f1 = pipe._shingle_frame(spark, root)
+    f2 = pipe._shingle_frame(spark, root)
+    assert f1 is f2  # served from the memo
+    rows1 = {r["doc_id"]: list(r["s"]) for r in f1.collect()}
+    expect = {
+        r["doc_id"]: list(r["s"])
+        for r in pipe._shingles_of(
+            spark.read.parquet(os.path.join(root, "documents.parquet"))
+        ).collect()
+    }
+    assert rows1 == expect
+    time.sleep(0.05)
+    write_docs("x")
+    f3 = pipe._shingle_frame(spark, root)
+    assert f3 is not f1  # regenerated table misses the memo
+    rows3 = {r["doc_id"]: list(r["s"]) for r in f3.collect()}
+    assert rows3 != rows1
+    assert len(pipe._SHINGLE_CACHE) == 1  # replaced, not accumulated
+
+
 def test_emb_sums_memo_full_corpus_only(spark, tmp_path):
     root = str(tmp_path)
 
