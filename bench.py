@@ -429,14 +429,13 @@ _MEMO_FAMILIES = [
         # ngram-overlap query runs first in BENCH_QUERIES order and pays
         # the checkpointed shingle build; the two bloom queries read it
         # warm. The streaming probe's corpus side reads the same memo
-        # (it already sits in the _DECON_STREAM_CACHE singleton family
-        # for its OWN output store; membership here adds the shingle
-        # predecessors — memo_family_predecessors unions across
-        # families). Not benched, listed for the family invariant.
+        # but stays in its _DECON_STREAM_CACHE singleton family above
+        # (families partition _MEMO_BACKED — disjointness invariant,
+        # tests/test_round_close_tools.py); it is not benched, so it
+        # needs no shingle predecessors here.
         "contamination_ngram_overlap",
         "contamination_bloom_flags",
         "contamination_bloom_audit",
-        "streaming_contamination_probe",
     },
 ]
 
