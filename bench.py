@@ -331,6 +331,13 @@ _MEMO_BACKED = {
     "contamination_ngram_overlap",
     "contamination_bloom_flags",
     "contamination_bloom_audit",
+    # Exact brute-force top-k memo (_BF_TOPK_CACHE, similarity.py, r16):
+    # the registered query's own output, re-read as the exact-recall
+    # ground truth by pq_reconstruction_audit / ivfpq_selectivity_audit
+    # / similarity_recall_report (those three stay classified in their
+    # PRIMARY-cache families per the larger-shared-cache convention —
+    # this smaller memo just makes their recall sides cache reads).
+    "similarity_topk_bruteforce",
 }
 
 # Memo FAMILIES — queries sharing one session cache, used to classify
@@ -437,6 +444,12 @@ _MEMO_FAMILIES = [
         "contamination_bloom_flags",
         "contamination_bloom_audit",
     },
+    {  # Exact brute-force top-k memo (_BF_TOPK_CACHE, r16): singleton —
+        # the audits that read it warm keep their primary-cache family
+        # classification (disjointness invariant; the convention the
+        # Lloyd-family comment documents).
+        "similarity_topk_bruteforce",
+    },
 ]
 
 
@@ -455,6 +468,9 @@ _MEMO_SELF_CACHED = {
     "streaming_upsert_latest_state",  # _UPSERT_STREAM_CACHE likewise
     "streaming_contamination_probe",  # _DECON_STREAM_CACHE likewise
     "embedding_neardup_pairs",  # _EPS_PAIRS_CACHE holds its output (r15)
+    # _BF_TOPK_CACHE holds similarity_topk_bruteforce's own output
+    # (r16): a warm rep is a pure <=50-row cache read
+    "similarity_topk_bruteforce",
     # _EMB_SUMS_CACHE holds the frame embedding_generate_hashed merely
     # re-projects (the dedup_keep_canonical thin-projection precedent).
     # Its warm reps still run a per-row norm fold + sqrt + array_join

@@ -184,6 +184,19 @@ def _km_cte_sql(k: int, iters: int) -> str:
     )"""
 
 
+#: (applicationId, sf_dir) -> the exact brute-force top-k frame
+#: (query_id, neighbor_id, cos_sim, rank; <= |queries|*k rows). FOUR
+#: call sites run the identical corpus scan + two-stage window per
+#: session — the registered query itself plus the exact-recall sides of
+#: pq_reconstruction_audit, ivfpq_selectivity_audit and
+#: similarity_recall_report (each ~0.9 s at sf0.1, measured r16) — and
+#: the frame is the ground-truth table a production ANN evaluation
+#: materializes once. Same lazily-checkpointed, content-fingerprinted
+#: session-memo contract as the Lloyd/PQ caches; the checkpoint is
+#: <= 50 rows.
+_BF_TOPK_CACHE: dict = {}
+
+
 @SIM.register(
     "similarity_topk_bruteforce",
     oracle=f"""
@@ -211,8 +224,14 @@ def similarity_topk_bruteforce(spark, sf_dir):
     32·|queries| reduce keys — a single per-query window would funnel the
     whole corpus through |queries| reducer tasks — then the global window
     ranks the ≤ 32·k survivors per query. Same total order both stages, so
-    the result is identical to the single-window plan.
+    the result is identical to the single-window plan. The result frame is
+    session-memoized (see ``_BF_TOPK_CACHE``): three ANN audits consume it
+    as their exact ground truth.
     """
+    key, fp = _emb_memo_key(spark, sf_dir)
+    cached = memo_get(_BF_TOPK_CACHE, key, fp)
+    if cached is not None:
+        return cached
     e = load_table(spark, sf_dir, "embeddings")
     # precompute each side's norm ONCE per vector (not per pair) — bitwise
     # identical to the oracle's sqrt-of-fold since it's the same expression,
@@ -247,11 +266,14 @@ def similarity_topk_bruteforce(spark, sf_dir):
         .filter(F.col("__r") <= _TOP_K)
     )
     w = W.partitionBy("query_id").orderBy(*order)
-    return (
+    out = (
         pre.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .localCheckpoint(eager=False)
     )
+    memo_put(_BF_TOPK_CACHE, key, fp, out)
+    return out
 
 
 @SIM.register(

@@ -166,6 +166,40 @@ def test_shingle_frame_memo_reuses_and_invalidates(spark, tmp_path):
     assert len(pipe._SHINGLE_CACHE) == 1  # replaced, not accumulated
 
 
+def test_bf_topk_memo_reuses_and_invalidates(spark, tmp_path):
+    """r16: the exact brute-force top-k frame is session-memoized (three
+    ANN audits read it as ground truth), invalidates on embeddings
+    regeneration, and serves values identical to an uncached rebuild."""
+    root = str(tmp_path)
+
+    def write_emb(scale: float) -> None:
+        rows = [
+            (i, "a", [float(scale) * ((i * 7 + j * 3) % 11 + 1) for j in range(64)])
+            for i in range(30)
+        ]
+        _write(
+            spark,
+            root,
+            "embeddings",
+            spark.createDataFrame(
+                rows, "vec_id long, label string, embedding array<float>"
+            ),
+        )
+
+    write_emb(1.0)
+    sim._BF_TOPK_CACHE.clear()
+    f1 = sim.similarity_topk_bruteforce(spark, root)
+    f2 = sim.similarity_topk_bruteforce(spark, root)
+    assert f1 is f2  # served from the memo
+    rows1 = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in f1.collect()}
+    assert rows1  # non-empty ground truth
+    time.sleep(0.05)
+    write_emb(3.0)  # same directions scaled — but mtime/size change
+    f3 = sim.similarity_topk_bruteforce(spark, root)
+    assert f3 is not f1  # regenerated table misses the memo
+    assert len(sim._BF_TOPK_CACHE) == 1  # replaced, not accumulated
+
+
 def test_emb_sums_memo_full_corpus_only(spark, tmp_path):
     root = str(tmp_path)
 
